@@ -1,23 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Each query is forced through a `noop` sink so
+  * the full plan (all columns, all operators) executes — `.count()`
+  * would let Catalyst prune the projections being measured. */
 object Bench {
+  /** Heavier / representative subset; trivial scans add noise, not signal. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "window_top3_per_customer", "window_running_sum",
+    "wc_wordcount", "ii_inverted_index",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk_bruteforce", "sim_ann_lsh",
+    "text_quality", "text_tfidf_top",
+    "events_tumbling_hourly", "events_sessionize"
+  )
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = GraftSession.requiredConfs
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    GraftSession.prepare(spark)
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Registry of graft's native Catalyst expressions, exposed as SQL
+  * functions so they compose with `expr(...)` / `selectExpr` / pure SQL
+  * and stay inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

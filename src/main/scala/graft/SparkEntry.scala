@@ -1,13 +1,394 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator from SURVEY.md §2, each with DuckDB-equivalent oracle SQL
+  * where SQL can express it. Column names and types are aligned with
+  * the oracle (the driver sorts columns by name and hash-compares
+  * values); every query ends in a total ORDER BY for deterministic row
+  * order; computed doubles are rounded to 4 decimals (inputs carry ≤4
+  * decimal digits, so the round is exact and ulp-robust).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.prepare(spark)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+  }
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => { GraftSession.prepare(s); f(s, dir) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: the two jobs of the reference engine ----
+    "wc_wordcount" -> q((s, dir) => TextJobs.wordCount(Tables.documents(s, dir))),
+    "ii_inverted_index" -> q((s, dir) => TextJobs.invertedIndex(Tables.documents(s, dir), "text", "source")),
+    "mr_wordcount" -> q { (s, dir) =>
+      import s.implicits._
+      MapReduce
+        .wordCount(Tables.documents(s, dir).select("text").as[String])
+        .toDF("word", "cnt")
+        .orderBy("word")
+    },
+    // ---- relational surface ----
+    "q1_pricing_summary"    -> q(Relational.q1PricingSummary),
+    "q3_shipping_priority"  -> q(Relational.q3ShippingPriority),
+    "q5_local_supplier"     -> q(Relational.q5LocalSupplierVolume),
+    "q6_forecast_revenue"   -> q(Relational.q6ForecastRevenue),
+    "join_left_order_counts" -> q(Relational.joinLeftOrderCounts),
+    "join_semi_big_spenders" -> q(Relational.joinSemiBigSpenders),
+    "join_anti_no_orders"   -> q(Relational.joinAntiNoOrders),
+    "join_full_outer"       -> q(Relational.joinFullOuter),
+    "window_top3_per_customer" -> q(Relational.windowTop3PerCustomer),
+    "window_running_sum"    -> q(Relational.windowRunningSum),
+    "window_lag_lead"       -> q(Relational.windowLagLead),
+    "set_ops"               -> q(Relational.setOps),
+    "distinct_status_priority" -> q(Relational.distinctStatusPriority),
+    "topn_orders"           -> q(Relational.topNOrders),
+    "rollup_quantities"     -> q(Relational.rollupQuantities),
+    "cube_order_stats"      -> q(Relational.cubeOrderStats),
+    "grouping_sets"         -> q(Relational.groupingSets),
+    "count_distinct_agg"    -> q(Relational.countDistinctAgg),
+    "scalar_string"         -> q(Relational.scalarString),
+    "scalar_date_math"      -> q(Relational.scalarDateMath),
+    "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
+    // ---- events: JSON + event-time windows ----
+    "json_extract"          -> q(EventAnalytics.jsonExtract),
+    "json_aggregate"        -> q(EventAnalytics.jsonAggregate),
+    "events_tumbling_hourly" -> q(EventAnalytics.tumblingHourly),
+    "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
+    "events_sessionize"     -> q(EventAnalytics.sessionize),
+    "events_user_profile"   -> q(EventAnalytics.userProfile),
+    // ---- dedup ----
+    "dedup_exact_groups"    -> q(Dedup.exactGroups),
+    "dedup_ngram_jaccard" -> q((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
+    ),
+    "dedup_minhash_lsh" -> q((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
+    "dedup_simhash"     -> q((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
+    "dedup_embedding_cosine" -> q((s, dir) => Dedup.embeddingNearDups(s, dir)),
+    // ---- similarity search ----
+    "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
+    // ---- text analysis ----
+    "text_langid"      -> q(TextAnalysis.languageId),
+    "text_quality"     -> q(TextAnalysis.qualityScore),
+    "text_tokens"      -> q(TextAnalysis.tokenCounts),
+    "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    // ---- multimodal plumbing ----
+    "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
+    "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx"))
+  )
+
+  /** DuckDB oracle SQL (driver runs these over the same parquet tables
+    * registered by bare name). Omitted keys → rows-only check
+    * (hash-based LSH internals aren't portably expressible in SQL).
+    */
+  def oracleSql: Map[String, String] = {
+    val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+    val wcSql =
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest($toks) AS word FROM documents)
+         |GROUP BY word ORDER BY word""".stripMargin
+    Map(
+      "wc_wordcount" -> wcSql,
+      "mr_wordcount" -> wcSql,
+      "ii_inverted_index" ->
+        s"""SELECT word, count(DISTINCT source) AS n_files,
+           |       string_agg(DISTINCT source, ',' ORDER BY source) AS files
+           |FROM (SELECT source, unnest($toks) AS word FROM documents)
+           |GROUP BY word ORDER BY word""".stripMargin,
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 4) AS sum_qty,
+          |  round(sum(l_extendedprice), 4) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          |  round(sum(l_quantity), 4) / count(*) AS avg_qty,
+          |  round(sum(l_extendedprice), 4) / count(*) AS avg_price,
+          |  round(sum(l_discount), 4) / count(*) AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey, o_orderdate,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          |  AND l_orderkey = o_orderkey
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin,
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin,
+      "q6_forecast_revenue" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.03 AND l_discount <= 0.07
+          |  AND l_quantity < 24""".stripMargin,
+      "join_left_order_counts" ->
+        """SELECT c_custkey, count(o_orderkey) AS n_orders
+          |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+      "join_semi_big_spenders" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+          |ORDER BY c_custkey""".stripMargin,
+      "join_anti_no_orders" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+          |ORDER BY c_custkey""".stripMargin,
+      "join_full_outer" ->
+        """SELECT coalesce(a.c_custkey, -1) AS cust_side,
+          |       coalesce(b.o_custkey, -1) AS order_side
+          |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) a
+          |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) b
+          |  ON a.c_custkey = b.o_custkey
+          |ORDER BY cust_side, order_side""".stripMargin,
+      "window_top3_per_customer" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "window_running_sum" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ROWS UNBOUNDED PRECEDING), 4) AS running_qty
+          |FROM lineitem
+          |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+      "window_lag_lead" ->
+        """SELECT o_custkey, o_orderkey,
+          |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+          |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "set_ops" ->
+        """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+          |     b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+          |SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+          |UNION ALL
+          |SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+          |ORDER BY op, k""".stripMargin,
+      "distinct_status_priority" ->
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+      "topn_orders" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+      "rollup_quantities" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS cnt, round(sum(l_quantity), 4) AS qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin,
+      "cube_order_stats" ->
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS cnt, round(sum(o_totalprice), 4) AS total
+          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY status, priority""".stripMargin,
+      "grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS cnt
+          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin,
+      "count_distinct_agg" ->
+        """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+          |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "scalar_string" ->
+        """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_name) AS name_l,
+          |  substr(p_name, 1, 8) AS name_pre, length(p_name) AS name_len,
+          |  regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+          |  replace(p_type, ' ', '_') AS type_u,
+          |  p_brand || '|' || p_type AS brand_type,
+          |  string_split(p_name, ' ')[1] AS first_word
+          |FROM part ORDER BY p_partkey""".stripMargin,
+      "scalar_date_math" ->
+        """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+          |  day(o_orderdate) AS d, date_trunc('month', o_orderdate) AS month_start,
+          |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+          |  o_orderkey % 7 AS key_mod,
+          |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+          |  round(ln(o_totalprice), 4) AS ln_price,
+          |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+          |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+          |  round(abs(o_totalprice - 250000.0), 4) AS abs_diff
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "orders_vs_customer_avg" ->
+        """WITH ca AS (SELECT o_custkey AS ck, avg(o_totalprice) AS cust_avg
+          |            FROM orders GROUP BY o_custkey)
+          |SELECT o_orderkey, o_custkey FROM orders JOIN ca ON o_custkey = ck
+          |WHERE o_totalprice > cust_avg * 1.5
+          |ORDER BY o_orderkey""".stripMargin,
+      "json_extract" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
+          |FROM events ORDER BY event_id""".stripMargin,
+      "json_aggregate" ->
+        """SELECT event_type,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "events_tumbling_hourly" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+          |  count(*) AS n, round(sum(value), 4) AS total_value
+          |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+      "events_sliding_counts" ->
+        """SELECT ws, count(*) AS n, round(sum(value), 4) / count(*) AS avg_value
+          |FROM (SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+          |             - (k.k * INTERVAL '5 minutes') AS ws, value
+          |      FROM events, (SELECT unnest([0, 1, 2]) AS k) k)
+          |GROUP BY ws ORDER BY ws""".stripMargin,
+      "events_sessionize" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+          |m AS (SELECT user_id, t, value,
+          |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+          |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+          |                  > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          |      FROM e),
+          |s AS (SELECT user_id, t, value,
+          |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+          |                       ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM m)
+          |SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+          |  round(sum(value), 4) AS session_value
+          |FROM s GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin,
+      "events_user_profile" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+          |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
+          |  min(CAST(ts AS TIMESTAMP)) AS first_seen,
+          |  max(CAST(ts AS TIMESTAMP)) AS last_seen
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "dedup_exact_groups" ->
+        """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keeper
+          |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 1),
+           |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           |       FROM t WHERE len(tk) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |        GROUP BY x.doc_id, y.doc_id)
+           |SELECT a, b, jaccard FROM (
+           |  SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
+           |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+           |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+      "dedup_embedding_cosine" ->
+        """SELECT a, b, round(cos, 4) AS cos FROM (
+          |  SELECT x.vec_id AS a, y.vec_id AS b,
+          |    list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+          |                           CAST(y.embedding AS DOUBLE[])) AS cos
+          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+      "sim_topk_bruteforce" ->
+        """SELECT qid, rnk, cand, round(cos, 4) AS cos FROM (
+          |  SELECT qid, cand, cos,
+          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS BIGINT) AS rnk
+          |  FROM (SELECT q.vec_id AS qid, c.vec_id AS cand,
+          |          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                                 CAST(c.embedding AS DOUBLE[])) AS cos
+          |        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |        WHERE q.vec_id % 100 = 0))
+          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+      "text_langid" -> {
+        def score(words: Seq[String]) =
+          s"len(list_filter(tk, x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sc AS (SELECT doc_id,
+           |         ${score(TextAnalysis.stopEn)} AS s_en,
+           |         ${score(TextAnalysis.stopDe)} AS s_de,
+           |         ${score(TextAnalysis.stopFr)} AS s_fr,
+           |         ${score(TextAnalysis.stopEs)} AS s_es
+           |       FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_es >= s_fr THEN 'es'
+           |       ELSE 'fr' END AS pred_lang,
+           |  CAST(s_en AS INTEGER) AS s_en, CAST(s_de AS INTEGER) AS s_de,
+           |  CAST(s_fr AS INTEGER) AS s_fr, CAST(s_es AS INTEGER) AS s_es
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
+      "text_quality" -> {
+        val en = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+           |b AS (SELECT doc_id, text, tk, len(tk) AS n_tokens,
+           |        len(list_filter(tk, x -> list_contains([$en], x))) AS n_stop
+           |      FROM t WHERE len(tk) > 0)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+           |        / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+           |  n_stop / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           |  (length(text) - length(regexp_replace(text, '[^\\p{L}\\s]', '', 'g')))
+           |        / CAST(length(text) AS DOUBLE) AS punct_ratio
+           |FROM b ORDER BY doc_id""".stripMargin
+      },
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+          |  n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(1, len(tk) + 1),
+           |         i -> i * ((ascii(tk[i]) * 131 + length(tk[i])) % 1000003)))
+           |       % 1000000007 AS BIGINT) AS fingerprint
+           |FROM (SELECT doc_id, $toks AS tk FROM documents)
+           |ORDER BY doc_id""".stripMargin,
+      "text_tfidf_top" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+           |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.term,
+           |         round(tf.tf * ln(nd.n / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf
+           |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+           |r AS (SELECT doc_id, term, tfidf,
+           |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           |      FROM sc)
+           |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "multimodal_binary_meta" ->
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          |  hex(encode(substr(text, 1, 8))) AS hex_prefix,
+          |  CAST(doc_id % 3 AS INTEGER) AS modality
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for large-scale corpus curation — the
+  * core training-data-pipeline surface (BASELINE.json north star).
+  *
+  * Scale design:
+  *   - exact dedup is one hash-shuffle on a digest of the text (never
+  *     on the raw text — shuffling 100 TB of payload to compare
+  *     equality is the classic mistake; digests shuffle ~32 bytes/row);
+  *   - MinHash-LSH turns the O(n²) near-dup problem into
+  *     shuffle-by-band-bucket: only documents sharing a band bucket
+  *     ever meet, so the cross product never materializes;
+  *   - SimHash uses the pigeonhole principle (hamming ≤ k ⇒ at least
+  *     one of k+1 chunks equal) for the same candidate-only property;
+  *   - exact n-gram Jaccard is the quadratic oracle — correct but only
+  *     run on bounded subsets; the LSH paths are the 100 TB paths.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: digest → group size + surviving doc id.
+    * Deterministic keeper = min doc_id, the standard reproducible
+    * tie-break.
+    */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("keeper"))
+      .orderBy("keeper")
+
+  /** The deduplicated corpus itself (keeper rows only). */
+  def exactDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keepers = df
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // --------------------------------------------------- shingles / jaccard
+
+  /** Distinct word k-gram shingles per document. */
+  def shingles(df: DataFrame, k: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = expr(s"filter(split($textCol, '${TextJobs.TokenSep.replace("\\", "\\\\")}'), t -> t <> '')")
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(
+        col(idCol),
+        explode(
+          expr(s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")
+        ).as("sh")
+      )
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard similarity ≥ threshold, via the
+    * standard inverted-shingle join (only docs sharing ≥1 shingle
+    * meet). Quadratic in the worst case — the oracle/baseline path.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.6,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val sh     = shingles(df, k, textCol, idCol).cache()
+    val sizes  = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = sh
+      .select(col(idCol).as("a"), col("sh"))
+      .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("nb")), "b")
+      // int/int quotient: bit-exact across engines, no rounding needed
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  // ----------------------------------------------------------- minhash-lsh
+
+  /** MinHash signature per doc: k independent hash functions simulated
+    * by seeding xxhash64 with the function index; signature component
+    * i = min over shingles of xxhash64(i, shingle). Computed as k
+    * codegen'd min-aggregates in a single hash aggregation (one
+    * shuffle, map-side partials).
+    */
+  def minhashSignatures(
+      shingleDf: DataFrame,
+      numHashes: Int,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    shingleDf
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band, and emit (band, bucket)
+    * keys. Near-dup candidates = docs sharing any (band, bucket).
+    */
+  def lshCandidates(sigDf: DataFrame, numHashes: Int, bands: Int, idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    val banded = sigDf.select(
+      col(idCol),
+      posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
+      ).as(Seq("band", "bucket"))
+    )
+    banded
+      .select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(banded.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates, then signature
+    * similarity estimate (fraction of equal components), thresholded.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val sigs  = minhashSignatures(shingles(df, k, textCol, idCol), numHashes, idCol).cache()
+    val cands = lshCandidates(sigs, numHashes, bands, idCol)
+    cands
+      .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      .withColumn(
+        "est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes as double)")
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document: per-token xxhash64, each bit votes
+    * ±1, signature bit = sign of the vote sum. One hash-aggregate with
+    * 64 codegen'd conditional sums.
+    */
+  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tokens = TextJobs
+      .tokenized(df.select(col(idCol), col(textCol)), textCol, "tok")
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    tokens
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist.
+    * Candidate generation by the pigeonhole principle: split the 64-bit
+    * signature into maxDist+1 chunks; any pair within maxDist must
+    * agree on ≥1 full chunk, so a shuffle on (chunk_idx, chunk_value)
+    * finds all candidates without a cross join.
+    */
+  def simhashNearDups(df: DataFrame, maxDist: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val chunks    = maxDist + 1
+    val chunkBits = 64 / chunks
+    val sigs      = simhash(df, textCol, idCol).cache()
+    val chunked = sigs.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $chunkBits) & ${(1L << chunkBits) - 1})"
+        )
+      ).as(Seq("chunk_idx", "chunk_val"))
+    )
+    chunked
+      .select(col(idCol).as("a"), col("simhash").as("sig_a"), col("chunk_idx"), col("chunk_val"))
+      .join(
+        chunked.select(col(idCol).as("b"), col("simhash").as("sig_b"), col("chunk_idx"), col("chunk_val")),
+        Seq("chunk_idx", "chunk_val")
+      )
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("a", "b")
+  }
+
+  // ------------------------------------------------------ embedding cosine
+
+  /** Exact embedding near-dups: all pairs with cosine ≥ threshold.
+    * Uses the native codegen'd cosine expression; quadratic — the
+    * oracle path. [[Similarity.annLsh]] is the scale path.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+}

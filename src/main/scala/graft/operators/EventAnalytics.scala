@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: JSON extraction,
+  * tumbling/sliding event-time windows, session windows. These run in
+  * batch here; [[graft.streaming.EventStreams]] exposes the same
+  * aggregations as Structured Streaming queries with watermarks.
+  *
+  * At scale: all of these aggregate after a single shuffle on the
+  * grouping key; sliding windows expand each row into (len/slide)
+  * window assignments *before* the partial aggregate, so the combiner
+  * still collapses them map-side.
+  */
+object EventAnalytics {
+
+  /** JSON scalar extraction from the `props` column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type")
+      )
+      .orderBy("event_id")
+
+  /** Aggregate over a JSON-extracted field. */
+  def jsonAggregate(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n")
+      )
+      .orderBy("event_type")
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("ws", "event_type")
+
+  /** Sliding 15-minute windows advancing every 5 minutes. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), (round(sum("value"), 4) / count(lit(1))).as("avg_value"))
+      .select(col("w.start").as("ws"), col("n"), col("avg_value"))
+      .orderBy("ws")
+
+  /** Session windows per user with a 30-minute inactivity gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Per-user behavior profile: conditional aggregation (pivot-style). */
+  def userProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_value"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen")
+      )
+      .orderBy("user_id")
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as
+  * opaque `binary` columns with typed metadata, processed in
+  * partition-batched imperative passes (`mapPartitions` — the Scala
+  * analogue of `mapInPandas` batch UDFs).
+  *
+  * The actual media decode is STUBBED (no image/audio codecs in this
+  * container): [[StubDecoder]] derives deterministic fake
+  * width/height/duration from the payload bytes. Everything around it
+  * — schema, binary transport, batch iteration, partition sizing,
+  * downstream joins — is the real Spark plumbing a production decode
+  * UDF would drop into.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by the (stubbed) decoder. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      checksum: Long
+  )
+
+  /** A "media table": binary payload column + minimal metadata,
+    * standing in for a table of encoded images/audio. The payload here
+    * is the UTF-8 document text — opaque bytes as far as the pipeline
+    * is concerned.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("doc_id") % 3).cast("int").as("modality") // 0=image, 1=audio, 2=video
+      )
+
+  /** STUB decoder — deterministic fake of a media codec.
+    * A real deployment replaces `decode` with e.g. an image library
+    * call; the signature (bytes in, typed struct out) is the contract.
+    */
+  object StubDecoder {
+    def decode(docId: Long, payload: Array[Byte], modality: Int): MediaMeta = {
+      // FNV-1a over the payload: cheap deterministic checksum standing
+      // in for decoded-content inspection.
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      val mt = modality match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      MediaMeta(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        media_type = mt,
+        width = if (modality == 0 || modality == 2) 320 + (math.abs(h) % 1600).toInt else 0,
+        height = if (modality == 0 || modality == 2) 240 + (math.abs(h >> 17) % 840).toInt else 0,
+        duration_ms = if (modality != 0) 1000L + math.abs(h >> 31) % 600000L else 0L,
+        checksum = h
+      )
+    }
+  }
+
+  /** Batched decode over partitions — one decoder instance per
+    * partition (mirrors per-batch model loading in a Pandas UDF),
+    * rows streamed through without materializing the partition.
+    */
+  def extractMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload", "modality")
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { rows =>
+        // per-partition setup would go here (codec/model init)
+        rows.map { case (id, bytes, modality) => StubDecoder.decode(id, bytes, modality) }
+      }
+  }
+
+  /** Deterministic frame sampling for "video" rows: every `stride`-th
+    * frame index up to a fake frame count derived from the checksum —
+    * the explode-shaped (one row in, many rows out) media op.
+    */
+  def sampleFrames(spark: SparkSession, dir: String, stride: Int = 10): DataFrame = {
+    import spark.implicits._
+    extractMeta(spark, dir)
+      .filter(_.media_type == "video")
+      .flatMap { m =>
+        val nFrames = (m.duration_ms / 40).toInt // 25 fps stub
+        (0 until nFrames by stride).map(f => (m.doc_id, f, m.checksum ^ f.toLong))
+      }
+      .toDF("doc_id", "frame_idx", "frame_sig")
+  }
+
+  /** SQL-expressible slice of the binary plumbing (oracle-checkable):
+    * payload byte length + hex prefix of the payload.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("hex_prefix"),
+        (col("doc_id") % 3).cast("int").as("modality")
+      )
+      .orderBy("doc_id")
+}

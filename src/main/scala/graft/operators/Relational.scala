@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface over the star schema (SURVEY.md §2.2):
+  * projection, filters, all join types, aggregation (plain / distinct /
+  * rollup / cube / grouping sets), windows, sorts/limits, set ops,
+  * scalar functions.
+  *
+  * Scale notes baked into each plan:
+  *   - dimension joins (region, nation, supplier, customer at TPC-H
+  *     ratios) are marked `broadcast` — at 100 TB the fact table never
+  *     shuffles for those;
+  *   - aggregates are declared via groupBy/agg so Catalyst plans
+  *     partial→final hash aggregation;
+  *   - every query ends in an explicit total ORDER BY (determinism for
+  *     the oracle hash-compare), which also documents the output
+  *     contract.
+  *
+  * All double-valued aggregates are rounded to 4 decimals: inputs have
+  * ≤4 decimal digits, so a 4-decimal round is exact and immune to the
+  * 1-ulp cross-engine drift of float summation order.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan + filter + 8-way aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        // avg = round(sum)/count: the rounded sum is cross-engine
+        // stable and IEEE division of identical doubles is bit-exact,
+        // whereas round(avg(x)) can straddle a rounding boundary.
+        (round(sum("l_quantity"), 4) / count(lit(1))).as("avg_qty"),
+        (round(sum("l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
+        (round(sum("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join, aggregate, top-10. Customer is the
+    * small side → broadcast; orders↔lineitem co-shuffle on orderkey.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  }
+
+  /** TPC-H Q5-style: 6-way join through the full dimension chain.
+    * All dimensions broadcast; only fact↔orders shuffles.
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables
+      .orders(spark, dir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: pushdown-friendly filter + single-row aggregate. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** LEFT OUTER join: every customer with their order count (0 kept). */
+  def joinLeftOrderCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** LEFT SEMI join (EXISTS): customers having a big order. */
+  def joinSemiBigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    Tables
+      .customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join (NOT EXISTS): customers with no high-value order. */
+  def joinAntiNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** FULL OUTER join on an intentionally partial overlap. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust  = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000).select("c_custkey")
+    val buyers   = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000).select("o_custkey").distinct()
+    bigCust
+      .join(buyers, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), lit(-1L)).as("cust_side"),
+        coalesce(col("o_custkey"), lit(-1L)).as("order_side")
+      )
+      .orderBy("cust_side", "order_side")
+  }
+
+  /** Window: top-3 orders per customer by totalprice (rank & filter). */
+  def windowTop3PerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window: running sum per supplier over ship time. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .lineitem(spark, dir)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy(col("l_suppkey") +: order: _*)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  /** Window: lag/lead — price delta between a customer's consecutive
+    * orders.
+    */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .withColumn("prev_price", round(lag("o_totalprice", 1).over(w), 4))
+      .withColumn("next_price", round(lead("o_totalprice", 1).over(w), 4))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set operations in one result: UNION / INTERSECT / EXCEPT of two
+    * customer-key sets, tagged by op.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val b = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000).select(col("c_custkey").as("k"))
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e).select("op", "k").orderBy("op", "k")
+  }
+
+  /** DISTINCT projection. */
+  def distinctStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Global top-k (sort + limit → TakeOrderedAndProject). */
+  def topNOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** ROLLUP aggregate (hierarchical subtotals). */
+  def rollupQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"),
+        col("qty")
+      )
+      .orderBy("rf", "ls")
+
+  /** CUBE aggregate (all grouping combinations). */
+  def cubeOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"),
+        col("total")
+      )
+      .orderBy("status", "priority")
+
+  /** GROUPING SETS via the SQL surface. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(1) AS cnt
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin
+    )
+  }
+
+  /** Exact distinct-count aggregates (the expand+2-phase plan). */
+  def countDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+
+  /** Scalar string functions over part. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_name")).as("name_l"),
+        substring(col("p_name"), 1, 8).as("name_pre"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("first_num"),
+        expr("replace(p_type, ' ', '_')").as("type_u"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_name"), " "), 1).as("first_word")
+      )
+      .orderBy("p_partkey")
+
+  /** Scalar date + math functions over orders. */
+  def scalarDateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).cast("long").as("days_to_2002"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        round(log(col("o_totalprice")), 4).as("ln_price"),
+        ceil(col("o_totalprice")).as("ceil_price"),
+        floor(col("o_totalprice")).as("floor_price"),
+        round(abs(col("o_totalprice") - 250000.0), 4).as("abs_diff")
+      )
+      .orderBy("o_orderkey")
+
+  /** Correlated scalar subquery flavor: each order against its
+    * customer's average order value (expressed as join+window-free
+    * aggregate; the declarative form Catalyst decorrelates).
+    */
+  def ordersVsCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPerCust = o.groupBy(col("o_custkey").as("ac_custkey")).agg(avg("o_totalprice").as("cust_avg"))
+    o.join(avgPerCust, col("o_custkey") === col("ac_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+}

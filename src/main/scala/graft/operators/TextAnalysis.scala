@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting (BASELINE.json
+  * north star). All are single-pass narrow transforms (no shuffle
+  * except the final deterministic sort) — at 100 TB these pipeline
+  * inside one scan stage.
+  */
+object TextAnalysis {
+
+  val stopEn: Seq[String] = Seq("the", "and", "of", "to", "in", "is", "it", "that", "a", "for")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  val stopFr: Seq[String] = Seq("le", "les", "et", "est", "dans", "une", "pour")
+  val stopEs: Seq[String] = Seq("el", "los", "y", "es", "en", "una", "por", "que")
+
+  private def inSet(tokCol: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($tokCol, x -> x in ($list)))"
+  }
+
+  private def toks(textCol: String): String =
+    s"filter(split($textCol, '[^\\\\p{L}]+'), t -> t <> '')"
+
+  /** N-gram/stopword-vote language ID. Deterministic tie-break order:
+    * en > de > es > fr (CASE chain).
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("t", expr(toks("text")))
+      .withColumn("s_en", expr(inSet("t", stopEn)))
+      .withColumn("s_de", expr(inSet("t", stopDe)))
+      .withColumn("s_fr", expr(inSet("t", stopFr)))
+      .withColumn("s_es", expr(inSet("t", stopEs)))
+      .withColumn(
+        "pred_lang",
+        expr(
+          """CASE
+            |  WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            |  WHEN s_es >= s_fr THEN 'es'
+            |  ELSE 'fr'
+            |END""".stripMargin
+        )
+      )
+      .select(col("doc_id"), col("pred_lang"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy("doc_id")
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * punctuation (non-letter non-space) ratio.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .withColumn("t", expr(toks("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_stop", expr(inSet("t", stopEn)))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        // int/int quotients are bit-exact across engines — leave
+        // unrounded (rounding them risks decimal-boundary flips).
+        expr("aggregate(transform(t, x -> length(x)), 0, (a, v) -> a + v) / cast(n_tokens as double)")
+          .as("avg_token_len"),
+        (col("n_stop") / col("n_tokens").cast("double")).as("stopword_ratio"),
+        ((length(col("text")) - expr("length(regexp_replace(text, '[^\\\\p{L}\\\\s]', ''))")) /
+          length(col("text")).cast("double")).as("punct_ratio")
+      )
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex token count
+    * (letter runs / digit runs / single other symbols).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(s"size(filter(split(text, '\\\\s+'), t -> t <> ''))").cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").cast("long").as("bpe_tokens"),
+        col("n_chars")
+      )
+      .orderBy("doc_id")
+
+  /** Position-weighted document fingerprint: Σ position·tokenVal mod p
+    * over the token stream — an order-sensitive rolling-hash-style
+    * digest computable in one narrow pass on both engines.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(
+          s"""aggregate(
+             |  zip_with(${toks("text")}, sequence(1, size(${toks("text")})),
+             |           (t, i) -> i * ((ascii(t) * 131 + length(t)) % 1000003)),
+             |  0L, (acc, v) -> (acc + v) % 1000000007L)""".stripMargin
+        ).as("fingerprint")
+      )
+      .orderBy("doc_id")
+
+  /** TF-IDF: top term per document by tf·idf weight. */
+  def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val nDocs  = docs.count().toDouble
+    val tokens = TextJobs.tokenized(docs.select("doc_id", "text"), "text", "term")
+    val tf     = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_    = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w      = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the testdata tables, load the engine's Verify parquet
+output, and compare (columns sorted by name, rows in produced order).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+fails, passes, rows_only = [], 0, 0
+for name in sorted(os.listdir(out_dir)):
+    d = os.path.join(out_dir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        fails.append((name, "no engine output parquet"))
+        continue
+    eng = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracle:
+        rows_only += 1
+        status = "rows-only"
+        if len(eng) == 0:
+            fails.append((name, "rows-only check: 0 rows"))
+        else:
+            print(f"  OK(rows-only) {name}: {len(eng)} rows")
+        continue
+    try:
+        ora = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    ecols, ocols = sorted(eng.columns), sorted(ora.columns)
+    if ecols != ocols:
+        fails.append((name, f"schema mismatch: engine={ecols} oracle={ocols}"))
+        continue
+    if len(eng) != len(ora):
+        fails.append((name, f"row count: engine={len(eng)} oracle={len(ora)}"))
+        continue
+    eng, ora = eng[ecols], ora[ocols]
+    bad = None
+    for i in range(len(eng)):
+        for c in ecols:
+            a, b = eng[c].iloc[i], ora[c].iloc[i]
+            an, bn = (a is None or (isinstance(a, float) and math.isnan(a))), (
+                b is None or (isinstance(b, float) and math.isnan(b)))
+            if an and bn:
+                continue
+            if norm(a) != norm(b):
+                bad = f"row {i} col {c}: engine={a!r} oracle={b!r}"
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes += 1
+        print(f"  OK {name}: {len(eng)} rows")
+
+print(f"\n{passes} oracle-pass, {rows_only} rows-only, {len(fails)} FAIL")
+for n, why in fails:
+    print(f"  FAIL {n}: {why}")
+sys.exit(1 if fails else 0)
