@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: binary transport + stubbed decode must be
+  * deterministic and schema-correct.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("extractMeta is deterministic and byte-faithful") {
+    val a = Multimodal.extractMeta(spark, sfDir).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractMeta(spark, sfDir).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq, "stub decoder must be deterministic")
+    // ASCII corpus: payload bytes == n_chars column
+    val nChars = Tables.documents(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    a.foreach(m => assert(m.n_bytes == nChars(m.doc_id)))
+    // modality typing
+    a.foreach { m =>
+      m.media_type match {
+        case "image" => assert(m.width > 0 && m.height > 0 && m.duration_ms == 0)
+        case "audio" => assert(m.width == 0 && m.duration_ms > 0)
+        case "video" => assert(m.width > 0 && m.duration_ms > 0)
+      }
+    }
+  }
+
+  test("frame sampling only emits for video rows, stride respected") {
+    val frames = Multimodal.sampleFrames(spark, sfDir, stride = 10).collect()
+    assert(frames.nonEmpty)
+    val videoIds = Multimodal.extractMeta(spark, sfDir).filter(_.media_type == "video").collect().map(_.doc_id).toSet
+    frames.foreach { r =>
+      assert(videoIds.contains(r.getLong(0)))
+      assert(r.getInt(1) % 10 == 0)
+    }
+  }
+}

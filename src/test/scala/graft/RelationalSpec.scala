@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Sanity + plan-shape checks for the relational surface. Value-level
+  * correctness is covered by the DuckDB oracle gate (Verify +
+  * tools/check_oracle.py); these specs pin invariants and the physical
+  * plans we rely on at scale.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("q1 groups are complete and counts sum to the filtered table") {
+    val q1    = Relational.q1PricingSummary(spark, sfDir).collect()
+    val total = q1.map(_.getAs[Long]("count_order")).sum
+    val n = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .count()
+    assert(total == n)
+  }
+
+  test("broadcast joins are planned for dimension tables in q5") {
+    val plan = Relational.q5LocalSupplierVolume(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q5 should broadcast dimensions:\n$plan")
+  }
+
+  test("filter pushdown reaches the parquet scan in q6") {
+    val exec = Relational.q6ForecastRevenue(spark, sfDir).queryExecution.executedPlan.toString
+    assert(exec.contains("PushedFilters: [") && exec.contains("l_shipdate"), s"q6 pushdown missing:\n$exec")
+  }
+
+  test("topn plans as TakeOrderedAndProject (no global sort at scale)") {
+    val plan = Relational.topNOrders(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"limit+sort should fuse:\n$plan")
+  }
+
+  test("set ops partition: union == intersect + both excepts, disjointly") {
+    val rows = Relational.setOps(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
+    val u    = rows.filter(_._1 == "union").map(_._2).toSet
+    val i    = rows.filter(_._1 == "intersect").map(_._2).toSet
+    val e    = rows.filter(_._1 == "except").map(_._2).toSet
+    assert((i ++ e).subsetOf(u))
+    assert(i.intersect(e).isEmpty)
+  }
+
+  test("left join keeps customers without orders; anti join complements semi") {
+    val left = Relational.joinLeftOrderCounts(spark, sfDir).collect()
+    assert(left.length == Tables.customer(spark, sfDir).count())
+    val semi  = Relational.joinSemiBigSpenders(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val anti  = Relational.joinAntiNoOrders(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val all   = Tables.customer(spark, sfDir).select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(semi.intersect(anti).isEmpty)
+    assert(semi ++ anti == all)
+  }
+}
