@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg}
 
 /** Registry of graft's native Catalyst expressions, exposed as SQL
   * functions so they compose with `expr(...)` / `selectExpr` / pure SQL
@@ -14,5 +14,16 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_code",
+      exprs => HyperplaneCode(exprs(0), exprs(1).eval().toString.toInt),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction("simhash_agg", exprs => SimhashAgg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_agg",
+      exprs => MinhashAgg(exprs(0), exprs(1).eval().toString.toInt),
+      "built-in"
+    )
   }
 }

@@ -46,7 +46,10 @@ object Dedup {
 
   // --------------------------------------------------- shingles / jaccard
 
-  /** Distinct word k-gram shingles per document. */
+  /** Word k-gram shingles per document (with duplicates — MinHash is
+    * duplicate-invariant, so no dedup shuffle is paid here; set-based
+    * consumers dedupe themselves).
+    */
   def shingles(df: DataFrame, k: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = expr(s"filter(split($textCol, '${TextJobs.TokenSep.replace("\\", "\\\\")}'), t -> t <> '')")
     df.select(col(idCol), toks.as("toks"))
@@ -57,7 +60,6 @@ object Dedup {
           expr(s"transform(sequence(0, size(toks) - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")
         ).as("sh")
       )
-      .distinct()
   }
 
   /** Exact pairwise n-gram Jaccard similarity ≥ threshold, via the
@@ -71,7 +73,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sh     = shingles(df, k, textCol, idCol).cache()
+    val sh     = shingles(df, k, textCol, idCol).distinct().cache()
     val sizes  = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val common = sh
       .select(col(idCol).as("a"), col("sh"))
@@ -91,22 +93,39 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash-lsh
 
-  /** MinHash signature per doc: k independent hash functions simulated
-    * by seeding xxhash64 with the function index; signature component
-    * i = min over shingles of xxhash64(i, shingle). Computed as k
-    * codegen'd min-aggregates in a single hash aggregation (one
-    * shuffle, map-side partials).
+  /** Hashed k-gram shingles: tokens are hashed individually once, and
+    * each shingle's 64-bit base is the hash of its k token-hashes — no
+    * shingle string is ever materialized (at 100 TB the concat+UTF-8
+    * allocation is the dominant cost of string shingling).
+    */
+  def hashedShingles(df: DataFrame, k: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = expr(s"filter(split($textCol, '${TextJobs.TokenSep.replace("\\", "\\\\")}'), t -> t <> '')")
+    val combine =
+      (1 to k).map(j => s"element_at(th, i + $j)").mkString("xxhash64(", ", ", ")")
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(
+        col(idCol),
+        explode(expr(s"transform(sequence(0, size(th) - $k), i -> $combine)")).as("sh_base")
+      )
+  }
+
+  /** MinHash signature per doc: the shingle string is hashed once
+    * (xxhash64); the k independent functions are derived from that
+    * base inside [[graft.functions.MinhashAgg]] (splitmix64 per
+    * function index) — one aggregate, one shuffle of k longs per doc,
+    * map-side partial minima.
     */
   def minhashSignatures(
-      shingleDf: DataFrame,
+      hashedShingleDf: DataFrame,
       numHashes: Int,
       idCol: String = "doc_id"
   ): DataFrame = {
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    shingleDf
+    graft.GraftFunctions.register(hashedShingleDf.sparkSession)
+    hashedShingleDf
       .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .agg(expr(s"minhash_agg(sh_base, $numHashes)").as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -142,7 +161,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sigs  = minhashSignatures(shingles(df, k, textCol, idCol), numHashes, idCol).cache()
+    val sigs  = minhashSignatures(hashedShingles(df, k, textCol, idCol), numHashes, idCol).cache()
     val cands = lshCandidates(sigs, numHashes, bands, idCol)
     cands
       .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
@@ -159,23 +178,17 @@ object Dedup {
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes
-    * ±1, signature bit = sign of the vote sum. One hash-aggregate with
-    * 64 codegen'd conditional sums.
+    * ±1, signature bit = sign of the vote sum. One custom imperative
+    * aggregate ([[graft.functions.SimhashAgg]]) with a 64-counter
+    * buffer — partial→final merge via ObjectHashAggregate.
     */
   def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tokens = TextJobs
+    graft.GraftFunctions.register(df.sparkSession)
+    TextJobs
       .tokenized(df.select(col(idCol), col(textCol)), textCol, "tok")
       .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val bits = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    tokens
       .groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+      .agg(expr("simhash_agg(th)").as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist.

@@ -44,24 +44,13 @@ object Similarity {
   }
 
   /** Sign-bit LSH codes: `numPlanes` deterministic hyperplanes; code =
-    * bits of sign(dot(v, plane)). Computed fully inside codegen via
-    * array lambdas (no UDF, no driver-side plane materialization —
-    * the planes are hash-derived per (plane, dim) on the fly).
+    * bits of sign(dot(v, plane)). Runs as the native codegen expression
+    * [[graft.functions.HyperplaneCode]] — the O(planes·dim) loop stays
+    * inside whole-stage codegen and planes are hash-derived on the fly
+    * (nothing materialized or broadcast).
     */
-  def hyperplaneCodes(df: DataFrame, numPlanes: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // weight(p, d) = (xxhash64(p * 4096 + d) % 10001) / 10000.0  ∈ (-1, 1)
-    val code = expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${numPlanes - 1}), p ->
-         |    if(aggregate(
-         |         zip_with($vecCol, sequence(0, size($vecCol) - 1),
-         |                  (x, d) -> cast(x as double) * ((xxhash64(p * 4096 + d) % 10001) / 10000.0d)),
-         |         0.0d, (acc, v) -> acc + v) >= 0.0d,
-         |       shiftleft(1L, p), 0L)),
-         |  0L, (acc, v) -> acc | v)""".stripMargin
-    )
-    df.select(col(idCol), col(vecCol), code.as("lsh_code"))
-  }
+  def hyperplaneCodes(df: DataFrame, numPlanes: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol), col(vecCol), expr(s"hyperplane_code($vecCol, $numPlanes)").as("lsh_code"))
 
   /** ANN via multi-probe banding of the sign bits: split the
     * `numPlanes`-bit code into `bands` sub-codes; vectors sharing any
@@ -87,14 +76,20 @@ object Similarity {
         )
       ).as(Seq("band", "sub_code"))
     )
-    val queries = banded
-      .filter(expr(queryFilter))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("band"), col("sub_code"))
-    val cands = banded
-      .join(queries, Seq("band", "sub_code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qe"), col("vec_id").as("cand"), col("embedding").as("ce"))
+    // candidate generation on ids only (distinct over two longs, not
+    // over embedding arrays); vectors re-attached afterwards — the
+    // query side is tiny and broadcasts.
+    val queryIds = banded.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("band"), col("sub_code"))
+    val candIds = banded
+      .select(col("vec_id").as("cand"), col("band"), col("sub_code"))
+      .join(broadcast(queryIds), Seq("band", "sub_code"))
+      .filter(col("cand") =!= col("qid"))
+      .select("qid", "cand")
       .distinct()
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cands = candIds
+      .join(e.select(col("vec_id").as("cand"), col("embedding").as("ce")), "cand")
+      .join(broadcast(e.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     cands
       .withColumn("cos", expr("cosine_sim(qe, ce)"))

@@ -18,25 +18,37 @@ object TextAnalysis {
   val stopFr: Seq[String] = Seq("le", "les", "et", "est", "dans", "une", "pour")
   val stopEs: Seq[String] = Seq("el", "los", "y", "es", "en", "una", "por", "que")
 
-  private def inSet(tokCol: String, words: Seq[String]): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
-    s"size(filter($tokCol, x -> x in ($list)))"
-  }
-
   private def toks(textCol: String): String =
     s"filter(split($textCol, '[^\\\\p{L}]+'), t -> t <> '')"
+
+  /** Per-doc token rows — the shared, codegen-friendly shape for the
+    * scoring aggregates below. Array higher-order functions are
+    * interpreted AND re-inlined by CollapseProject into every consumer
+    * column; explode + hash-aggregate stays in whole-stage codegen and
+    * evaluates the tokenizer exactly once per document.
+    */
+  private def tokenRows(spark: SparkSession, dir: String): DataFrame =
+    TextJobs.tokenized(Tables.documents(spark, dir).select("doc_id", "text"), "text", "tok")
 
   /** N-gram/stopword-vote language ID. Deterministic tie-break order:
     * en > de > es > fr (CASE chain).
     */
-  def languageId(spark: SparkSession, dir: String): DataFrame =
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    def score(words: Seq[String]) =
+      sum(when(col("tok").isInCollection(words), 1).otherwise(0)).cast("int")
+    val scores = tokenRows(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        score(stopEn).as("s_en"),
+        score(stopDe).as("s_de"),
+        score(stopFr).as("s_fr"),
+        score(stopEs).as("s_es")
+      )
     Tables
       .documents(spark, dir)
-      .withColumn("t", expr(toks("text")))
-      .withColumn("s_en", expr(inSet("t", stopEn)))
-      .withColumn("s_de", expr(inSet("t", stopDe)))
-      .withColumn("s_fr", expr(inSet("t", stopFr)))
-      .withColumn("s_es", expr(inSet("t", stopEs)))
+      .select("doc_id")
+      .join(scores, Seq("doc_id"), "left")
+      .na.fill(0, Seq("s_en", "s_de", "s_fr", "s_es"))
       .withColumn(
         "pred_lang",
         expr(
@@ -51,29 +63,39 @@ object TextAnalysis {
       )
       .select(col("doc_id"), col("pred_lang"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
       .orderBy("doc_id")
+  }
 
   /** Quality signals: token count, mean token length, stopword ratio,
-    * punctuation (non-letter non-space) ratio.
+    * punctuation (non-letter non-space) ratio. One codegen'd
+    * hash-aggregate over token rows + a narrow per-doc projection.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tokStats = tokenRows(spark, dir)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("sum_len"),
+        sum(when(col("tok").isInCollection(stopEn), 1L).otherwise(0L)).as("n_stop")
+      )
     Tables
       .documents(spark, dir)
-      .withColumn("t", expr(toks("text")))
-      .withColumn("n_tokens", size(col("t")))
-      .filter(col("n_tokens") > 0)
-      .withColumn("n_stop", expr(inSet("t", stopEn)))
       .select(
         col("doc_id"),
-        col("n_tokens").cast("long").as("n_tokens"),
         // int/int quotients are bit-exact across engines — leave
         // unrounded (rounding them risks decimal-boundary flips).
-        expr("aggregate(transform(t, x -> length(x)), 0, (a, v) -> a + v) / cast(n_tokens as double)")
-          .as("avg_token_len"),
-        (col("n_stop") / col("n_tokens").cast("double")).as("stopword_ratio"),
         ((length(col("text")) - expr("length(regexp_replace(text, '[^\\\\p{L}\\\\s]', ''))")) /
           length(col("text")).cast("double")).as("punct_ratio")
       )
+      .join(tokStats, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sum_len") / col("n_tokens").cast("double")).as("avg_token_len"),
+        (col("n_stop") / col("n_tokens").cast("double")).as("stopword_ratio"),
+        col("punct_ratio")
+      )
       .orderBy("doc_id")
+  }
 
   /** Token counting: whitespace tokens vs a BPE-ish regex token count
     * (letter runs / digit runs / single other symbols).
