@@ -54,6 +54,8 @@ object SparkEntry {
     "cube_order_stats"      -> q(Relational.cubeOrderStats),
     "grouping_sets"         -> q(Relational.groupingSets),
     "count_distinct_agg"    -> q(Relational.countDistinctAgg),
+    "approx_distinct_agg"   -> q(Relational.approxDistinctAgg),
+    "scalar_array"          -> q(Relational.scalarArray),
     "scalar_string"         -> q(Relational.scalarString),
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
@@ -75,6 +77,8 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
+    "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
+    "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     // ---- text analysis ----
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_quality"     -> q(TextAnalysis.qualityScore),
@@ -224,6 +228,16 @@ object SparkEntry {
         """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
           |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "scalar_array" ->
+        s"""SELECT doc_id, len(tk) AS n,
+           |  array_to_string(tk[1:5], ',') AS first5,
+           |  array_to_string(list_sort(list_distinct(tk))[1:3], ',') AS top3_sorted_distinct,
+           |  len(list_distinct(tk)) AS n_distinct,
+           |  tk[1] AS first_tok, tk[-1] AS last_tok,
+           |  list_contains(tk, 'spark') AS has_spark,
+           |  array_to_string(list_filter(tk[1:8], x -> x <> 'the'), ',') AS first8_no_the
+           |FROM (SELECT doc_id, $toks AS tk FROM documents)
+           |ORDER BY doc_id""".stripMargin,
       "scalar_string" ->
         """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_name) AS name_l,
           |  substr(p_name, 1, 8) AS name_pre, length(p_name) AS name_len,

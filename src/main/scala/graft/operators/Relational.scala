@@ -265,6 +265,39 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Approximate distinct counts (HyperLogLog++): the 100 TB answer to
+    * count-distinct — mergeable fixed-size sketches, no expand. No
+    * DuckDB oracle (sketch estimates are engine-specific); the spec
+    * asserts the estimate against the exact count.
+    */
+  def approxDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")
+      )
+      .orderBy("l_returnflag")
+
+  /** Array functions: construct, sort, dedupe, slice, flatten, zip. */
+  def scalarArray(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), expr(s"filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')").as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        concat_ws(",", slice(col("tk"), 1, 5)).as("first5"),
+        concat_ws(",", slice(array_sort(array_distinct(col("tk"))), 1, 3)).as("top3_sorted_distinct"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        element_at(col("tk"), 1).as("first_tok"),
+        element_at(col("tk"), -1).as("last_tok"),
+        array_contains(col("tk"), "spark").as("has_spark"),
+        concat_ws(",", expr("array_remove(slice(tk, 1, 8), 'the')")).as("first8_no_the")
+      )
+      .orderBy("doc_id")
+
   /** Scalar string functions over part. */
   def scalarString(spark: SparkSession, dir: String): DataFrame =
     Tables

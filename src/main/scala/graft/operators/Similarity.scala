@@ -52,6 +52,100 @@ object Similarity {
   def hyperplaneCodes(df: DataFrame, numPlanes: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol), col(vecCol), expr(s"hyperplane_code($vecCol, $numPlanes)").as("lsh_code"))
 
+  /** Scale-path embedding near-dup: hyperplane-LSH bucket candidates
+    * (vectors sharing any band sub-code), then exact cosine filter.
+    * The all-pairs cross product of [[Dedup.embeddingNearDups]] never
+    * materializes — candidates shuffle by (band, sub_code).
+    */
+  def embeddingNearDupLsh(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      numPlanes: Int = 16,
+      bands: Int = 8
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val bandBits = numPlanes / bands
+    val coded    = hyperplaneCodes(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), numPlanes)
+    val banded = coded.select(
+      col("vec_id"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
+        )
+      ).as(Seq("band", "sub_code"))
+    )
+    val candIds = banded
+      .select(col("vec_id").as("a"), col("band"), col("sub_code"))
+      .join(banded.select(col("vec_id").as("b"), col("band"), col("sub_code")), Seq("band", "sub_code"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    candIds
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** IVF-style ANN: a KMeans coarse quantizer (trained deterministically
+    * with a fixed seed) assigns every vector to its nearest centroid;
+    * queries probe only their `nProbe` closest cells, then exact cosine
+    * rescoring + top-k. At 100 TB the assignment is one narrow pass and
+    * the candidate join shuffles by cell id — the index is the
+    * partitioning.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      queryFilter: String = "vec_id % 100 = 0"
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val e  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fe = e.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nCells)
+      .setSeed(42L)
+      .setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(fe)
+    val assigned = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // centroid table is tiny: probe cells per query computed via a
+    // broadcast cross score against the centroids
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c: Vector, i: Int) => (i, c.toArray.map(_.toFloat)) }
+    val centDf    = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    val queries   = assigned.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe    = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    val probed = queries
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", expr("cosine_sim(qe, centroid)"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select("qid", "qe", "cell")
+
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cand", col("vec_id"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   /** ANN via multi-probe banding of the sign bits: split the
     * `numPlanes`-bit code into `bands` sub-codes; vectors sharing any
     * sub-code are candidates, then exact cosine rescoring + top-k.

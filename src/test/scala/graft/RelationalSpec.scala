@@ -36,6 +36,21 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"limit+sort should fuse:\n$plan")
   }
 
+  test("approx_count_distinct within its 2% rsd envelope of exact counts") {
+    val approx = Relational.approxDistinctAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: approx=$ap exact=$p")
+      assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: approx=$ao exact=$o")
+    }
+  }
+
   test("set ops partition: union == intersect + both excepts, disjointly") {
     val rows = Relational.setOps(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
     val u    = rows.filter(_._1 == "union").map(_._2).toSet

@@ -38,6 +38,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("IVF top-k: valid ranks, exact scores, reasonable recall vs brute force") {
+    val brute = Similarity
+      .bruteForceTopK(spark, sfDir, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, k = 5, nCells = 16, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
+    }
+    val hit = ivf.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains)
+    val recall = hit.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 degraded to $recall")
+  }
+
+  test("embedding near-dup LSH finds a usable fraction of true pairs, all above threshold") {
+    val exact = graft.operators.Dedup
+      .embeddingNearDups(spark, sfDir, 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Similarity.embeddingNearDupLsh(spark, sfDir, 0.4).collect()
+    lsh.foreach(r => assert(r.getDouble(2) >= 0.4))
+    val pairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(exact), "LSH must never report a below-threshold pair")
+    if (exact.nonEmpty) {
+      val recall = pairs.size.toDouble / exact.size
+      assert(recall >= 0.3, s"near-dup LSH recall degraded to $recall (found ${pairs.size}/${exact.size})")
+    }
+  }
+
   test("ANN LSH returns valid ranked candidates with real cosine scores") {
     val brute = Similarity
       .bruteForceTopK(spark, sfDir, k = 5)
