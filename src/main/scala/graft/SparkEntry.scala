@@ -59,6 +59,7 @@ object SparkEntry {
     "scalar_string"         -> q(Relational.scalarString),
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
+    "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
     "json_aggregate"        -> q(EventAnalytics.jsonAggregate),
@@ -263,6 +264,15 @@ object SparkEntry {
           |SELECT o_orderkey, o_custkey FROM orders JOIN ca ON o_custkey = ck
           |WHERE o_totalprice > cust_avg * 1.5
           |ORDER BY o_orderkey""".stripMargin,
+      "asof_click_purchase" ->
+        """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+          |           WHERE event_type = 'click'),
+          |     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+          |           WHERE event_type = 'purchase')
+          |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+          |       p.value AS purchase_value
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
+          |ORDER BY click_id""".stripMargin,
       "json_extract" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
           |FROM events ORDER BY event_id""".stripMargin,

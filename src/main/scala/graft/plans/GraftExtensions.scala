@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg}
+
+/** Production wiring for graft's native expressions: a
+  * SparkSessionExtensions hook, enabled with
+  *
+  * {{{
+  * spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * so any session — spark-submit, thrift server, notebook — gets the
+  * functions without calling [[graft.GraftFunctions.register]]
+  * programmatically. The injected builders are identical to the
+  * registry path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"), info("dot_product"), (es: Seq[Expression]) => DotProduct(es(0), es(1)))
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("hyperplane_code"),
+        info("hyperplane_code"),
+        (es: Seq[Expression]) => HyperplaneCode(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("simhash_agg"), info("simhash_agg"), (es: Seq[Expression]) => SimhashAgg(es(0)))
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_agg"),
+        info("minhash_agg"),
+        (es: Seq[Expression]) => MinhashAgg(es(0), es(1).eval().toString.toInt)
+      )
+    )
+  }
+}
