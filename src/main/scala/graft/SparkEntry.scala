@@ -59,6 +59,13 @@ object SparkEntry {
     "scalar_string"         -> q(Relational.scalarString),
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
+    "q2_min_cost_supplier"  -> q(Relational.q2MinCostSupplier),
+    "q10_returned_items"    -> q(Relational.q10ReturnedItems),
+    "pivot_events"          -> q(Relational.pivotEvents),
+    "quantiles"             -> q(Relational.quantiles),
+    "fuzzy_part_names"      -> q(Relational.fuzzyPartNames),
+    "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
+    "dataset_split"         -> q(DataOps.datasetSplit),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
@@ -264,6 +271,60 @@ object SparkEntry {
           |SELECT o_orderkey, o_custkey FROM orders JOIN ca ON o_custkey = ck
           |WHERE o_totalprice > cust_avg * 1.5
           |ORDER BY o_orderkey""".stripMargin,
+      "q2_min_cost_supplier" ->
+        """WITH mc AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
+          |            FROM lineitem GROUP BY l_partkey)
+          |SELECT l_partkey, min(l_suppkey) AS supp, min(l_extendedprice) AS price
+          |FROM lineitem JOIN mc ON l_partkey = pk AND l_extendedprice = min_price
+          |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM customer, orders, lineitem
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      "pivot_events" ->
+        """SELECT user_id,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "quantiles" ->
+        """SELECT o_orderstatus,
+          |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+          |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+          |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "fuzzy_part_names" ->
+        """SELECT x.p_partkey AS a, y.p_partkey AS b,
+          |  CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+          |FROM part x JOIN part y ON x.p_partkey < y.p_partkey
+          |WHERE x.p_partkey <= 100 AND y.p_partkey <= 100
+          |  AND levenshtein(x.p_name, y.p_name) <= 3
+          |ORDER BY a, b""".stripMargin,
+      "text_winnow" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE len($toks) >= 3),
+           |g AS (SELECT doc_id, i,
+           |        (((ascii(tk[i]) * 131 + length(tk[i])) % 1000003) * 1
+           |         + ((ascii(tk[i+1]) * 131 + length(tk[i+1])) % 1000003) * 131
+           |         + ((ascii(tk[i+2]) * 131 + length(tk[i+2])) % 1000003) * 17161)
+           |        % 1000000007 AS gh
+           |      FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+           |wmin AS (SELECT doc_id,
+           |           min(gh) OVER (PARTITION BY doc_id ORDER BY i
+           |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           |         FROM g)
+           |SELECT doc_id, CAST(fp AS BIGINT) AS fp, count(*) AS n_windows
+           |FROM wmin GROUP BY doc_id, fp ORDER BY doc_id, fp""".stripMargin,
+      "dataset_split" ->
+        """SELECT doc_id,
+          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+          |FROM (SELECT doc_id, (doc_id * 2654435761) % 100 AS b FROM documents)
+          |ORDER BY doc_id""".stripMargin,
       "asof_click_purchase" ->
         """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
           |           WHERE event_type = 'click'),

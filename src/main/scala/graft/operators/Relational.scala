@@ -335,6 +335,73 @@ object Relational {
       )
       .orderBy("o_orderkey")
 
+  /** TPC-H Q2 flavor: min-per-group then join back (argmin) — the
+    * cheapest supplier per part among this schema's links.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val minCost = l
+      .groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    l.join(minCost, col("l_partkey") === col("mc_partkey") && col("l_extendedprice") === col("min_price"))
+      .groupBy("l_partkey")
+      .agg(min("l_suppkey").as("supp"), min("l_extendedprice").as("price"))
+      .orderBy("l_partkey")
+  }
+
+  /** TPC-H Q10 flavor: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Pivot: event counts per user fanned into one column per type.
+    * Explicit value list → deterministic schema, single-pass plan.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Exact interpolated percentiles per group (both engines implement
+    * the (n-1)p linear-interpolation definition).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+        expr("round(percentile(o_totalprice, 0.99), 4)").as("p99")
+      )
+      .orderBy("o_orderstatus")
+
+  /** Edit-distance fuzzy match: near-identical part names (bounded
+    * id range keeps the cross product oracle-sized; the scale path for
+    * string fuzzy-matching is MinHash on character n-grams).
+    */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_partkey") <= 100).select("p_partkey", "p_name")
+    p.select(col("p_partkey").as("a"), col("p_name").as("na"))
+      .join(p.select(col("p_partkey").as("b"), col("p_name").as("nb")), col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("a", "b", "dist")
+      .orderBy("a", "b")
+  }
+
   /** Correlated scalar subquery flavor: each order against its
     * customer's average order value (expressed as join+window-free
     * aggregate; the declarative form Catalyst decorrelates).
