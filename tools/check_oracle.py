@@ -28,7 +28,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return f"{v:.17g}"
     return str(v)
 
 fails, passes, rows_only = [], 0, 0
