@@ -8,12 +8,13 @@ object Bench {
   /** Heavier / representative subset; trivial scans add noise, not signal. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "window_top3_per_customer", "window_running_sum",
+    "q6_forecast_revenue", "q10_returned_items",
+    "window_top3_per_customer", "window_running_sum",
     "wc_wordcount", "ii_inverted_index",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_ann_lsh",
-    "text_quality", "text_tfidf_top",
-    "events_tumbling_hourly", "events_sessionize"
+    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk",
+    "text_quality", "text_tfidf_top", "text_winnow",
+    "events_tumbling_hourly", "events_sessionize", "asof_click_purchase"
   )
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

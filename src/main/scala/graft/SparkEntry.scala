@@ -74,6 +74,7 @@ object SparkEntry {
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
+    "scalar_map"            -> q(EventAnalytics.mapFunctions),
     // ---- dedup ----
     "dedup_exact_groups"    -> q(Dedup.exactGroups),
     "dedup_ngram_jaccard" -> q((s, dir) =>
@@ -375,6 +376,13 @@ object SparkEntry {
           |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
           |  min(CAST(ts AS TIMESTAMP)) AS first_seen,
           |  max(CAST(ts AS TIMESTAMP)) AS last_seen
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "scalar_map" ->
+        """SELECT user_id, count(DISTINCT event_type) AS n_types,
+          |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+          |  count(*) AS total_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "dedup_exact_groups" ->
         """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keeper

@@ -66,6 +66,28 @@ object EventAnalytics {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Map-typed column surface: build a per-user event_type→count map,
+    * then extract/inspect it with map functions. Rows-only check (map
+    * construction order isn't portable SQL); the spec pins values
+    * against the pivot query.
+    */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("click_cnt"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchase_cnt"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("total_events")
+      )
+      .orderBy("user_id")
+
   /** Per-user behavior profile: conditional aggregation (pivot-style). */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables

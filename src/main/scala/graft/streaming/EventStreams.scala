@@ -49,6 +49,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: watermark bounds the dedup state so keys
+    * older than the delay are evicted — unbounded-state dedup is the
+    * classic streaming OOM. Keys default to the event id (at-least-once
+    * source → exactly-once downstream).
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates(keys)
+
   /** Start a memory-sink query (tests drive it with
     * processAllAvailable).
     */

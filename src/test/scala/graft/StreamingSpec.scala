@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered rows within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    // simulate at-least-once delivery: the same table arrives twice
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventStreams.streamingDedup(EventStreams.readEvents(spark, dir.toString))
+    val query = deduped
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("stream_dedup").start()
+    try {
+      query.processAllAvailable()
+      val n = spark.table("stream_dedup").count()
+      val expected = Tables.events(spark, sfDir).count()
+      assert(n == expected, s"dedup emitted $n, expected $expected (one per unique event)")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer emits closed sessions with correct counts") {
     val sessions = EventStreams
       .sessionizeStateful(spark, Tables.events(spark, sfDir))
