@@ -64,6 +64,7 @@ object SparkEntry {
     "pivot_events"          -> q(Relational.pivotEvents),
     "quantiles"             -> q(Relational.quantiles),
     "fuzzy_part_names"      -> q(Relational.fuzzyPartNames),
+    "range_join_price_bands" -> q(Relational.rangeJoinPriceBands),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
@@ -272,6 +273,14 @@ object SparkEntry {
           |SELECT o_orderkey, o_custkey FROM orders JOIN ca ON o_custkey = ck
           |WHERE o_totalprice > cust_avg * 1.5
           |ORDER BY o_orderkey""".stripMargin,
+      "range_join_price_bands" ->
+        """WITH bands(lo, hi, band) AS (VALUES
+          |  (0.0, 100000.0, 'P1'), (100000.0, 200000.0, 'P2'),
+          |  (200000.0, 300000.0, 'P3'), (300000.0, 400000.0, 'P4'),
+          |  (400000.0, 1e12, 'P5'))
+          |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS total
+          |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin,
       "q2_min_cost_supplier" ->
         """WITH mc AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
           |            FROM lineitem GROUP BY l_partkey)

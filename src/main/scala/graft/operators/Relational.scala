@@ -402,6 +402,30 @@ object Relational {
       .orderBy("a", "b")
   }
 
+  /** Interval/banding join via the custom [[graft.plans.RangeJoin]]
+    * operator (broadcast build side sorted by lo + binary search —
+    * Spark's native plan for this predicate is an O(n·m)
+    * BroadcastNestedLoopJoin).
+    */
+  def rangeJoinPriceBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark
+      .createDataFrame(
+        Seq(
+          (0.0, 100000.0, "P1"),
+          (100000.0, 200000.0, "P2"),
+          (200000.0, 300000.0, "P3"),
+          (300000.0, 400000.0, "P4"),
+          (400000.0, 1.0e12, "P5")
+        )
+      )
+      .toDF("lo", "hi", "band")
+    graft.plans.RangeJoinOps
+      .rangeJoin(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"), bands, "o_totalprice", "lo", "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("band")
+  }
+
   /** Correlated scalar subquery flavor: each order against its
     * customer's average order value (expressed as join+window-free
     * aggregate; the declarative form Catalyst decorrelates).

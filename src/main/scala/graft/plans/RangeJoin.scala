@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.DoubleType
+
+/** Custom whole-operator extension (the "(c)" rung of the extension
+  * ladder): an inner range join `left.value ∈ [right.lo, right.hi)`.
+  *
+  * Spark plans this predicate as BroadcastNestedLoopJoin — O(|L|·|R|)
+  * per partition. With the (small) interval side broadcast and sorted
+  * by `lo`, each probe row binary-searches the last interval with
+  * `lo <= v` and only scans the prefix that can match: O(|L|·log|R| +
+  * matches) for banding-style dimension tables.
+  *
+  * Wiring: [[RangeJoin]] logical node (constructed already-resolved
+  * from analyzed children) → [[RangeJoinStrategy]] (injected via
+  * `spark.experimental.extraStrategies` by [[RangeJoinOps.rangeJoin]])
+  * → [[BroadcastRangeJoinExec]].
+  */
+case class RangeJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    value: Expression,
+    lo: Expression,
+    hi: Expression
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoin(l, r, v, lo, hi) =>
+      BroadcastRangeJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BroadcastRangeJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    value: Expression,
+    lo: Expression,
+    hi: Expression
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // build side: collect, evaluate bounds, sort by lo
+    val boundLo = BindReferences.bindReference(lo, right.output)
+    val boundHi = BindReferences.bindReference(hi, right.output)
+    val build = right
+      .executeCollect()
+      .flatMap { row =>
+        val l = boundLo.eval(row)
+        val h = boundHi.eval(row)
+        if (l == null || h == null) None
+        else Some((l.asInstanceOf[Double], h.asInstanceOf[Double], row.copy()))
+      }
+      .sortBy(_._1)
+    val los = build.map(_._1)
+    val bc  = sparkContext.broadcast((build, los))
+
+    val boundValue = BindReferences.bindReference(value, left.output)
+    val outAttrs   = output
+    left.execute().mapPartitions { iter =>
+      val (bands, loKeys) = bc.value
+      val joined          = new JoinedRow
+      val toUnsafe        = UnsafeProjection.create(outAttrs, outAttrs)
+      iter.flatMap { lrow =>
+        val vAny = boundValue.eval(lrow)
+        if (vAny == null || bands.isEmpty) Iterator.empty
+        else {
+          val v = vAny.asInstanceOf[Double]
+          // last index with lo <= v (exclusive upper bound of candidates)
+          var a = 0; var b = loKeys.length
+          while (a < b) { val m = (a + b) >>> 1; if (loKeys(m) <= v) a = m + 1 else b = m }
+          val limit = a
+          val lcopy = lrow
+          (0 until limit).iterator.collect {
+            case i if v < bands(i)._2 => toUnsafe(joined(lcopy, bands(i)._3))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API. Columns are referenced by name and resolved against
+  * the analyzed children, so the logical node enters the analyzer
+  * already resolved (no custom resolution rule needed).
+  */
+object RangeJoinOps {
+
+  def rangeJoin(left: DataFrame, right: DataFrame, valueCol: String, loCol: String, hiCol: String): DataFrame = {
+    val spark   = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ RangeJoinStrategy
+    }
+    val lPlan = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+    val rPlan = right.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(sys.error(s"column $name not found in ${plan.output.map(_.name)}"))
+    def asDouble(a: Attribute): Expression =
+      if (a.dataType == DoubleType) a else org.apache.spark.sql.catalyst.expressions.Cast(a, DoubleType)
+    org.apache.spark.sql.GraftShims.ofRows(
+      spark,
+      RangeJoin(lPlan, rPlan, asDouble(attr(lPlan, valueCol)), asDouble(attr(rPlan, loCol)), asDouble(attr(rPlan, hiCol)))
+    )
+  }
+}
