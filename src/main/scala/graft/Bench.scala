@@ -14,7 +14,8 @@ object Bench {
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk",
     "text_quality", "text_tfidf_top", "text_winnow",
-    "events_tumbling_hourly", "events_sessionize", "asof_click_purchase"
+    "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",
+    "range_join_price_bands"
   )
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -113,10 +113,13 @@ object Similarity {
 
     val e  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val fe = e.withColumn("features", array_to_vector(col("embedding")))
+    // coarse quantizer: random init + few iterations is plenty for a
+    // partitioning index (cells need to be balanced, not optimal)
     val model = new KMeans()
       .setK(nCells)
       .setSeed(42L)
-      .setMaxIter(10)
+      .setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features")
       .fit(fe)
     val assigned = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))

@@ -63,6 +63,31 @@ object EventStreams {
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery =
     df.writeStream.outputMode(mode).format("memory").queryName(name).start()
 
+  /** Stream-stream inner join: clicks joined to purchases of the same
+    * user within the previous hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can evict
+    * state — the unbounded-state stream join is the other classic
+    * streaming OOM.
+    */
+  def clickPurchaseStreamJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(
+      purchases,
+      expr(
+        """user_id = p_user_id
+          |AND purchase_ts <= click_ts
+          |AND purchase_ts >= click_ts - INTERVAL 1 HOUR""".stripMargin
+      )
+    )
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState:
     * per-user session accumulation with an explicit processing-time
     * timeout — the hand-rolled analogue of session_window for when

@@ -65,6 +65,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join == batch interval join") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), streamDir.resolve("events.parquet"))
+    val joined = EventStreams.clickPurchaseStreamJoin(EventStreams.readEvents(spark, streamDir.toString))
+    val query = joined
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory").queryName("stream_join").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("stream_join").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = Tables.events(spark, sfDir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val batch = c.join(p,
+          expr("user_id = p_user_id AND purchase_ts <= click_ts AND purchase_ts >= click_ts - INTERVAL 1 HOUR"))
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.nonEmpty)
+      // a single micro-batch emits all within-watermark matches; they
+      // must agree with the batch interval join
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer emits closed sessions with correct counts") {
     val sessions = EventStreams
       .sessionizeStateful(spark, Tables.events(spark, sfDir))
