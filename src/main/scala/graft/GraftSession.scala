@@ -23,7 +23,11 @@ object GraftSession {
     // parquet pushdown/pruning are on by default; pinned here as a
     // statement of intent (the 100 TB design depends on them).
     "spark.sql.parquet.filterPushdown" -> "true",
-    "spark.sql.parquet.aggregatePushdown" -> "true"
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    // runtime bloom-filter pushdown for selective joins (AQE-era)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // managed tables (bucketed-join surface) live outside the repo
+    "spark.sql.warehouse.dir" -> "/tmp/graft_warehouse"
   )
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder = {

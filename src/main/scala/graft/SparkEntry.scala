@@ -65,6 +65,9 @@ object SparkEntry {
     "quantiles"             -> q(Relational.quantiles),
     "fuzzy_part_names"      -> q(Relational.fuzzyPartNames),
     "range_join_price_bands" -> q(Relational.rangeJoinPriceBands),
+    "q7_volume_shipping"    -> q(Relational.q7VolumeShipping),
+    "q12_priority_shipping" -> q(Relational.q12PriorityShipping),
+    "q14_promo_effect"      -> q(Relational.q14PromoEffect),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
@@ -281,6 +284,34 @@ object SparkEntry {
           |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS total
           |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
           |GROUP BY band ORDER BY band""".stripMargin,
+      "q7_volume_shipping" ->
+        """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |        l_extendedprice * (1 - l_discount) AS volume
+          |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          |        AND c_nationkey = n2.n_nationkey
+          |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+      "q12_priority_shipping" ->
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= o_orderdate
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q14_promo_effect" ->
+        """SELECT 100.0 *
+          |  round(sum(CASE WHEN p_type = 'PROMO'
+          |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) /
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
       "q2_min_cost_supplier" ->
         """WITH mc AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
           |            FROM lineitem GROUP BY l_partkey)

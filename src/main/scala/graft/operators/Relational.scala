@@ -402,6 +402,60 @@ object Relational {
       .orderBy("a", "b")
   }
 
+  /** TPC-H Q7-style: bidirectional trade volume between two nations by
+    * ship year. Two broadcast copies of nation disambiguate the roles.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      )
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q12-style: late-shipment priority counts (conditional
+    * aggregation over a fact-fact join).
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count")
+      )
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q14-style: promo revenue share. The percentage divides two
+    * rounded sums so both engines divide identical doubles.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+      )
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          round(sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 4) /
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)).as("promo_revenue_pct")
+      )
+
   /** Interval/banding join via the custom [[graft.plans.RangeJoin]]
     * operator (broadcast build side sorted by lo + binary search —
     * Spark's native plan for this predicate is an O(n·m)
