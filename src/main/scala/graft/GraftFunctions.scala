@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, ShingleHashes, SimhashAgg}
 
 /** Registry of graft's native Catalyst expressions, exposed as SQL
   * functions so they compose with `expr(...)` / `selectExpr` / pure SQL
@@ -23,6 +23,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "minhash_agg",
       exprs => MinhashAgg(exprs(0), exprs(1).eval().toString.toInt),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().toString.toInt),
       "built-in"
     )
   }

@@ -99,16 +99,8 @@ object Dedup {
     * allocation is the dominant cost of string shingling).
     */
   def hashedShingles(df: DataFrame, k: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = expr(s"filter(split($textCol, '${TextJobs.TokenSep.replace("\\", "\\\\")}'), t -> t <> '')")
-    val combine =
-      (1 to k).map(j => s"element_at(th, i + $j)").mkString("xxhash64(", ", ", ")")
-    df.select(col(idCol), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(idCol), expr("transform(toks, t -> xxhash64(t))").as("th"))
-      .select(
-        col(idCol),
-        explode(expr(s"transform(sequence(0, size(th) - $k), i -> $combine)")).as("sh_base")
-      )
+    graft.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), explode(expr(s"shingle_hashes($textCol, $k)")).as("sh_base"))
   }
 
   /** MinHash signature per doc: the shingle string is hashed once
