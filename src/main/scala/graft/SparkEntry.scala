@@ -98,6 +98,7 @@ object SparkEntry {
     "text_tokens"      -> q(TextAnalysis.tokenCounts),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx"))

@@ -88,6 +88,24 @@ object EventStreams {
     )
   }
 
+  /** foreachBatch + AvailableNow: incremental batch processing — drain
+    * everything currently in the source in bounded micro-batches, apply
+    * an arbitrary batch-DataFrame action (here: parquet append
+    * partitioned by event_type), then stop. The restartable
+    * "process-what's-new" shape of a production ingest job.
+    */
+  def drainToParquet(events: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+    events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode("append")
+          .partitionBy("event_type")
+          .parquet(outPath)
+      }
+      .start()
+
   /** Custom stateful sessionization via flatMapGroupsWithState:
     * per-user session accumulation with an explicit processing-time
     * timeout — the hand-rolled analogue of session_window for when
