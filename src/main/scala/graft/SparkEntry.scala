@@ -68,6 +68,8 @@ object SparkEntry {
     "q7_volume_shipping"    -> q(Relational.q7VolumeShipping),
     "q12_priority_shipping" -> q(Relational.q12PriorityShipping),
     "q14_promo_effect"      -> q(Relational.q14PromoEffect),
+    "q15_top_supplier"      -> q(Relational.q15TopSupplier),
+    "q18_large_orders"      -> q(Relational.q18LargeOrders),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
@@ -313,6 +315,25 @@ object SparkEntry {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+      "q15_top_supplier" ->
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate < TIMESTAMP '1997-07-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin,
+      "q18_large_orders" ->
+        """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+          |FROM (SELECT l_orderkey AS bo_orderkey, round(sum(l_quantity), 4) AS total_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 150) big
+          |JOIN orders ON o_orderkey = bo_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
       "q2_min_cost_supplier" ->
         """WITH mc AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
           |            FROM lineitem GROUP BY l_partkey)
@@ -377,7 +398,8 @@ object SparkEntry {
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
           |ORDER BY click_id""".stripMargin,
       "json_extract" ->
-        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed, event_type
           |FROM events ORDER BY event_id""".stripMargin,
       "json_aggregate" ->
         """SELECT event_type,

@@ -17,13 +17,18 @@ import graft.Tables
   */
 object EventAnalytics {
 
-  /** JSON scalar extraction from the `props` column. */
+  /** JSON scalar extraction from the `props` column — both the
+    * path-extraction form (get_json_object) and the parsed-struct form
+    * (from_json to a typed map).
+    */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
+        element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)), "k").as("k_parsed"),
         col("event_type")
       )
       .orderBy("event_id")

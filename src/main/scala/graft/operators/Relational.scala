@@ -456,6 +456,44 @@ object Relational {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)).as("promo_revenue_pct")
       )
 
+  /** TPC-H Q15 flavor: the top-revenue supplier(s) — argmax via a
+    * scalar aggregate joined back (decorrelated-subquery shape).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp")
+      )
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("max_rev"))
+    revenue
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q18 flavor: large-volume orders — HAVING over a grouped
+    * fact, joined back to dimensions.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("bo_orderkey"))
+      .agg(round(sum("l_quantity"), 4).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables
+      .orders(spark, dir)
+      .join(bigOrders, col("o_orderkey") === col("bo_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Interval/banding join via the custom [[graft.plans.RangeJoin]]
     * operator (broadcast build side sorted by lo + binary search —
     * Spark's native plan for this predicate is an O(n·m)
