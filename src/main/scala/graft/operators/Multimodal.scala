@@ -83,6 +83,44 @@ object Multimodal {
       }
   }
 
+  /** STUB media embedder: payload bytes → deterministic unit-norm
+    * Array[Float] (a real deployment swaps in a vision/audio encoder;
+    * batch shape, schema, and downstream indexability are the
+    * contract). Output plugs straight into [[Similarity]]'s ANN
+    * operators — the full decode → featurize → index path.
+    */
+  def embedMedia(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "model load" would happen here
+        rows.map { case (id, payload) =>
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < payload.length) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+          val v = new Array[Float](dim)
+          var d = 0
+          var z = h
+          var norm = 0.0
+          while (d < dim) {
+            z += 0x9e3779b97f4a7c15L
+            var m = z
+            m = (m ^ (m >>> 30)) * 0xbf58476d1ce4e5b9L
+            m = (m ^ (m >>> 27)) * 0x94d049bb133111ebL
+            m = m ^ (m >>> 31)
+            v(d) = ((m >>> 11) * (2.0 / (1L << 53)) - 1.0).toFloat
+            norm += v(d) * v(d)
+            d += 1
+          }
+          val inv = (1.0 / math.sqrt(norm)).toFloat
+          (id, v.map(_ * inv))
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
+
   /** Deterministic frame sampling for "video" rows: every `stride`-th
     * frame index up to a fake frame count derived from the checksum —
     * the explode-shaped (one row in, many rows out) media op.

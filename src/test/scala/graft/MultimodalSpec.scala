@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("stub embedder feeds the ANN index path end-to-end") {
+    val emb = Multimodal.embedMedia(spark, sfDir).cache()
+    val first = emb.orderBy("vec_id").head()
+    assert(first.getSeq[Float](1).length == 64)
+    // unit-norm
+    val norm = first.getSeq[Float](1).map(x => x.toDouble * x).sum
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // deterministic
+    val again = Multimodal.embedMedia(spark, sfDir).orderBy("vec_id").head()
+    assert(first.getSeq[Float](1) == again.getSeq[Float](1))
+    // indexable by the hyperplane coder (decode -> featurize -> index)
+    val coded = graft.operators.Similarity.hyperplaneCodes(emb, 16)
+    assert(coded.select("lsh_code").distinct().count() > 1)
+  }
+
   test("frame sampling only emits for video rows, stride respected") {
     val frames = Multimodal.sampleFrames(spark, sfDir, stride = 10).collect()
     assert(frames.nonEmpty)
