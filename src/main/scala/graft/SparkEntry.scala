@@ -35,6 +35,10 @@ object SparkEntry {
         .toDF("word", "cnt")
         .orderBy("word")
     },
+    // reference corpus itself (fixed input; sfDir ignored): the two
+    // jobs the reference engine ships, on its own test data
+    "ref_wc_large" -> q((s, _) => TextJobs.wordCountDir(s, "/root/reference/input/large")),
+    "ref_ii_large" -> q((s, _) => TextJobs.invertedIndexDir(s, "/root/reference/input/large")),
     // ---- relational surface ----
     "q1_pricing_summary"    -> q(Relational.q1PricingSummary),
     "q3_shipping_priority"  -> q(Relational.q3ShippingPriority),
@@ -124,6 +128,20 @@ object SparkEntry {
            |       string_agg(DISTINCT source, ',' ORDER BY source) AS files
            |FROM (SELECT source, unnest($toks) AS word FROM documents)
            |GROUP BY word ORDER BY word""".stripMargin,
+      "ref_wc_large" ->
+        """SELECT word, count(*) AS cnt
+          |FROM (SELECT unnest(list_filter(string_split_regex(content, '[^\p{L}]+'),
+          |                                x -> x <> '')) AS word
+          |      FROM read_text('/root/reference/input/large/*'))
+          |GROUP BY word ORDER BY word""".stripMargin,
+      "ref_ii_large" ->
+        """WITH t AS (SELECT regexp_replace(filename, '.*/', '') AS f,
+          |             unnest(list_filter(string_split_regex(content, '[^\p{L}]+'),
+          |                                x -> x <> '')) AS word
+          |           FROM read_text('/root/reference/input/large/*'))
+          |SELECT word, count(DISTINCT f) AS n_files,
+          |       string_agg(DISTINCT f, ',' ORDER BY f) AS files
+          |FROM t GROUP BY word ORDER BY word""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  round(sum(l_quantity), 4) AS sum_qty,
