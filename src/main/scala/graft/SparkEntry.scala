@@ -73,6 +73,8 @@ object SparkEntry {
     "q12_priority_shipping" -> q(Relational.q12PriorityShipping),
     "q14_promo_effect"      -> q(Relational.q14PromoEffect),
     "q15_top_supplier"      -> q(Relational.q15TopSupplier),
+    "q19_disjunctive_filter" -> q(Relational.q19DisjunctiveFilter),
+    "window_range_frame"    -> q(Relational.windowRangeFrame),
     "q18_large_orders"      -> q(Relational.q18LargeOrders),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
@@ -333,6 +335,20 @@ object SparkEntry {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+      "q19_disjunctive_filter" ->
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+          |   OR (p_type = 'PROMO' AND l_quantity < 10)""".stripMargin,
+      "window_range_frame" ->
+        """SELECT o_custkey, o_orderkey,
+          |  count(*) OVER w AS orders_30d,
+          |  CAST(sum(o_orderkey) OVER w AS BIGINT) AS keys_30d
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+          |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
       "q15_top_supplier" ->
         """WITH revenue AS (
           |  SELECT l_suppkey AS supplier_no,

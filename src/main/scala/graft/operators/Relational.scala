@@ -456,6 +456,41 @@ object Relational {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)).as("promo_revenue_pct")
       )
 
+  /** TPC-H Q19 flavor: disjunction of conjunctive predicates across a
+    * join — exercises partial pushdown of an OR-of-ANDs filter.
+    */
+  def q19DisjunctiveFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 5) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity") >= 10) ||
+          (col("p_type") === "PROMO" && col("l_quantity") < 10)
+      )
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n")
+      )
+
+  /** Time-RANGE window frame: per-customer order count and quantity sum
+    * within the trailing 30 days (exact-integer aggregates only — a
+    * sliding range frame subtracts on eviction, so float sums would
+    * drift between engines).
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long")) // NTZ → epoch seconds (UTC session)
+      .rangeBetween(-30L * 24 * 3600, 0)
+    Tables
+      .orders(spark, dir)
+      .withColumn("orders_30d", count(lit(1)).over(w))
+      .withColumn("keys_30d", sum(col("o_orderkey")).over(w))
+      .select("o_custkey", "o_orderkey", "orders_30d", "keys_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** TPC-H Q15 flavor: the top-revenue supplier(s) — argmax via a
     * scalar aggregate joined back (decorrelated-subquery shape).
     */
