@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -103,11 +103,11 @@ object Dedup {
     df.select(col(idCol), explode(expr(s"shingle_hashes($textCol, $k)")).as("sh_base"))
   }
 
-  /** MinHash signature per doc: the shingle string is hashed once
-    * (xxhash64); the k independent functions are derived from that
-    * base inside [[graft.functions.MinhashAgg]] (splitmix64 per
-    * function index) — one aggregate, one shuffle of k longs per doc,
-    * map-side partial minima.
+  /** MinHash signature per doc from hashed shingles (a `sh_base` long
+    * column, e.g. [[hashedShingles]]): the k independent functions are
+    * derived per row inside [[graft.functions.MinhashAgg]] (splitmix64
+    * per function index) — one aggregate, one shuffle of k longs per
+    * doc, map-side partial minima.
     */
   def minhashSignatures(
       hashedShingleDf: DataFrame,
