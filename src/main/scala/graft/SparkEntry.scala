@@ -74,6 +74,8 @@ object SparkEntry {
     "q14_promo_effect"      -> q(Relational.q14PromoEffect),
     "q15_top_supplier"      -> q(Relational.q15TopSupplier),
     "q19_disjunctive_filter" -> q(Relational.q19DisjunctiveFilter),
+    "q21_last_shipper"      -> q(Relational.q21LastShipper),
+    "q22_wealthy_inactive"  -> q(Relational.q22WealthyInactive),
     "window_range_frame"    -> q(Relational.windowRangeFrame),
     "q18_large_orders"      -> q(Relational.q18LargeOrders),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
@@ -335,6 +337,24 @@ object SparkEntry {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+      "q21_last_shipper" ->
+        """WITH ns AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS ns
+          |            FROM lineitem GROUP BY l_orderkey),
+          |     ms AS (SELECT l_orderkey AS ok2, max(l_shipdate) AS maxship
+          |            FROM lineitem GROUP BY l_orderkey)
+          |SELECT l_suppkey, count(DISTINCT l_orderkey) AS n_last
+          |FROM lineitem JOIN ns ON l_orderkey = ok JOIN ms ON l_orderkey = ok2
+          |WHERE ns >= 2 AND l_shipdate = maxship
+          |GROUP BY l_suppkey ORDER BY n_last DESC, l_suppkey LIMIT 10""".stripMargin,
+      "q22_wealthy_inactive" ->
+        """WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+          |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+          |FROM customer, ab
+          |WHERE c_acctbal > ab
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q19_disjunctive_filter" ->
         """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n
           |FROM lineitem JOIN part ON l_partkey = p_partkey

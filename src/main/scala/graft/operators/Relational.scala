@@ -529,6 +529,38 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q21 flavor: in multi-supplier orders, the supplier whose
+    * shipment closed the order (max shipdate) — two grouped joins back
+    * onto the fact.
+    */
+  def q21LastShipper(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val nSupp   = l.groupBy(col("l_orderkey").as("ok")).agg(countDistinct("l_suppkey").as("ns"))
+    val maxShip = l.groupBy(col("l_orderkey").as("ok2")).agg(max("l_shipdate").as("maxship"))
+    l.join(nSupp, col("l_orderkey") === col("ok"))
+      .join(maxShip, col("l_orderkey") === col("ok2"))
+      .filter(col("ns") >= 2 && col("l_shipdate") === col("maxship"))
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_orderkey").as("n_last"))
+      .orderBy(col("n_last").desc, col("l_suppkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q22 flavor: wealthy inactive customers — scalar-subquery
+    * threshold (broadcast) + anti join, grouped by segment.
+    */
+  def q22WealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0).agg(avg("c_acctbal").as("ab"))
+    val recent = Tables.orders(spark, dir).filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 4).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Interval/banding join via the custom [[graft.plans.RangeJoin]]
     * operator (broadcast build side sorted by lo + binary search —
     * Spark's native plan for this predicate is an O(n·m)
