@@ -111,7 +111,10 @@ object SparkEntry {
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
-    "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx"))
+    "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
+    "multimodal_embed" -> q((s, dir) =>
+      Multimodal.embedMedia(s, dir).selectExpr("vec_id", "round(cosine_sim(embedding, embedding), 4) AS self_cos").orderBy("vec_id")
+    )
   )
 
   /** DuckDB oracle SQL (driver runs these over the same parquet tables
