@@ -63,6 +63,7 @@ object SparkEntry {
     "scalar_string"         -> q(Relational.scalarString),
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
+    "scalar_misc"           -> q(Relational.scalarMisc),
     "q2_min_cost_supplier"  -> q(Relational.q2MinCostSupplier),
     "q10_returned_items"    -> q(Relational.q10ReturnedItems),
     "pivot_events"          -> q(Relational.pivotEvents),
@@ -454,6 +455,19 @@ object SparkEntry {
           |       p.value AS purchase_value
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
           |ORDER BY click_id""".stripMargin,
+      "scalar_misc" ->
+        """SELECT o_orderkey,
+          |  greatest(o_totalprice, 250000.0) AS at_least_250k,
+          |  least(o_totalprice, 250000.0) AS at_most_250k,
+          |  nullif(o_orderstatus, 'O') AS status_or_null,
+          |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+          |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+          |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+          |  reverse(o_orderpriority) AS prio_rev,
+          |  translate(o_orderpriority, '-', '_') AS prio_u,
+          |  upper(o_orderstatus) AS status_cap,
+          |  repeat(o_orderstatus, 3) AS status_x3
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
       "json_extract" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
           |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed, event_type

@@ -585,6 +585,28 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Misc scalar functions: conditionals (greatest/least/nullif/
+    * coalesce), date arithmetic (date_add/add_months), string
+    * transforms (reverse/translate/initcap/repeat).
+    */
+  def scalarMisc(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        greatest(col("o_totalprice"), lit(250000.0)).as("at_least_250k"),
+        least(col("o_totalprice"), lit(250000.0)).as("at_most_250k"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus_2m"),
+        reverse(col("o_orderpriority")).as("prio_rev"),
+        translate(col("o_orderpriority"), "-", "_").as("prio_u"),
+        initcap(lower(col("o_orderstatus"))).as("status_cap"),
+        repeat(col("o_orderstatus"), 3).as("status_x3")
+      )
+      .orderBy("o_orderkey")
+
   /** Correlated scalar subquery flavor: each order against its
     * customer's average order value (expressed as join+window-free
     * aggregate; the declarative form Catalyst decorrelates).
