@@ -64,6 +64,7 @@ object SparkEntry {
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
     "scalar_misc"           -> q(Relational.scalarMisc),
+    "generator_outer"       -> q(Relational.generatorOuter),
     "q2_min_cost_supplier"  -> q(Relational.q2MinCostSupplier),
     "q10_returned_items"    -> q(Relational.q10ReturnedItems),
     "pivot_events"          -> q(Relational.pivotEvents),
@@ -455,6 +456,14 @@ object SparkEntry {
           |       p.value AS purchase_value
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
           |ORDER BY click_id""".stripMargin,
+      "generator_outer" -> {
+        val tail = s"""list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')[60:62]"""
+        s"""SELECT doc_id, tok FROM (
+           |  SELECT doc_id, unnest($tail) AS tok FROM documents WHERE len($tail) > 0
+           |  UNION ALL
+           |  SELECT doc_id, NULL AS tok FROM documents WHERE len($tail) = 0)
+           |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
+      },
       "scalar_misc" ->
         """SELECT o_orderkey,
           |  greatest(o_totalprice, 250000.0) AS at_least_250k,

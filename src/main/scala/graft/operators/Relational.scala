@@ -585,6 +585,19 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Generator with outer semantics: explode_outer keeps rows whose
+    * array is empty (null element) — the row-preserving flatten.
+    */
+  def generatorOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("slice(filter(split(text, '[^\\\\p{L}]+'), t -> t <> ''), 60, 3)").as("tail_toks")
+      )
+      .select(col("doc_id"), explode_outer(col("tail_toks")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+
   /** Misc scalar functions: conditionals (greatest/least/nullif/
     * coalesce), date arithmetic (date_add/add_months), string
     * transforms (reverse/translate/initcap/repeat).

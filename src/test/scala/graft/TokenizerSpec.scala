@@ -39,6 +39,24 @@ class TokenizerSpec extends SparkSpec {
     checkProp(Prop.forAll(Gen.asciiPrintableStr) { s => engineTokens(s) == modelTokens(s) })
   }
 
+  test("ShingleHashes' internal tokenizer agrees with the regex tokenizer") {
+    // k=1 → one hash per token; counts must match the model on any input
+    val gen = Gen
+      .listOf(Gen.oneOf("a", "Z", "é", "漢", "𝔘" /* 𝔘 supplementary-plane letter */, "1", "½", " ", "\n", ".", "﻿"))
+      .map(_.mkString)
+    checkProp(Prop.forAll(gen) { s =>
+      graft.functions.ShingleHashes
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), 1)
+        .numElements() == modelTokens(s).size
+    })
+    // identical token streams hash identically; differing ones don't
+    val a = graft.functions.ShingleHashes.compute(org.apache.spark.unsafe.types.UTF8String.fromString("foo bar baz"), 2)
+    val b = graft.functions.ShingleHashes.compute(org.apache.spark.unsafe.types.UTF8String.fromString("foo-bar!baz"), 2)
+    assert(a.toLongArray().toSeq == b.toLongArray().toSeq, "separator choice must not affect shingle hashes")
+    val c = graft.functions.ShingleHashes.compute(org.apache.spark.unsafe.types.UTF8String.fromString("foo bar qux"), 2)
+    assert(a.toLongArray().toSeq != c.toLongArray().toSeq)
+  }
+
   test("BOM is a separator (pg174.txt case)") {
     assert(engineTokens("﻿The Project") == Seq("The", "Project"))
   }
