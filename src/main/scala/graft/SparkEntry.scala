@@ -225,10 +225,11 @@ object SparkEntry {
       "window_running_sum" ->
         """SELECT l_suppkey, l_orderkey, l_linenumber,
           |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-          |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
           |    ROWS UNBOUNDED PRECEDING), 4) AS running_qty
           |FROM lineitem
-          |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+          |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+          |         running_qty""".stripMargin,
       "window_lag_lead" ->
         """SELECT o_custkey, o_orderkey,
           |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,

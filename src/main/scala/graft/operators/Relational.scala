@@ -156,9 +156,17 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Window: running sum per supplier over ship time. */
+  /** Window: running sum per supplier over ship time.
+    *
+    * The synthetic data duplicates (l_orderkey, l_linenumber) pairs, so
+    * the window order includes l_quantity to stay total (verified: no
+    * duplicate (suppkey, shipdate, orderkey, linenumber, quantity) at
+    * any SF) and the output order breaks any remaining tie on the
+    * running value itself — otherwise prefix sums are permutation-
+    * dependent and engines legitimately disagree.
+    */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
-    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val w = Window
       .partitionBy("l_suppkey")
       .orderBy(order: _*)
@@ -166,8 +174,7 @@ object Relational {
     Tables
       .lineitem(spark, dir)
       .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
-      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
-      .orderBy(col("l_suppkey") +: order: _*)
+      .orderBy(col("l_suppkey") +: order :+ col("running_qty"): _*)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
