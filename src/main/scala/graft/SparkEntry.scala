@@ -65,6 +65,9 @@ object SparkEntry {
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
     "scalar_misc"           -> q(Relational.scalarMisc),
     "generator_outer"       -> q(Relational.generatorOuter),
+    "stats_agg"             -> q(Relational.statsAgg),
+    "histogram_totalprice"  -> q(Relational.histogramTotalprice),
+    "approx_quantiles"      -> q(Relational.approxQuantiles),
     "q2_min_cost_supplier"  -> q(Relational.q2MinCostSupplier),
     "q10_returned_items"    -> q(Relational.q10ReturnedItems),
     "pivot_events"          -> q(Relational.pivotEvents),
@@ -457,6 +460,18 @@ object SparkEntry {
           |       p.value AS purchase_value
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
           |ORDER BY click_id""".stripMargin,
+      "stats_agg" ->
+        """SELECT l_returnflag,
+          |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+          |  round(var_samp(l_quantity), 4) AS var_qty,
+          |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+          |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+          |  round(skewness(l_discount), 4) AS skew_disc
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "histogram_totalprice" ->
+        """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+          |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+          |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
       "generator_outer" -> {
         val tail = s"""list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')[60:62]"""
         s"""SELECT doc_id, tok FROM (

@@ -592,6 +592,55 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Statistical aggregates: stddev/variance, covariance, correlation,
+    * skewness — second/third-moment math where both engines implement
+    * the standard estimators; irrational outputs, so round(·,4) has
+    * ~zero boundary risk.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(skewness(col("l_discount")), 4).as("skew_disc")
+      )
+      .orderBy("l_returnflag")
+
+  /** Fixed-width histogram of order values (manual bucketing — portable
+    * across engines, single aggregation pass).
+    */
+  def histogramTotalprice(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .withColumn("bucket", least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("bucket")
+
+  /** Approximate quantiles (GK/KLL-style sketch): the fixed-memory
+    * answer when exact percentile's full sort is too expensive. No
+    * oracle (sketch internals are engine-specific); the spec bounds the
+    * estimate against exact percentiles.
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("approx_pcts")
+      )
+      .select(
+        col("o_orderstatus"),
+        col("approx_pcts").getItem(0).as("p50"),
+        col("approx_pcts").getItem(1).as("p90"),
+        col("approx_pcts").getItem(2).as("p99")
+      )
+      .orderBy("o_orderstatus")
+
   /** Generator with outer semantics: explode_outer keeps rows whose
     * array is empty (null element) — the row-preserving flatten.
     */

@@ -51,6 +51,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks exact percentiles within the sketch accuracy") {
+    val approx = Relational.approxQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.quantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.05, s"$k p50: approx=$a50 exact=$p50")
+      assert(math.abs(a90 - p90) / p90 < 0.05, s"$k p90: approx=$a90 exact=$p90")
+    }
+  }
+
   test("set ops partition: union == intersect + both excepts, disjointly") {
     val rows = Relational.setOps(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
     val u    = rows.filter(_._1 == "union").map(_._2).toSet
