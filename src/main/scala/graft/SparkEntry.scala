@@ -100,6 +100,7 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     ),
     "dedup_minhash_lsh" -> q((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
+    "dedup_components"  -> q(Dedup.nearDupComponents),
     "dedup_simhash"     -> q((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> q((s, dir) => Dedup.embeddingNearDups(s, dir)),
     // ---- similarity search ----
@@ -560,6 +561,27 @@ object SparkEntry {
            |  SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
            |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+      "dedup_components" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 1),
+           |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           |       FROM t WHERE len(tk) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |        GROUP BY x.doc_id, y.doc_id),
+           |pairs AS (SELECT a, b FROM (
+           |            SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
+           |            FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+           |          WHERE jaccard >= 0.6),
+           |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
+           |nodes AS (SELECT DISTINCT s AS n FROM edges),
+           |reach(n, r) AS (SELECT n, n AS r FROM nodes
+           |                UNION
+           |                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n)
+           |SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
       "dedup_embedding_cosine" ->
         """SELECT a, b, round(cos, 4) AS cos FROM (
           |  SELECT x.vec_id AS a, y.vec_id AS b,

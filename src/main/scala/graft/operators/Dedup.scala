@@ -215,6 +215,55 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ------------------------------------------------- components / clusters
+
+  /** Connected components by iterative min-label propagation: every
+    * node repeatedly adopts the minimum label among itself and its
+    * neighbors until fixpoint. Iterations ≈ graph diameter (near-dup
+    * graphs are shallow); each round is one shuffle-join + aggregate.
+    * At extreme scale the large-star/small-star variant halves the
+    * round count, but the per-round plan is identical.
+    *
+    * @param pairs undirected edges as (a, b) columns
+    * @return (doc_id, component) where component = min node id of the
+    *         component — the canonical deterministic representative
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("a").as("s"), col("b").as("d"))
+      .union(pairs.select(col("b").as("s"), col("a").as("d")))
+      .cache()
+    var labels = edges.select(col("s").as("node")).distinct().withColumn("label", col("node")).cache()
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, col("s") === col("node"))
+        .groupBy(col("d").as("node2"))
+        .agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin, col("node") === col("node2"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component")).orderBy("doc_id")
+  }
+
+  /** Near-dup clusters over the bounded exact-Jaccard pair set (the
+    * oracle replays this with a recursive CTE).
+    */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      ngramJaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
+    )
+
   // ------------------------------------------------------ embedding cosine
 
   /** Exact embedding near-dups: all pairs with cosine ≥ threshold.

@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: edges stay within a component, label is the min member") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).select("a", "b")
+    val comp = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) crosses components") }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"component $label labeled by non-min member")
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
     val rows = Dedup.embeddingNearDups(spark, sfDir, 0.4).collect()
     rows.foreach { r =>
