@@ -51,6 +51,9 @@ object SparkEntry {
     "window_top3_per_customer" -> q(Relational.windowTop3PerCustomer),
     "window_running_sum"    -> q(Relational.windowRunningSum),
     "window_lag_lead"       -> q(Relational.windowLagLead),
+    "window_rank_family"    -> q(Relational.windowRankFamily),
+    "window_first_last"     -> q(Relational.windowFirstLast),
+    "unpivot_events"        -> q(Relational.unpivotEvents),
     "set_ops"               -> q(Relational.setOps),
     "distinct_status_priority" -> q(Relational.distinctStatusPriority),
     "topn_orders"           -> q(Relational.topNOrders),
@@ -241,6 +244,39 @@ object SparkEntry {
           |FROM orders
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "window_rank_family" ->
+        """SELECT o_orderstatus, o_orderkey,
+          |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+          |  round(percent_rank() OVER w, 4) AS prnk,
+          |  round(cume_dist() OVER w, 4) AS cdist,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+          |ORDER BY o_orderstatus, rnk""".stripMargin,
+      "window_first_last" ->
+        """SELECT o_custkey, o_orderkey,
+          |  first_value(o_totalprice) OVER w AS first_price,
+          |  last_value(o_totalprice) OVER w AS last_price,
+          |  nth_value(o_totalprice, 2) OVER w AS second_price
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "unpivot_events" ->
+        """WITH p AS (SELECT user_id,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id, event_type, n FROM (
+          |  SELECT user_id, 'click' AS event_type, click AS n FROM p
+          |  UNION ALL SELECT user_id, 'purchase', purchase FROM p
+          |  UNION ALL SELECT user_id, 'view', view FROM p
+          |  UNION ALL SELECT user_id, 'signup', signup FROM p
+          |  UNION ALL SELECT user_id, 'error', error FROM p)
+          |ORDER BY user_id, event_type""".stripMargin,
       "set_ops" ->
         """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
           |     b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)

@@ -178,6 +178,56 @@ object Relational {
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** Window rank family: rank, dense_rank, percent_rank, cume_dist,
+    * ntile — total order via the unique orderkey tiebreak.
+    */
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile")
+      )
+      .orderBy("o_orderstatus", "rnk")
+  }
+
+  /** Window first/last/nth values over an explicit frame. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Unpivot (wide → long): per-user event counts melted back to
+    * (user, event_type, n) rows.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
+    pivotEvents(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("purchase"), col("view"), col("signup"), col("error")),
+        "event_type",
+        "n"
+      )
+      .orderBy("user_id", "event_type")
+
   /** Window: lag/lead — price delta between a customer's consecutive
     * orders.
     */
