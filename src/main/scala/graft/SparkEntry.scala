@@ -501,9 +501,10 @@ object SparkEntry {
         """SELECT l_returnflag,
           |  round(stddev_samp(l_quantity), 4) AS sd_qty,
           |  round(var_samp(l_quantity), 4) AS var_qty,
+          |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+          |  round(var_pop(l_quantity), 4) AS varp_qty,
           |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-          |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-          |  round(skewness(l_discount), 4) AS skew_disc
+          |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       "histogram_totalprice" ->
         """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,

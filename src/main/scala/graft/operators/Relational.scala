@@ -642,10 +642,12 @@ object Relational {
       .orderBy("band")
   }
 
-  /** Statistical aggregates: stddev/variance, covariance, correlation,
-    * skewness — second/third-moment math where both engines implement
-    * the standard estimators; irrational outputs, so round(·,4) has
-    * ~zero boundary risk.
+  /** Statistical aggregates: sample/population stddev and variance,
+    * covariance, correlation — second-moment math where both engines
+    * implement identical estimator definitions. (Skewness is excluded:
+    * Spark reports population g1 while DuckDB bias-corrects to sample
+    * G1, so they genuinely differ at small n.) Irrational outputs, so
+    * round(·,4) has ~zero boundary risk.
     */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -654,9 +656,10 @@ object Relational {
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_pop(col("l_quantity")), 4).as("varp_qty"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(skewness(col("l_discount")), 4).as("skew_disc")
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price")
       )
       .orderBy("l_returnflag")
 
