@@ -67,6 +67,7 @@ object SparkEntry {
     "scalar_date_math"      -> q(Relational.scalarDateMath),
     "orders_vs_customer_avg" -> q(Relational.ordersVsCustomerAvg),
     "scalar_misc"           -> q(Relational.scalarMisc),
+    "pattern_predicates"    -> q(Relational.patternPredicates),
     "generator_outer"       -> q(Relational.generatorOuter),
     "stats_agg"             -> q(Relational.statsAgg),
     "histogram_totalprice"  -> q(Relational.histogramTotalprice),
@@ -518,6 +519,17 @@ object SparkEntry {
            |  SELECT doc_id, NULL AS tok FROM documents WHERE len($tail) = 0)
            |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
       },
+      "pattern_predicates" ->
+        """SELECT p_partkey,
+          |  p_name LIKE 'w%' AS starts_w,
+          |  p_name LIKE '%_1%' AS has_underscore_one,
+          |  p_type NOT LIKE 'PROMO%' AS not_promo,
+          |  regexp_matches(p_name, '^[a-z]+_[0-9]+$') AS canonical_shape,
+          |  p_retailprice / NULLIF(CAST(p_size AS DOUBLE), 0) AS price_per_size,
+          |  CAST(NULL AS DOUBLE) AS div_by_zero_is_null
+          |FROM part
+          |WHERE p_name LIKE '%a%' OR regexp_matches(p_name, '[0-9]$')
+          |ORDER BY p_partkey""".stripMargin,
       "scalar_misc" ->
         """SELECT o_orderkey,
           |  greatest(o_totalprice, 250000.0) AS at_least_250k,

@@ -707,6 +707,25 @@ object Relational {
       .select(col("doc_id"), explode_outer(col("tail_toks")).as("tok"))
       .orderBy(col("doc_id"), col("tok"))
 
+  /** Pattern predicates and null-safe math: LIKE / NOT LIKE / regex
+    * matching as filters and projected booleans; try_divide for
+    * division that yields null instead of failing.
+    */
+  def patternPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(spark, dir)
+      .filter(col("p_name").like("%a%") || col("p_name").rlike("[0-9]$"))
+      .select(
+        col("p_partkey"),
+        col("p_name").like("w%").as("starts_w"),
+        col("p_name").like("%_1%").as("has_underscore_one"),
+        (!col("p_type").like("PROMO%")).as("not_promo"),
+        col("p_name").rlike("^[a-z]+_[0-9]+$").as("canonical_shape"),
+        expr("try_divide(p_retailprice, p_size - p_size + p_size)").as("price_per_size"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div_by_zero_is_null")
+      )
+      .orderBy("p_partkey")
+
   /** Misc scalar functions: conditionals (greatest/least/nullif/
     * coalesce), date arithmetic (date_add/add_months), string
     * transforms (reverse/translate/initcap/repeat).
