@@ -97,6 +97,7 @@ object SparkEntry {
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
+    "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "scalar_map"            -> q(EventAnalytics.mapFunctions),
     // ---- dedup ----
     "dedup_exact_groups"    -> q(Dedup.exactGroups),
@@ -577,6 +578,16 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "events_gap_filled" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         count(*) AS n, round(sum(value), 4) AS revenue
+          |  FROM events WHERE event_type = 'purchase' GROUP BY day),
+          |spine AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+          |                                        INTERVAL 1 DAY))::DATE AS day)
+          |SELECT spine.day AS day, coalesce(n, 0) AS n, coalesce(revenue, 0.0) AS revenue
+          |FROM spine LEFT JOIN daily ON spine.day = daily.day
+          |ORDER BY day""".stripMargin,
       "events_user_profile" ->
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,

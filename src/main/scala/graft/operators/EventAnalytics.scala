@@ -71,6 +71,35 @@ object EventAnalytics {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Gap-filled daily series: a generated date spine left-joined to
+    * per-day aggregates so silent days appear as explicit zeros — the
+    * standard densification step before any time-series modeling. The
+    * spine is `sequence()`-generated (no driver loop) and tiny, so it
+    * broadcasts.
+    */
+  def gapFilledDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("revenue"))
+    val spine = spark
+      .range(1)
+      .select(
+        explode(
+          expr("sequence(DATE '2024-01-01', DATE '2024-01-31', interval 1 day)")
+        ).as("day")
+      )
+    spine
+      .join(daily, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue")
+      )
+      .orderBy("day")
+  }
+
   /** Map-typed column surface: build a per-user event_type→count map,
     * then extract/inspect it with map functions. Rows-only check (map
     * construction order isn't portable SQL); the spec pins values
