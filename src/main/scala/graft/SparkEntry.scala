@@ -98,6 +98,8 @@ object SparkEntry {
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
+    "events_funnel"         -> q(EventAnalytics.conversionFunnel),
+    "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
     "scalar_map"            -> q(EventAnalytics.mapFunctions),
     // ---- dedup ----
     "dedup_exact_groups"    -> q(Dedup.exactGroups),
@@ -578,6 +580,28 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "events_funnel" ->
+        """WITH f AS (SELECT user_id,
+          |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+          |  min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+          |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT
+          |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+          |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+          |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+          |FROM f""".stripMargin,
+      "events_cohort_retention" ->
+        """WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+          |SELECT cohort_week,
+          |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM e JOIN c USING (user_id)
+          |GROUP BY cohort_week, week_offset
+          |ORDER BY cohort_week, week_offset""".stripMargin,
       "events_gap_filled" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

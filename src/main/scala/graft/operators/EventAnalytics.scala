@@ -122,6 +122,47 @@ object EventAnalytics {
       )
       .orderBy("user_id")
 
+  /** Ordered conversion funnel: per user, first view → first
+    * subsequent click → first subsequent purchase; one row per funnel
+    * stage with the surviving-user count (min-time comparisons — no
+    * sessionization state needed for the first-touch funnel).
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase")
+      )
+      .select(
+        col("user_id"),
+        col("t_view").isNotNull.as("s1"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view")).as("s2"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view") && col("t_purchase") > col("t_click")).as("s3")
+      )
+    firsts.agg(
+      sum(when(col("s1"), 1L).otherwise(0L)).as("viewed"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("clicked_after_view"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("purchased_after_click")
+    )
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each later week, how many returned. The canonical
+    * retention triangle as (cohort_week, week_offset, n_users).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohorts, "user_id")
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Per-user behavior profile: conditional aggregation (pivot-style). */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables
