@@ -121,6 +121,7 @@ object SparkEntry {
     "text_tokens"      -> q(TextAnalysis.tokenCounts),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
@@ -730,6 +731,12 @@ object SparkEntry {
            |       % 1000000007 AS BIGINT) AS fingerprint
            |FROM (SELECT doc_id, $toks AS tk FROM documents)
            |ORDER BY doc_id""".stripMargin,
+      "text_top_bigrams" ->
+        s"""SELECT bigram, count(*) AS cnt
+           |FROM (SELECT unnest(list_transform(range(1, len(tk)),
+           |                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+           |      FROM (SELECT $toks AS tk FROM documents) WHERE len(tk) >= 2)
+           |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -52,6 +52,23 @@ object Similarity {
   def hyperplaneCodes(df: DataFrame, numPlanes: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol), col(vecCol), expr(s"hyperplane_code($vecCol, $numPlanes)").as("lsh_code"))
 
+  /** Search by a caller-supplied vector (not an indexed id): the
+    * query vector ships as a literal into the plan, so the scan is a
+    * single narrow pass — the "embed my text, find neighbors" call.
+    */
+  def searchByVector(spark: SparkSession, dir: String, queryVec: Array[Float], k: Int = 5): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val vecSql = queryVec.map(v => s"${v}f").mkString("array(", ", ", ")")
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id").as("cand"),
+        expr(s"cosine_sim(embedding, $vecSql)").as("cos")
+      )
+      .orderBy(col("cos").desc, col("cand"))
+      .limit(k)
+  }
+
   /** Scale-path embedding near-dup: hyperplane-LSH bucket candidates
     * (vectors sharing any band sub-code), then exact cosine filter.
     * The all-pairs cross product of [[Dedup.embeddingNearDups]] never

@@ -129,6 +129,23 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** Corpus-wide top word bigrams — the n-gram frequency surface
+    * (SURVEY M5). One explode + hash-aggregate; top-k via
+    * TakeOrderedAndProject.
+    */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(expr(s"filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(
+        explode(expr("transform(sequence(0, size(tk) - 2), i -> concat_ws(' ', tk[i], tk[i + 1]))")).as("bigram")
+      )
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
   /** TF-IDF: top term per document by tf·idf weight. */
   def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)

@@ -38,6 +38,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("searchByVector: searching an indexed vector returns itself first") {
+    val v = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 7L).head().getSeq[Float](1).toArray
+    val hits = Similarity.searchByVector(spark, sfDir, v, k = 3).collect()
+    assert(hits.head.getLong(0) == 7L, s"self should rank first, got ${hits.head}")
+    assert(math.abs(hits.head.getDouble(1) - 1.0) < 1e-9)
+    assert(hits.length == 3 && hits(1).getDouble(1) <= hits.head.getDouble(1))
+  }
+
   test("IVF top-k: valid ranks, exact scores, reasonable recall vs brute force") {
     val brute = Similarity
       .bruteForceTopK(spark, sfDir, k = 5)
