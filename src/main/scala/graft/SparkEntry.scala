@@ -103,6 +103,7 @@ object SparkEntry {
     "scalar_map"            -> q(EventAnalytics.mapFunctions),
     // ---- dedup ----
     "dedup_exact_groups"    -> q(Dedup.exactGroups),
+    "dedup_normalized"      -> q(Dedup.normalizedGroups),
     "dedup_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     ),
@@ -632,6 +633,11 @@ object SparkEntry {
       "dedup_exact_groups" ->
         """SELECT md5(text) AS text_hash, count(*) AS dup_cnt, min(doc_id) AS keeper
           |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      "dedup_normalized" ->
+        """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+          |  count(*) AS dup_cnt, min(doc_id) AS keeper
+          |FROM documents
+          |GROUP BY norm_hash ORDER BY keeper""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
            |sh AS (SELECT DISTINCT doc_id,

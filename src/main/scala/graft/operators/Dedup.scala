@@ -44,6 +44,21 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text normalization for dedup: lowercase + whitespace
+    * collapse + trim — the cheap pre-pass that catches trivially
+    * reformatted duplicates before any fuzzy machinery runs.
+    */
+  def normalizedText(textCol: String): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+
+  /** Dedup groups under normalization (case/whitespace-insensitive). */
+  def normalizedGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(md5(normalizedText("text")).as("norm_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("keeper"))
+      .orderBy("keeper")
+
   // --------------------------------------------------- shingles / jaccard
 
   /** Word k-gram shingles per document (with duplicates — MinHash is
