@@ -10,7 +10,15 @@ import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg
   */
 object GraftFunctions {
 
+  /** Idempotent per-session: createOrReplaceTempFunction logs a
+    * replace warning on every re-registration, and operators call
+    * register defensively — skip sessions already done.
+    */
+  private val registered =
+    java.util.Collections.newSetFromMap(new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")

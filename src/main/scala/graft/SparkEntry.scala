@@ -87,6 +87,10 @@ object SparkEntry {
     "q22_wealthy_inactive"  -> q(Relational.q22WealthyInactive),
     "window_range_frame"    -> q(Relational.windowRangeFrame),
     "q18_large_orders"      -> q(Relational.q18LargeOrders),
+    "q4_order_priority"     -> q(Relational.q4OrderPriority),
+    "q13_custdist"          -> q(Relational.q13Custdist),
+    "q17_small_qty_avg"     -> q(Relational.q17SmallQtyAvg),
+    "q20_part_promo"        -> q(Relational.q20PartPromo),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
@@ -440,6 +444,41 @@ object SparkEntry {
           |JOIN orders ON o_orderkey = bo_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+      "q13_custdist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      "q17_small_qty_avg" ->
+        """SELECT round(sum(l_extendedprice), 4) / 7.0 AS avg_yearly
+          |FROM lineitem l JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                    FROM lineitem l2
+          |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+      "q20_part_promo" ->
+        """SELECT s_suppkey, s_name
+          |FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM lineitem l
+          |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'r%')
+          |    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          |    AND l.l_quantity > (SELECT 1.9 * avg(l2.l_quantity)
+          |                        FROM lineitem l2
+          |                        WHERE l2.l_partkey = l.l_partkey))
+          |ORDER BY s_suppkey""".stripMargin,
       "q2_min_cost_supplier" ->
         """WITH mc AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
           |            FROM lineitem GROUP BY l_partkey)

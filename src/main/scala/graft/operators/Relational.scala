@@ -748,6 +748,92 @@ object Relational {
       )
       .orderBy("o_orderkey")
 
+  /** TPC-H Q4 (adapted: this schema has no commit/receipt dates, so
+    * "late" = shipped after the order date): correlated EXISTS
+    * subquery via the SQL surface, so Catalyst's actual decorrelation
+    * (RewritePredicateSubquery → left-semi join carrying the non-equi
+    * correlated predicate l_shipdate > o_orderdate) plans it. The
+    * reference has no joins or subqueries — extended surface per
+    * SURVEY §2.2.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q4_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q4_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM q4_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM q4_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    )
+  }
+
+  /** TPC-H Q13: count-of-counts over a grouped left-outer join — every
+    * customer's non-urgent order count, then the distribution of those
+    * counts (customers with zero orders are kept by the outer join and
+    * land in the c_count=0 bucket).
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left"
+      )
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17 (adapted: part join via l_partkey, no container/brand
+    * double filter): correlated SCALAR subquery — each lineitem row
+    * compared against 0.2 × its part's average quantity. Catalyst
+    * decorrelates the scalar agg into a grouped join; quantities are
+    * integral so avg = sum/count is bit-exact cross-engine and the
+    * comparison threshold carries no float-summation-order risk.
+    */
+  def q17SmallQtyAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q17_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("q17_part")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice), 4) / 7.0 AS avg_yearly
+        |FROM q17_lineitem l JOIN q17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM q17_lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+    )
+  }
+
+  /** TPC-H Q20 (adapted: no partsupp table, so "significant shipper"
+    * = any 1997 shipment of an r-named part above 1.9 × that part's
+    * average quantity): nested IN subqueries plus a correlated scalar
+    * subquery — the full Q20 decorrelation stack in one query.
+    */
+  def q20PartPromo(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("q20_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("q20_part")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM q20_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM q20_lineitem l
+        |  WHERE l.l_partkey IN (SELECT p_partkey FROM q20_part WHERE p_name LIKE 'r%')
+        |    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l.l_quantity > (SELECT 1.9 * avg(l2.l_quantity)
+        |                        FROM q20_lineitem l2
+        |                        WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin
+    )
+  }
+
   /** Correlated scalar subquery flavor: each order against its
     * customer's average order value (expressed as join+window-free
     * aggregate; the declarative form Catalyst decorrelates).
