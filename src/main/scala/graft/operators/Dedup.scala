@@ -135,18 +135,51 @@ object Dedup {
       .agg(expr(s"minhash_agg(sh_base, $numHashes)").as("sig"))
   }
 
+  /** Skew guard for LSH self-joins: drop every row belonging to a
+    * bucket with more than `cap` members before the bucket join. A
+    * bucket join is quadratic WITHIN each bucket, and real corpora
+    * have degenerate hot buckets (empty docs, boilerplate) that turn
+    * one bucket into an O(n²) stage; capping bounds every bucket's
+    * contribution to cap² pairs. Documents dropped here are the ones
+    * exact/normalized dedup already catches (identical content is what
+    * collides a whole bucket), so recall loss is confined to that
+    * already-covered regime. [[hotBuckets]] is the monitoring view of
+    * what a cap would drop.
+    */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    banded.join(broadcast(hotBuckets(banded, keys, cap)), keys, "left_anti")
+
+  /** Buckets above the cap, with sizes — the "logged drop count" side
+    * channel: tiny by construction (only degenerate keys), cheap to
+    * count/inspect in a monitoring job without re-running the dedup.
+    */
+  private[graft] def hotBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > cap)
+
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows, hash each band, and emit (band, bucket)
     * keys. Near-dup candidates = docs sharing any (band, bucket).
+    * Buckets larger than `bucketCap` are dropped (skew guard — see
+    * [[capBuckets]]).
     */
-  def lshCandidates(sigDf: DataFrame, numHashes: Int, bands: Int, idCol: String = "doc_id"): DataFrame = {
+  def lshCandidates(
+      sigDf: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      idCol: String = "doc_id",
+      bucketCap: Int = 256
+  ): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
-    val banded = sigDf.select(
-      col(idCol),
-      posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
-      ).as(Seq("band", "bucket"))
+    val banded = capBuckets(
+      sigDf.select(
+        col(idCol),
+        posexplode(
+          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
+        ).as(Seq("band", "bucket"))
+      ),
+      Seq("band", "bucket"),
+      bucketCap
     )
     banded
       .select(col(idCol).as("a"), col("band"), col("bucket"))
@@ -204,18 +237,31 @@ object Dedup {
     * agree on ≥1 full chunk, so a shuffle on (chunk_idx, chunk_value)
     * finds all candidates without a cross join.
     */
-  def simhashNearDups(df: DataFrame, maxDist: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def simhashNearDups(
+      df: DataFrame,
+      maxDist: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bucketCap: Int = 256
+  ): DataFrame = {
     val chunks    = maxDist + 1
     val chunkBits = 64 / chunks
     val sigs      = simhash(df, textCol, idCol).cache()
-    val chunked = sigs.select(
-      col(idCol),
-      col("simhash"),
-      posexplode(
-        expr(
-          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $chunkBits) & ${(1L << chunkBits) - 1})"
-        )
-      ).as(Seq("chunk_idx", "chunk_val"))
+    // skew guard: chunk_val 0 is hot for short docs — cap each
+    // (chunk_idx, chunk_val) bucket before the quadratic-within-bucket
+    // join (see capBuckets)
+    val chunked = capBuckets(
+      sigs.select(
+        col(idCol),
+        col("simhash"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $chunkBits) & ${(1L << chunkBits) - 1})"
+          )
+        ).as(Seq("chunk_idx", "chunk_val"))
+      ),
+      Seq("chunk_idx", "chunk_val"),
+      bucketCap
     )
     chunked
       .select(col(idCol).as("a"), col("simhash").as("sig_a"), col("chunk_idx"), col("chunk_val"))
@@ -232,18 +278,25 @@ object Dedup {
 
   // ------------------------------------------------- components / clusters
 
-  /** Connected components by iterative min-label propagation: every
-    * node repeatedly adopts the minimum label among itself and its
-    * neighbors until fixpoint. Iterations ≈ graph diameter (near-dup
-    * graphs are shallow); each round is one shuffle-join + aggregate.
-    * At extreme scale the large-star/small-star variant halves the
-    * round count, but the per-round plan is identical.
+  /** Connected components by min-label propagation with pointer
+    * halving: each round every node adopts the minimum label among
+    * itself and its neighbors, then follows its label to that label's
+    * own label (path halving). The shortcut step makes long chains
+    * converge in O(log diameter) rounds instead of O(diameter) — the
+    * difference between 10 shuffles and 1000 on a pathological
+    * component — at the cost of one extra self-join per round.
+    *
+    * Runs to FIXPOINT and throws if maxIter is hit first: a truncated
+    * run silently returns wrong labels, which is a correctness bug,
+    * not a tuning knob. Lineage is truncated with localCheckpoint
+    * every third round (per-round cache alone grows the plan tree
+    * linearly) and superseded label sets are unpersisted.
     *
     * @param pairs undirected edges as (a, b) columns
     * @return (doc_id, component) where component = min node id of the
     *         component — the canonical deterministic representative
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs
       .select(col("a").as("s"), col("b").as("d"))
       .union(pairs.select(col("b").as("s"), col("a").as("d")))
@@ -256,18 +309,33 @@ object Dedup {
         .join(labels, col("s") === col("node"))
         .groupBy(col("d").as("node2"))
         .agg(min("label").as("nmin"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, col("node") === col("node2"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next
+      // pointer halving: label(label) ≤ label (labels are node ids and
+      // every node's label is ≤ its id), so the hop only improves
+      val next = propagated
+        .join(
+          propagated.select(col("node").as("ln"), col("label").as("llabel")),
+          col("label") === col("ln"),
+          "left"
+        )
+        .select(col("node"), coalesce(col("llabel"), col("label")).as("label"))
+      val nextMat = if (iter % 3 == 2) next.localCheckpoint() else next.cache()
+      val changed = nextMat
         .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old"))
         .count()
-      labels = next
+      labels.unpersist()
+      labels = nextMat
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — component diameter exceeds 2^$maxIter"
+      )
+    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component")).orderBy("doc_id")
   }
 

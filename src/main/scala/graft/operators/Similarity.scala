@@ -79,18 +79,25 @@ object Similarity {
       dir: String,
       threshold: Double = 0.4,
       numPlanes: Int = 16,
-      bands: Int = 8
+      bands: Int = 8,
+      bucketCap: Int = 4096
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
     val bandBits = numPlanes / bands
     val coded    = hyperplaneCodes(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), numPlanes)
-    val banded = coded.select(
-      col("vec_id"),
-      posexplode(
-        expr(
-          s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
-        )
-      ).as(Seq("band", "sub_code"))
+    // skew guard: clustered embeddings collide whole sub-code buckets
+    // (the quadratic hazard) — cap before the self-join
+    val banded = Dedup.capBuckets(
+      coded.select(
+        col("vec_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
+          )
+        ).as(Seq("band", "sub_code"))
+      ),
+      Seq("band", "sub_code"),
+      bucketCap
     )
     val candIds = banded
       .select(col("vec_id").as("a"), col("band"), col("sub_code"))
@@ -131,14 +138,22 @@ object Similarity {
     val e  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val fe = e.withColumn("features", array_to_vector(col("embedding")))
     // coarse quantizer: random init + few iterations is plenty for a
-    // partitioning index (cells need to be balanced, not optimal)
+    // partitioning index (cells need to be balanced, not optimal) —
+    // and it trains on a BOUNDED deterministic sample (hash-mod on the
+    // id, ~256 rows per cell), never the full table: at 100 TB the
+    // full-table .fit is the scan you cannot afford, and a coarse
+    // quantizer gains nothing from it
+    val sampleTarget = 256L * nCells
+    val nVecs        = e.count() // parquet metadata count — no data scan
+    val modulus      = math.max(1L, nVecs / sampleTarget)
+    val trainFe      = if (modulus == 1L) fe else fe.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)
     val model = new KMeans()
       .setK(nCells)
       .setSeed(42L)
       .setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("features")
-      .fit(fe)
+      .fit(trainFe)
     val assigned = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
     // centroid table is tiny: probe cells per query computed via a
@@ -176,19 +191,28 @@ object Similarity {
       k: Int = 5,
       numPlanes: Int = 16,
       bands: Int = 4,
-      queryFilter: String = "vec_id % 100 = 0"
+      queryFilter: String = "vec_id % 100 = 0",
+      bucketCap: Int = 4096
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
     val bandBits = numPlanes / bands
     val coded    = hyperplaneCodes(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), numPlanes)
-    val banded = coded.select(
-      col("vec_id"),
-      col("embedding"),
-      posexplode(
-        expr(
-          s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
-        )
-      ).as(Seq("band", "sub_code"))
+    // skew guard on the candidate side: a degenerate sub-code bucket
+    // multiplies every query in it by the whole bucket (see
+    // Dedup.capBuckets); cap ≫ n/2^bandBits so only pathological
+    // buckets are dropped
+    val banded = Dedup.capBuckets(
+      coded.select(
+        col("vec_id"),
+        col("embedding"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
+          )
+        ).as(Seq("band", "sub_code"))
+      ),
+      Seq("band", "sub_code"),
+      bucketCap
     )
     // candidate generation on ids only (distinct over two longs, not
     // over embedding arrays); vectors re-attached afterwards — the

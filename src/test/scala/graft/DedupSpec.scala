@@ -66,6 +66,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: 40-diameter chain converges to a single min label") {
+    // a path graph 0-1-2-…-40 has diameter 40 — the shape that a
+    // fixed low iteration cap silently mislabels; pointer halving must
+    // still reach the fixpoint (in ~log2(40) rounds, not 40)
+    val chain = spark.range(0, 40).selectExpr("id AS a", "id + 1 AS b")
+    val comp  = Dedup.connectedComponents(chain).collect()
+    assert(comp.length == 41)
+    comp.foreach(r => assert(r.getLong(1) == 0L, s"node ${r.getLong(0)} labeled ${r.getLong(1)}, want 0"))
+  }
+
+  test("connected components: disjoint cliques and isolated edges keep distinct labels") {
+    val edges = spark
+      .createDataFrame(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("LSH bucket cap bounds candidates under an adversarial hot bucket") {
+    // 500 identical boilerplate docs share every band bucket: uncapped,
+    // the bucket self-join would emit 500·499/2 ≈ 125k pairs — the
+    // quadratic blowup the cap exists to stop. Exact dedup is the
+    // operator that owns identical content, so dropping the bucket
+    // loses nothing the pipeline doesn't already catch.
+    val adversarial = spark
+      .range(100000, 100500)
+      .selectExpr("id AS doc_id", "'lorem ipsum boilerplate header block' AS text")
+    val corpus  = docs.select("doc_id", "text").unionByName(adversarial)
+    val sigs    = Dedup.minhashSignatures(Dedup.hashedShingles(corpus, 3), 64)
+    val capped  = Dedup.lshCandidates(sigs, 64, 16, bucketCap = 256).count()
+    val organic = Dedup
+      .lshCandidates(Dedup.minhashSignatures(Dedup.hashedShingles(docs.select("doc_id", "text"), 3), 64), 64, 16,
+        bucketCap = 256)
+      .count()
+    assert(capped <= organic + 100, s"hot bucket leaked into candidates: $capped vs organic $organic")
+
+    // simhash path: same clique, same guard on (chunk_idx, chunk_val)
+    val simCapped = Dedup.simhashNearDups(corpus, maxDist = 3, bucketCap = 256)
+    val cliquePairs = simCapped.filter(col("a") >= 100000 && col("b") >= 100000).count()
+    assert(cliquePairs == 0, s"simhash cap failed to drop the adversarial clique: $cliquePairs pairs")
+  }
+
+  test("hotBuckets reports over-cap buckets with sizes; capBuckets drops exactly those") {
+    val banded = spark
+      .range(0, 300)
+      .selectExpr("id AS doc_id", "0L AS band", "CASE WHEN id < 280 THEN 7L ELSE id END AS bucket")
+    val hot = Dedup.hotBuckets(banded, Seq("band", "bucket"), 100).collect()
+    assert(hot.length == 1 && hot.head.getLong(2) == 280L)
+    val kept = Dedup.capBuckets(banded, Seq("band", "bucket"), 100)
+    assert(kept.count() == 20)
+    assert(kept.filter(col("bucket") === 7L).count() == 0)
+  }
+
   test("embedding near-dup pairs are symmetric-free (a < b) and above threshold") {
     val rows = Dedup.embeddingNearDups(spark, sfDir, 0.4).collect()
     rows.foreach { r =>
