@@ -128,6 +128,17 @@ object SparkEntry {
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
+    // ---- oracle-adjacent hard checks for the rows-only operators ----
+    "check_hll_error"          -> q(Checks.hllError),
+    "check_approx_quantiles"   -> q(Checks.approxQuantileError),
+    "check_lsh_recall"         -> q(Checks.lshRecall),
+    "check_simhash_recall"     -> q(Checks.simhashRecall),
+    "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
+    "check_ann_recall"         -> q(Checks.annRecall),
+    "check_ivf_recall"         -> q(Checks.ivfRecall),
+    "check_curation"           -> q(Checks.curationInvariants),
+    "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
+    "check_frame_sample"       -> q(Checks.frameSampleInvariants),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
@@ -794,6 +805,33 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
            |      FROM sc)
            |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // hard checks: the property itself is the oracle — DuckDB states
+      // the expected invariant (all-true / zero-miss / base-table
+      // counts) and the driver hash-compares Spark's computed result
+      "check_hll_error" ->
+        """SELECT l_returnflag, true AS parts_ok, true AS orders_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "check_approx_quantiles" ->
+        """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "check_lsh_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
+      "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
+      "check_embedding_lsh_recall" ->
+        "SELECT true AS recall_ok, true AS no_false_positives",
+      "check_ann_recall" -> "SELECT true AS recall_ok",
+      "check_ivf_recall" -> "SELECT true AS recall_ok",
+      "check_curation" ->
+        """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,
+          |       true AS keeper_ok, true AS split_ok, true AS quality_ok""".stripMargin,
+      "check_multimodal_embed" ->
+        """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS bad_dim,
+          |       CAST(0 AS BIGINT) AS bad_norm
+          |FROM documents""".stripMargin,
+      "check_frame_sample" ->
+        """SELECT count(*) AS n_video_docs, CAST(0 AS BIGINT) AS bad_start,
+          |       CAST(0 AS BIGINT) AS gaps, CAST(0 AS BIGINT) AS off_stride,
+          |       CAST(0 AS BIGINT) AS sig_collisions
+          |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
       "multimodal_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  hex(encode(substr(text, 1, 8))) AS hex_prefix,

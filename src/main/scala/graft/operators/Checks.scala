@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle-adjacent hard checks for the operators whose raw output the
+  * DuckDB oracle cannot replay (hash-based LSH internals, sketches,
+  * the stubbed media decode). Each query computes a containment /
+  * error-bound property INSIDE Spark and emits a deterministic result
+  * (booleans, zero counts, or counts DuckDB can derive from the base
+  * tables) — converting the weakest verification tier (rows-only)
+  * into a driver-checkable hash match.
+  *
+  * These are correctness harnesses, not scale paths: the exact sides
+  * run on the same bounded subsets the corresponding `dedup_*` oracle
+  * queries use.
+  */
+object Checks {
+
+  /** HyperLogLog++ estimates within the configured 2% target (5%
+    * asserted) of the exact distinct counts, per group.
+    */
+  def hllError(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_orderkey")).as("eo")
+      )
+      .select(
+        col("l_returnflag"),
+        (abs(col("ap") - col("ep")) / col("ep") < 0.05).as("parts_ok"),
+        (abs(col("ao") - col("eo")) / col("eo") < 0.05).as("orders_ok")
+      )
+      .orderBy("l_returnflag")
+
+  /** Approximate percentiles (accuracy 10000) within 2% relative error
+    * of the exact interpolated percentiles, per group.
+    */
+  def approxQuantileError(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ex")
+      )
+      .select(
+        col("o_orderstatus"),
+        (abs(col("ap").getItem(0) - col("ex").getItem(0)) / col("ex").getItem(0) < 0.02).as("p50_ok"),
+        (abs(col("ap").getItem(1) - col("ex").getItem(1)) / col("ex").getItem(1) < 0.02).as("p90_ok"),
+        (abs(col("ap").getItem(2) - col("ex").getItem(2)) / col("ex").getItem(2) < 0.02).as("p99_ok")
+      )
+      .orderBy("o_orderstatus")
+
+  /** MinHash-LSH candidate set ⊇ exact n-gram-Jaccard pairs at θ=0.8
+    * (the containment LSH promises at 16 bands × 4 rows: miss
+    * probability (1−0.8⁴)¹⁶ ≈ 2·10⁻⁴ per pair). Expected missed = 0.
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8).select("a", "b")
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.hashedShingles(docs, 3), 64), 64, 16)
+    exact
+      .join(cands, Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("missed_pairs"))
+  }
+
+  /** SimHash pigeonhole candidates are EXACT for hamming ≤ maxDist:
+    * every pair within distance 3 must appear. Missed = 0 by
+    * construction (chunking is a proof, not a probability).
+    */
+  def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val sigs = Dedup.simhash(docs).cache()
+    val exact = sigs
+      .select(col("doc_id").as("a"), col("simhash").as("sa"))
+      .join(sigs.select(col("doc_id").as("b"), col("simhash").as("sb")), col("a") < col("b"))
+      .filter(expr("bit_count(sa ^ sb)") <= 3)
+      .select("a", "b")
+    exact
+      .join(Dedup.simhashNearDups(docs).select("a", "b"), Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("missed_pairs"))
+  }
+
+  /** Hyperplane-LSH embedding near-dup recall ≥ 0.9 of the exact
+    * cosine≥0.4 pair set, and zero false positives (the LSH path
+    * rescores with exact cosine, so any pair it reports must be real).
+    */
+  def embeddingLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.embeddingNearDups(spark, dir, 0.4).select("a", "b")
+    val lsh   = Similarity.embeddingNearDupLsh(spark, dir, 0.4).select("a", "b")
+    val nExact  = exact.count().toDouble
+    val nMissed = exact.join(lsh, Seq("a", "b"), "left_anti").count().toDouble
+    val nFalse  = lsh.join(exact, Seq("a", "b"), "left_anti").count()
+    spark
+      .range(1)
+      .select(
+        lit(nMissed / math.max(nExact, 1.0) <= 0.1).as("recall_ok"),
+        lit(nFalse == 0L).as("no_false_positives")
+      )
+  }
+
+  /** ANN (banded hyperplane LSH) mean recall@5 vs brute force ≥ 0.15 —
+    * deterministic (hash-derived planes), so the boolean is stable.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    topkRecallCheck(spark, Similarity.annLshTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.15)
+
+  /** IVF (sample-fit coarse quantizer, 4-probe) mean recall@5 vs brute
+    * force ≥ 0.3.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    topkRecallCheck(spark, Similarity.ivfTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.3)
+
+  private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame = {
+    val hit = ann
+      .select(col("qid"), col("cand"))
+      .join(brute.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_semi")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    val recall = brute
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n"))
+      .join(hit, Seq("qid"), "left")
+      .select((coalesce(col("hits"), lit(0L)) / col("n")).as("r"))
+      .agg(avg("r").as("mean_recall"))
+    recall.select((col("mean_recall") >= bound).as("recall_ok"))
+  }
+
+  /** Curation pipeline invariants: unique ids, output ⊆ input with
+    * identical text, keeper = min id of its exact-text group, split
+    * label matches the deterministic bucket formula, and every
+    * surviving doc passes the quality gates.
+    */
+  def curationInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val out  = CurationPipeline.curate(spark, dir).cache()
+
+    val nOut    = out.count()
+    val nUnique = out.select("doc_id").distinct().count()
+
+    // output rows must be input rows (id AND text identical)
+    val nSubset = out.select("doc_id", "text").join(docs.select("doc_id", "text"), Seq("doc_id", "text")).count()
+
+    // keeper property: no output doc has a smaller-id exact duplicate
+    val keeperViolations = out
+      .select(col("doc_id").as("kept_id"), col("text").as("kept_text"))
+      .join(docs, col("text") === col("kept_text") && col("doc_id") < col("kept_id"))
+      .count()
+
+    // split must match the pure function of doc_id
+    val splitViolations = out
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn(
+        "expect",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid").otherwise("test")
+      )
+      .filter(col("split") =!= col("expect"))
+      .count()
+
+    // quality gates hold on the output (recomputed independently)
+    val qualityViolations = TextJobs
+      .tokenized(out.select("doc_id", "text"), "text", "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isInCollection(TextAnalysis.stopEn), 1L).otherwise(0L)).as("n_stop")
+      )
+      .filter(col("n_tokens") < 5 || col("n_stop") / col("n_tokens") > 0.9)
+      .count()
+
+    spark
+      .range(1)
+      .select(
+        lit(nOut > 0).as("non_empty"),
+        lit(nOut == nUnique).as("ids_unique"),
+        lit(nSubset == nOut).as("subset_of_input"),
+        lit(keeperViolations == 0L).as("keeper_ok"),
+        lit(splitViolations == 0L).as("split_ok"),
+        lit(qualityViolations == 0L).as("quality_ok")
+      )
+  }
+
+  /** Stubbed media embedder invariants, tied to the base table: one
+    * unit-norm vector of the declared dimension per document.
+    * n_vecs is a REAL oracle tie (DuckDB counts documents).
+    */
+  def multimodalEmbedInvariants(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .embedMedia(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (acc, x) => acc + x)).as("norm")
+      )
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("bad_dim"),
+        sum(when(abs(col("norm") - 1.0) > 1e-3, 1L).otherwise(0L)).as("bad_norm")
+      )
+
+  /** Frame-sampling invariants, tied to the base table: every video
+    * document emits frames (stub duration ≥ 1 s ⇒ ≥ 25 frames ⇒ ≥ 1
+    * sample), indices are a dense stride-10 prefix from 0, and frame
+    * signatures are distinct within a doc. n_video_docs is the real
+    * oracle tie (DuckDB counts doc_id % 3 = 2).
+    */
+  def frameSampleInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(spark, dir).cache()
+    val perDoc = frames
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        max("frame_idx").as("maxf"),
+        min("frame_idx").as("minf"),
+        sum(when(col("frame_idx") % 10 =!= 0, 1L).otherwise(0L)).as("off_stride"),
+        countDistinct("frame_sig").as("n_sigs")
+      )
+    perDoc
+      .agg(
+        count(lit(1)).as("n_video_docs"),
+        sum(when(col("minf") =!= 0, 1L).otherwise(0L)).as("bad_start"),
+        sum(when(col("n") =!= col("maxf") / 10 + 1, 1L).otherwise(0L)).as("gaps"),
+        sum(col("off_stride")).as("off_stride"),
+        sum(when(col("n_sigs") =!= col("n"), 1L).otherwise(0L)).as("sig_collisions")
+      )
+  }
+}
