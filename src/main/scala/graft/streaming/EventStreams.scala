@@ -57,6 +57,18 @@ object EventStreams {
   def streamingDedup(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates(keys)
 
+  /** Watermark-SCOPED dedup (`dropDuplicatesWithinWatermark`): the
+    * state-bounded production form. Plain dropDuplicates keeps every
+    * key until its event-time window passes relative to the GLOBAL
+    * watermark column semantics; the within-watermark variant
+    * guarantees eviction once a key's last-seen time falls behind the
+    * watermark, so redeliveries inside the delay are dropped and state
+    * size is strictly bounded by the delay — the contract an
+    * at-least-once source actually needs.
+    */
+  def streamingDedupWithinWatermark(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
+
   /** Start a memory-sink query (tests drive it with
     * processAllAvailable).
     */

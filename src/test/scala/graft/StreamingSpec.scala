@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark-scoped dedup drops re-delivered rows and matches batch distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_wm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventStreams.streamingDedupWithinWatermark(EventStreams.readEvents(spark, dir.toString))
+    val query = deduped
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("stream_dedup_wm").start()
+    try {
+      query.processAllAvailable()
+      val n = spark.table("stream_dedup_wm").count()
+      val expected = Tables.events(spark, sfDir).count()
+      assert(n == expected, s"within-watermark dedup emitted $n, expected $expected (one per unique event)")
+    } finally query.stop()
+  }
+
   test("stream-stream join == batch interval join") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj")
     java.nio.file.Files.copy(
