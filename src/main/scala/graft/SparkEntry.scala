@@ -139,6 +139,10 @@ object SparkEntry {
     "check_curation"           -> q(Checks.curationInvariants),
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
+    "check_salted_join"        -> q(Checks.saltedJoinParity),
+    "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
+    "q8_market_share"          -> q(Relational.q8MarketShare),
+    "q9_product_profit"        -> q(Relational.q9ProductProfit),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
@@ -832,6 +836,38 @@ object SparkEntry {
           |       CAST(0 AS BIGINT) AS gaps, CAST(0 AS BIGINT) AS off_stride,
           |       CAST(0 AS BIGINT) AS sig_collisions
           |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+      "check_salted_join" ->
+        """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "check_bucketed_join" ->
+        """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q8_market_share" ->
+        """SELECT o_year,
+          |  round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END), 4)
+          |    / round(sum(volume), 4) AS mkt_share
+          |FROM (SELECT year(o_orderdate) AS o_year,
+          |        l_extendedprice * (1 - l_discount) AS volume,
+          |        n2.n_name AS supp_nation
+          |      FROM part, lineitem, orders, customer, supplier,
+          |           nation n1, nation n2, region
+          |      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+          |        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+          |        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |        AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+          |        AND p_type = 'PROMO')
+          |GROUP BY o_year ORDER BY o_year""".stripMargin,
+      "q9_product_profit" ->
+        """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          |  round(sum(l_extendedprice * (1 - l_discount)
+          |            - 0.1 * p_retailprice * l_quantity), 4) AS profit
+          |FROM part, supplier, lineitem, orders, nation
+          |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          |  AND p_name LIKE '%red%'
+          |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
       "multimodal_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  hex(encode(substr(text, 1, 8))) AS hex_prefix,

@@ -187,6 +187,44 @@ object Checks {
       )
   }
 
+  /** Salted-join parity, oracle-checked on the REAL result: the salted
+    * plan must produce byte-identical aggregates to the plain join
+    * DuckDB runs — salting redistributes rows, never changes them.
+    */
+  def saltedJoinParity(spark: SparkSession, dir: String): DataFrame = {
+    val big   = Tables.orders(spark, dir).withColumnRenamed("o_custkey", "custkey")
+    val small = Tables.customer(spark, dir).withColumnRenamed("c_custkey", "custkey")
+    DataOps
+      .saltedJoin(big, small, "custkey", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Bucketed co-located join, oracle-checked on the REAL result: the
+    * exchange-free bucketed plan must match DuckDB's plain join. (The
+    * exchange-free property itself is asserted in BucketingSpec.)
+    */
+  def bucketedJoinParity(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(spark, dir).withColumnRenamed("o_custkey", "custkey"),
+      "chk_orders_b",
+      "custkey",
+      buckets = 8
+    )
+    graft.sources.Bucketing.writeBucketed(
+      Tables.customer(spark, dir).withColumnRenamed("c_custkey", "custkey"),
+      "chk_customer_b",
+      "custkey",
+      buckets = 8
+    )
+    graft.sources.Bucketing
+      .cogroupedJoin(spark, "chk_orders_b", "chk_customer_b", "custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Stubbed media embedder invariants, tied to the base table: one
     * unit-norm vector of the declared dimension per document.
     * n_vecs is a REAL oracle tie (DuckDB counts documents).

@@ -834,6 +834,59 @@ object Relational {
     )
   }
 
+  /** TPC-H Q8-style national market share: NATION_1's share of ASIA's
+    * PROMO-part order volume by year — a ratio of two conditional sums
+    * over a 7-way join (all dimensions broadcast). The share divides
+    * two rounded sums, so both engines divide identical doubles.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nCust = Tables.nation(spark, dir).select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val nSupp = Tables.nation(spark, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val r     = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    Tables
+      .lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("cn_region") === col("r_regionkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (round(sum(when(col("supp_nation") === "NATION_1", col("volume")).otherwise(0.0)), 4) /
+          round(sum(col("volume")), 4)).as("mkt_share")
+      )
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product-type profit (adapted: no partsupp table,
+    * so supply cost is modeled as 10% of the part's retail price):
+    * profit by supplier nation and order year over red-named parts.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .join(
+        broadcast(Tables.part(spark, dir).filter(col("p_name").like("%red%"))),
+        col("l_partkey") === col("p_partkey")
+      )
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(
+          sum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) -
+              lit(0.1) * col("p_retailprice") * col("l_quantity")
+          ),
+          4
+        ).as("profit")
+      )
+      .orderBy(col("nation"), col("o_year").desc)
+
   /** Correlated scalar subquery flavor: each order against its
     * customer's average order value (expressed as join+window-free
     * aggregate; the declarative form Catalyst decorrelates).
