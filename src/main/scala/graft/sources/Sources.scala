@@ -33,11 +33,22 @@ object Sources {
   def wholeText(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextJobs.corpus(spark, dir)
 
+  /** ORC — the second splittable columnar format with predicate
+    * pushdown and column pruning (same scan contract as parquet).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ------------------------------------------------------------- sinks
 
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -29,6 +29,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("r_regionkey").collect().toSeq == region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val orders = Tables.orders(spark, sfDir)
+    Sources.writeOrc(orders, s"$tmp/orders_orc")
+    val back = Sources.orc(spark, s"$tmp/orders_orc")
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_totalprice") > 400000.0)
+    val plan     = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"), s"no ORC pushdown:\n$plan")
+    assert(filtered.count() == orders.filter(col("o_totalprice") > 400000.0).count())
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = Tables.orders(spark, sfDir).withColumn("status", col("o_orderstatus"))
     Sources.writeParquet(orders, s"$tmp/orders_part", partitionBy = Seq("status"))
