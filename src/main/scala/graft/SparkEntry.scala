@@ -143,6 +143,8 @@ object SparkEntry {
     "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
     "q8_market_share"          -> q(Relational.q8MarketShare),
     "q9_product_profit"        -> q(Relational.q9ProductProfit),
+    "lateral_top_orders"       -> q(Relational.lateralTopOrders),
+    "join_null_safe"           -> q(Relational.joinNullSafe),
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
@@ -868,6 +870,20 @@ object SparkEntry {
           |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
           |  AND p_name LIKE '%red%'
           |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+      "lateral_top_orders" ->
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+      "join_null_safe" ->
+        """SELECT k, count(*) AS n FROM
+          |  (SELECT nullif(o_orderstatus, 'O') AS k FROM orders) a
+          |JOIN
+          |  (SELECT DISTINCT nullif(o_orderstatus, 'O') AS k2 FROM orders) b
+          |ON k IS NOT DISTINCT FROM k2
+          |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
       "multimodal_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  hex(encode(substr(text, 1, 8))) AS hex_prefix,

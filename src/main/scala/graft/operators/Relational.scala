@@ -834,6 +834,42 @@ object Relational {
     )
   }
 
+  /** Correlated LATERAL subquery: each customer's top-2 orders via a
+    * per-row ordered-limit subquery — Catalyst decorrelates the LATERAL
+    * into a ranked join (no per-row execution). The window-function
+    * formulation of the same shape is `windowTop3PerCustomer`; this is
+    * the SQL-surface twin.
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM lat_customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+    )
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    * key forms a real join group instead of being dropped — the
+    * semantics plain `=` silently loses.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val o    = Tables.orders(spark, dir)
+    val left = o.select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+    val right = o
+      .select(nullif(col("o_orderstatus"), lit("O")).as("k2"))
+      .distinct()
+    left
+      .join(right, col("k") <=> col("k2"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** TPC-H Q8-style national market share: NATION_1's share of ASIA's
     * PROMO-part order volume by year — a ratio of two conditional sums
     * over a 7-way join (all dimensions broadcast). The share divides
