@@ -51,7 +51,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // per-query history for cross-round regression detection (±1s
+    // single-run noise on this host makes one-off comparisons useless)
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/BENCH_HISTORY.jsonl")
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",${line.drop(1)}""" + "\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(hist),
+        stamped,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND
+      )
+    } catch { case _: Throwable => () } // history is best-effort; never fail the bench
     spark.stop()
   }
 }
