@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom-operator optimizations: filter pushdown through RangeJoin
+    // (built-in rules can't see custom nodes) + its physical strategy
+    ext.injectOptimizerRule(_ => PushFilterThroughRangeJoin)
+    ext.injectPlannerStrategy(_ => RangeJoinStrategy)
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     )

@@ -96,6 +96,37 @@ case class BroadcastRangeJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom-operator optimizer rule (the `Rule[LogicalPlan]` rung of the
+  * extension ladder): a custom logical node is invisible to Catalyst's
+  * built-in PushPredicateThroughJoin, so a filter written AFTER a
+  * range join would sit above it forever — scanning and range-probing
+  * rows the filter immediately discards. This rule re-enables the
+  * optimization for [[RangeJoin]]: deterministic conjuncts that
+  * reference only probe-side (left) columns commute with the inner
+  * range join and move below it, where physical planning then pushes
+  * them all the way into the scan. At 100 TB this is the difference
+  * between range-probing the whole fact table and the selected slice.
+  */
+object PushFilterThroughRangeJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rj @ RangeJoin(l, _, _, _, _)) =>
+      val leftOut      = AttributeSet(l.output)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(leftOut))
+      if (push.isEmpty) f
+      else {
+        val pushed = rj.copy(left = Filter(push.reduce(And), l))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** User-facing API. Columns are referenced by name and resolved against
   * the analyzed children, so the logical node enters the analyzer
   * already resolved (no custom resolution rule needed).
@@ -106,6 +137,9 @@ object RangeJoinOps {
     val spark   = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ RangeJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughRangeJoin)) {
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ PushFilterThroughRangeJoin
     }
     val lPlan = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
     val rPlan = right.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed

@@ -41,6 +41,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("filters written after the range join push below it into the scan") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val df = RangeJoinOps
+      .rangeJoin(orders, bands, "o_totalprice", "lo", "hi")
+      .filter(col("o_orderkey") < 100 && col("band") =!= "overlap")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the probe-side conjunct moved below RangeJoin…
+    val joinIdx   = optimized.indexOf("RangeJoin")
+    val filterIdx = optimized.indexOf("o_orderkey#", joinIdx)
+    assert(joinIdx >= 0, s"RangeJoin missing:\n$optimized")
+    // …and physical planning pushed it into the parquet scan
+    val physical = df.queryExecution.executedPlan.toString
+    assert(
+      physical.contains("LessThan(o_orderkey,100)"),
+      s"probe-side filter not pushed to the scan:\n$physical"
+    )
+    // the band-side conjunct must NOT have moved below the join
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) < 100 && r.getString(4) != "overlap"))
+    assert(filterIdx >= 0)
+  }
+
   test("downstream operators compose over the custom node") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
     val agg = RangeJoinOps
