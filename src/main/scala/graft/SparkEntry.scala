@@ -126,6 +126,9 @@ object SparkEntry {
     "text_tokens"      -> q(TextAnalysis.tokenCounts),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    "text_chunks"      -> q((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
+    "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
+    "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
@@ -799,6 +802,33 @@ object SparkEntry {
            |                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
            |      FROM (SELECT $toks AS tk FROM documents) WHERE len(tk) >= 2)
            |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+      "text_chunks" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 40)) AS start
+           |      FROM t WHERE len(tk) > 0)
+           |SELECT doc_id, CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+           |  array_to_string(tk[start:start+49], ' ') AS chunk_text,
+           |  len(tk[start:start+49]) AS n_chunk_tokens
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_redact" ->
+        """SELECT doc_id,
+          |  regexp_replace(text, '\b(customer|supplier)\b', '[REDACTED]', 'g') AS redacted,
+          |  CAST(length(text)
+          |       - length(regexp_replace(text, '\b(customer|supplier)\b', '', 'g')) AS BIGINT)
+          |    AS chars_redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_contamination" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 3),
+           |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+           |                || tk[i+3] || ' ' || tk[i+4])) AS sh
+           |       FROM t WHERE len(tk) >= 5),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 7)
+           |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+           |FROM sh s JOIN ev ON s.sh = ev.sh
+           |WHERE s.doc_id % 10 <> 7
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

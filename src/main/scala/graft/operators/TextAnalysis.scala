@@ -147,6 +147,63 @@ object TextAnalysis {
       .limit(k)
 
   /** TF-IDF: top term per document by tf·idf weight. */
+  /** Context-length chunking: split each document's token stream into
+    * fixed-size chunks with overlap (stride < chunkSize) — the
+    * operator that turns a curated corpus into training sequences.
+    * Pure per-document narrow transform (sequence + slice inside one
+    * codegen stage); chunk identity is (doc_id, chunk_idx), with
+    * chunk_idx derived from the start offset so it is
+    * partitioning-independent.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String, chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride <= chunkSize, "overlapping chunks need stride <= chunkSize")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), expr(toks("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), explode(expr(s"sequence(1, size(tk), $stride)")).as("start"), col("tk"))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", expr(s"slice(tk, start, $chunkSize)")).as("chunk_text"),
+        size(expr(s"slice(tk, start, $chunkSize)")).cast("long").as("n_chunk_tokens")
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Denylist term redaction: scrub a term list from the corpus (the
+    * same regexp_replace shape a PII pass uses — emails/phones/ids are
+    * a pattern swap). Word-boundary anchored, single codegen pass.
+    */
+  def redactTerms(spark: SparkSession, dir: String, terms: Seq[String] = Seq("customer", "supplier")): DataFrame = {
+    val pattern = terms.mkString("\\b(", "|", ")\\b")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), pattern, "[REDACTED]").as("redacted"),
+        (length(col("text")) - length(regexp_replace(col("text"), pattern, ""))).cast("long").as("chars_redacted")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination detection: training documents sharing any
+    * k-gram with the held-out set (doc_id % 10 = 7 here) — the
+    * decontamination pass every training corpus needs. Shuffles only
+    * distinct (shingle, doc) pairs; the eval side is a semi-join
+    * build, so the train×eval product never materializes.
+    */
+  def benchmarkContamination(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs    = Tables.documents(spark, dir)
+    val trainSh = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 7), k).distinct()
+    val evalSh  = Dedup.shingles(docs.filter(col("doc_id") % 10 === 7), k).select("sh").distinct()
+    trainSh
+      .join(evalSh, "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct("sh").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)
     val nDocs  = docs.count().toDouble
