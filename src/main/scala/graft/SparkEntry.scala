@@ -93,6 +93,8 @@ object SparkEntry {
     "q20_part_promo"        -> q(Relational.q20PartPromo),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
+    "pack_sequences"        -> q((s, dir) => DataOps.packSequences(s, dir)),
+    "agg_extras"            -> q(Relational.aggExtras),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
@@ -548,6 +550,22 @@ object SparkEntry {
            |         FROM g)
            |SELECT doc_id, CAST(fp AS BIGINT) AS fp, count(*) AS n_windows
            |FROM wmin GROUP BY doc_id, fp ORDER BY doc_id, fp""".stripMargin,
+      "pack_sequences" ->
+        s"""WITH t AS (SELECT source, doc_id, len($toks) AS n_tokens FROM documents),
+           |c AS (SELECT source, doc_id, n_tokens,
+           |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |                            ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM t)
+           |SELECT source, doc_id, n_tokens,
+           |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+           |FROM c ORDER BY source, doc_id""".stripMargin,
+      "agg_extras" ->
+        """SELECT o_orderstatus,
+          |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+          |  max_by(o_orderkey, o_totalprice) AS priciest_order,
+          |  bool_and(o_totalprice > 1000) AS all_above_1k,
+          |  bool_or(o_totalprice > 500000) AS any_above_500k
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "dataset_split" ->
         """SELECT doc_id,
           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split

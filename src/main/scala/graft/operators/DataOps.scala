@@ -58,6 +58,34 @@ object DataOps {
       .select("doc_id", "split")
       .orderBy("doc_id")
 
+  /** Sequence packing: assign documents to fixed-token-budget bins by
+    * prefix-sum binning — the batch-construction step between a
+    * curated corpus and a trainer. Packing runs WITHIN each source
+    * shard (window partitioned by `source`), never as a global ordered
+    * window: a single global prefix sum is the one window shape that
+    * cannot scale, and real corpora pack per shard anyway. A document
+    * straddling a boundary stays in the bin its prefix starts in
+    * (contiguous-fill semantics, deterministic by doc_id order).
+    */
+  def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")).cast("long").as("n_tokens")
+      )
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budgetTokens).cast("long").as("bin_id")
+      )
+      .orderBy("source", "doc_id")
+  }
+
   /** Skew recipe: replicate the small side `salts` ways and scatter the
     * big side's hot keys across them — the manual fallback when AQE's
     * skew-join split isn't available (e.g. a non-shuffle child). Result

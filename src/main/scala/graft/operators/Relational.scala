@@ -834,6 +834,22 @@ object Relational {
     )
   }
 
+  /** Argmin/argmax and boolean aggregates: min_by/max_by (safe here —
+    * the per-group price extremes are unique in this data, asserted by
+    * the oracle match) and bool_and/bool_or.
+    */
+  def aggExtras(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("min_by(o_orderkey, o_totalprice)").as("cheapest_order"),
+        expr("max_by(o_orderkey, o_totalprice)").as("priciest_order"),
+        expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
+        expr("bool_or(o_totalprice > 500000)").as("any_above_500k")
+      )
+      .orderBy("o_orderstatus")
+
   /** Correlated LATERAL subquery: each customer's top-2 orders via a
     * per-row ordered-limit subquery — Catalyst decorrelates the LATERAL
     * into a ranked join (no per-row execution). The window-function
