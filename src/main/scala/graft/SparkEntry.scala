@@ -144,6 +144,7 @@ object SparkEntry {
     "check_curation"           -> q(Checks.curationInvariants),
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
+    "check_quantization"       -> q(Checks.quantizationError),
     "check_salted_join"        -> q(Checks.saltedJoinParity),
     "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
     "q8_market_share"          -> q(Relational.q8MarketShare),
@@ -886,6 +887,9 @@ object SparkEntry {
           |       CAST(0 AS BIGINT) AS gaps, CAST(0 AS BIGINT) AS off_stride,
           |       CAST(0 AS BIGINT) AS sig_collisions
           |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+      "check_quantization" ->
+        """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS bad_quant
+          |FROM embeddings""".stripMargin,
       "check_salted_join" ->
         """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -187,6 +187,42 @@ object Checks {
       )
   }
 
+  /** Int8 scalar quantization round-trip: per-vector min/max scale,
+    * quantize to 0..255, dequantize, and bound the reconstruction
+    * error by half a quantization step. The storage path 100 TB of
+    * embeddings actually ships (4× smaller than float32); the bound
+    * proves the arithmetic, all inside codegen'd HOFs.
+    */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"),
+        col("embedding")
+      )
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn(
+        "max_err",
+        when(
+          col("scale") === 0.0,
+          lit(0.0)
+        ).otherwise(
+          expr(
+            """aggregate(
+              |  transform(embedding,
+              |    x -> abs(mn + round((cast(x as double) - mn) / scale) * scale
+              |             - cast(x as double))),
+              |  cast(0.0 as double), (acc, e) -> greatest(acc, e))""".stripMargin
+          )
+        )
+      )
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("max_err") > col("scale") * 0.5 * 1.0000001, 1L).otherwise(0L)).as("bad_quant")
+      )
+
   /** Salted-join parity, oracle-checked on the REAL result: the salted
     * plan must produce byte-identical aggregates to the plain join
     * DuckDB runs — salting redistributes rows, never changes them.
