@@ -55,7 +55,10 @@ object Bench {
     println(line)
     // per-query history for cross-round regression detection (±1s
     // single-run noise on this host makes one-off comparisons useless)
-    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "/root/repo/BENCH_HISTORY.jsonl")
+    val hist = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_HISTORY",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_HISTORY.jsonl").toString
+    )
     try {
       val stamped = s"""{"ts":"${java.time.Instant.now()}",${line.drop(1)}""" + "\n"
       java.nio.file.Files.writeString(
@@ -64,7 +67,10 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND
       )
-    } catch { case _: Throwable => () } // history is best-effort; never fail the bench
+    } catch {
+      // best-effort: never fail the bench, but don't eat fatal errors
+      case scala.util.control.NonFatal(e) => System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -12,13 +12,21 @@ object GraftFunctions {
 
   /** Idempotent per-session: createOrReplaceTempFunction logs a
     * replace warning on every re-registration, and operators call
-    * register defensively — skip sessions already done.
+    * register defensively — skip sessions already done. Weak keys so
+    * stopped sessions stay GC-able; the shared lock makes concurrent
+    * first callers wait until registration completes (marking the
+    * session BEFORE registering would let a racer run queries against
+    * a half-filled registry).
     */
-  private val registered =
-    java.util.Collections.newSetFromMap(new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private val registered = new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
-  def register(spark: SparkSession): Unit = {
-    if (!registered.add(spark)) return
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.containsKey(spark)) return
+    doRegister(spark)
+    registered.put(spark, java.lang.Boolean.TRUE)
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")

@@ -65,7 +65,11 @@ object Checks {
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs  = Tables.documents(spark, dir).filter(col("doc_id") < 300)
     val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.8).select("a", "b")
-    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.hashedShingles(docs, 3), 64), 64, 16)
+    // uncapped: this check verifies the BANDING containment property;
+    // the skew cap is a deliberate, separately-tested recall sacrifice
+    // and must not be able to fail the zero-miss assertion
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(Dedup.hashedShingles(docs, 3), 64), 64, 16, bucketCap = Int.MaxValue)
     exact
       .join(cands, Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("missed_pairs"))
@@ -84,7 +88,11 @@ object Checks {
       .filter(expr("bit_count(sa ^ sb)") <= 3)
       .select("a", "b")
     exact
-      .join(Dedup.simhashNearDups(docs).select("a", "b"), Seq("a", "b"), "left_anti")
+      .join(
+        Dedup.simhashNearDups(docs, bucketCap = Int.MaxValue).select("a", "b"),
+        Seq("a", "b"),
+        "left_anti"
+      )
       .agg(count(lit(1)).as("missed_pairs"))
   }
 

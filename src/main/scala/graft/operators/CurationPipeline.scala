@@ -31,7 +31,11 @@ object CurationPipeline {
 
     // 2. near-dup removal: from each LSH candidate pair above the
     // threshold, drop the larger id (greedy, deterministic; transitive
-    // chains collapse toward the smallest id over the pair list)
+    // chains collapse toward the smallest id over the pair list).
+    // Runs with the default LSH bucket cap: a bucket the cap drops
+    // here is templated near-identical content whose pairs are
+    // sacrificed for bounded cost — monitor via Dedup.hotBuckets and
+    // raise bucketCap if that trade-off is wrong for the corpus.
     val losers = Dedup
       .minhashNearDups(exact, threshold = nearDupThreshold)
       .select(col("b").as("doc_id"))

@@ -74,7 +74,9 @@ object DataOps {
       .select(
         col("source"),
         col("doc_id"),
-        size(expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")).cast("long").as("n_tokens")
+        size(expr(s"filter(split(text, '${TextJobs.TokenSep.replace("\\", "\\\\")}'), t -> t <> '')"))
+          .cast("long")
+          .as("n_tokens")
       )
       .withColumn("cum", sum("n_tokens").over(w))
       .select(

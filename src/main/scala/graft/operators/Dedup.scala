@@ -140,11 +140,13 @@ object Dedup {
     * bucket join is quadratic WITHIN each bucket, and real corpora
     * have degenerate hot buckets (empty docs, boilerplate) that turn
     * one bucket into an O(n²) stage; capping bounds every bucket's
-    * contribution to cap² pairs. Documents dropped here are the ones
-    * exact/normalized dedup already catches (identical content is what
-    * collides a whole bucket), so recall loss is confined to that
-    * already-covered regime. [[hotBuckets]] is the monitoring view of
-    * what a cap would drop.
+    * contribution to cap² pairs. The cap is a deliberate recall
+    * sacrifice: a hot bucket of byte-identical docs costs nothing
+    * (exact dedup owns that regime), but a hot bucket of merely
+    * TEMPLATED near-identical docs loses those pairs — which is why
+    * the cap is a per-call parameter, [[hotBuckets]] exists as the
+    * monitoring view of what a given cap drops, and the recall checks
+    * run uncapped (they verify the banding property, not the guard).
     */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     banded.join(broadcast(hotBuckets(banded, keys, cap)), keys, "left_anti")
@@ -199,10 +201,11 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      bucketCap: Int = 256
   ): DataFrame = {
     val sigs  = minhashSignatures(hashedShingles(df, k, textCol, idCol), numHashes, idCol).cache()
-    val cands = lshCandidates(sigs, numHashes, bands, idCol)
+    val cands = lshCandidates(sigs, numHashes, bands, idCol, bucketCap)
     cands
       .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
@@ -309,9 +312,13 @@ object Dedup {
         .join(labels, col("s") === col("node"))
         .groupBy(col("d").as("node2"))
         .agg(min("label").as("nmin"))
+      // cached: the halving self-join reads it twice, and without the
+      // cache each round would run the dominant edges⋈labels aggregate
+      // twice (Spark has no cross-input common-subtree elimination)
       val propagated = labels
         .join(neighborMin, col("node") === col("node2"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
       // pointer halving: label(label) ≤ label (labels are node ids and
       // every node's label is ≤ its id), so the hop only improves
       val next = propagated
@@ -326,6 +333,7 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old"))
         .count()
+      propagated.unpersist()
       labels.unpersist()
       labels = nextMat
       converged = changed == 0

@@ -146,7 +146,6 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
 
-  /** TF-IDF: top term per document by tf·idf weight. */
   /** Context-length chunking: split each document's token stream into
     * fixed-size chunks with overlap (stride < chunkSize) — the
     * operator that turns a curated corpus into training sequences.
@@ -204,6 +203,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF: top term per document by tf·idf weight. */
   def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)
     val nDocs  = docs.count().toDouble
