@@ -70,4 +70,24 @@ object CurationPipeline {
     */
   def curateAndWrite(spark: SparkSession, dir: String, outPath: String): Unit =
     graft.sources.Sources.writeParquet(curate(spark, dir), outPath, partitionBy = Seq("split"))
+
+  /** Curation with observed metrics: `observe()` attaches accumulator
+    * aggregates to the existing plan, so the job reports output rows
+    * and per-split counts WITHOUT a second pass — at 100 TB a
+    * metrics-by-recount is a second 100 TB scan. Consume via
+    * `org.apache.spark.sql.Observation.get` after any action on the
+    * returned frame.
+    */
+  def curateObserved(
+      spark: SparkSession,
+      dir: String,
+      observation: org.apache.spark.sql.Observation
+  ): DataFrame =
+    curate(spark, dir).observe(
+      observation,
+      count(lit(1)).as("rows_out"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("rows_train"),
+      sum(when(col("split") === "valid", 1L).otherwise(0L)).as("rows_valid"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("rows_test")
+    )
 }

@@ -27,6 +27,21 @@ class CurationPipelineSpec extends SparkSpec {
     assert(tokenCounts.count() == 0)
   }
 
+  test("observed curation reports split counts without a second pass") {
+    val obs = org.apache.spark.sql.Observation("curation_metrics")
+    val df  = CurationPipeline.curateObserved(spark, sfDir, obs)
+    df.write.format("noop").mode("overwrite").save() // one action, metrics ride along
+    val m       = obs.get
+    val rowsOut = m("rows_out").asInstanceOf[Long]
+    assert(rowsOut > 0)
+    assert(
+      m("rows_train").asInstanceOf[Long] + m("rows_valid").asInstanceOf[Long] +
+        m("rows_test").asInstanceOf[Long] == rowsOut
+    )
+    // metrics agree with an independent recount
+    assert(rowsOut == CurationPipeline.curate(spark, sfDir).count())
+  }
+
   test("curateAndWrite lays out split partitions readable in isolation") {
     val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
     CurationPipeline.curateAndWrite(spark, sfDir, s"$out/corpus")
