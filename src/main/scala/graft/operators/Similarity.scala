@@ -146,14 +146,20 @@ object Similarity {
     val sampleTarget = 256L * nCells
     val nVecs        = e.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
-    val trainFe      = if (modulus == 1L) fe else fe.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)
-    val model = new KMeans()
-      .setK(nCells)
-      .setSeed(42L)
-      .setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features")
-      .fit(trainFe)
+    // cached: KMeans re-scans its training input every iteration (and
+    // warns when it isn't cached) — without this each of the 5 rounds
+    // re-reads parquet and re-derives the sample
+    val trainFe = (if (modulus == 1L) fe else fe.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)).cache()
+    val model =
+      try
+        new KMeans()
+          .setK(nCells)
+          .setSeed(42L)
+          .setMaxIter(5)
+          .setInitMode("random")
+          .setFeaturesCol("features")
+          .fit(trainFe)
+      finally trainFe.unpersist()
     val assigned = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
     // centroid table is tiny: probe cells per query computed via a
