@@ -100,6 +100,23 @@ object EventStreams {
     )
   }
 
+  /** Stream-static enrichment join: the streaming events join a static
+    * dimension snapshot, broadcast fresh each micro-batch — stateless
+    * (no watermark, no join state) because the static side is re-read,
+    * which is exactly why this is THE production enrichment pattern:
+    * dimension updates between batches are picked up for free.
+    */
+  def enrichWithCustomer(spark: SparkSession, events: DataFrame, dir: String): DataFrame =
+    events.join(
+      broadcast(
+        graft.Tables
+          .customer(spark, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      ),
+      Seq("user_id"),
+      "left"
+    )
+
   /** foreachBatch + AvailableNow: incremental batch processing — drain
     * everything currently in the source in bounded micro-batches, apply
     * an arbitrary batch-DataFrame action (here: parquet append

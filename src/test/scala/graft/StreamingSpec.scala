@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join == batch join") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), streamDir.resolve("events.parquet"))
+    val enriched = EventStreams.enrichWithCustomer(
+      spark, EventStreams.readEvents(spark, streamDir.toString), sfDir)
+    val query = enriched
+      .select("event_id", "c_mktsegment")
+      .writeStream.outputMode("append").format("memory").queryName("stream_enrich").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("stream_enrich")
+        .groupBy("c_mktsegment").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Tables.events(spark, sfDir)
+        .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")), Seq("user_id"), "left")
+        .groupBy("c_mktsegment").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed.nonEmpty && streamed == batch, s"stream=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer emits closed sessions with correct counts") {
     val sessions = EventStreams
       .sessionizeStateful(spark, Tables.events(spark, sfDir))
