@@ -95,6 +95,7 @@ object SparkEntry {
     "dataset_split"         -> q(DataOps.datasetSplit),
     "pack_sequences"        -> q((s, dir) => DataOps.packSequences(s, dir)),
     "agg_extras"            -> q(Relational.aggExtras),
+    "topk_agg_per_customer" -> q(Relational.topkAggPerCustomer),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
@@ -256,6 +257,15 @@ object SparkEntry {
           |  ON a.c_custkey = b.o_custkey
           |ORDER BY cust_side, order_side""".stripMargin,
       "window_top3_per_customer" ->
+        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      // same contract as the window formulation — the custom aggregate
+      // must agree with the window query bit-for-bit
+      "topk_agg_per_customer" ->
         """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
           |  SELECT o_custkey, o_orderkey, o_totalprice,
           |    CAST(row_number() OVER (PARTITION BY o_custkey

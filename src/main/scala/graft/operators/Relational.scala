@@ -834,6 +834,28 @@ object Relational {
     )
   }
 
+  /** Grouped top-k via the custom [[graft.functions.TopKAgg]]
+    * imperative aggregate instead of a window: the partial→final merge
+    * ships k pairs per group per mapper, while `row_number() <= k`
+    * shuffles and sorts every row. Same rows as
+    * [[windowTop3PerCustomer]] (shared oracle), different physics.
+    */
+  def topkAggPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(expr("topk_agg(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("o_orderkey"),
+        col("t.score").as("o_totalprice")
+      )
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Argmin/argmax and boolean aggregates: min_by/max_by (safe here —
     * the per-group price extremes are unique in this data, asserted by
     * the oracle match) and bool_and/bool_or.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg, TopKAgg}
 
 /** Production wiring for graft's native expressions: a
   * SparkSessionExtensions hook, enabled with
@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("minhash_agg"),
         info("minhash_agg"),
         (es: Seq[Expression]) => MinhashAgg(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("topk_agg"),
+        info("topk_agg"),
+        (es: Seq[Expression]) => TopKAgg(es(0), es(1), es(2).eval().toString.toInt)
       )
     )
   }

@@ -81,4 +81,21 @@ class RelationalSpec extends SparkSpec {
     assert(semi.intersect(anti).isEmpty)
     assert(semi ++ anti == all)
   }
+
+  test("topk_agg matches the window top-k bit-for-bit and plans as partial aggregation") {
+    val viaAgg = Relational
+      .topkAggPerCustomer(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaWindow = Relational
+      .windowTop3PerCustomer(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+    val plan = Relational.topkAggPerCustomer(spark, sfDir).queryExecution.executedPlan.toString
+    // partial→final ObjectHashAggregate: the shuffle carries k pairs
+    // per group, not every row (the scale point of the operator)
+    assert(plan.contains("ObjectHashAggregate"), s"no imperative-aggregate plan:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window plan:\n$plan")
+  }
 }
