@@ -10,7 +10,7 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q10_returned_items",
     "q4_order_priority", "q13_custdist", "q17_small_qty_avg", "q20_part_promo",
-    "window_top3_per_customer", "window_running_sum",
+    "window_top3_per_customer", "topk_agg_per_customer", "window_running_sum",
     "wc_wordcount", "ii_inverted_index",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk",
