@@ -118,6 +118,14 @@ object SparkEntry {
     "dedup_components"  -> q(Dedup.nearDupComponents),
     "dedup_simhash"     -> q((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> q((s, dir) => Dedup.embeddingNearDups(s, dir)),
+    "dedup_incremental" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup
+        .incrementalExact(docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    "text_repetition" -> q(TextAnalysis.repetitionScore),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
@@ -858,6 +866,23 @@ object SparkEntry {
            |FROM sh s JOIN ev ON s.sh = ev.sh
            |WHERE s.doc_id % 10 <> 7
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+      "dedup_incremental" ->
+        """SELECT doc_id FROM documents n
+          |WHERE doc_id >= 400
+          |  AND NOT EXISTS (SELECT 1 FROM documents e
+          |                  WHERE e.doc_id < 400 AND md5(e.text) = md5(n.text))
+          |ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        s"""WITH g AS (SELECT doc_id,
+           |             unnest(list_transform(range(1, len(tk) - 1),
+           |               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           |           FROM (SELECT doc_id, $toks AS tk FROM documents)
+           |           WHERE len(tk) >= 3),
+           |pc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           |  (sum(c) - count(*)) / CAST(sum(c) AS DOUBLE) AS dup_gram_ratio,
+           |  max(c) / CAST(sum(c) AS DOUBLE) AS top_gram_share
+           |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -44,6 +44,20 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup: keep only incoming docs whose text
+    * digest does not already exist in the corpus — the production
+    * dedup mode (each ingest batch checks against the standing index
+    * instead of re-deduping the world). Shuffles digests only; at
+    * scale the existing side is the persisted digest index, not a
+    * rescan.
+    */
+  def incrementalExact(existing: DataFrame, incoming: DataFrame, textCol: String = "text"): DataFrame =
+    incoming.join(
+      existing.select(md5(col(textCol)).as("__h")).distinct(),
+      md5(incoming(textCol)) === col("__h"),
+      "left_anti"
+    )
+
   /** Canonical text normalization for dedup: lowercase + whitespace
     * collapse + trim — the cheap pre-pass that catches trivially
     * reformatted duplicates before any fuzzy machinery runs.

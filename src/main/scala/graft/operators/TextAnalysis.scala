@@ -203,6 +203,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition scoring (the Gopher/C4 quality-rule
+    * family): fraction of duplicated 3-grams and the hottest 3-gram's
+    * share of the document. High values flag boilerplate/spam that
+    * length and stopword ratios miss. Ratios are int/int quotients —
+    * bit-exact cross-engine.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), expr(toks("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as("g")
+      )
+      // one pass, two-level aggregate: per-gram counts, then per-doc
+      // totals/distincts/max — both levels partial→final, no join
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"), max("c").as("max_gram_count"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        ((col("n_grams") - col("n_distinct")) / col("n_grams")).as("dup_gram_ratio"),
+        (col("max_gram_count") / col("n_grams")).as("top_gram_share")
+      )
+      .orderBy("doc_id")
+
   /** TF-IDF: top term per document by tf·idf weight. */
   def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)
