@@ -174,6 +174,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+    val top3Sql =
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
     val wcSql =
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest($toks) AS word FROM documents)
@@ -264,22 +271,10 @@ object SparkEntry {
           |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) b
           |  ON a.c_custkey = b.o_custkey
           |ORDER BY cust_side, order_side""".stripMargin,
-      "window_top3_per_customer" ->
-        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-          |  SELECT o_custkey, o_orderkey, o_totalprice,
-          |    CAST(row_number() OVER (PARTITION BY o_custkey
-          |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-          |  FROM orders)
-          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-      // same contract as the window formulation — the custom aggregate
-      // must agree with the window query bit-for-bit
-      "topk_agg_per_customer" ->
-        """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-          |  SELECT o_custkey, o_orderkey, o_totalprice,
-          |    CAST(row_number() OVER (PARTITION BY o_custkey
-          |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-          |  FROM orders)
-          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      "window_top3_per_customer" -> top3Sql,
+      // the SAME SQL object — the custom aggregate must agree with the
+      // window formulation bit-for-bit, enforced by construction
+      "topk_agg_per_customer" -> top3Sql,
       "window_running_sum" ->
         """SELECT l_suppkey, l_orderkey, l_linenumber,
           |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
@@ -871,6 +866,9 @@ object SparkEntry {
           |WHERE doc_id >= 400
           |  AND NOT EXISTS (SELECT 1 FROM documents e
           |                  WHERE e.doc_id < 400 AND md5(e.text) = md5(n.text))
+          |  AND NOT EXISTS (SELECT 1 FROM documents x
+          |                  WHERE x.doc_id >= 400 AND x.doc_id < n.doc_id
+          |                    AND md5(x.text) = md5(n.text))
           |ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         s"""WITH g AS (SELECT doc_id,

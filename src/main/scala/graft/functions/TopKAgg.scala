@@ -34,6 +34,22 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def nullable: Boolean         = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val scoreOk = scoreExpr.dataType match {
+      case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType => true
+      case _                                                                      => false
+    }
+    val idOk = idExpr.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _                                             => false
+    }
+    if (scoreOk && idOk) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_agg expects (non-decimal numeric score, integral id), got ${scoreExpr.dataType} / ${idExpr.dataType}"
+      )
+  }
   override def dataType: DataType =
     ArrayType(
       StructType(Seq(StructField("score", DoubleType, nullable = false), StructField("id", LongType, nullable = false))),
@@ -111,9 +127,16 @@ object TopKAgg {
     val ids: Array[Long]      = new Array[Long](k)
     var n: Int                = 0
 
-    /** (s1,id1) ranks before (s2,id2)? score desc, then id asc. */
-    private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && id1 < id2)
+    /** (s1,id1) ranks before (s2,id2)? score desc, then id asc.
+      * Double.compare gives a TOTAL order (NaN greatest — matching
+      * Spark's descending sort, where NaN ranks first): with raw `>`
+      * a NaN in the last slot would reject every later insert, since
+      * all NaN comparisons are false.
+      */
+    private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(s1, s2)
+      cmp > 0 || (cmp == 0 && id1 < id2)
+    }
 
     def insert(score: Double, id: Long): Unit = {
       if (n == k && !beats(score, id, scores(n - 1), ids(n - 1))) return

@@ -44,19 +44,28 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Incremental exact dedup: keep only incoming docs whose text
-    * digest does not already exist in the corpus — the production
-    * dedup mode (each ingest batch checks against the standing index
-    * instead of re-deduping the world). Shuffles digests only; at
+  /** Incremental exact dedup: dedup the incoming batch internally
+    * (min-id keeper), then keep only docs whose text digest does not
+    * already exist in the corpus — the production dedup mode (each
+    * ingest batch checks against the standing index instead of
+    * re-deduping the world). Both stages shuffle digests only; at
     * scale the existing side is the persisted digest index, not a
-    * rescan.
+    * rescan. Skipping the intra-batch stage would admit same-batch
+    * duplicates that no later incremental pass could ever remove.
     */
-  def incrementalExact(existing: DataFrame, incoming: DataFrame, textCol: String = "text"): DataFrame =
-    incoming.join(
+  def incrementalExact(
+      existing: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val batchDeduped = exactDedup(incoming, textCol, idCol)
+    batchDeduped.join(
       existing.select(md5(col(textCol)).as("__h")).distinct(),
-      md5(incoming(textCol)) === col("__h"),
+      md5(batchDeduped(textCol)) === col("__h"),
       "left_anti"
     )
+  }
 
   /** Canonical text normalization for dedup: lowercase + whitespace
     * collapse + trim — the cheap pre-pass that catches trivially

@@ -838,7 +838,10 @@ object Relational {
     * imperative aggregate instead of a window: the partial→final merge
     * ships k pairs per group per mapper, while `row_number() <= k`
     * shuffles and sorts every row. Same rows as
-    * [[windowTop3PerCustomer]] (shared oracle), different physics.
+    * [[windowTop3PerCustomer]] (shared oracle), different physics —
+    * on NON-NULL scores: the aggregate skips null scores and emits
+    * nothing for all-null groups, where the window formulation would
+    * still rank the null rows. (o_totalprice is never null here.)
     */
   def topkAggPerCustomer(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
