@@ -82,6 +82,24 @@ class RelationalSpec extends SparkSpec {
     assert(semi ++ anti == all)
   }
 
+  test("TopKAgg buffer: NaN can't poison a full buffer; ties break by smaller id") {
+    val buf = new graft.functions.TopKAgg.Buffer(3)
+    buf.insert(Double.NaN, 9L)
+    buf.insert(1.0, 1L)
+    buf.insert(2.0, 2L)
+    // buffer full with NaN ranked first (Double.compare total order);
+    // a later high finite score must still displace the tail
+    buf.insert(100.0, 3L)
+    assert(buf.n == 3)
+    assert(buf.scores(0).isNaN && buf.ids(0) == 9L)
+    assert(buf.scores(1) == 100.0 && buf.ids(1) == 3L)
+    assert(buf.scores(2) == 2.0 && buf.ids(2) == 2L)
+    // tie-break: equal scores prefer the smaller id
+    val t = new graft.functions.TopKAgg.Buffer(2)
+    t.insert(5.0, 7L); t.insert(5.0, 3L); t.insert(5.0, 9L)
+    assert(t.ids.take(2).toSeq == Seq(3L, 7L))
+  }
+
   test("topk_agg matches the window top-k bit-for-bit and plans as partial aggregation") {
     val viaAgg = Relational
       .topkAggPerCustomer(spark, sfDir)
