@@ -196,6 +196,10 @@ object Dedup {
   ): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    // cached: the self-join reads `banded` twice and Spark performs no
+    // cross-input subtree reuse (PLANS.md showed the full
+    // shingle→minhash→cap pipeline duplicated) — one materialization,
+    // two cheap reads
     val banded = capBuckets(
       sigDf.select(
         col(idCol),
@@ -205,7 +209,7 @@ object Dedup {
       ),
       Seq("band", "bucket"),
       bucketCap
-    )
+    ).cache()
     banded
       .select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(banded.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
@@ -276,6 +280,7 @@ object Dedup {
     // skew guard: chunk_val 0 is hot for short docs — cap each
     // (chunk_idx, chunk_val) bucket before the quadratic-within-bucket
     // join (see capBuckets)
+    // cached: read twice by the self-join (no cross-input reuse)
     val chunked = capBuckets(
       sigs.select(
         col(idCol),
@@ -288,7 +293,7 @@ object Dedup {
       ),
       Seq("chunk_idx", "chunk_val"),
       bucketCap
-    )
+    ).cache()
     chunked
       .select(col(idCol).as("a"), col("simhash").as("sig_a"), col("chunk_idx"), col("chunk_val"))
       .join(

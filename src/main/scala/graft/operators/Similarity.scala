@@ -98,7 +98,7 @@ object Similarity {
       ),
       Seq("band", "sub_code"),
       bucketCap
-    )
+    ).cache() // self-joined: avoid recomputing codes+cap twice
     val candIds = banded
       .select(col("vec_id").as("a"), col("band"), col("sub_code"))
       .join(banded.select(col("vec_id").as("b"), col("band"), col("sub_code")), Seq("band", "sub_code"))
@@ -219,7 +219,7 @@ object Similarity {
       ),
       Seq("band", "sub_code"),
       bucketCap
-    )
+    ).cache() // read by both the query and candidate sides
     // candidate generation on ids only (distinct over two longs, not
     // over embedding arrays); vectors re-attached afterwards — the
     // query side is tiny and broadcasts.
