@@ -99,6 +99,7 @@ object SparkEntry {
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
+    "json_variant"          -> q(EventAnalytics.jsonVariant),
     "json_aggregate"        -> q(EventAnalytics.jsonAggregate),
     "events_tumbling_hourly" -> q(EventAnalytics.tumblingHourly),
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
@@ -642,6 +643,11 @@ object SparkEntry {
       "json_extract" ->
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
           |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed, event_type
+          |FROM events ORDER BY event_id""".stripMargin,
+      "json_variant" ->
+        """SELECT event_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |  json_extract_string(props, '$.missing') AS missing
           |FROM events ORDER BY event_id""".stripMargin,
       "json_aggregate" ->
         """SELECT event_type,
