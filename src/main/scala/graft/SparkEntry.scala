@@ -88,6 +88,8 @@ object SparkEntry {
     "window_range_frame"    -> q(Relational.windowRangeFrame),
     "q18_large_orders"      -> q(Relational.q18LargeOrders),
     "q4_order_priority"     -> q(Relational.q4OrderPriority),
+    "q11_important_stock"   -> q(Relational.q11ImportantStock),
+    "q16_supplier_counts"   -> q(Relational.q16SupplierCounts),
     "q13_custdist"          -> q(Relational.q13Custdist),
     "q17_small_qty_avg"     -> q(Relational.q17SmallQtyAvg),
     "q20_part_promo"        -> q(Relational.q20PartPromo),
@@ -490,6 +492,23 @@ object SparkEntry {
           |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin,
+      "q11_important_stock" ->
+        """WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+          |              round(sum(l_quantity), 4) AS avail
+          |            FROM lineitem GROUP BY 1, 2),
+          |tot AS (SELECT round(sum(avail), 4) AS t FROM ps)
+          |SELECT pk, round(sum(avail), 4) AS value
+          |FROM ps GROUP BY pk
+          |HAVING round(sum(avail), 4) > (SELECT t * 0.0006 FROM tot)
+          |ORDER BY value DESC, pk""".stripMargin,
+      "q16_supplier_counts" ->
+        """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_size BETWEEN 1 AND 25
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+          |                        WHERE s_suppkey % 7 = 0)
+          |GROUP BY p_brand, p_type
+          |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
       "q13_custdist" ->
         """SELECT c_count, count(*) AS custdist FROM (
           |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -834,6 +834,47 @@ object Relational {
     )
   }
 
+  /** TPC-H Q11 (adapted: partsupp derived from lineitem's distinct
+    * (part, supplier) pairs, availqty = shipped quantity): important
+    * stock — parts whose total quantity exceeds 0.06% of the global
+    * total. The HAVING compares each group against a scalar subquery
+    * of the whole table — via the SQL surface so Catalyst plans the
+    * scalar-subquery broadcast.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q11_lineitem")
+    spark.sql(
+      """WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |              round(sum(l_quantity), 4) AS avail
+        |            FROM q11_lineitem GROUP BY 1, 2),
+        |tot AS (SELECT round(sum(avail), 4) AS t FROM ps)
+        |SELECT pk, round(sum(avail), 4) AS value
+        |FROM ps GROUP BY pk
+        |HAVING round(sum(avail), 4) > (SELECT t * 0.0006 FROM tot)
+        |ORDER BY value DESC, pk""".stripMargin
+    )
+  }
+
+  /** TPC-H Q16 (adapted): supplier counts per (brand, type) for
+    * mid-size parts, excluding a supplier denylist via NOT IN — the
+    * null-aware anti-join shape (distinct from NOT EXISTS, which
+    * cannot express NOT IN's null semantics).
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q16_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("q16_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q16_supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM q16_lineitem JOIN q16_part ON p_partkey = l_partkey
+        |WHERE p_size BETWEEN 1 AND 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+        |                        WHERE s_suppkey % 7 = 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+    )
+  }
+
   /** Grouped top-k via the custom [[graft.functions.TopKAgg]]
     * imperative aggregate instead of a window: the partial→final merge
     * ships k pairs per group per mapper, while `row_number() <= k`
