@@ -9,7 +9,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q10_returned_items",
-    "q4_order_priority", "q13_custdist", "q17_small_qty_avg", "q20_part_promo",
+    "q4_order_priority", "q11_important_stock", "q13_custdist",
+    "q16_supplier_counts", "q17_small_qty_avg", "q20_part_promo",
     "window_top3_per_customer", "topk_agg_per_customer", "window_running_sum",
     "wc_wordcount", "ii_inverted_index",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash",
