@@ -143,7 +143,6 @@ object TopKAgg {
       // find insertion point (buffer is small; linear scan)
       var pos = if (n == k) n - 1 else n
       while (pos > 0 && beats(score, id, scores(pos - 1), ids(pos - 1))) pos -= 1
-      if (pos >= k) return
       val last = math.min(n, k - 1)
       var j    = last
       while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }

@@ -59,12 +59,21 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val batchDeduped = exactDedup(incoming, textCol, idCol)
-    batchDeduped.join(
-      existing.select(md5(col(textCol)).as("__h")).distinct(),
-      md5(batchDeduped(textCol)) === col("__h"),
-      "left_anti"
-    )
+    // NULL text is absence of content, not content: such rows pass
+    // through untouched (grouping them under the NULL digest would
+    // silently collapse distinct no-text docs into one "duplicate"
+    // group — and diverge from SQL NULL semantics, where no digest
+    // comparison ever matches)
+    val nonNull      = incoming.filter(col(textCol).isNotNull)
+    val nullText     = incoming.filter(col(textCol).isNull)
+    val batchDeduped = exactDedup(nonNull, textCol, idCol)
+    batchDeduped
+      .join(
+        existing.select(md5(col(textCol)).as("__h")).distinct(),
+        md5(batchDeduped(textCol)) === col("__h"),
+        "left_anti"
+      )
+      .unionByName(nullText)
   }
 
   /** Canonical text normalization for dedup: lowercase + whitespace
