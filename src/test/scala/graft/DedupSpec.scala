@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: intra-batch dups collapse, corpus dups drop, NULL text passes through") {
+    val existing = spark.createDataFrame(Seq((1L, "alpha"), (2L, "beta"))).toDF("doc_id", "text")
+    val incoming = spark
+      .createDataFrame(Seq((10L, Option("alpha")), (11L, Option("gamma")), (12L, Option("gamma")),
+        (13L, None: Option[String]), (14L, None: Option[String])))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(existing, incoming).select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 dup of corpus → dropped; 11 kept, 12 intra-batch dup → dropped;
+    // 13/14 NULL text → both pass through (absence of content ≠ duplicate)
+    assert(kept == Set(11L, 13L, 14L), s"got $kept")
+  }
+
   test("connected components: 40-diameter chain converges to a single min label") {
     // a path graph 0-1-2-…-40 has diameter 40 — the shape that a
     // fixed low iteration cap silently mislabels; pointer halving must
