@@ -36,6 +36,34 @@ class DataOpsSpec extends SparkSpec {
     assert(fps.nonEmpty)
   }
 
+  test("chunking: stride overlap is exact and every token is covered") {
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocuments(spark, sfDir, chunkSize = 50, stride = 40)
+      .collect()
+      .groupBy(_.getLong(0))
+    chunks.foreach { case (_, rows) =>
+      val byIdx = rows.sortBy(_.getLong(1)).map(r => (r.getString(2).split(" "), r.getLong(3)))
+      byIdx.zipWithIndex.foreach { case ((toks, n), i) =>
+        assert(toks.length == n)
+        if (i < byIdx.length - 1) {
+          // chunk i spans doc positions [40i, 40i + len) — the overlap
+          // with chunk i+1 is len - 40 tokens (short chunks near the
+          // end overlap by less than the nominal 10)
+          val next = byIdx(i + 1)._1
+          val o    = math.max(0, toks.length - 40)
+          assert(toks.takeRight(o).sameElements(next.take(o)), s"overlap mismatch at chunk $i")
+        }
+      }
+      // coverage: overlap-aware stitching rebuilds the document — the
+      // doc's token count is 40 per non-final chunk plus the final
+      // chunk's length
+      val stitched = byIdx.head._1 ++ byIdx.sliding(2).collect { case Array((prev, _), (cur, _)) =>
+        cur.drop(math.max(0, prev.length - 40))
+      }.toSeq.flatten
+      assert(stitched.length == 40 * (byIdx.length - 1) + byIdx.last._1.length)
+    }
+  }
+
   test("dataset split is deterministic with the expected proportions") {
     val a = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
