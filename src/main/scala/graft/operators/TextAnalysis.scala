@@ -233,10 +233,15 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
-  /** TF-IDF: top term per document by tf·idf weight. */
+  /** TF-IDF: top term per document by tf·idf weight. The corpus size
+    * enters as a broadcast 1-row aggregate (not a driver `.count()`),
+    * so building the DataFrame stays lazy and the whole thing runs as
+    * ONE job — an eager count here would fire a separate scan per call
+    * and make a plan-construction API secretly execute.
+    */
   def tfIdfTopTerm(spark: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(spark, dir)
-    val nDocs  = docs.count().toDouble
+    val nd     = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val tokens = TextJobs.tokenized(docs.select("doc_id", "text"), "text", "term")
     val tf     = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_    = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
@@ -244,7 +249,8 @@ object TextAnalysis {
       .partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df_), "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf", round(col("tf") * log(col("__n_docs") / col("df")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))

@@ -53,11 +53,29 @@ case class BroadcastRangeJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // build side: collect, evaluate bounds, sort by lo
+    // Build-side guard: this operator is documented for SMALL interval
+    // dimensions (price bands, time buckets). A user handing it a large
+    // right side would otherwise hit a silent driver OOM inside
+    // executeCollect — fail fast with an actionable message instead.
+    // executeTake(limit + 1) collects incrementally, so the CHECK
+    // itself never materializes more than one row past the cap.
+    val maxBuildRows = math.min(
+      conf.getConfString("spark.graft.rangeJoin.maxBuildRows", "1000000").toLong,
+      Int.MaxValue - 1L
+    ).toInt
+    val collected = right.executeTake(maxBuildRows + 1)
+    if (collected.length > maxBuildRows)
+      throw new IllegalStateException(
+        s"BroadcastRangeJoinExec build (right) side exceeds $maxBuildRows rows " +
+          "(spark.graft.rangeJoin.maxBuildRows). The interval side is broadcast " +
+          "to every task and must be a small dimension table — swap the sides, " +
+          "pre-aggregate the intervals, or raise the threshold if the driver " +
+          "has the memory."
+      )
+    // build side: evaluate bounds, sort by lo
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
-    val build = right
-      .executeCollect()
+    val build = collected
       .flatMap { row =>
         val l = boundLo.eval(row)
         val h = boundHi.eval(row)

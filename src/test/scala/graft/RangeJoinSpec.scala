@@ -63,6 +63,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(filterIdx >= 0)
   }
 
+  test("oversized build side fails fast with a clear error, not an OOM path") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    // the "interval" side here is the big table itself — the misuse the
+    // guard exists for
+    val bigIntervals = Tables
+      .orders(spark, sfDir)
+      .select(col("o_totalprice").as("lo"), (col("o_totalprice") + 1).as("hi"), col("o_orderkey").as("band"))
+    spark.conf.set("spark.graft.rangeJoin.maxBuildRows", "100")
+    try {
+      val ex = intercept[Exception] {
+        RangeJoinOps.rangeJoin(orders, bigIntervals, "o_totalprice", "lo", "hi").collect()
+      }
+      val msgs = Iterator
+        .iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("; ")
+      assert(msgs.contains("maxBuildRows"), s"expected actionable guard message, got: $msgs")
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBuildRows")
+    // and a compliant build side still works under the same low cap
+    spark.conf.set("spark.graft.rangeJoin.maxBuildRows", "100")
+    try assert(RangeJoinOps.rangeJoin(orders, bands, "o_totalprice", "lo", "hi").count() > 0)
+    finally spark.conf.unset("spark.graft.rangeJoin.maxBuildRows")
+  }
+
   test("downstream operators compose over the custom node") {
     val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
     val agg = RangeJoinOps
