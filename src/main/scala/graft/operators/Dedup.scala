@@ -109,9 +109,46 @@ object Dedup {
       )
   }
 
+  /** Intra-bucket pair generation — the shared core of every
+    * candidate-by-bucket pipeline (inverted shingle index, MinHash
+    * bands, SimHash chunks, hyperplane sub-codes).
+    *
+    * One `groupBy(keys)` collects each bucket's members into a sorted
+    * array; pairs then come from a NARROW double-explode (each member
+    * against the members after it, so `a < b` by construction). This
+    * replaces the classic bucket SELF-JOIN, which at scale needs either
+    * a cache of the bucketed intermediate (Spark performs no
+    * cross-input subtree reuse, so an uncached self-join computes its
+    * whole upstream twice — and the cache then outlives the query in
+    * CacheManager) or the double computation. Here the upstream runs
+    * exactly once, nothing is pinned in executor memory, and the only
+    * shuffle is the groupBy itself.
+    *
+    * The `cap` filter is the same skew guard as [[capBuckets]] (drop
+    * whole over-cap buckets, bounding every bucket to cap²/2 pairs) and
+    * additionally bounds the collected array to `cap` members — so the
+    * collect can never build a degenerate multi-GB row. Uncapped calls
+    * (`cap = Int.MaxValue`) are for bounded oracle/recall paths only.
+    */
+  private[graft] def bucketPairs(
+      banded: DataFrame,
+      keys: Seq[String],
+      member: org.apache.spark.sql.Column,
+      cap: Int
+  ): DataFrame =
+    banded
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(member)).as("members"))
+      .filter(size(col("members")) >= 2 && size(col("members")) <= cap)
+      .select(col("members"), posexplode(col("members")).as(Seq("__i", "a")))
+      .select(col("a"), explode(expr("slice(members, __i + 2, size(members))")).as("b"))
+
   /** Exact pairwise n-gram Jaccard similarity ≥ threshold, via the
-    * standard inverted-shingle join (only docs sharing ≥1 shingle
-    * meet). Quadratic in the worst case — the oracle/baseline path.
+    * standard inverted-shingle index (only docs sharing ≥1 shingle
+    * meet). Quadratic in the worst case — the oracle/baseline path,
+    * run on bounded subsets only (a shingle shared by m docs collects
+    * m ids into one bucket row and emits m²/2 pairs; the LSH paths are
+    * the capped 100 TB paths).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -120,12 +157,9 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sh     = shingles(df, k, textCol, idCol).distinct().cache()
+    val sh     = shingles(df, k, textCol, idCol).distinct()
     val sizes  = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val common = sh
-      .select(col(idCol).as("a"), col("sh"))
-      .join(sh.select(col(idCol).as("b"), col("sh")), "sh")
-      .filter(col("a") < col("b"))
+    val common = bucketPairs(sh, Seq("sh"), col(idCol), Int.MaxValue)
       .groupBy("a", "b")
       .agg(count(lit(1)).as("common"))
     common
@@ -190,11 +224,26 @@ object Dedup {
   private[graft] def hotBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") > cap)
 
-  /** LSH banding: split the signature into `bands` bands of
-    * `numHashes/bands` rows, hash each band, and emit (band, bucket)
-    * keys. Near-dup candidates = docs sharing any (band, bucket).
-    * Buckets larger than `bucketCap` are dropped (skew guard — see
-    * [[capBuckets]]).
+  /** Band/bucket keys per signature: split the signature into `bands`
+    * bands of `numHashes/bands` rows and hash each band. Docs sharing
+    * any (band, bucket) are near-dup candidates.
+    */
+  private def bandedSignatures(sigDf: DataFrame, numHashes: Int, bands: Int, idCol: String): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    sigDf.select(
+      col(idCol),
+      col("sig"),
+      posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
+      ).as(Seq("band", "bucket"))
+    )
+  }
+
+  /** LSH candidate pairs: docs sharing any (band, bucket), buckets
+    * above `bucketCap` dropped (skew guard). Single-pass: the
+    * signature pipeline upstream runs once into the bucket groupBy —
+    * no self-join, no cache (see [[bucketPairs]]).
     */
   def lshCandidates(
       sigDf: DataFrame,
@@ -202,33 +251,29 @@ object Dedup {
       bands: Int,
       idCol: String = "doc_id",
       bucketCap: Int = 256
-  ): DataFrame = {
-    val rows = numHashes / bands
-    require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
-    // cached: the self-join reads `banded` twice and Spark performs no
-    // cross-input subtree reuse (PLANS.md showed the full
-    // shingle→minhash→cap pipeline duplicated) — one materialization,
-    // two cheap reads
-    val banded = capBuckets(
-      sigDf.select(
-        col(idCol),
-        posexplode(
-          expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
-        ).as(Seq("band", "bucket"))
-      ),
+  ): DataFrame =
+    bucketPairs(
+      bandedSignatures(sigDf, numHashes, bands, idCol).select(col(idCol), col("band"), col("bucket")),
       Seq("band", "bucket"),
+      col(idCol),
       bucketCap
-    ).cache()
-    banded
-      .select(col(idCol).as("a"), col("band"), col("bucket"))
-      .join(banded.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-  }
+    ).distinct()
 
-  /** Full MinHash-LSH near-dup pipeline: candidates, then signature
-    * similarity estimate (fraction of equal components), thresholded.
+  /** Full MinHash-LSH near-dup pipeline: bucket candidates, then
+    * signature similarity estimate (fraction of equal components),
+    * thresholded.
+    *
+    * The signature table is materialized ONCE via a lazy
+    * localCheckpoint and read three times (banding + both sides of the
+    * candidate rescoring join). That is the 100 TB shape: signatures
+    * are the dedup INDEX (~numHashes·8 B/doc — orders of magnitude
+    * smaller than the corpus; on a cluster you'd persist them to
+    * storage, which is exactly what [[buildLshIndex]] does), the
+    * bucket shuffle stays narrow (id + band key only — carrying the
+    * signature through every band row was measurably slower), and
+    * nothing is pinned in CacheManager: checkpoint blocks are freed
+    * with the RDD by GC instead of sitting in executor memory until an
+    * explicit unpersist.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -240,7 +285,8 @@ object Dedup {
       idCol: String = "doc_id",
       bucketCap: Int = 256
   ): DataFrame = {
-    val sigs  = minhashSignatures(hashedShingles(df, k, textCol, idCol), numHashes, idCol).cache()
+    val sigs =
+      minhashSignatures(hashedShingles(df, k, textCol, idCol), numHashes, idCol).localCheckpoint(eager = false)
     val cands = lshCandidates(sigs, numHashes, bands, idCol, bucketCap)
     cands
       .join(sigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
@@ -285,32 +331,22 @@ object Dedup {
   ): DataFrame = {
     val chunks    = maxDist + 1
     val chunkBits = 64 / chunks
-    val sigs      = simhash(df, textCol, idCol).cache()
-    // skew guard: chunk_val 0 is hot for short docs — cap each
-    // (chunk_idx, chunk_val) bucket before the quadratic-within-bucket
-    // join (see capBuckets)
-    // cached: read twice by the self-join (no cross-input reuse)
-    val chunked = capBuckets(
-      sigs.select(
-        col(idCol),
-        col("simhash"),
-        posexplode(
-          expr(
-            s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $chunkBits) & ${(1L << chunkBits) - 1})"
-          )
-        ).as(Seq("chunk_idx", "chunk_val"))
-      ),
-      Seq("chunk_idx", "chunk_val"),
-      bucketCap
-    ).cache()
-    chunked
-      .select(col(idCol).as("a"), col("simhash").as("sig_a"), col("chunk_idx"), col("chunk_val"))
-      .join(
-        chunked.select(col(idCol).as("b"), col("simhash").as("sig_b"), col("chunk_idx"), col("chunk_val")),
-        Seq("chunk_idx", "chunk_val")
-      )
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+    // skew guard baked into bucketPairs: chunk_val 0 is hot for short
+    // docs — over-cap (chunk_idx, chunk_val) buckets are dropped before
+    // any pair is generated. The signature (one long) rides through the
+    // bucket shuffle, so the tokenize→simhash upstream runs once with
+    // no cache and no self-join.
+    val chunked = simhash(df, textCol, idCol).select(
+      col(idCol),
+      col("simhash"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(simhash, c * $chunkBits) & ${(1L << chunkBits) - 1})"
+        )
+      ).as(Seq("chunk_idx", "chunk_val"))
+    )
+    bucketPairs(chunked, Seq("chunk_idx", "chunk_val"), struct(col(idCol).as("id"), col("simhash").as("sig")), bucketCap)
+      .select(col("a.id").as("a"), col("b.id").as("b"), expr("bit_count(a.sig ^ b.sig)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .orderBy("a", "b")
@@ -381,7 +417,13 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter rounds — component diameter exceeds 2^$maxIter"
       )
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("component")).orderBy("doc_id")
+    // hand back a localCheckpoint, not the cached label set: the loop
+    // is already eager (one count per round), and returning the cache
+    // would pin the final labels in CacheManager for the session's
+    // lifetime — checkpoint blocks are freed with the RDD by GC
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out.select(col("node").as("doc_id"), col("label").as("component")).orderBy("doc_id")
   }
 
   /** Near-dup clusters over the bounded exact-Jaccard pair set (the

@@ -85,25 +85,22 @@ object Similarity {
     graft.GraftFunctions.register(spark)
     val bandBits = numPlanes / bands
     val coded    = hyperplaneCodes(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), numPlanes)
-    // skew guard: clustered embeddings collide whole sub-code buckets
-    // (the quadratic hazard) — cap before the self-join
-    val banded = Dedup.capBuckets(
-      coded.select(
-        col("vec_id"),
-        posexplode(
-          expr(
-            s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
-          )
-        ).as(Seq("band", "sub_code"))
-      ),
-      Seq("band", "sub_code"),
-      bucketCap
-    ).cache() // self-joined: avoid recomputing codes+cap twice
-    val candIds = banded
-      .select(col("vec_id").as("a"), col("band"), col("sub_code"))
-      .join(banded.select(col("vec_id").as("b"), col("band"), col("sub_code")), Seq("band", "sub_code"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    // skew guard baked into bucketPairs: clustered embeddings collide
+    // whole sub-code buckets (the quadratic hazard) — over-cap buckets
+    // are dropped before any pair exists. Candidates come from one
+    // groupBy over the banded codes (no self-join, no cache); the
+    // vectors re-attach afterwards from the base parquet scan, which
+    // Catalyst prunes to the two needed columns.
+    val banded = coded.select(
+      col("vec_id"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
+        )
+      ).as(Seq("band", "sub_code"))
+    )
+    val candIds = Dedup
+      .bucketPairs(banded, Seq("band", "sub_code"), col("vec_id"), bucketCap)
       .distinct()
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     candIds
@@ -203,32 +200,32 @@ object Similarity {
     graft.GraftFunctions.register(spark)
     val bandBits = numPlanes / bands
     val coded    = hyperplaneCodes(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), numPlanes)
-    // skew guard on the candidate side: a degenerate sub-code bucket
-    // multiplies every query in it by the whole bucket (see
-    // Dedup.capBuckets); cap ≫ n/2^bandBits so only pathological
-    // buckets are dropped
-    val banded = Dedup.capBuckets(
-      coded.select(
-        col("vec_id"),
-        col("embedding"),
-        posexplode(
-          expr(
-            s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
-          )
-        ).as(Seq("band", "sub_code"))
-      ),
-      Seq("band", "sub_code"),
-      bucketCap
-    ).cache() // read by both the query and candidate sides
-    // candidate generation on ids only (distinct over two longs, not
-    // over embedding arrays); vectors re-attached afterwards — the
-    // query side is tiny and broadcasts.
-    val queryIds = banded.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("band"), col("sub_code"))
-    val candIds = banded
-      .select(col("vec_id").as("cand"), col("band"), col("sub_code"))
-      .join(broadcast(queryIds), Seq("band", "sub_code"))
+    // One groupBy per (band, sub_code) collects the bucket's member ids
+    // and (filtered) query ids side by side, then query×member pairs
+    // explode narrowly inside the bucket — the code pipeline runs once,
+    // nothing cached, no join for candidate generation. Skew guard: a
+    // degenerate sub-code bucket multiplies every query in it by the
+    // whole bucket, so over-cap buckets are dropped (cap ≫ n/2^bandBits
+    // keeps organic buckets).
+    val banded = coded.select(
+      col("vec_id"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${bands - 1}), c -> shiftright(lsh_code, c * $bandBits) & ${(1L << bandBits) - 1})"
+        )
+      ).as(Seq("band", "sub_code"))
+    )
+    val buckets = banded
+      .groupBy("band", "sub_code")
+      .agg(
+        collect_list(col("vec_id")).as("ids"),
+        collect_list(when(expr(queryFilter), col("vec_id"))).as("qids")
+      )
+      .filter(size(col("ids")) <= bucketCap && size(col("qids")) >= 1)
+    val candIds = buckets
+      .select(col("ids"), explode(col("qids")).as("qid"))
+      .select(col("qid"), explode(col("ids")).as("cand"))
       .filter(col("cand") =!= col("qid"))
-      .select("qid", "cand")
       .distinct()
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cands = candIds
