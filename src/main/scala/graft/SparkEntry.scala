@@ -129,6 +129,7 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
+    "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
@@ -895,6 +896,10 @@ object SparkEntry {
           |                  WHERE x.doc_id >= 400 AND x.doc_id < n.doc_id
           |                    AND md5(x.text) = md5(n.text))
           |ORDER BY doc_id""".stripMargin,
+      "gen_shingle_counts" ->
+        s"""SELECT doc_id,
+           |  COALESCE(GREATEST(len($toks) - 2, 0), 0) AS n_shingles
+           |FROM documents ORDER BY doc_id""".stripMargin,
       "text_repetition" ->
         s"""WITH g AS (SELECT doc_id,
            |             unnest(list_transform(range(1, len(tk) - 1),

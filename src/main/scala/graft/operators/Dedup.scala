@@ -178,10 +178,37 @@ object Dedup {
     * each shingle's 64-bit base is the hash of its k token-hashes — no
     * shingle string is ever materialized (at 100 TB the concat+UTF-8
     * allocation is the dominant cost of string shingling).
+    *
+    * Wired to the codegen'd array expression + explode rather than the
+    * streaming [[graft.functions.ShingleHashesGen]] Generator: measured
+    * head-to-head (ShingleGenSpec), whole-stage codegen over the short
+    * per-doc array beats the Generator's interpreted row handoff.
+    * Switch to `shingle_hash_stream($textCol, $k)` if documents grow to
+    * where the per-doc shingle array itself is a memory hazard.
     */
   def hashedShingles(df: DataFrame, k: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), explode(expr(s"shingle_hashes($textCol, $k)")).as("sh_base"))
+  }
+
+  /** Per-document shingle count via the streaming
+    * [[graft.functions.ShingleHashesGen]] Generator — the
+    * oracle-checkable surface for the custom Generator rung: the count
+    * must equal max(tokens − k + 1, 0), which the SQL oracle derives
+    * independently from the text.
+    */
+  def shingleCounts(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("doc_id"), expr(s"shingle_hash_stream(text, $k)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    docs
+      .select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+      .orderBy("doc_id")
   }
 
   /** MinHash signature per doc from hashed shingles (a `sh_base` long
