@@ -136,36 +136,78 @@ object EventStreams {
       .start()
 
   /** Custom stateful sessionization via flatMapGroupsWithState:
-    * per-user session accumulation with an explicit processing-time
-    * timeout — the hand-rolled analogue of session_window for when
-    * session logic outgrows the built-in (e.g. value-dependent gaps).
+    * per-user session accumulation with an event-time timeout — the
+    * hand-rolled analogue of session_window for when session logic
+    * outgrows the built-in (e.g. value-dependent gaps).
+    *
+    * The timeout is what makes the output COMPLETE: each update arms a
+    * timer at `last + gap`, so when the watermark passes it with no new
+    * rows the open session provably cannot grow and is emitted on the
+    * timeout invocation. Without it (NoTimeout) the last session of
+    * every user sits in state forever — the output is silently short by
+    * one session per user, and state never shrinks. In batch execution
+    * timeouts never fire (there is no "later"), so the batch path emits
+    * closed sessions only — [[sessionizeWindowed]]/session_window is
+    * the batch-complete form.
     */
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class SessionOut(user_id: Long, session_start: Long, n_events: Int, total_value: Double)
 
   def sessionizeStateful(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     import spark.implicits._
+    // the WATERMARKED timestamp column itself must reach the stateful
+    // operator (casting it away strips the event-time metadata and
+    // fails analysis) — truncation to seconds happens inside the lambda
     val typed = events
-      .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("value"))
-      .as[(Long, Long, Double)]
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_._2)
-          var st     = state.getOption.orNull
-          val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { case (_, tsSec, v) =>
-            val tsMs = tsSec * 1000
-            if (st == null) st = SessionState(tsMs, tsMs, 1, v)
-            else if (tsMs - st.last > gapMs) {
-              out += SessionOut(user, st.start, st.n, st.total)
-              st = SessionState(tsMs, tsMs, 1, v)
-            } else st = st.copy(last = tsMs, n = st.n + 1, total = st.total + v)
+      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new rows: the session
+            // can never extend — emit it and free the state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.start, st.n, st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var st     = state.getOption.orNull
+            val out    = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { case (_, ts, v) =>
+              val tsMs = ts.getTime / 1000 * 1000
+              if (st == null) st = SessionState(tsMs, tsMs, 1, v)
+              else if (tsMs - st.last > gapMs) {
+                out += SessionOut(user, st.start, st.n, st.total)
+                st = SessionState(tsMs, tsMs, 1, v)
+              } else st = st.copy(last = tsMs, n = st.n + 1, total = st.total + v)
+            }
+            if (st != null) {
+              state.update(st)
+              // rows passed the watermark filter, so last >= watermark
+              // and the timestamp is legal (must exceed the watermark)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
       .toDF()
   }
+
+  /** Sessionization via the BUILT-IN session_window — the declarative
+    * twin of [[sessionizeStateful]] and the exact streaming form of the
+    * batch [[graft.operators.EventAnalytics.sessionize]]: merging
+    * session windows + watermark eviction come from Spark's native
+    * state operator instead of hand-rolled GroupState. Append mode
+    * emits a session once the watermark passes its close — the same
+    * completeness contract the stateful version's timeout provides.
+    */
+  def sessionizeWindowed(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
 }

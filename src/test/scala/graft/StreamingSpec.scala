@@ -133,6 +133,82 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  /** Write a single synthetic far-future event (user_id = -1) into the
+    * stream directory so the watermark advances past every real
+    * session's close on the next micro-batch.
+    */
+  private def advanceWatermark(streamDir: java.nio.file.Path): Unit = {
+    import SparkSpec.spark.implicits._
+    val maxNs = Tables.events(spark, sfDir).agg(max("ts_ns")).collect()(0).getLong(0)
+    val lateDf = Seq((999999999L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft_wm_adv")
+    lateDf.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files
+      .list(tmpOut)
+      .filter(p => p.toString.endsWith(".parquet"))
+      .findFirst()
+      .get()
+    java.nio.file.Files.copy(part, streamDir.resolve("advance.parquet"))
+  }
+
+  test("stateful sessionizer emits each user's trailing session once the watermark passes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_trail")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    val query = EventStreams.startMemorySink(
+      EventStreams.sessionizeStateful(spark, EventStreams.readEvents(spark, dir.toString)),
+      "sess_trail"
+    )
+    try {
+      query.processAllAvailable()
+      val closedOnly = spark.table("sess_trail").count()
+      advanceWatermark(dir)
+      query.processAllAvailable()
+      val streamed = spark
+        .table("sess_trail")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+        .toSet
+      val batch = EventAnalytics
+        .sessionize(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 * 1000, r.getLong(2)))
+        .toSet
+      assert(streamed.size > closedOnly, "watermark advance emitted no trailing sessions")
+      // with every real session now closed, stateful == batch session_window EXACTLY
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    } finally query.stop()
+  }
+
+  test("built-in session_window streaming == batch sessionize after watermark passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_win")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    val query = EventStreams.startMemorySink(
+      EventStreams.sessionizeWindowed(EventStreams.readEvents(spark, dir.toString)),
+      "sess_win"
+    )
+    try {
+      query.processAllAvailable()
+      advanceWatermark(dir)
+      query.processAllAvailable()
+      val streamed = spark
+        .table("sess_win")
+        .filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventAnalytics
+        .sessionize(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed.nonEmpty && streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    } finally query.stop()
+  }
+
   test("stateful sessionizer emits closed sessions with correct counts") {
     val sessions = EventStreams
       .sessionizeStateful(spark, Tables.events(spark, sfDir))
