@@ -128,6 +128,11 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     },
+    "dedup_incremental_lsh" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.buildLshIndex(docs.filter(col("doc_id") < 400), "q_lsh_idx")
+      Dedup.incrementalMinhashLsh(s, "q_lsh_idx", docs.filter(col("doc_id") >= 400))
+    },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
     "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
     // ---- similarity search ----
@@ -150,6 +155,7 @@ object SparkEntry {
     "check_hll_error"          -> q(Checks.hllError),
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
+    "check_incremental_lsh"    -> q(Checks.incrementalLshEquivalence),
     "check_simhash_recall"     -> q(Checks.simhashRecall),
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
     "check_ann_recall"         -> q(Checks.annRecall),
@@ -933,6 +939,7 @@ object SparkEntry {
         """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "check_lsh_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
+      "check_incremental_lsh" -> "SELECT true AS no_missed, true AS no_extra",
       "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_embedding_lsh_recall" ->
         "SELECT true AS recall_ok, true AS no_false_positives",

@@ -75,6 +75,33 @@ object Checks {
       .agg(count(lit(1)).as("missed_pairs"))
   }
 
+  /** Incremental LSH == from-scratch: because signatures and band keys
+    * are pure per-document functions, probing a new batch against the
+    * persisted corpus index must reproduce EXACTLY the pairs a
+    * from-scratch run over corpus ∪ batch finds that touch the batch —
+    * nothing missed (the index loses no candidates) and nothing extra
+    * (the probe invents none). Both sides run uncapped so the skew
+    * guard cannot mask a real difference.
+    */
+  def incrementalLshEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch  = docs.filter(col("doc_id") >= 400)
+    Dedup.buildLshIndex(corpus, "chk_lsh_idx")
+    val incr = Dedup
+      .incrementalMinhashLsh(spark, "chk_lsh_idx", batch, bucketCap = Int.MaxValue)
+      .select("a", "b")
+    val full = Dedup
+      .minhashNearDups(docs, bucketCap = Int.MaxValue)
+      .filter(col("a") >= 400 || col("b") >= 400)
+      .select("a", "b")
+    val missed = full.join(incr, Seq("a", "b"), "left_anti").count()
+    val extra  = incr.join(full, Seq("a", "b"), "left_anti").count()
+    spark
+      .range(1)
+      .select(lit(missed == 0L).as("no_missed"), lit(extra == 0L).as("no_extra"))
+  }
+
   /** SimHash pigeonhole candidates are EXACT for hamming ≤ maxDist:
     * every pair within distance 3 must appear. Missed = 0 by
     * construction (chunking is a proof, not a probability).

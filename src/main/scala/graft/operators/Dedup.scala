@@ -327,6 +327,135 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ------------------------------------------------ incremental minhash-lsh
+
+  /** Build and persist the MinHash-LSH index for a corpus — the
+    * production near-dup mode's standing state. Two bucketed+sorted
+    * parquet tables:
+    *
+    *   - `{name}_bands` (band, bucket, doc_id), bucketed by
+    *     (band, bucket): the probe join's build side reads it with NO
+    *     exchange — only the (small) incoming batch shuffles;
+    *   - `{name}_sigs` (doc_id, sig), bucketed by doc_id: rescoring
+    *     joins fetch corpus signatures, again exchange-free on the
+    *     index side.
+    *
+    * Signatures are stored ONCE (in `_sigs`), not denormalized into
+    * every band row — at numHashes=64 × bands=16 the denormalized form
+    * is 16× the index. The signature pipeline runs once (lazy
+    * localCheckpoint shared by both writes). An LSH index is ~520 B/doc
+    * — at 100 TB of corpus it is tens of GB, which is what makes
+    * probe-without-rescanning-the-corpus the only workable re-dedup
+    * mode at that scale.
+    */
+  def buildLshIndex(
+      corpus: DataFrame,
+      name: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 32
+  ): Unit = {
+    val sigs =
+      minhashSignatures(hashedShingles(corpus, k, textCol, idCol), numHashes, idCol).localCheckpoint(eager = false)
+    graft.sources.Bucketing.writeBucketedKeys(
+      bandedSignatures(sigs, numHashes, bands, idCol).select(col("band"), col("bucket"), col(idCol)),
+      s"${name}_bands",
+      buckets,
+      Seq("band", "bucket")
+    )
+    graft.sources.Bucketing.writeBucketedKeys(
+      sigs.select(col(idCol), col("sig")),
+      s"${name}_sigs",
+      buckets,
+      Seq(idCol)
+    )
+  }
+
+  /** Incremental near-dup dedup: probe an incoming batch against a
+    * persisted [[buildLshIndex]] index WITHOUT re-banding the corpus.
+    * Returns all near-dup pairs the batch introduces — batch↔corpus
+    * and batch↔batch — est-Jaccard-scored and thresholded exactly like
+    * [[minhashNearDups]].
+    *
+    * Equivalence contract (verified by `check_incremental_lsh`):
+    * because signatures and band keys are pure per-document functions,
+    * this equals the from-scratch run over corpus ∪ batch restricted
+    * to pairs touching the batch. The skew cap is applied to the
+    * COMBINED bucket population (index count + batch count), which is
+    * the population the from-scratch run would cap.
+    *
+    * Assumes batch ids are disjoint from corpus ids (ingest batches
+    * carry fresh ids); run [[incrementalExact]] first in a pipeline so
+    * byte-identical re-uploads never reach the LSH probe.
+    */
+  def incrementalMinhashLsh(
+      spark: SparkSession,
+      indexName: String,
+      incoming: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bucketCap: Int = 256
+  ): DataFrame = {
+    val batchSigs =
+      minhashSignatures(hashedShingles(incoming, k, textCol, idCol), numHashes, idCol).localCheckpoint(eager = false)
+    val batchBanded = bandedSignatures(batchSigs, numHashes, bands, idCol)
+      .select(col("band"), col("bucket"), col(idCol))
+    val idxBands = spark.table(s"${indexName}_bands")
+
+    // combined-population skew guard: a bucket is hot if corpus + batch
+    // members exceed the cap — exactly the bucket the from-scratch run
+    // over corpus ∪ batch would drop. Hot buckets are few by
+    // construction → broadcast anti-join. The index-side count
+    // aggregates over the bucketed scan, so it plans without exchange.
+    val hot = idxBands
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n_idx"))
+      .join(batchBanded.groupBy("band", "bucket").agg(count(lit(1)).as("n_new")), Seq("band", "bucket"), "full")
+      .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > bucketCap)
+      .select("band", "bucket")
+    val idxOk   = idxBands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val batchOk = batchBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+
+    // batch ↔ corpus candidates: the index side is bucketed on
+    // (band, bucket), so only the batch side shuffles
+    val crossPairs = idxOk
+      .select(col("band"), col("bucket"), col(idCol).as("a"))
+      .join(batchOk.select(col("band"), col("bucket"), col(idCol).as("b")), Seq("band", "bucket"))
+      .select("a", "b")
+      .distinct()
+    // batch ↔ batch candidates from the same capped bucket population
+    val intraPairs = bucketPairs(batchOk, Seq("band", "bucket"), col(idCol), Int.MaxValue).distinct()
+
+    val idxSigs = spark.table(s"${indexName}_sigs")
+    val scored = crossPairs
+      .join(idxSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
+      .join(batchSigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      .unionByName(
+        intraPairs
+          .join(batchSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
+          .join(batchSigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      )
+    scored
+      .withColumn(
+        "est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / cast($numHashes as double)")
+      )
+      .filter(col("est_jaccard") >= threshold)
+      .select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        round(col("est_jaccard"), 4).as("est_jaccard")
+      )
+      .orderBy("a", "b")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: per-token xxhash64, each bit votes

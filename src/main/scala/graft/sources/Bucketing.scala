@@ -15,15 +15,21 @@ object Bucketing {
     * previous JVM forgets the table but leaves the files, which makes
     * CREATE TABLE AS fail with LOCATION_ALREADY_EXISTS.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedKeys(df, table, buckets, Seq(key))
+
+  /** Multi-column variant: bucket + sort on a composite key (e.g. the
+    * LSH index's (band, bucket)).
+    */
+  def writeBucketedKeys(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

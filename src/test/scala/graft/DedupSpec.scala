@@ -120,6 +120,34 @@ class DedupSpec extends SparkSpec {
     assert(cliquePairs == 0, s"simhash cap failed to drop the adversarial clique: $cliquePairs pairs")
   }
 
+  test("incremental LSH probe == from-scratch pairs touching the batch") {
+    val corpus = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val batch  = docs.filter(col("doc_id") >= 300).select("doc_id", "text")
+    Dedup.buildLshIndex(corpus, "t_lsh_idx")
+    val incr = Dedup
+      .incrementalMinhashLsh(spark, "t_lsh_idx", batch, bucketCap = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val full = Dedup
+      .minhashNearDups(docs.select("doc_id", "text"), bucketCap = Int.MaxValue)
+      .filter(col("a") >= 300 || col("b") >= 300)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(incr == full, s"incremental=${incr.size} from-scratch=${full.size}")
+    assert(incr.nonEmpty, "probe found no pairs — testdata should contain cross-boundary near-dups")
+  }
+
+  test("incremental LSH probe: index side scans bucketed, only the batch shuffles") {
+    val plan = Dedup
+      .incrementalMinhashLsh(spark, "t_lsh_idx", docs.filter(col("doc_id") >= 300).select("doc_id", "text"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+  }
+
   test("hotBuckets reports over-cap buckets with sizes; capBuckets drops exactly those") {
     val banded = spark
       .range(0, 300)
