@@ -88,13 +88,17 @@ object Checks {
     val corpus = docs.filter(col("doc_id") < 400)
     val batch  = docs.filter(col("doc_id") >= 400)
     Dedup.buildLshIndex(corpus, "chk_lsh_idx")
+    // both sides are consumed twice (two anti-join counts): lazy
+    // localCheckpoint = compute once, blocks GC-freed, no CacheManager
     val incr = Dedup
       .incrementalMinhashLsh(spark, "chk_lsh_idx", batch, bucketCap = Int.MaxValue)
       .select("a", "b")
+      .localCheckpoint(eager = false)
     val full = Dedup
       .minhashNearDups(docs, bucketCap = Int.MaxValue)
       .filter(col("a") >= 400 || col("b") >= 400)
       .select("a", "b")
+      .localCheckpoint(eager = false)
     val missed = full.join(incr, Seq("a", "b"), "left_anti").count()
     val extra  = incr.join(full, Seq("a", "b"), "left_anti").count()
     spark
@@ -108,7 +112,7 @@ object Checks {
     */
   def simhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
-    val sigs = Dedup.simhash(docs).cache()
+    val sigs = Dedup.simhash(docs).localCheckpoint(eager = false)
     val exact = sigs
       .select(col("doc_id").as("a"), col("simhash").as("sa"))
       .join(sigs.select(col("doc_id").as("b"), col("simhash").as("sb")), col("a") < col("b"))
@@ -128,8 +132,10 @@ object Checks {
     * rescores with exact cosine, so any pair it reports must be real).
     */
   def embeddingLshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.embeddingNearDups(spark, dir, 0.4).select("a", "b")
-    val lsh   = Similarity.embeddingNearDupLsh(spark, dir, 0.4).select("a", "b")
+    // each side is consumed by three actions below — without the lazy
+    // checkpoint the quadratic exact pipeline would run three times
+    val exact = Dedup.embeddingNearDups(spark, dir, 0.4).select("a", "b").localCheckpoint(eager = false)
+    val lsh   = Similarity.embeddingNearDupLsh(spark, dir, 0.4).select("a", "b").localCheckpoint(eager = false)
     val nExact  = exact.count().toDouble
     val nMissed = exact.join(lsh, Seq("a", "b"), "left_anti").count().toDouble
     val nFalse  = lsh.join(exact, Seq("a", "b"), "left_anti").count()
@@ -175,7 +181,7 @@ object Checks {
     */
   def curationInvariants(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val out  = CurationPipeline.curate(spark, dir).cache()
+    val out  = CurationPipeline.curate(spark, dir).localCheckpoint(eager = false)
 
     val nOut    = out.count()
     val nUnique = out.select("doc_id").distinct().count()
@@ -321,7 +327,7 @@ object Checks {
     * oracle tie (DuckDB counts doc_id % 3 = 2).
     */
   def frameSampleInvariants(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Multimodal.sampleFrames(spark, dir).cache()
+    val frames = Multimodal.sampleFrames(spark, dir).localCheckpoint(eager = false)
     val perDoc = frames
       .groupBy("doc_id")
       .agg(
