@@ -156,6 +156,7 @@ object SparkEntry {
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
     "check_incremental_lsh"    -> q(Checks.incrementalLshEquivalence),
+    "check_incremental_curation" -> q(Checks.incrementalCurationInvariants),
     "check_simhash_recall"     -> q(Checks.simhashRecall),
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
     "check_ann_recall"         -> q(Checks.annRecall),
@@ -940,6 +941,8 @@ object SparkEntry {
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "check_lsh_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_incremental_lsh" -> "SELECT true AS no_missed, true AS no_extra",
+      "check_incremental_curation" ->
+        "SELECT true AS exact_ok, true AS near_dup_ok, true AS index_growth_ok",
       "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_embedding_lsh_recall" ->
         "SELECT true AS recall_ok, true AS no_false_positives",

@@ -106,6 +106,48 @@ object Checks {
       .select(lit(missed == 0L).as("no_missed"), lit(extra == 0L).as("no_extra"))
   }
 
+  /** Continuous-curation invariants over two sequential ingest batches
+    * against standing indexes (uncapped so the skew guard can't mask a
+    * violation): (1) no accepted doc's text digest collides with the
+    * seed corpus or another accepted doc; (2) no uncapped near-dup pair
+    * touches an accepted doc (pairs wholly inside the unscreened seed
+    * corpus are allowed); (3) the digest index grew by exactly the
+    * accepted counts.
+    */
+  def incrementalCurationInvariants(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalCuration
+    val docs   = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val b1     = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2     = docs.filter(col("doc_id") >= 400)
+    IncrementalCuration.initIndexes(corpus, "chk_cur")
+    val a1 = IncrementalCuration.ingestBatch(spark, b1, "chk_cur", bucketCap = Int.MaxValue)
+    val a2 = IncrementalCuration.ingestBatch(spark, b2, "chk_cur", bucketCap = Int.MaxValue)
+    val accepted    = a1.unionByName(a2).localCheckpoint(eager = false)
+    val finalCorpus = corpus.unionByName(accepted).localCheckpoint(eager = false)
+
+    val dupViolations = finalCorpus
+      .filter(col("text").isNotNull)
+      .groupBy(md5(col("text")))
+      .agg(count(lit(1)).as("n"), max(col("doc_id") >= 300).as("touches_accepted"))
+      .filter(col("n") > 1 && col("touches_accepted"))
+      .count()
+    val nearDupViolations = Dedup
+      .minhashNearDups(finalCorpus, bucketCap = Int.MaxValue)
+      .filter(col("a") >= 300 || col("b") >= 300)
+      .count()
+    val nDigests = spark.table("chk_cur_digests").count()
+    val expected = corpus.filter(col("text").isNotNull).select(md5(col("text"))).distinct().count() +
+      accepted.count()
+    spark
+      .range(1)
+      .select(
+        lit(dupViolations == 0L).as("exact_ok"),
+        lit(nearDupViolations == 0L).as("near_dup_ok"),
+        lit(nDigests == expected).as("index_growth_ok")
+      )
+  }
+
   /** SimHash pigeonhole candidates are EXACT for hamming ≤ maxDist:
     * every pair within distance 3 must appear. Missed = 0 by
     * construction (chunking is a proof, not a probability).

@@ -374,6 +374,37 @@ object Dedup {
     )
   }
 
+  /** Append a batch's signatures and band keys to an existing
+    * [[buildLshIndex]] index — the write half of an ingest cycle. The
+    * new files land in the tables' existing bucket layout, so the
+    * index keeps its exchange-free probe property as it grows.
+    */
+  def appendLshIndex(
+      batch: DataFrame,
+      name: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 32
+  ): Unit = {
+    val sigs =
+      minhashSignatures(hashedShingles(batch, k, textCol, idCol), numHashes, idCol).localCheckpoint(eager = false)
+    graft.sources.Bucketing.appendBucketedKeys(
+      bandedSignatures(sigs, numHashes, bands, idCol).select(col("band"), col("bucket"), col(idCol)),
+      s"${name}_bands",
+      buckets,
+      Seq("band", "bucket")
+    )
+    graft.sources.Bucketing.appendBucketedKeys(
+      sigs.select(col(idCol), col("sig")),
+      s"${name}_sigs",
+      buckets,
+      Seq(idCol)
+    )
+  }
+
   /** Incremental near-dup dedup: probe an incoming batch against a
     * persisted [[buildLshIndex]] index WITHOUT re-banding the corpus.
     * Returns all near-dup pairs the batch introduces — batch↔corpus
@@ -388,8 +419,10 @@ object Dedup {
     * the population the from-scratch run would cap.
     *
     * Assumes batch ids are disjoint from corpus ids (ingest batches
-    * carry fresh ids); run [[incrementalExact]] first in a pipeline so
-    * byte-identical re-uploads never reach the LSH probe.
+    * carry fresh ids — no ORDERING assumption; the `newcomer` column
+    * identifies the rejectable member of each pair even when batches
+    * arrive out of id order); run [[incrementalExact]] first in a
+    * pipeline so byte-identical re-uploads never reach the LSH probe.
     */
   def incrementalMinhashLsh(
       spark: SparkSession,
@@ -434,13 +467,20 @@ object Dedup {
     val intraPairs = bucketPairs(batchOk, Seq("band", "bucket"), col(idCol), Int.MaxValue).distinct()
 
     val idxSigs = spark.table(s"${indexName}_sigs")
+    // `newcomer` is the pair member an admission policy must reject:
+    // for a batch↔corpus pair it is ALWAYS the batch doc (the corpus
+    // side is already accepted and immutable — a greater/smaller-id
+    // rule silently breaks when batches arrive out of id order); for a
+    // batch↔batch pair it is the greater id (min-id keeper).
     val scored = crossPairs
       .join(idxSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
       .join(batchSigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("newcomer", col("b"))
       .unionByName(
         intraPairs
           .join(batchSigs.select(col(idCol).as("a"), col("sig").as("sig_a")), "a")
           .join(batchSigs.select(col(idCol).as("b"), col("sig").as("sig_b")), "b")
+          .withColumn("newcomer", greatest(col("a"), col("b")))
       )
     scored
       .withColumn(
@@ -451,7 +491,8 @@ object Dedup {
       .select(
         least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"),
-        round(col("est_jaccard"), 4).as("est_jaccard")
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        col("newcomer")
       )
       .orderBy("a", "b")
   }

@@ -34,6 +34,19 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append to an existing bucketed table with the same bucket spec —
+    * new files land in the same bucket layout, so readers keep the
+    * exchange-free property as the table grows (the incremental-index
+    * write path).
+    */
+  def appendBucketedKeys(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key — exchange-free when
     * bucket counts match.
     */

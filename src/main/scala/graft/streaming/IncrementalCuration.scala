@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/** Continuous corpus curation against STANDING dedup state — the shape
+  * a production training-data pipeline actually runs: documents arrive
+  * in batches forever, and each batch is admitted against everything
+  * ever accepted, not against a one-shot snapshot.
+  *
+  * Standing state per index name (all bucketed parquet tables, so every
+  * probe join is exchange-free on the index side and only the incoming
+  * batch shuffles):
+  *   - `{name}_digests` (digest): md5 of every accepted text — the
+  *     exact-dedup index;
+  *   - `{name}_bands` / `{name}_sigs` ([[Dedup.buildLshIndex]]): the
+  *     MinHash-LSH near-dup index.
+  *
+  * Batch admission ([[ingestBatch]]):
+  *   1. intra-batch exact dedup (min-id keeper) + anti-join against the
+  *      digest index — byte-identical re-uploads never reach the LSH
+  *      probe;
+  *   2. [[Dedup.incrementalMinhashLsh]] probe: a batch doc that
+  *      near-dups the standing corpus (any arrival order) or a
+  *      smaller-id batch sibling is dropped — each pair's `newcomer`;
+  *   3. survivors' digests and signatures are APPENDED to the indexes,
+  *      preserving the bucket layout.
+  *
+  * At 100 TB the cost per batch is proportional to the BATCH (plus
+  * bucketed index scans) — the corpus itself is never re-read, which is
+  * the entire point of keeping indexes instead of re-deduping the
+  * world.
+  */
+object IncrementalCuration {
+
+  /** Initialize standing state from a seed corpus (which is indexed
+    * as-is, not self-deduped — curate the seed first if needed).
+    */
+  def initIndexes(
+      corpus: DataFrame,
+      name: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      buckets: Int = 32
+  ): Unit = {
+    val spark = corpus.sparkSession
+    Dedup.buildLshIndex(corpus, name, k, numHashes, bands, buckets = buckets)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_digests")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${name}_digests".toLowerCase
+    )
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    corpus
+      .filter(col("text").isNotNull)
+      .select(md5(col("text")).as("digest"))
+      .distinct()
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "digest")
+      .sortBy("digest")
+      .format("parquet")
+      .saveAsTable(s"${name}_digests")
+  }
+
+  /** Admit one batch against the standing indexes; returns the accepted
+    * rows (batch schema preserved) and appends their state to the
+    * indexes. NULL-text rows are dropped (an ingest pipeline admits
+    * content, and NULL is absence of content).
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      name: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      bucketCap: Int = 256,
+      buckets: Int = 32
+  ): DataFrame = {
+    // 1. exact tier: intra-batch keeper, then anti-join the digest index
+    val intraDeduped = Dedup.exactDedup(batch.filter(col("text").isNotNull))
+    val fresh = intraDeduped
+      .join(
+        spark.table(s"${name}_digests"),
+        md5(intraDeduped("text")) === col("digest"),
+        "left_anti"
+      )
+      .localCheckpoint(eager = false) // consumed by probe + anti-join + append
+
+    // 2. near-dup tier: drop each pair's `newcomer` (the batch-side
+    // member — prior acceptances are immutable regardless of id order)
+    val nearDupIds = Dedup
+      .incrementalMinhashLsh(spark, name, fresh, k, numHashes, bands, threshold, bucketCap = bucketCap)
+      .select(col("newcomer").as("doc_id"))
+      .distinct()
+    // EAGER checkpoint: the admission decision reads the index tables,
+    // and step 3 appends to those same tables — materializing first
+    // severs the plan from the tables so the append never reads its own
+    // write target (and the decision is frozen before state mutates)
+    val accepted = fresh.join(nearDupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // 3. fold the survivors into the standing state
+    Dedup.appendLshIndex(accepted, name, k, numHashes, bands, buckets = buckets)
+    graft.sources.Bucketing.appendBucketedKeys(
+      accepted.select(md5(col("text")).as("digest")).distinct(),
+      s"${name}_digests",
+      buckets,
+      Seq("digest")
+    )
+    // The relation (file-listing) cache is PER SESSION, and under
+    // foreachBatch the micro-batch Datasets belong to a CLONED session
+    // — the append above refreshes the writer's cache, not this
+    // session's, so without an explicit refresh every later probe reads
+    // the index as it was at first use and silently admits near-dups.
+    Seq(s"${name}_bands", s"${name}_sigs", s"${name}_digests")
+      .foreach(spark.catalog.refreshTable)
+    accepted
+  }
+
+  /** Streaming wrapper: drain a document stream through [[ingestBatch]]
+    * with AvailableNow — the restartable "curate what's new" job. Each
+    * micro-batch is admitted against state that includes every prior
+    * batch's survivors.
+    */
+  def streamIngest(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      name: String,
+      outPath: String,
+      checkpoint: String,
+      threshold: Double = 0.5,
+      bucketCap: Int = 256
+  ): StreamingQuery =
+    docsStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(spark, batch, name, threshold = threshold, bucketCap = bucketCap)
+          .write
+          .mode(SaveMode.Append)
+          .parquet(outPath)
+      }
+      .start()
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.IncrementalCuration
+
+/** Continuous curation against standing indexes: exact re-uploads are
+  * rejected across batches, near-dups of anything previously accepted
+  * are rejected, and the streaming (foreachBatch) wrapper reaches the
+  * same final corpus invariants.
+  */
+class IncrementalCurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  test("sequential batches: exact re-uploads rejected, near-dups of prior state rejected, indexes grow") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    // batch2 re-uploads batch1's first 20 texts under fresh ids
+    val reuploads = batch1
+      .filter(col("doc_id") < 320)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val batch2 = docs.filter(col("doc_id") >= 400).unionByName(reuploads)
+
+    IncrementalCuration.initIndexes(corpus, "t_cur")
+    val acc1 = IncrementalCuration
+      .ingestBatch(spark, batch1, "t_cur", bucketCap = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val acc2 = IncrementalCuration
+      .ingestBatch(spark, batch2, "t_cur", bucketCap = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(acc1.nonEmpty && acc2.nonEmpty)
+    // every re-upload of an ACCEPTED batch1 text must be rejected in batch2
+    val reupOfAccepted = reuploads
+      .filter((col("doc_id") - 10000).isInCollection(acc1))
+      .collect().map(_.getLong(0)).toSet
+    assert(reupOfAccepted.nonEmpty, "test needs accepted batch1 docs re-uploaded")
+    assert(reupOfAccepted.intersect(acc2).isEmpty, "exact re-upload of accepted text got re-admitted")
+
+    // no two texts in the final accepted state share a digest with each
+    // other or with the corpus (exact tier invariant, order-independent)
+    val finalCorpus = corpus.unionByName(docs.unionByName(reuploads).filter(col("doc_id").isInCollection(acc1 ++ acc2)))
+    val dupDigests = finalCorpus
+      .filter(col("text").isNotNull)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1)
+      .count()
+    // the seed corpus may contain internal dups (indexed as-is); only
+    // pairs involving accepted docs violate the contract
+    val corpusInternalDups = corpus
+      .filter(col("text").isNotNull)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1)
+      .count()
+    assert(dupDigests == corpusInternalDups, "an accepted doc duplicates prior state")
+
+    // near-dup invariant: no uncapped LSH pair touches an accepted doc
+    // except pairs wholly inside the seed corpus
+    val offenders = Dedup
+      .minhashNearDups(finalCorpus, bucketCap = Int.MaxValue)
+      .filter(col("a").isInCollection(acc1 ++ acc2) || col("b").isInCollection(acc1 ++ acc2))
+      .count()
+    assert(offenders == 0, s"$offenders near-dup pairs touch accepted docs")
+
+    // the digest index grew by exactly the accepted counts
+    val nDigests = spark.table("t_cur_digests").count()
+    val nCorpusD = corpus.filter(col("text").isNotNull).select(md5(col("text"))).distinct().count()
+    assert(nDigests == nCorpusD + acc1.size + acc2.size)
+  }
+
+  test("streaming foreachBatch ingest reaches the same invariants") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    IncrementalCuration.initIndexes(corpus, "t_cur_s")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cur_in")
+    val outDir    = java.nio.file.Files.createTempDirectory("graft_cur_out").resolve("accepted")
+    val ckpt      = java.nio.file.Files.createTempDirectory("graft_cur_ck")
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    docs.filter(col("doc_id") >= 400)
+      .coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/*")
+    val query = IncrementalCuration.streamIngest(
+      spark, stream, "t_cur_s", outDir.toString, ckpt.toString, bucketCap = Int.MaxValue)
+    try query.awaitTermination()
+    finally query.stop()
+
+    val accepted = spark.read.parquet(outDir.toString)
+    val acceptedIds = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds.nonEmpty)
+    // exact invariant: accepted digests unique and disjoint from corpus
+    val finalCorpus = corpus.unionByName(accepted)
+    val corpusInternalDups = corpus.filter(col("text").isNotNull)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    val dupDigests = finalCorpus.filter(col("text").isNotNull)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    assert(dupDigests == corpusInternalDups)
+    // near-dup invariant, order-independent
+    val offenders = Dedup
+      .minhashNearDups(finalCorpus, bucketCap = Int.MaxValue)
+      .filter(col("a").isInCollection(acceptedIds) || col("b").isInCollection(acceptedIds))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(offenders.isEmpty, s"near-dup pairs touch accepted docs: ${offenders.mkString(", ")}")
+  }
+}
