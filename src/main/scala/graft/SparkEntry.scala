@@ -24,6 +24,14 @@ object SparkEntry {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { GraftSession.prepare(s); f(s, dir) }
 
+  /** Mixture weights for `mixture_sampling`: every source weight is a
+    * multiple of 0.25, so `frac(w) * 100` is exact in binary and the
+    * Spark and DuckDB admission comparisons cannot diverge on a
+    * boundary. src0/src8/src16 get weight 0 (excluded sources).
+    */
+  val mixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 8) * 0.25).toMap
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the two jobs of the reference engine ----
     "wc_wordcount" -> q((s, dir) => TextJobs.wordCount(Tables.documents(s, dir))),
@@ -135,6 +143,8 @@ object SparkEntry {
     },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
     "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
+    "mixture_sampling" -> q((s, dir) => DataOps.weightedMixture(s, dir, SparkEntry.mixtureWeights)),
+    "json_quarantine"  -> q(EventAnalytics.jsonQuarantine),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
@@ -903,6 +913,33 @@ object SparkEntry {
           |                  WHERE x.doc_id >= 400 AND x.doc_id < n.doc_id
           |                    AND md5(x.text) = md5(n.text))
           |ORDER BY doc_id""".stripMargin,
+      "mixture_sampling" -> {
+        val cases = mixtureWeights.toSeq.sortBy(_._1)
+          .map { case (s, w) => s"WHEN '$s' THEN $w" }
+          .mkString(" ")
+        s"""WITH m AS (
+           |  SELECT doc_id, source,
+           |    CASE source $cases END AS w,
+           |    (doc_id * 2654435761) % 100 AS bucket
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, source,
+           |    CAST(floor(w) + CASE WHEN bucket < (w - floor(w)) * 100.0 THEN 1 ELSE 0 END AS BIGINT) AS copies
+           |  FROM m WHERE w > 0.0)
+           |SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+           |FROM c WHERE copies > 0
+           |ORDER BY doc_id, epoch""".stripMargin
+      },
+      "json_quarantine" ->
+        """WITH p AS (SELECT event_id,
+          |             CASE WHEN event_id % 97 = 0 THEN '{' || props ELSE props END AS payload
+          |           FROM events),
+          |r AS (SELECT CASE WHEN json_valid(payload) THEN 'ok' ELSE 'quarantine' END AS route,
+          |             CASE WHEN json_valid(payload)
+          |                  THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k
+          |      FROM p)
+          |SELECT route, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+          |FROM r GROUP BY route ORDER BY route""".stripMargin,
       "gen_shingle_counts" ->
         s"""SELECT doc_id,
            |  COALESCE(GREATEST(len($toks) - 2, 0), 0) AS n_shingles

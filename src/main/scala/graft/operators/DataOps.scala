@@ -88,6 +88,63 @@ object DataOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic weighted mixture sampling — the "dataset mixing"
+    * step of a training pipeline: each source gets a weight in epochs
+    * (2.25 = every doc appears twice, plus a deterministic 25% appears
+    * a third time; 0.5 = half the docs appear once; 0 = excluded).
+    * The fractional part is admitted by the same multiplicative id
+    * hash as [[datasetSplit]], so the sample is reproducible across
+    * engines and runs with no RNG state, and a doc's fate never
+    * changes as other sources' weights do. One narrow pass + an
+    * explode — no shuffle at all.
+    */
+  def weightedMixture(spark: SparkSession, dir: String, weights: Map[String, Double]): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("w", element_at(typedLit(weights), col("source")))
+      .filter(col("w").isNotNull && col("w") > 0.0)
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 100)
+      .withColumn(
+        "copies",
+        (floor(col("w")) + when(col("bucket") < (col("w") - floor(col("w"))) * 100.0, 1).otherwise(0)).cast("long")
+      )
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  /** Z-order (Morton) value for two non-negative integer dimensions:
+    * interleave the low `bits` bits of each. Sorting/range-partitioning
+    * a table by this value clusters rows so that a rectangle predicate
+    * over BOTH dimensions touches few files — parquet min/max pruning
+    * then skips the rest, which is the data-layout half of scan
+    * performance at 100 TB (pushdown can only skip what the layout
+    * separates). Pure codegen'd HOF — no UDF.
+    */
+  def zOrderValue(xCol: String, yCol: String, bits: Int = 21): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+    expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L,
+         |  (acc, i) -> acc
+         |    | shiftleft(shiftright(cast($xCol as long), i) & 1L, 2 * i)
+         |    | shiftleft(shiftright(cast($yCol as long), i) & 1L, 2 * i + 1))""".stripMargin
+    )
+  }
+
+  /** Rewrite a table into a z-ordered layout on two dimensions:
+    * range-partition by the Morton value (so each output file owns a
+    * compact z-range) and sort within partitions (so row groups are
+    * compact too).
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, path: String, files: Int = 16): Unit =
+    df.withColumn("__z", zOrderValue(xCol, yCol))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   /** Skew recipe: replicate the small side `salts` ways and scatter the
     * big side's hot keys across them — the manual fallback when AQE's
     * skew-join split isn't available (e.g. a non-shuffle child). Result

@@ -33,6 +33,39 @@ object EventAnalytics {
       )
       .orderBy("event_id")
 
+  /** Malformed-record quarantine: parse the JSON payload and route
+    * rows a strict parse rejects to a side channel instead of failing
+    * the job or silently nulling fields — the ingestion hygiene every
+    * real feed needs (a 100 TB pipeline cannot stop for one bad
+    * producer, and dropping bad rows silently is worse). Corruption is
+    * PLANTED deterministically here (every 97th event's payload gets a
+    * LEADING brace — trailing garbage after a complete object is
+    * tolerated by Spark's Jackson parser, so it wouldn't corrupt)
+    * because the synthetic feed is all-valid; the routing logic is
+    * exactly what production runs.
+    */
+  def jsonQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .withColumn(
+        "payload",
+        when(col("event_id") % 97 === 0, concat(lit("{"), col("props"))).otherwise(col("props"))
+      )
+      .withColumn(
+        "parsed",
+        from_json(
+          col("payload"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType
+          )
+        )
+      )
+      .withColumn("route", when(col("parsed").isNull, "quarantine").otherwise("ok"))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), sum(element_at(col("parsed"), "k").cast("long")).as("sum_k"))
+      .orderBy("route")
+
   /** Aggregate over a JSON-extracted field. */
   def jsonAggregate(spark: SparkSession, dir: String): DataFrame =
     Tables

@@ -19,6 +19,56 @@ class DataOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedMixture: epoch counts follow the weights, zero-weight sources excluded") {
+    val weights = Map("src1" -> 0.5, "src2" -> 2.0, "src3" -> 2.25, "src4" -> 0.0)
+    val out = DataOps.weightedMixture(spark, sfDir, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(!out.exists(_._2 == "src4"), "zero-weight source leaked into the mixture")
+    assert(out.forall(r => weights.contains(r._2)), "unlisted source leaked into the mixture")
+    val bySrc = out.groupBy(_._2).view.mapValues(_.groupBy(_._1).view.mapValues(_.length).toMap).toMap
+    // integer part: every src2 doc appears >= 2 times; src1 docs 0 or 1
+    assert(bySrc("src2").values.forall(_ >= 2))
+    assert(bySrc.getOrElse("src1", Map.empty).values.forall(_ == 1))
+    // fractional part: src3 docs appear 2 or 3 times; some of each at 25%
+    val c3 = bySrc("src3").values.toSeq
+    assert(c3.forall(c => c == 2 || c == 3) && c3.contains(2) && c3.contains(3))
+    // deterministic: same call, same rows
+    val again = DataOps.weightedMixture(spark, sfDir, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sameElements(again))
+  }
+
+  test("z-order layout: a two-dimensional rectangle scan skips most row groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val root = df.queryExecution.executedPlan
+      val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+      plan.collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }.sum
+    }
+    val src = Tables
+      .orders(spark, sfDir)
+      .select(col("o_custkey").as("x"), col("o_orderkey").as("y"), col("o_totalprice"))
+    val Array(xMax, yMax) = src.agg(max("x"), max("y")).collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").resolve("z").toString
+    val pDir = java.nio.file.Files.createTempDirectory("graft_z").resolve("plain").toString
+    DataOps.zOrderWrite(src, "x", "y", zDir, files = 16)
+    // baseline: same file count, insertion order (both dims unclustered)
+    src.repartition(16).write.mode("overwrite").parquet(pDir)
+    def rect(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x") <= xMax / 8 && col("y") <= yMax / 8)
+    val total     = src.count()
+    val zScanned  = scanOutputRows(rect(spark.read.parquet(zDir)))
+    val pScanned  = scanOutputRows(rect(spark.read.parquet(pDir)))
+    // same answer from both layouts…
+    assert(rect(spark.read.parquet(zDir)).count() == rect(spark.read.parquet(pDir)).count())
+    // …but the z-ordered layout's min/max stats skip most row groups
+    // while the unclustered layout scans essentially everything
+    assert(zScanned < total / 4, s"z-order scanned $zScanned of $total rows")
+    assert(zScanned < pScanned / 2, s"z=$zScanned plain=$pScanned")
+  }
+
   test("winnowing: guaranteed shared fingerprint for long-enough common substrings") {
     // identical documents must produce identical fingerprint sets
     val fps = DataOps
