@@ -124,24 +124,36 @@ object Dedup {
     * exactly once, nothing is pinned in executor memory, and the only
     * shuffle is the groupBy itself.
     *
-    * The `cap` filter is the same skew guard as [[capBuckets]] (drop
-    * whole over-cap buckets, bounding every bucket to cap²/2 pairs) and
-    * additionally bounds the collected array to `cap` members — so the
-    * collect can never build a degenerate multi-GB row. Uncapped calls
-    * (`cap = Int.MaxValue`) are for bounded oracle/recall paths only.
+    * The skew guard happens BEFORE the collect: a count aggregation
+    * (constant-size buffers) finds over-cap buckets and a broadcast
+    * anti-join drops their rows, so a degenerate hot bucket never
+    * reaches a collect_list buffer — collecting first and filtering on
+    * array size after would materialize the full hot bucket in one
+    * aggregation row, which is exactly the OOM the cap exists to
+    * prevent. The residual size filter then only bounds what the
+    * capped population can produce. Uncapped calls
+    * (`cap = Int.MaxValue`) skip the guard pass — bounded
+    * oracle/recall paths only.
     */
   private[graft] def bucketPairs(
       banded: DataFrame,
       keys: Seq[String],
       member: org.apache.spark.sql.Column,
       cap: Int
-  ): DataFrame =
-    banded
+  ): DataFrame = {
+    // the guard reads `banded` twice (count pass + anti-join probe) and
+    // its upstream can be an expensive aggregate — materialize the
+    // narrow banded rows once (lazy checkpoint, GC-freed) instead of
+    // computing that upstream twice
+    val src     = if (cap == Int.MaxValue) banded else banded.localCheckpoint(eager = false)
+    val guarded = if (cap == Int.MaxValue) src else capBuckets(src, keys, cap)
+    guarded
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(member)).as("members"))
       .filter(size(col("members")) >= 2 && size(col("members")) <= cap)
       .select(col("members"), posexplode(col("members")).as(Seq("__i", "a")))
       .select(col("a"), explode(expr("slice(members, __i + 2, size(members))")).as("b"))
+  }
 
   /** Exact pairwise n-gram Jaccard similarity ≥ threshold, via the
     * standard inverted-shingle index (only docs sharing ≥1 shingle
@@ -157,7 +169,10 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    val sh     = shingles(df, k, textCol, idCol).distinct()
+    // consumed three times (bucket pass + the two size joins) and Spark
+    // performs no cross-input subtree reuse — lazy checkpoint computes
+    // the tokenize+explode+distinct once, blocks GC-freed
+    val sh     = shingles(df, k, textCol, idCol).distinct().localCheckpoint(eager = false)
     val sizes  = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val common = bucketPairs(sh, Seq("sh"), col(idCol), Int.MaxValue)
       .groupBy("a", "b")

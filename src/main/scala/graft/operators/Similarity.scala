@@ -215,7 +215,14 @@ object Similarity {
         )
       ).as(Seq("band", "sub_code"))
     )
-    val buckets = banded
+    // hot buckets are dropped via count + broadcast anti-join BEFORE
+    // the collect (Dedup.capBuckets) — collecting first would build the
+    // degenerate bucket's full array in one aggregation buffer. The
+    // guard reads the banded rows twice → checkpoint them once
+    val guarded =
+      if (bucketCap == Int.MaxValue) banded
+      else Dedup.capBuckets(banded.localCheckpoint(eager = false), Seq("band", "sub_code"), bucketCap)
+    val buckets = guarded
       .groupBy("band", "sub_code")
       .agg(
         collect_list(col("vec_id")).as("ids"),

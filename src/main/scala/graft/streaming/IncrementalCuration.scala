@@ -47,24 +47,13 @@ object IncrementalCuration {
       bands: Int = 16,
       buckets: Int = 32
   ): Unit = {
-    val spark = corpus.sparkSession
     Dedup.buildLshIndex(corpus, name, k, numHashes, bands, buckets = buckets)
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_digests")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      s"${name}_digests".toLowerCase
+    graft.sources.Bucketing.writeBucketedKeys(
+      corpus.filter(col("text").isNotNull).select(md5(col("text")).as("digest")).distinct(),
+      s"${name}_digests",
+      buckets,
+      Seq("digest")
     )
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    corpus
-      .filter(col("text").isNotNull)
-      .select(md5(col("text")).as("digest"))
-      .distinct()
-      .write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "digest")
-      .sortBy("digest")
-      .format("parquet")
-      .saveAsTable(s"${name}_digests")
   }
 
   /** Admit one batch against the standing indexes; returns the accepted

@@ -140,6 +140,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental LSH probe: index side scans bucketed, only the batch shuffles") {
+    // self-contained: build the index rather than depending on suite order
+    Dedup.buildLshIndex(docs.filter(col("doc_id") < 300).select("doc_id", "text"), "t_lsh_idx")
     val plan = Dedup
       .incrementalMinhashLsh(spark, "t_lsh_idx", docs.filter(col("doc_id") >= 300).select("doc_id", "text"))
       .queryExecution
