@@ -142,22 +142,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
     "dedup_incremental_lsh" -> q { (s, dir) =>
+      // production shape at every SF: the standing corpus is 90% of the
+      // table, the arriving batch 10% — probe cost is proportional to
+      // the batch. Index build memoized per corpus dir: the operator's
+      // contract is probe-against-STANDING-state, so repeated calls
+      // (bench min-of-2, verify) measure the probe, not a rebuild.
       val docs = Tables.documents(s, dir)
-      // index build memoized per corpus dir: the operator's contract is
-      // probe-against-STANDING-state, so repeated calls (bench min-of-2,
-      // verify) must measure the probe, not a from-scratch rebuild
       lshIndexBuilt.synchronized {
         if (!lshIndexBuilt.contains(dir)) {
-          Dedup.buildLshIndex(docs.filter(col("doc_id") < 400), "q_lsh_idx")
+          Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "q_lsh_idx")
           lshIndexBuilt += dir
         }
       }
-      Dedup.incrementalMinhashLsh(s, "q_lsh_idx", docs.filter(col("doc_id") >= 400))
+      Dedup.incrementalMinhashLsh(s, "q_lsh_idx", docs.filter(col("doc_id") % 10 === 0))
     },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
     "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
     "mixture_sampling" -> q((s, dir) => DataOps.weightedMixture(s, dir, SparkEntry.mixtureWeights)),
     "json_quarantine"  -> q(EventAnalytics.jsonQuarantine),
+    "cogroup_order_gaps" -> q(MapReduce.customerOrderGaps),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
@@ -926,6 +929,18 @@ object SparkEntry {
           |                  WHERE x.doc_id >= 400 AND x.doc_id < n.doc_id
           |                    AND md5(x.text) = md5(n.text))
           |ORDER BY doc_id""".stripMargin,
+      "cogroup_order_gaps" ->
+        """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+          |g AS (SELECT o_custkey, d,
+          |        datediff('day', lag(d) OVER (PARTITION BY o_custkey ORDER BY d), d) AS gap
+          |      FROM o),
+          |a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          |        CAST(max(gap) AS BIGINT) AS max_gap_days
+          |      FROM g GROUP BY o_custkey)
+          |SELECT c_custkey, c_name,
+          |  COALESCE(n_orders, 0) AS n_orders, max_gap_days
+          |FROM customer LEFT JOIN a ON c_custkey = o_custkey
+          |ORDER BY c_custkey""".stripMargin,
       "mixture_sampling" -> {
         val cases = mixtureWeights.toSeq.sortBy(_._1)
           .map { case (s, w) => s"WHEN '$s' THEN $w" }

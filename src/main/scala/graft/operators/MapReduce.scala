@@ -48,6 +48,44 @@ object MapReduce {
       .mapValues((kv: (K, V)) => kv._2)(vEnc)
       .agg(agg.toColumn)
 
+  /** Typed two-sided cogroup: per-customer order-gap analysis — the
+    * `KeyValueGroupedDataset.cogroup` rung of the typed surface, for
+    * per-key merge logic that joins can't express (here: the maximum
+    * gap in days between a customer's CONSECUTIVE orders, which needs
+    * the sorted order sequence per key, not a pairwise condition).
+    * Customers with no orders emit n_orders = 0 and a NULL gap — the
+    * left-outer shape. Both sides shuffle once on the key; the
+    * per-group closure sees one customer's orders only, so memory is
+    * bounded by the largest single group.
+    */
+  def customerOrderGaps(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val customers = graft.Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .as[(Long, String)]
+    val orders = graft.Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date"))
+      .as[(Long, java.sql.Date)]
+    customers
+      .groupByKey(_._1)
+      .cogroup(orders.groupByKey(_._1)) { (key, cs, os) =>
+        if (!cs.hasNext) Iterator.empty
+        else {
+          val name = cs.next()._2
+          val days = os.map(_._2.toLocalDate.toEpochDay).toArray.sorted
+          val maxGap =
+            if (days.length < 2) None
+            else Some((1 until days.length).map(i => days(i) - days(i - 1)).max)
+          Iterator.single((key, name, days.length.toLong, maxGap))
+        }
+      }
+      .toDF("c_custkey", "c_name", "n_orders", "max_gap_days")
+      .orderBy("c_custkey")
+  }
+
   /** Distinct-sorted-collect aggregator — the reference's ii reduce fn
     * (reducer.go:172-186) as a reusable, partially-aggregatable
     * [[Aggregator]] with a bounded-ish Set buffer.
