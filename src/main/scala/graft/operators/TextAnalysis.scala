@@ -245,15 +245,23 @@ object TextAnalysis {
     val tokens = TextJobs.tokenized(docs.select("doc_id", "text"), "text", "term")
     val tf     = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_    = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val w      = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("term"))
+    // top term per doc as an AGGREGATE, not a window: min of
+    // (−tfidf, term) under struct ordering == max tfidf with the
+    // smallest term as tie-break — identical to the row_number()
+    // formulation, but partially aggregable (map-side combine, no
+    // per-partition sort of every (doc, term) row). At corpus scale
+    // the window sort is the dominant cost this avoids.
     tf.join(broadcast(df_), "term")
       .crossJoin(broadcast(nd))
       .withColumn("tfidf", round(col("tf") * log(col("__n_docs") / col("df")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("tfidf")).as("neg"), col("term"))).as("top"))
+      .select(
+        col("doc_id"),
+        col("top.term").as("top_term"),
+        // + 0.0 normalizes the −0.0 that negating a zero tfidf yields
+        (-col("top.neg") + lit(0.0)).as("tfidf")
+      )
       .orderBy("doc_id")
   }
 }
