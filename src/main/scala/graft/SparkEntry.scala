@@ -161,10 +161,12 @@ object SparkEntry {
     "mixture_sampling" -> q((s, dir) => DataOps.weightedMixture(s, dir, SparkEntry.mixtureWeights)),
     "json_quarantine"  -> q(EventAnalytics.jsonQuarantine),
     "cogroup_order_gaps" -> q(MapReduce.customerOrderGaps),
+    "stratified_sample"  -> q((s, dir) => DataOps.stratifiedSample(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
     "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
+    "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     // ---- text analysis ----
     "text_langid"      -> q(TextAnalysis.languageId),
@@ -187,6 +189,7 @@ object SparkEntry {
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
     "check_ann_recall"         -> q(Checks.annRecall),
     "check_ivf_recall"         -> q(Checks.ivfRecall),
+    "check_pq_recall"          -> q(Checks.pqRecall),
     "check_curation"           -> q(Checks.curationInvariants),
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
@@ -929,6 +932,13 @@ object SparkEntry {
           |                  WHERE x.doc_id >= 400 AND x.doc_id < n.doc_id
           |                    AND md5(x.text) = md5(n.text))
           |ORDER BY doc_id""".stripMargin,
+      "stratified_sample" ->
+        """SELECT source, doc_id, rk FROM (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
       "cogroup_order_gaps" ->
         """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
           |g AS (SELECT o_custkey, d,
@@ -1013,6 +1023,7 @@ object SparkEntry {
         "SELECT true AS recall_ok, true AS no_false_positives",
       "check_ann_recall" -> "SELECT true AS recall_ok",
       "check_ivf_recall" -> "SELECT true AS recall_ok",
+      "check_pq_recall" -> "SELECT true AS recall_ok",
       "check_curation" ->
         """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,
           |       true AS keeper_ok, true AS split_ok, true AS quality_ok""".stripMargin,

@@ -201,6 +201,13 @@ object Checks {
   def ivfRecall(spark: SparkSession, dir: String): DataFrame =
     topkRecallCheck(spark, Similarity.ivfTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.3)
 
+  /** PQ-ADC (16 × 64 codebooks on normalized vectors) mean recall@5 vs
+    * brute force ≥ 0.3 — deterministic training sample and seed, so
+    * the boolean is stable.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    topkRecallCheck(spark, Similarity.pqTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.3)
+
   private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame = {
     val hit = ann
       .select(col("qid"), col("cand"))

@@ -113,6 +113,26 @@ object DataOps {
       .select(col("doc_id"), col("source"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
       .orderBy("doc_id", "epoch")
 
+  /** Deterministic stratified sample: exactly `perSource` docs from
+    * each source (fewer if the stratum is smaller), chosen by rank
+    * under the multiplicative id hash — a stable pseudo-random order
+    * that every engine can replay, so "the sample" is a pure function
+    * of the data. The per-stratum top-k is a window here for oracle
+    * parity; the bounded-shuffle form is [[graft.functions.TopKAgg]].
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, perSource: Int = 5): DataFrame = {
+    val w = Window
+      .partitionBy("source")
+      .orderBy(((col("doc_id") * 2654435761L) % 1000000007L).asc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+  }
+
   /** Z-order (Morton) value for two non-negative integer dimensions:
     * interleave the low `bits` bits of each. Sorting/range-partitioning
     * a table by this value clusters rows so that a rectangle predicate

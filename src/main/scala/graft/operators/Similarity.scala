@@ -184,6 +184,102 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Product-quantization ANN: split each (L2-normalized) vector into
+    * `m` sub-vectors, learn a small per-subspace codebook (KMeans on a
+    * bounded hash-mod sample — never the full table), encode every
+    * vector as `m` small codes (m·log2(k) bits = 12 B/vector at the
+    * 16×64 default vs 256 B raw: the compression that keeps a 100 TB
+    * embedding corpus RAM-resident), and score queries by asymmetric distance
+    * computation: per query, a (sub_idx, code) → partial-dot table is
+    * broadcast and each candidate's approximate cosine is the sum of
+    * its m table lookups. ADC is a scan algorithm — O(|V|·m) tiny
+    * lookups per query; compose with IVF cells to restrict candidates
+    * in production.
+    *
+    * Training is deterministic (fixed seed, hash-mod sample), so
+    * results are reproducible and the recall check is stable.
+    */
+  def pqTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      m: Int = 16,
+      codebookK: Int = 64,
+      queryFilter: String = "vec_id % 100 = 0"
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dim = raw.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    // normalize so dot == cosine and ADC approximates the real metric
+    val e = raw
+      .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
+
+    def subVecs(df: DataFrame): DataFrame =
+      df.select(
+        col("vec_id"),
+        posexplode(
+          expr(s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")
+        ).as(Seq("sub_idx", "subvec"))
+      )
+
+    // bounded deterministic training sample, one materialization for
+    // all m subspace fits
+    val sampleTarget = 256L * codebookK
+    val nVecs        = raw.count()
+    val modulus      = math.max(1L, nVecs / sampleTarget)
+    val trainSubs = subVecs(
+      if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)
+    ).withColumn("features", array_to_vector(col("subvec"))).localCheckpoint()
+
+    val codebooks: Seq[(Int, Int, Array[Float])] = (0 until m).flatMap { s =>
+      val model = new KMeans()
+        .setK(codebookK)
+        .setSeed(42L + s)
+        .setMaxIter(3)
+        .setInitMode("random")
+        .setFeaturesCol("features")
+        .fit(trainSubs.filter(col("sub_idx") === s))
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toArray.map(_.toFloat))
+      }
+    }
+    val cbDf = spark.createDataFrame(codebooks).toDF("sub_idx", "code", "cvec")
+
+    // encode: nearest codebook entry per (vector, subspace) — min of
+    // (l2, code) under struct ordering, an aggregate not a window
+    val codes = subVecs(e)
+      .join(broadcast(cbDf), Seq("sub_idx"))
+      .withColumn("l2", expr("aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, d) -> acc + d)"))
+      .groupBy("vec_id", "sub_idx")
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub_idx"), col("best.code").as("code"))
+
+    // ADC: per query, partial dot of each query sub-vector with every
+    // codebook entry; candidate score = sum of m lookups
+    val qtab = subVecs(e.filter(expr(queryFilter)))
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cbDf), Seq("sub_idx"))
+      .withColumn("pdot", expr("aggregate(zip_with(subvec, cvec, (a, b) -> cast(a * b as double)), 0.0D, (acc, d) -> acc + d)"))
+      .select(col("qid"), col("sub_idx"), col("code"), col("pdot"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
+    codes
+      .join(broadcast(qtab), Seq("sub_idx", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cand"))
+      .agg(sum("pdot").as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .orderBy("qid", "rnk")
+  }
+
   /** ANN via multi-probe banding of the sign bits: split the
     * `numPlanes`-bit code into `bands` sub-codes; vectors sharing any
     * sub-code are candidates, then exact cosine rescoring + top-k.
