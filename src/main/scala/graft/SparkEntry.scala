@@ -178,6 +178,9 @@ object SparkEntry {
     "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
+    "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
+    "text_lm_score"    -> q(TextAnalysis.lmScore),
+    "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
@@ -993,6 +996,46 @@ object SparkEntry {
            |  (sum(c) - count(*)) / CAST(sum(c) AS DOUBLE) AS dup_gram_ratio,
            |  max(c) / CAST(sum(c) AS DOUBLE) AS top_gram_share
            |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_boilerplate" ->
+        s"""WITH gr AS (SELECT DISTINCT doc_id, g FROM (
+           |        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+           |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+           |        FROM (SELECT doc_id, $toks AS tk FROM documents)
+           |        WHERE len(tk) >= 3)),
+           |dfq AS (SELECT g, count(*) AS df FROM gr GROUP BY g),
+           |per AS (SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |          CAST(sum(CASE WHEN dfq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+           |        FROM gr JOIN dfq USING (g) GROUP BY gr.doc_id)
+           |SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+           |  COALESCE(per.n_boiler, 0) AS n_boiler,
+           |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+           |       THEN per.n_boiler / CAST(per.n_grams AS DOUBLE) END AS boiler_ratio
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "text_lm_score" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           |uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+           |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+           |bgr AS (SELECT doc_id, g[1] AS w1, g[2] AS w2 FROM (
+           |          SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+           |            i -> [tk[i], tk[i+1]])) AS g
+           |          FROM (SELECT doc_id, $toks AS tk FROM documents)
+           |          WHERE len(tk) >= 2)),
+           |big AS (SELECT w1, w2, count(*) AS cb FROM bgr GROUP BY w1, w2),
+           |per AS (SELECT bgr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |          round(avg(ln((big.cb + 1.0) / (uni.c1 + v.v))), 4) AS avg_logp
+           |        FROM bgr JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+           |        GROUP BY bgr.doc_id)
+           |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.avg_logp
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "vocab_ids" ->
+        s"""WITH c AS (SELECT term, count(*) AS cnt
+           |           FROM (SELECT unnest($toks) AS term FROM documents)
+           |           GROUP BY term)
+           |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
+           |FROM c ORDER BY vocab_id""".stripMargin,
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -133,6 +133,39 @@ object DataOps {
       .orderBy("source", "rk")
   }
 
+  /** Vocabulary construction: every corpus term gets a contiguous id
+    * 1..V in (frequency desc, term asc) order — the tokenizer-building
+    * step between a curated corpus and a trainer.
+    *
+    * The naive formulation — `row_number()` over a global
+    * `Window.orderBy` — forces EVERY row through one partition (Spark
+    * plans an Exchange SinglePartition) and is the one window shape
+    * that cannot scale. The scale pattern used here: range-partition by
+    * the sort key, sort within partitions, then assign ids with
+    * per-partition offsets (`RDD.zipWithIndex` — one tiny count job for
+    * the partition sizes, then a narrow map). Ids depend only on the
+    * total sort order, not on where the range boundaries land, so the
+    * result is deterministic; the tie-break (term) makes the order
+    * total.
+    */
+  def vocabIds(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val counts = TextJobs
+      .tokenized(Tables.documents(spark, dir).select("doc_id", "text"), "text", "term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("term"), col("cnt"))
+      .as[(String, Long)]
+    counts
+      .repartitionByRange(parts, col("cnt").desc, col("term").asc)
+      .sortWithinPartitions(col("cnt").desc, col("term").asc)
+      .rdd
+      .zipWithIndex()
+      .map { case ((term, cnt), idx) => (term, cnt, idx + 1L) }
+      .toDF("term", "cnt", "vocab_id")
+      .orderBy("vocab_id")
+  }
+
   /** Z-order (Morton) value for two non-negative integer dimensions:
     * interleave the low `bits` bits of each. Sorting/range-partitioning
     * a table by this value clusters rows so that a rectangle predicate

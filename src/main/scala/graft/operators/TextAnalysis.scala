@@ -233,6 +233,96 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** Cross-document boilerplate scoring: the fraction of a document's
+    * distinct k-grams that also appear in ≥ `minDocs` documents —
+    * the signal that catches site templates, navigation chrome, and
+    * license banners that intra-document repetition
+    * ([[repetitionScore]]) cannot see (each instance occurs once per
+    * page but on every page). The companion pass to line-level dedup
+    * on corpora whose documents carry no line structure.
+    *
+    * Scale shape: distinct (doc, gram) pairs are the only thing
+    * shuffled — the gram document-frequency table derives from them by
+    * one more partial→final aggregate, and the per-doc roll-up joins on
+    * the gram key. The pair set is read twice (df pass + per-doc join),
+    * so it materializes once via a lazy localCheckpoint instead of
+    * recomputing the tokenize+explode upstream (Spark performs no
+    * cross-input subtree reuse).
+    */
+  def boilerplateScore(spark: SparkSession, dir: String, k: Int = 3, minDocs: Int = 3): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val grams = Dedup.shingles(docs, k).distinct().localCheckpoint(eager = false)
+    val hot = grams
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("sh"), lit(1L).as("__hot"))
+    val per = grams
+      .join(hot, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("__hot"), lit(0L))).as("n_boiler"))
+    docs
+      .select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        // guarded quotient: short docs have no grams, and double
+        // division by zero diverges across engines (Inf vs NULL)
+        when(coalesce(col("n_grams"), lit(0L)) > 0, col("n_boiler") / col("n_grams").cast("double"))
+          .as("boiler_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model quality score (the CCNet/Gopher-style
+    * "perplexity filter" shape): train bigram + unigram counts on the
+    * corpus itself, then score every document by its mean add-one-
+    * smoothed bigram log-probability — ln((c(w1,w2)+1)/(c(w1)+V)).
+    * Low scores flag gibberish and token soup; abnormally high scores
+    * flag boilerplate the model has memorized. The "model" is two
+    * aggregate tables, so training and scoring are the same kind of
+    * Spark job — no external LM, fully reproducible.
+    *
+    * Scale shape: the bigram extraction runs twice (count pass + score
+    * pass) — both are narrow explodes off the corpus scan, cheaper at
+    * 100 TB than materializing the (doc, w1, w2) stream. The count
+    * tables shuffle by their own keys; the score join shuffles bigram
+    * rows by (w1, w2), and the vocabulary size enters as a broadcast
+    * 1-row aggregate (never a driver `.count()`, which would make plan
+    * construction eagerly execute — same contract as [[tfIdfTopTerm]]).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def bigrams: DataFrame =
+      docs
+        .select(col("doc_id"), expr(toks("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(expr("transform(sequence(0, size(tk) - 2), i -> array(tk[i], tk[i + 1]))")).as("bg")
+        )
+        .select(col("doc_id"), col("bg")(0).as("w1"), col("bg")(1).as("w2"))
+    val uni   = TextJobs.tokenized(docs.select("doc_id", "text"), "text", "tok").groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val big   = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val per = bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + 1.0) / (col("c1") + col("__v")))), 4).as("avg_logp")
+      )
+    docs
+      .select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: top term per document by tf·idf weight. The corpus size
     * enters as a broadcast 1-row aggregate (not a driver `.count()`),
     * so building the DataFrame stays lazy and the whole thing runs as

@@ -114,6 +114,25 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocabIds: contiguous 1..V ids equal to the single-partition window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val got = DataOps.vocabIds(spark, sfDir, parts = 8).collect()
+    // contiguous, no gaps, starts at 1
+    assert(got.map(_.getLong(2)).toSeq == (1L to got.length.toLong))
+    // matches the (unscalable) global-window formulation exactly —
+    // the two-phase offset assignment changes the plan, not the result
+    val counts = graft.operators.TextJobs
+      .tokenized(Tables.documents(spark, sfDir).select("doc_id", "text"), "text", "term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+    val windowed = counts
+      .withColumn("vocab_id", row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+      .orderBy("vocab_id")
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      windowed.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("dataset split is deterministic with the expected proportions") {
     val a = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap

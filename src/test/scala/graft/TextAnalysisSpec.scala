@@ -31,6 +31,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("boilerplateScore: minDocs=1 flags every gram, huge minDocs flags none") {
+    // the cap parameter's two extremes pin the join/count logic exactly:
+    // at minDocs=1 every distinct gram trivially clears the bar, so
+    // n_boiler == n_grams (ratio 1 wherever grams exist); at an
+    // unreachable minDocs nothing does
+    val all = TextAnalysis.boilerplateScore(spark, sfDir, minDocs = 1).collect()
+    assert(all.nonEmpty)
+    assert(all.forall(r => r.getLong(1) == r.getLong(2)))
+    assert(all.forall(r => r.getLong(1) == 0 || r.getDouble(3) == 1.0))
+    assert(all.forall(r => !(r.getLong(1) == 0) || r.isNullAt(3)))
+    val none = TextAnalysis.boilerplateScore(spark, sfDir, minDocs = Int.MaxValue).collect()
+    assert(none.forall(_.getLong(2) == 0L))
+    // same per-doc universe regardless of the threshold
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      none.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("lmScore: one row per doc, short docs score null, probabilities stay below 1") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val rows = TextAnalysis.lmScore(spark, sfDir).collect()
+    assert(rows.length == docs)
+    rows.foreach { r =>
+      if (r.getLong(1) == 0L) assert(r.isNullAt(2), s"doc ${r.getLong(0)}: no bigrams but non-null score")
+      // add-one smoothing keeps every bigram probability < 1 for any
+      // corpus with vocabulary > 1, so the mean log-prob is negative
+      else assert(r.getDouble(2) < 0.0, s"doc ${r.getLong(0)}: avg_logp ${r.getDouble(2)} not negative")
+    }
+  }
+
   test("tfIdfTopTerm: one row per document, deterministic top term") {
     val rows = TextAnalysis.tfIdfTopTerm(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
