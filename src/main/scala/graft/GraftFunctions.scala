@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
+import graft.functions.{CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
 
 /** Registry of graft's native Catalyst expressions, exposed as SQL
   * functions so they compose with `expr(...)` / `selectExpr` / pure SQL
@@ -49,6 +49,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "shingle_hash_stream",
       exprs => ShingleHashesGen(exprs(0), exprs(1).eval().toString.toInt),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "freq_items_agg",
+      exprs => FreqItemsAgg(exprs(0), exprs(1).eval().toString.toInt),
       "built-in"
     )
     reg.createOrReplaceTempFunction(

@@ -179,11 +179,13 @@ object SparkEntry {
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
+    "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
+    "check_freq_items"         -> q(Checks.freqItemsGuarantee),
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
     "check_incremental_lsh"    -> q(Checks.incrementalLshEquivalence),
@@ -1057,6 +1059,17 @@ object SparkEntry {
       "check_approx_quantiles" ->
         """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "text_freq_items" ->
+        s"""SELECT term, CAST(cnt AS BIGINT) AS cnt FROM (
+           |  SELECT term, count(*) AS cnt
+           |  FROM (SELECT unnest($toks) AS term FROM documents)
+           |  GROUP BY term)
+           |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+      "check_freq_items" ->
+        """SELECT stream, CAST(0 AS BIGINT) AS missed_heavy,
+          |  CAST(0 AS BIGINT) AS over_est, CAST(0 AS BIGINT) AS under_err
+          |FROM (VALUES ('l_returnflag'), ('o_orderstatus'), ('tokens')) t(stream)
+          |ORDER BY stream""".stripMargin,
       "check_lsh_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_incremental_lsh" -> "SELECT true AS no_missed, true AS no_extra",
       "check_incremental_curation" ->

@@ -39,6 +39,48 @@ object Checks {
       )
       .orderBy("l_returnflag")
 
+  /** Misra–Gries guarantee check ([[graft.functions.FreqItemsAgg]]),
+    * run in the sub-capacity regime where decrements actually fire
+    * (capacity 2 over 3-to-5-value skewed columns, capacity 8 over the
+    * 31-term token stream). The three bounds hold for ANY merge order
+    * (mergeable-summaries theorem), so the result is deterministic
+    * even though the surviving counter set near the threshold is not:
+    *   - missed_heavy: items with true count > n/(cap+1) absent from
+    *     the sketch (guaranteed-presence violation);
+    *   - over_est: estimates above the true count;
+    *   - under_err: undercounts beyond the n/(cap+1) error budget.
+    * All must be zero; DuckDB states the zeros.
+    */
+  def freqItemsGuarantee(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    def check(df: DataFrame, itemCol: org.apache.spark.sql.Column, cap: Int, label: String): DataFrame = {
+      val items  = df.select(itemCol.as("item")).filter(col("item").isNotNull)
+      val sketch = items
+        .agg(expr(s"freq_items_agg(item, $cap)").as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val n     = items.agg(count(lit(1)).as("n"))
+      exact
+        .join(sketch, Seq("item"), "left")
+        .crossJoin(broadcast(n))
+        .agg(
+          sum(when(col("cnt") > col("n") / (cap + 1) && col("est").isNull, 1L).otherwise(0L)).as("missed_heavy"),
+          sum(when(col("est") > col("cnt"), 1L).otherwise(0L)).as("over_est"),
+          sum(when(col("est").isNotNull && col("cnt") - col("est") > col("n") / (cap + 1), 1L).otherwise(0L))
+            .as("under_err")
+        )
+        .select(lit(label).as("stream"), col("missed_heavy"), col("over_est"), col("under_err"))
+    }
+    val docs = Tables.documents(spark, dir)
+    check(Tables.lineitem(spark, dir), col("l_returnflag"), 2, "l_returnflag")
+      .unionByName(check(Tables.orders(spark, dir), col("o_orderstatus"), 2, "o_orderstatus"))
+      .unionByName(
+        check(TextJobs.tokenized(docs.select("doc_id", "text"), "text", "tok"), col("tok"), 8, "tokens")
+      )
+      .orderBy("stream")
+  }
+
   /** Approximate percentiles (accuracy 10000) within 2% relative error
     * of the exact interpolated percentiles, per group.
     */

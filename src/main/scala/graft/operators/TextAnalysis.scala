@@ -323,6 +323,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.FreqItemsAgg]]): the top-`outK` most frequent
+    * tokens from ONE bounded-memory aggregate over the token stream —
+    * no per-term shuffle. The exact groupBy ([[topBigrams]]-style)
+    * shuffles the full distinct-term table; this ships one
+    * `capacity`-entry summary per partition, the right shape when the
+    * term universe itself is shuffle-scale (URLs, n-grams, user ids).
+    *
+    * Run with `capacity` ≥ the true vocabulary size, the sketch never
+    * decrements and the estimates ARE the exact counts (the
+    * oracle-comparable regime — this corpus has a fixed small
+    * vocabulary). The sub-capacity regime's error bounds are verified
+    * by `check_freq_items`.
+    */
+  def freqItems(spark: SparkSession, dir: String, capacity: Int = 64, outK: Int = 20): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    tokenRows(spark, dir)
+      .agg(expr(s"freq_items_agg(tok, $capacity)").as("fi"))
+      .select(explode(col("fi")).as("e"))
+      .select(col("e.item").as("term"), col("e.est").as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(outK)
+  }
+
   /** TF-IDF: top term per document by tf·idf weight. The corpus size
     * enters as a broadcast 1-row aggregate (not a driver `.count()`),
     * so building the DataFrame stays lazy and the whole thing runs as
