@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
+    "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
     // ---- text analysis ----
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_quality"     -> q(TextAnalysis.qualityScore),
@@ -192,6 +193,7 @@ object SparkEntry {
     "check_incremental_curation" -> q(Checks.incrementalCurationInvariants),
     "check_simhash_recall"     -> q(Checks.simhashRecall),
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
+    "check_semantic_dedup"       -> q(Checks.semanticDedupCheck),
     "check_ann_recall"         -> q(Checks.annRecall),
     "check_ivf_recall"         -> q(Checks.ivfRecall),
     "check_pq_recall"          -> q(Checks.pqRecall),
@@ -1076,6 +1078,8 @@ object SparkEntry {
         "SELECT true AS exact_ok, true AS near_dup_ok, true AS index_growth_ok",
       "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_embedding_lsh_recall" ->
+        "SELECT true AS recall_ok, true AS no_false_positives",
+      "check_semantic_dedup" ->
         "SELECT true AS recall_ok, true AS no_false_positives",
       "check_ann_recall" -> "SELECT true AS recall_ok",
       "check_ivf_recall" -> "SELECT true AS recall_ok",

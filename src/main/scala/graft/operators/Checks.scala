@@ -231,6 +231,29 @@ object Checks {
       )
   }
 
+  /** Semantic (SemDeDup-style) near-dup pairs vs the exact cosine≥0.4
+    * pair set: zero false positives (the cell path rescores with exact
+    * cosine — any reported pair must be in the exact set) and recall
+    * ≥ 0.5 (what same-cell blocking keeps of the boundary-straddling
+    * pair population; deterministic — fixed seed, hash-mod sample —
+    * so the boolean is stable).
+    */
+  def semanticDedupCheck(spark: SparkSession, dir: String): DataFrame = {
+    // each side feeds two-plus actions — lazy checkpoints keep the
+    // quadratic exact pipeline and the kmeans fit single-run
+    val exact = Dedup.embeddingNearDups(spark, dir, 0.4).select("a", "b").localCheckpoint(eager = false)
+    val sem   = Similarity.semanticNearDups(spark, dir, 0.4).select("a", "b").localCheckpoint(eager = false)
+    val nExact  = exact.count().toDouble
+    val nMissed = exact.join(sem, Seq("a", "b"), "left_anti").count().toDouble
+    val nFalse  = sem.join(exact, Seq("a", "b"), "left_anti").count()
+    spark
+      .range(1)
+      .select(
+        lit(nMissed / math.max(nExact, 1.0) <= 0.5).as("recall_ok"),
+        lit(nFalse == 0L).as("no_false_positives")
+      )
+  }
+
   /** ANN (banded hyperplane LSH) mean recall@5 vs brute force ≥ 0.15 —
     * deterministic (hash-derived planes), so the boolean is stable.
     */

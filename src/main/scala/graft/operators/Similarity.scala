@@ -119,27 +119,24 @@ object Similarity {
     * the candidate join shuffles by cell id — the index is the
     * partitioning.
     */
-  def ivfTopK(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 5,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      queryFilter: String = "vec_id % 100 = 0"
-  ): DataFrame = {
-    graft.GraftFunctions.register(spark)
+  /** Deterministic k-means coarse quantizer shared by the IVF index
+    * and semantic dedup: random init + few iterations is plenty for a
+    * partitioning index (cells need to be balanced, not optimal) —
+    * and it trains on a BOUNDED deterministic sample (hash-mod on the
+    * id, ~256 rows per cell), never the full table: at 100 TB the
+    * full-table .fit is the scan you cannot afford, and a coarse
+    * quantizer gains nothing from it.
+    *
+    * @return (assignments (vec_id, embedding, cell), centroid table
+    *         (cell, centroid) — tiny, broadcast-able)
+    */
+  private[graft] def kmeansCells(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
     val e  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val fe = e.withColumn("features", array_to_vector(col("embedding")))
-    // coarse quantizer: random init + few iterations is plenty for a
-    // partitioning index (cells need to be balanced, not optimal) —
-    // and it trains on a BOUNDED deterministic sample (hash-mod on the
-    // id, ~256 rows per cell), never the full table: at 100 TB the
-    // full-table .fit is the scan you cannot afford, and a coarse
-    // quantizer gains nothing from it
     val sampleTarget = 256L * nCells
     val nVecs        = e.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
@@ -157,12 +154,74 @@ object Similarity {
           .setFeaturesCol("features")
           .fit(trainFe)
       finally trainFe.unpersist()
-    val assigned = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-
-    // centroid table is tiny: probe cells per query computed via a
-    // broadcast cross score against the centroids
+    val assigned  = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c: Vector, i: Int) => (i, c.toArray.map(_.toFloat)) }
-    val centDf    = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the coarse
+    * quantizer, then compare pairs ONLY within a cell — the cluster
+    * assignment is the blocking key that keeps the all-pairs cosine
+    * from ever materializing. Pairs are rescored with exact cosine, so
+    * every emitted pair is a true ≥-threshold pair (zero false
+    * positives by construction — `check_semantic_dedup` proves it);
+    * recall is what the cell blocking trades (near-dups that straddle
+    * a cell boundary), which is the same trade the paper makes and
+    * what the check's measured bound pins. Boundary loss is softened
+    * by MULTI-ASSIGNMENT: each vector joins its `nAssign` nearest
+    * cells (the multi-probe idea applied to dedup), so a pair is lost
+    * only when the two cell SETS are disjoint — at the cost of
+    * nAssign× assignment rows, not nAssign× comparisons (same-cell
+    * duplicate candidates collapse in the distinct).
+    *
+    * Scale shape: one narrow assignment pass against the broadcast
+    * centroid table, one shuffle by cell id for candidate generation
+    * ([[Dedup.bucketPairs]] — no self-join, skew-capped so a
+    * degenerate cell stays bounded), then the embeddings re-attach
+    * from the pruned base scan.
+    */
+  def semanticNearDups(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      nCells: Int = 16,
+      nAssign: Int = 2,
+      cellCap: Int = 4096
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val (_, centDf) = kmeansCells(spark, dir, nCells)
+    val w           = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+    val assigned = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", expr("cosine_sim(embedding, centroid)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nAssign)
+    val candIds = Dedup
+      .bucketPairs(assigned.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), cellCap)
+      .distinct()
+    val e             = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    candIds
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  def ivfTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      queryFilter: String = "vec_id % 100 = 0"
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val (assigned, centDf) = kmeansCells(spark, dir, nCells)
     val queries   = assigned.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wProbe    = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
     val probed = queries

@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic near-dups: zero false positives vs exact cosine, deterministic across runs") {
+    import graft.operators.Dedup
+    val sem = Similarity.semanticNearDups(spark, sfDir, threshold = 0.4).collect()
+    val exact = Dedup.embeddingNearDups(spark, sfDir, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cell blocking only ever REMOVES pairs; the exact rescoring means
+    // everything that survives is a true >=-threshold pair
+    sem.foreach { r =>
+      assert(exact.contains((r.getLong(0), r.getLong(1))), s"false positive pair (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getDouble(2) >= 0.4)
+    }
+    // fixed seed + hash-mod sample -> same cells, same pairs, every run
+    val again = Similarity.semanticNearDups(spark, sfDir, threshold = 0.4).collect()
+    assert(sem.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("ANN LSH returns valid ranked candidates with real cosine scores") {
     val brute = Similarity
       .bruteForceTopK(spark, sfDir, k = 5)
