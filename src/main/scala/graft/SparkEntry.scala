@@ -51,6 +51,17 @@ object SparkEntry {
     // reference corpus itself (fixed input; sfDir ignored): the two
     // jobs the reference engine ships, on its own test data
     "ref_wc_large" -> q((s, _) => TextJobs.wordCountDir(s, "/root/reference/input/large")),
+    // reference-format round-trip through the graft-kv DSv2 connector:
+    // wc output written as `key: value` text, read back through the
+    // custom source, value re-typed — oracle-equal to wc itself
+    "kv_roundtrip" -> q { (s, dir) =>
+      val out = s"/tmp/graft_kv_rt/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Sources.writeKeyValueText(TextJobs.wordCount(Tables.documents(s, dir)), "word", "cnt", out)
+      graft.sources.Sources
+        .keyValueText(s, out)
+        .select(col("key").as("word"), col("value").cast("long").as("cnt"))
+        .orderBy("word")
+    },
     "ref_ii_large" -> q((s, _) => TextJobs.invertedIndexDir(s, "/root/reference/input/large")),
     // ---- relational surface ----
     "q1_pricing_summary"    -> q(Relational.q1PricingSummary),
@@ -235,6 +246,7 @@ object SparkEntry {
     Map(
       "wc_wordcount" -> wcSql,
       "mr_wordcount" -> wcSql,
+      "kv_roundtrip" -> wcSql,
       "ii_inverted_index" ->
         s"""SELECT word, count(DISTINCT source) AS n_files,
            |       string_agg(DISTINCT source, ',' ORDER BY source) AS files

@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference engine's native output
+  * format — `key: value` text lines (reference reducer.go:113-132,
+  * written by [[graft.operators.TextJobs.sinkText]]). The one
+  * extension rung the engine had not yet demonstrated: a full
+  * connector with the three scan-side pushdowns a 100 TB source needs:
+  *
+  *   - column pruning ([[SupportsPushDownRequiredColumns]]): a
+  *     key-only projection never materializes values;
+  *   - filter pushdown ([[SupportsPushDownFilters]]): key/value
+  *     comparisons evaluate inside the partition reader, so filtered
+  *     rows never cross the source boundary — and Catalyst removes the
+  *     post-scan Filter for everything this scan accepts;
+  *   - limit pushdown ([[SupportsPushDownLimit]]): each partition
+  *     reader stops after `limit` rows (Spark re-applies the global
+  *     limit above, so partial pushdown stays correct).
+  *
+  * Parallelism is one [[InputPartition]] per file — the natural split
+  * for line-oriented shuffle output, where the upstream writer already
+  * sized the files. Registered as `graft-kv` via
+  * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
+  */
+class KvTextTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvTextTable.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new KvTextTable(properties.get("path"))
+}
+
+object KvTextTable {
+  /** Fixed schema: schema inference over text is a full extra scan and
+    * is banned at 100 TB (same stance as [[Sources.csv]]); a line with
+    * no `": "` separator yields (line, NULL).
+    */
+  val schema: StructType = StructType(
+    Seq(StructField("key", StringType, nullable = true), StructField("value", StringType, nullable = true))
+  )
+}
+
+class KvTextTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "graft-kv requires a path")
+  override def name(): String                             = s"graft-kv($path)"
+  override def schema(): StructType                       = KvTextTable.schema
+  override def capabilities(): util.Set[TableCapability]  = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new KvScanBuilder(path)
+}
+
+class KvScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
+  private var required: StructType  = KvTextTable.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int            = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(KvFilterEval.supported)
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // partial pushdown: each reader stops at `limit`, Spark re-limits
+  // globally above (isPartiallyPushed defaults to true)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  override def build(): Scan = new KvScan(path, required, pushed, limit)
+}
+
+class KvScan(path: String, required: StructType, filters: Array[Filter], limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch           = this
+  override def description(): String =
+    s"graft-kv $path ReadSchema: ${required.simpleString}, PushedFilters: [${filters.mkString(", ")}], PushedLimit: $limit"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side listing with the session's Hadoop conf (credentials,
+    // fs implementations); one partition per data file, sorted for
+    // deterministic partition ids
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p    = new Path(path)
+    val fs   = p.getFileSystem(conf)
+    val stat = if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p))
+    stat
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.toString)
+      .sorted
+      .map(f => KvInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvReaderFactory(required.fieldNames, filters, limit)
+}
+
+case class KvInputPartition(file: String) extends InputPartition
+
+case class KvReaderFactory(fields: Array[String], filters: Array[Filter], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file, fields, filters, limit)
+}
+
+class KvPartitionReader(file: String, fields: Array[String], filters: Array[Filter], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val in = new BufferedReader(
+    new InputStreamReader(path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8)
+  )
+  private var current: InternalRow = _
+  private var emitted              = 0L
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    var line = in.readLine()
+    while (line != null) {
+      val sep             = line.indexOf(": ")
+      val key             = if (sep >= 0) line.substring(0, sep) else line
+      val value: String   = if (sep >= 0) line.substring(sep + 2) else null
+      if (filters.forall(KvFilterEval.eval(_, key, value))) {
+        current = InternalRow.fromSeq(fields.toSeq.map {
+          case "key"   => UTF8String.fromString(key)
+          case "value" => if (value == null) null else UTF8String.fromString(value)
+        })
+        emitted += 1
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit     = in.close()
+}
+
+/** String-typed filter evaluation for the kv scan. `supported` is the
+  * contract with Catalyst: anything it accepts is FULLY handled here
+  * (so the post-scan Filter drops it), anything else is returned as
+  * residual and evaluated above the scan as usual.
+  */
+object KvFilterEval {
+  private def isCol(attr: String)   = attr == "key" || attr == "value"
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String)            => isCol(a)
+    case GreaterThan(a, _: String)        => isCol(a)
+    case GreaterThanOrEqual(a, _: String) => isCol(a)
+    case LessThan(a, _: String)           => isCol(a)
+    case LessThanOrEqual(a, _: String)    => isCol(a)
+    case StringStartsWith(a, _)           => isCol(a)
+    case IsNotNull(a)                     => isCol(a)
+    case IsNull(a)                        => isCol(a)
+    case _                                => false
+  }
+
+  def eval(f: Filter, key: String, value: String): Boolean = {
+    def col(attr: String): String = if (attr == "key") key else value
+    f match {
+      case EqualTo(a, v: String)            => col(a) != null && col(a) == v
+      case GreaterThan(a, v: String)        => col(a) != null && col(a) > v
+      case GreaterThanOrEqual(a, v: String) => col(a) != null && col(a) >= v
+      case LessThan(a, v: String)           => col(a) != null && col(a) < v
+      case LessThanOrEqual(a, v: String)    => col(a) != null && col(a) <= v
+      case StringStartsWith(a, v)           => col(a) != null && col(a).startsWith(v)
+      case IsNotNull(a)                     => col(a) != null
+      case IsNull(a)                        => col(a) == null
+      case _                                => true
+    }
+  }
+}

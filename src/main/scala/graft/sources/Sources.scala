@@ -60,4 +60,12 @@ object Sources {
   /** Reference-format sink: sorted `key: value` lines (TextJobs). */
   def writeKeyValueText(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit =
     graft.operators.TextJobs.sinkText(df, keyCol, valueCol, path)
+
+  /** Reference-format source: `key: value` text read through the
+    * [[KvTextTableProvider]] DataSource V2 connector (column pruning +
+    * filter + limit pushdown) — the read half of reference parity, so
+    * existing reference output directories are directly queryable.
+    */
+  def keyValueText(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-kv").load(path)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextJobs
+import graft.sources.Sources
+
+/** graft-kv DataSource V2 connector contract: reference-format
+  * `key: value` text round-trips losslessly, and the three scan
+  * pushdowns (columns, filters, limit) actually reach the scan — the
+  * plan, not just the result, is the deliverable.
+  */
+class KvSourceSpec extends SparkSpec {
+
+  private val outDir = "/tmp/graft_kv_spec/wc"
+
+  private def writeWc(): Unit =
+    Sources.writeKeyValueText(TextJobs.wordCount(Tables.documents(spark, sfDir)), "word", "cnt", outDir)
+
+  test("round-trip: written key:value text reads back identically") {
+    writeWc()
+    val expected = TextJobs.wordCount(Tables.documents(spark, sfDir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sources.keyValueText(spark, outDir)
+      .select(col("key"), col("value").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("column pruning and filter pushdown reach the scan; post-scan Filter disappears") {
+    writeWc()
+    val df   = Sources.keyValueText(spark, outDir).filter(col("key") === "the").select("key")
+    val plan = df.queryExecution.executedPlan
+    val s    = plan.toString
+    assert(s.contains("ReadSchema: struct<key:string>"), s"value column not pruned:\n$s")
+    assert(s.contains("EqualTo(key,the)"), s"filter not pushed:\n$s")
+    // both IsNotNull and EqualTo are fully handled by the scan, so
+    // Catalyst drops the post-scan Filter entirely
+    assert(plan.collect { case f: FilterExec => f }.isEmpty, s"residual Filter survived:\n$s")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("the"))
+  }
+
+  test("unsupported predicates stay as residual filters above the scan") {
+    writeWc()
+    val df   = Sources.keyValueText(spark, outDir).filter(length(col("key")) > 3)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case f: FilterExec => f }.nonEmpty)
+    assert(df.count() > 0)
+  }
+
+  test("limit pushdown reaches the scan and the global limit stays correct") {
+    writeWc()
+    val df = Sources.keyValueText(spark, outDir).limit(3)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    assert(df.count() == 3)
+  }
+
+  test("one input partition per data file; malformed lines yield NULL values") {
+    val dir = "/tmp/graft_kv_spec/raw"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/part-0.txt"), "alpha: 1\nnoseparator\n")
+    Files.writeString(Paths.get(s"$dir/part-1.txt"), "beta: 2\n")
+    val df = Sources.keyValueText(spark, dir)
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("alpha", Some("1")), ("noseparator", None), ("beta", Some("2"))))
+    // IsNull pushes down too
+    val nulls = Sources.keyValueText(spark, dir).filter(col("value").isNull)
+    assert(nulls.collect().map(_.getString(0)).toSeq == Seq("noseparator"))
+  }
+}
