@@ -51,6 +51,22 @@ object GraftFunctions {
       exprs => ShingleHashesGen(exprs(0), exprs(1).eval().toString.toInt),
       "built-in"
     )
+    // the optimizer's runtime-filter expressions, exposed for explicit
+    // sketch-prefilter operators (TextAnalysis.contaminationBloom):
+    // bloom build over xxhash64 longs, membership probe against a
+    // constant bloom (BloomFilterMightContain requires a foldable /
+    // scalar-subquery bloom side)
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in"
+    )
     reg.createOrReplaceTempFunction(
       "freq_items_agg",
       exprs => FreqItemsAgg(exprs(0), exprs(1).eval().toString.toInt),

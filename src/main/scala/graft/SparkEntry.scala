@@ -191,6 +191,8 @@ object SparkEntry {
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
+    "text_dup_spans"   -> q((s, dir) => TextAnalysis.duplicatedSpans(s, dir)),
+    "text_contamination_bloom" -> q((s, dir) => TextAnalysis.contaminationBloom(s, dir)),
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
@@ -942,6 +944,42 @@ object SparkEntry {
            |FROM sh s JOIN ev ON s.sh = ev.sh
            |WHERE s.doc_id % 10 <> 7
            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+      // same oracle as text_contamination: the bloom prefilter is a
+      // plan optimization, not a semantics change
+      "text_contamination_bloom" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 3),
+           |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+           |                || tk[i+3] || ' ' || tk[i+4])) AS sh
+           |       FROM t WHERE len(tk) >= 5),
+           |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 7)
+           |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+           |FROM sh s JOIN ev ON s.sh = ev.sh
+           |WHERE s.doc_id % 10 <> 7
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+      "text_dup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |gr AS (SELECT doc_id, i AS pos, i + 2 AS e,
+           |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+           |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+           |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS dfd
+           |                       FROM gr GROUP BY g) WHERE dfd >= 3),
+           |fl AS (SELECT gr.doc_id, gr.pos, gr.e FROM gr JOIN hot USING (g)),
+           |c AS (SELECT doc_id, pos, e,
+           |        max(e) OVER (PARTITION BY doc_id ORDER BY pos
+           |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+           |      FROM fl),
+           |per AS (SELECT doc_id,
+           |          CAST(sum(GREATEST(0, e - GREATEST(pos, COALESCE(prev_e, 0) + 1) + 1)) AS BIGINT)
+           |            AS covered_tokens
+           |        FROM c GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  COALESCE(per.covered_tokens, 0) AS covered_tokens,
+           |  CASE WHEN len($toks) > 0
+           |       THEN COALESCE(per.covered_tokens, 0) / CAST(len($toks) AS DOUBLE) END AS covered_ratio
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "dedup_incremental" ->
         """SELECT doc_id FROM documents n
           |WHERE doc_id >= 400

@@ -276,6 +276,101 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span coverage (the measurement half of exact substring
+    * dedup, Lee et al. 2021, arXiv:2107.06499): for every document,
+    * how many of its tokens sit inside a k-gram that also occurs in
+    * ≥ `minDocs` documents. Where [[boilerplateScore]] counts distinct
+    * grams, this measures the actual token REGION duplicated spans
+    * cover — overlapping gram instances are merged into intervals
+    * (classic running-max merge: a token is newly covered only past
+    * the furthest end seen so far), so a long repeated passage counts
+    * its length once, not once per overlapping gram.
+    *
+    * Scale shape: the gram document-frequency side shuffles distinct
+    * (doc, gram) pairs; the instance stream is then semi-joined to the
+    * hot grams and the interval merge is one window over (doc, pos) —
+    * partitioned by doc, never a global sort.
+    */
+  def duplicatedSpans(spark: SparkSession, dir: String, k: Int = 3, minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val inst = docs
+      .select(col("doc_id"), expr(toks("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))")
+        ).as(Seq("__p", "g"))
+      )
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+    val hot = inst
+      .select("doc_id", "g")
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    val per = inst
+      .join(hot, Seq("g"), "left_semi")
+      .withColumn("e", col("pos") + (k - 1))
+      .withColumn("prev_e", max(col("e")).over(w))
+      .withColumn(
+        "cov",
+        greatest(lit(0L), col("e") - greatest(col("pos"), coalesce(col("prev_e"), lit(0L)) + 1) + 1)
+      )
+      .groupBy("doc_id")
+      .agg(sum("cov").as("covered_tokens"))
+    docs
+      .select(col("doc_id"), size(expr(toks("text"))).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0, coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens").cast("double"))
+          .as("covered_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered decontamination — same RESULT as
+    * [[benchmarkContamination]] (the bloom filter has no false
+    * negatives and every hit is re-verified by the exact join), but
+    * the 100 TB plan: a bloom filter over the held-out shingles ships
+    * to every task as a ~12 KB constant, the raw train-side shingle
+    * stream is prefiltered by the bloom probe BEFORE anything
+    * shuffles, and only the surviving sliver pays the distinct + join.
+    * At a realistic contamination rate the shuffle shrinks by orders
+    * of magnitude — the same runtime-bloom idea Spark's optimizer
+    * applies to joins, here made an explicit operator over set
+    * membership. Two-phase by design (the bloom build is a driver
+    * action, like the KMeans fits): `BloomFilterMightContain` only
+    * accepts a CONSTANT bloom side, which is also the honest shape —
+    * the held-out set is a separate, earlier job in a real pipeline.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val docs   = Tables.documents(spark, dir)
+    val evalSh = Dedup.shingles(docs.filter(col("doc_id") % 10 === 7), k).select("sh").distinct()
+    val bfBytes = evalSh
+      .agg(expr("graft_bloom_agg(xxhash64(sh), 10000L, 100000L)").as("bf"))
+      .head()
+      .getAs[Array[Byte]]("bf")
+    val bfHex = bfBytes.map("%02x".format(_)).mkString
+    val pre = Dedup
+      .shingles(docs.filter(col("doc_id") % 10 =!= 7), k)
+      .filter(expr(s"graft_might_contain(X'$bfHex', xxhash64(sh))"))
+      .select("doc_id", "sh")
+      .distinct()
+    pre
+      .join(evalSh, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model quality score (the CCNet/Gopher-style
     * "perplexity filter" shape): train bigram + unigram counts on the
     * corpus itself, then score every document by its mean add-one-

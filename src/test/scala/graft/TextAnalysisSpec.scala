@@ -48,6 +48,30 @@ class TextAnalysisSpec extends SparkSpec {
       none.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("duplicatedSpans: interval merge covers exactly the full doc at minDocs=1, nothing at infinity") {
+    // minDocs=1: every gram is duplicated, and the k-gram starts
+    // 1..n-k+1 tile the whole token range once merged — coverage must
+    // equal n_tokens exactly (an interval-merge bug over- or
+    // under-counts here); docs shorter than k have no grams at all
+    val all = TextAnalysis.duplicatedSpans(spark, sfDir, minDocs = 1).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      val (n, cov) = (r.getLong(1), r.getLong(2))
+      if (n >= 3) assert(cov == n, s"doc ${r.getLong(0)}: covered $cov != n_tokens $n")
+      else assert(cov == 0L)
+    }
+    val none = TextAnalysis.duplicatedSpans(spark, sfDir, minDocs = Int.MaxValue).collect()
+    assert(none.forall(_.getLong(2) == 0L))
+  }
+
+  test("contaminationBloom == exact benchmarkContamination (bloom is a prefilter, not semantics)") {
+    val exact = TextAnalysis.benchmarkContamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.contaminationBloom(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact)
+  }
+
   test("lmScore: one row per doc, short docs score null, probabilities stay below 1") {
     val docs = Tables.documents(spark, sfDir).count()
     val rows = TextAnalysis.lmScore(spark, sfDir).collect()
