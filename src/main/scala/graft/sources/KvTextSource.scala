@@ -8,9 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,12 +58,14 @@ object KvTextTable {
   )
 }
 
-class KvTextTable(path: String) extends Table with SupportsRead {
+class KvTextTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "graft-kv requires a path")
   override def name(): String                             = s"graft-kv($path)"
   override def schema(): StructType                       = KvTextTable.schema
-  override def capabilities(): util.Set[TableCapability]  = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new KvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder          = new KvWriteBuilder(path, info)
 }
 
 class KvScanBuilder(path: String)
@@ -156,6 +159,106 @@ class KvPartitionReader(file: String, fields: Array[String], filters: Array[Filt
 
   override def get(): InternalRow = current
   override def close(): Unit     = in.close()
+}
+
+// ---------------------------------------------------------------- write
+
+/** Write half of the connector: the V2 commit protocol over
+  * reference-format text. Each task writes its partition to a
+  * uniquely-named temp file under `_tmp_<queryId>/`; task commit
+  * reports the temp path, job commit moves every reported file into
+  * place (after clearing existing data files when the write was a
+  * truncate/overwrite), job abort deletes the temp dir — so
+  * concurrent readers never observe a half-written directory and a
+  * failed/speculative task leaves nothing behind. NULL values write
+  * as a bare key line (which the scan reads back as NULL — lossless
+  * round-trip); NULL keys are rejected (the reference format has no
+  * encoding for them).
+  */
+class KvWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val s = info.schema()
+    require(
+      s.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq("key" -> StringType, "value" -> StringType),
+      s"graft-kv writes (key string, value string), got ${s.simpleString}"
+    )
+    new KvWrite(path, info.queryId(), doTruncate)
+  }
+}
+
+class KvWrite(path: String, queryId: String, truncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-kv write $path (truncate=$truncate)"
+
+  private def tmpDir = new Path(path, s"_tmp_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KvWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs   = new Path(path).getFileSystem(conf)
+    if (truncate && fs.exists(new Path(path))) {
+      fs.listStatus(new Path(path))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    messages.foreach { case KvCommitMessage(tmpFile, finalName) =>
+      // rename returns false instead of throwing on e.g. an existing
+      // destination — a silent false would drop a partition's data
+      require(fs.rename(new Path(tmpFile), new Path(path, finalName)), s"commit rename failed for $tmpFile")
+    }
+    fs.delete(tmpDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(tmpDir, true)
+  }
+}
+
+case class KvCommitMessage(tmpFile: String, finalName: String) extends WriterCommitMessage
+
+case class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, queryId, partitionId, taskId)
+}
+
+class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  // taskId in the temp name keeps speculative attempts from clobbering
+  // each other; only the committed attempt's file is moved into place
+  private val tmpFile = new Path(new Path(path, s"_tmp_$queryId"), f"part-$partitionId%05d-$taskId.txt")
+  private val fs      = tmpFile.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmpFile, true), StandardCharsets.UTF_8)
+  )
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0), "graft-kv cannot encode a NULL key")
+    val key = row.getUTF8String(0).toString
+    if (row.isNullAt(1)) out.write(key)
+    else { out.write(key); out.write(": "); out.write(row.getUTF8String(1).toString) }
+    out.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    // queryId in the FINAL name too: an append must never collide with
+    // a previous write's part files (rename onto an existing path
+    // fails), and two appends of the same frame must coexist
+    KvCommitMessage(tmpFile.toString, f"part-$partitionId%05d-$queryId.txt")
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmpFile, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** String-typed filter evaluation for the kv scan. `supported` is the

@@ -58,6 +58,30 @@ class KvSourceSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("V2 write: overwrite replaces data atomically, append adds, NULL value round-trips") {
+    val dir = "/tmp/graft_kv_spec/write"
+    val df1 = spark.createDataFrame(Seq(("a", "1"), ("b", null.asInstanceOf[String]))).toDF("key", "value")
+    df1.write.format("graft-kv").mode("overwrite").save(dir)
+    val r1 = Sources.keyValueText(spark, dir).collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(r1 == Set(("a", Some("1")), ("b", None)))
+    // overwrite replaces, leaves no temp litter
+    val df2 = spark.createDataFrame(Seq(("c", "3"))).toDF("key", "value")
+    df2.write.format("graft-kv").mode("overwrite").save(dir)
+    assert(Sources.keyValueText(spark, dir).collect().map(_.getString(0)).toSet == Set("c"))
+    assert(!Files.list(Paths.get(dir)).iterator().hasNext == false)
+    assert(Files.list(Paths.get(dir)).filter(p => p.getFileName.toString.startsWith("_tmp_")).count() == 0)
+    // append adds alongside
+    df1.write.format("graft-kv").mode("append").save(dir)
+    assert(Sources.keyValueText(spark, dir).collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    // full write-then-read parity with the sinkText format
+    val wc = TextJobs.wordCount(Tables.documents(spark, sfDir))
+    wc.select(col("word").as("key"), col("cnt").cast("string").as("value"))
+      .write.format("graft-kv").mode("overwrite").save(dir)
+    val back = Sources.keyValueText(spark, dir).select(col("key"), col("value").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("one input partition per data file; malformed lines yield NULL values") {
     val dir = "/tmp/graft_kv_spec/raw"
     Files.createDirectories(Paths.get(dir))
