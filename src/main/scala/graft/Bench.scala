@@ -18,6 +18,7 @@ object Bench {
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk",
     "text_quality", "text_tfidf_top", "text_winnow",
     "text_lm_score", "text_boilerplate", "text_freq_items", "vocab_ids",
+    "text_dup_spans", "text_contamination_bloom",
     "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",
     "range_join_price_bands"
   )
