@@ -37,6 +37,9 @@ object SparkEntry {
     */
   private val lshIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Same memoization for the semantic-dedup cell index. */
+  private val semIndexBuilt = scala.collection.mutable.Set.empty[String]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the two jobs of the reference engine ----
     "wc_wordcount" -> q((s, dir) => TextJobs.wordCount(Tables.documents(s, dir))),
@@ -180,6 +183,18 @@ object SparkEntry {
     "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
+    "dedup_incremental_semantic" -> q { (s, dir) =>
+      // standing corpus = 90% of vectors, arriving batch = 10%; index
+      // build memoized per dir so repeated calls measure the probe
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      semIndexBuilt.synchronized {
+        if (!semIndexBuilt.contains(dir)) {
+          Similarity.buildSemanticIndex(e.filter(col("vec_id") % 10 =!= 0), "q_sem_idx")
+          semIndexBuilt += dir
+        }
+      }
+      Similarity.incrementalSemantic(s, "q_sem_idx", e.filter(col("vec_id") % 10 === 0))
+    },
     // ---- text analysis ----
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_quality"     -> q(TextAnalysis.qualityScore),
@@ -207,6 +222,7 @@ object SparkEntry {
     "check_simhash_recall"     -> q(Checks.simhashRecall),
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
     "check_semantic_dedup"       -> q(Checks.semanticDedupCheck),
+    "check_incremental_semantic" -> q(Checks.incrementalSemanticEquivalence),
     "check_ann_recall"         -> q(Checks.annRecall),
     "check_ivf_recall"         -> q(Checks.ivfRecall),
     "check_pq_recall"          -> q(Checks.pqRecall),
@@ -1131,6 +1147,8 @@ object SparkEntry {
         "SELECT true AS recall_ok, true AS no_false_positives",
       "check_semantic_dedup" ->
         "SELECT true AS recall_ok, true AS no_false_positives",
+      "check_incremental_semantic" ->
+        "SELECT true AS no_missed, true AS no_extra",
       "check_ann_recall" -> "SELECT true AS recall_ok",
       "check_ivf_recall" -> "SELECT true AS recall_ok",
       "check_pq_recall" -> "SELECT true AS recall_ok",

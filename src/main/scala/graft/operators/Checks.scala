@@ -254,6 +254,39 @@ object Checks {
       )
   }
 
+  /** Incremental semantic dedup == fixed-quantizer run over
+    * corpus ∪ batch restricted to pairs touching the batch, both
+    * directions. The reference side assigns EVERY vector with the
+    * index's persisted centroids (the frozen-quantizer contract —
+    * retraining on corpus ∪ batch would legitimately shift cells, so
+    * equality is stated against the quantizer the index versions).
+    */
+  def incrementalSemanticEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val e      = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch  = e.filter(col("vec_id") % 10 === 0)
+    Similarity.buildSemanticIndex(corpus, "chk_sem_idx")
+    val inc = Similarity
+      .incrementalSemantic(spark, "chk_sem_idx", batch)
+      .select("a", "b")
+      .localCheckpoint(eager = false)
+    val centDf   = spark.table("chk_sem_idx_centroids")
+    val assigned = Similarity.assignCells(e, centDf, nAssign = 2)
+    val ref = Dedup
+      .bucketPairs(assigned.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), Int.MaxValue)
+      .distinct()
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .filter(expr("cosine_sim(ea, eb)") >= 0.4)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .select("a", "b")
+      .localCheckpoint(eager = false)
+    val missed = ref.join(inc, Seq("a", "b"), "left_anti").count()
+    val extra  = inc.join(ref, Seq("a", "b"), "left_anti").count()
+    spark.range(1).select(lit(missed == 0L).as("no_missed"), lit(extra == 0L).as("no_extra"))
+  }
+
   /** ANN (banded hyperplane LSH) mean recall@5 vs brute force ≥ 0.15 —
     * deterministic (hash-derived planes), so the boolean is stable.
     */

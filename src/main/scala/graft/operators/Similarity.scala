@@ -130,13 +130,13 @@ object Similarity {
     * @return (assignments (vec_id, embedding, cell), centroid table
     *         (cell, centroid) — tiny, broadcast-able)
     */
-  private[graft] def kmeansCells(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
+  private[graft] def kmeansCells(e: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
-    val e  = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val fe = e.withColumn("features", array_to_vector(col("embedding")))
+    val spark = e.sparkSession
+    val fe    = e.withColumn("features", array_to_vector(col("embedding")))
     val sampleTarget = 256L * nCells
     val nVecs        = e.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
@@ -190,25 +190,147 @@ object Similarity {
       cellCap: Int = 4096
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val (_, centDf) = kmeansCells(spark, dir, nCells)
-    val w           = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
-    val assigned = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("cdist", expr("cosine_sim(embedding, centroid)"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nAssign)
+    val e           = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (_, centDf) = kmeansCells(e, nCells)
+    val assigned    = assignCells(e, centDf, nAssign)
     val candIds = Dedup
       .bucketPairs(assigned.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), cellCap)
       .distinct()
-    val e             = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     candIds
       .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
       .withColumn("cos", expr("cosine_sim(ea, eb)"))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** Multi-assignment against a centroid table: each vector joins its
+    * `nAssign` nearest cells by cosine — the blocking-key producer
+    * shared by [[semanticNearDups]] and the incremental index. One
+    * narrow pass against the broadcast centroids; the per-vector rank
+    * window partitions by vec_id (never global).
+    */
+  private[graft] def assignCells(e: DataFrame, centDf: DataFrame, nAssign: Int): DataFrame = {
+    graft.GraftFunctions.register(e.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+    e.crossJoin(broadcast(centDf))
+      .withColumn("cdist", expr("cosine_sim(embedding, centroid)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nAssign)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Build and persist the semantic-dedup index — the standing state
+    * that makes embedding near-dup admission incremental, completing
+    * the pattern the digest index ([[Dedup.incrementalExact]]) and the
+    * MinHash band index ([[Dedup.buildLshIndex]]) establish for the
+    * other two dedup families. Three tables:
+    *
+    *   - `{name}_cells` (cell, vec_id), bucketed by cell: the probe
+    *     join's corpus side, read with NO exchange;
+    *   - `{name}_vecs` (vec_id, embedding), bucketed by vec_id:
+    *     rescoring fetches corpus vectors exchange-free;
+    *   - `{name}_centroids` (cell, centroid): the FROZEN coarse
+    *     quantizer — probes must assign with the index's centroids,
+    *     not retrain (a retrained quantizer would silently shift every
+    *     cell boundary and make old and new assignments incomparable;
+    *     versioning the quantizer with the index is how real vector
+    *     stores handle this).
+    */
+  def buildSemanticIndex(
+      corpus: DataFrame,
+      name: String,
+      nCells: Int = 16,
+      nAssign: Int = 2,
+      buckets: Int = 32
+  ): Unit = {
+    val e           = corpus.select(col("vec_id"), col("embedding"))
+    val (_, centDf) = kmeansCells(e, nCells)
+    graft.sources.Bucketing.writeBucketedKeys(
+      assignCells(e, centDf, nAssign).select(col("cell"), col("vec_id")),
+      s"${name}_cells",
+      buckets,
+      Seq("cell")
+    )
+    graft.sources.Bucketing.writeBucketedKeys(e, s"${name}_vecs", buckets, Seq("vec_id"))
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_centroids")
+    centDf.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+  }
+
+  /** Incremental semantic near-dup: probe an incoming batch against a
+    * persisted [[buildSemanticIndex]] index without re-clustering or
+    * re-scanning the corpus. Returns every ≥-threshold pair the batch
+    * introduces (batch↔corpus and batch↔batch) under the index's
+    * frozen quantizer, with the `newcomer` column marking the pair
+    * member an admission policy must reject (always the batch doc for
+    * a cross pair — corpus acceptances are immutable; the greater id
+    * intra-batch).
+    *
+    * Probe work is batch-proportional: the index scan is semi-joined
+    * to the batch's cell keys first, the combined-population cell cap
+    * mirrors [[Dedup.incrementalMinhashLsh]]'s skew guard, and only
+    * the batch side shuffles (the index tables are bucketed).
+    * Equivalence with a fixed-quantizer run over corpus ∪ batch is
+    * oracle-checked both directions (`check_incremental_semantic`).
+    */
+  def incrementalSemantic(
+      spark: SparkSession,
+      indexName: String,
+      incoming: DataFrame,
+      threshold: Double = 0.4,
+      nAssign: Int = 2,
+      cellCap: Int = 4096
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val centDf = spark.table(s"${indexName}_centroids")
+    val batch = assignCells(incoming.select(col("vec_id"), col("embedding")), centDf, nAssign)
+      .localCheckpoint(eager = false)
+    val batchKeys = batch.select("cell").distinct()
+    val idxTouched = spark
+      .table(s"${indexName}_cells")
+      .join(batchKeys, Seq("cell"), "left_semi")
+      .localCheckpoint(eager = false)
+    val hot = idxTouched
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_idx"))
+      .join(batch.groupBy("cell").agg(count(lit(1)).as("n_new")), Seq("cell"), "full")
+      .filter(coalesce(col("n_idx"), lit(0L)) + coalesce(col("n_new"), lit(0L)) > cellCap)
+      .select("cell")
+    val idxOk   = idxTouched.join(broadcast(hot), Seq("cell"), "left_anti")
+    val batchOk = batch.join(broadcast(hot), Seq("cell"), "left_anti")
+
+    val crossIds = idxOk
+      .select(col("cell"), col("vec_id").as("a"))
+      .join(batchOk.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
+      .select("a", "b")
+      .distinct()
+    val intraIds = Dedup
+      .bucketPairs(batchOk.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), Int.MaxValue)
+      .distinct()
+
+    val idxVecs = spark.table(s"${indexName}_vecs")
+    val batchE  = incoming.select(col("vec_id"), col("embedding"))
+    val scored = crossIds
+      .join(idxVecs.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(batchE.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("newcomer", col("b"))
+      .unionByName(
+        intraIds
+          .join(batchE.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+          .join(batchE.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+          .withColumn("newcomer", greatest(col("a"), col("b")))
+      )
+    scored
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= threshold)
+      .select(
+        least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        round(col("cos"), 4).as("cos"),
+        col("newcomer")
+      )
       .orderBy("a", "b")
   }
 
@@ -221,7 +343,7 @@ object Similarity {
       queryFilter: String = "vec_id % 100 = 0"
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val (assigned, centDf) = kmeansCells(spark, dir, nCells)
+    val (assigned, centDf) = kmeansCells(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), nCells)
     val queries   = assigned.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wProbe    = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
     val probed = queries

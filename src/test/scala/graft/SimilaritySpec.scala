@@ -95,6 +95,38 @@ class SimilaritySpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("incremental semantic probe == fixed-quantizer from-scratch, newcomer marks the batch doc") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val e      = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch  = e.filter(col("vec_id") % 10 === 0)
+    Similarity.buildSemanticIndex(corpus, "spec_sem_idx")
+    val inc = Similarity.incrementalSemantic(spark, "spec_sem_idx", batch).collect()
+    // every pair touches the batch, and newcomer is a batch member
+    inc.foreach { r =>
+      val (a, b, newcomer) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(a % 10 == 0 || b % 10 == 0)
+      assert(newcomer % 10 == 0, s"newcomer $newcomer is a corpus doc — admission would reject an accepted doc")
+      assert(newcomer == a || newcomer == b)
+    }
+    // equality with assigning everything under the index's frozen centroids
+    val centDf   = spark.table("spec_sem_idx_centroids")
+    val assigned = Similarity.assignCells(e, centDf, nAssign = 2)
+    val ref = Dedup
+      .bucketPairs(assigned.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), Int.MaxValue)
+      .distinct()
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .filter(expr("cosine_sim(ea, eb)") >= 0.4)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .select("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSet == ref)
+  }
+
   test("ANN LSH returns valid ranked candidates with real cosine scores") {
     val brute = Similarity
       .bruteForceTopK(spark, sfDir, k = 5)
