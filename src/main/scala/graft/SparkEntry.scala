@@ -211,6 +211,19 @@ object SparkEntry {
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
+    // snapshot diff against a deterministically perturbed v2: drop
+    // ids %97=0, rewrite text for %31=0, add fresh ids for %53=0 —
+    // every class exercised, DuckDB derives the same v2
+    "dataset_diff" -> q { (s, dir) =>
+      val v1 = Tables.documents(s, dir).select("doc_id", "text")
+      val v2 = v1
+        .filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 31 === 0, concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(
+          v1.filter(col("doc_id") % 53 === 0).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        )
+      DataOps.snapshotDiff(v1, v2)
+    },
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
@@ -1099,6 +1112,21 @@ object SparkEntry {
            |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.avg_logp
            |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "dataset_diff" ->
+        """WITH v2 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 31 = 0 THEN text || ' edited' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 97 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 53 = 0),
+          |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          |        CASE WHEN a.doc_id IS NULL THEN 'added'
+          |             WHEN b.doc_id IS NULL THEN 'removed'
+          |             WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
+          |        END AS change
+          |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+          |SELECT doc_id, change FROM j WHERE change IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
       "vocab_ids" ->
         s"""WITH c AS (SELECT term, count(*) AS cnt
            |           FROM (SELECT unnest($toks) AS term FROM documents)

@@ -198,6 +198,28 @@ object DataOps {
       .mode("overwrite")
       .parquet(path)
 
+  /** Snapshot diff (the CDC-style compare an ingest pipeline runs
+    * between corpus versions): classify every document as added /
+    * removed / changed between two snapshots by content digest.
+    * One full outer join on the id, digests computed inline — the
+    * 100 TB shape shuffles (id, 32-byte digest) pairs, never text.
+    * Presence flags (not digest nullness) decide added/removed, so a
+    * NULL-text document is never misclassified; digest comparison is
+    * null-safe for the same reason.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    v1.select(col(idCol), md5(col(textCol)).as("__h1"), lit(1).as("__p1"))
+      .join(v2.select(col(idCol), md5(col(textCol)).as("__h2"), lit(1).as("__p2")), Seq(idCol), "full")
+      .withColumn(
+        "change",
+        when(col("__p1").isNull, "added")
+          .when(col("__p2").isNull, "removed")
+          .when(!(col("__h1") <=> col("__h2")), "changed")
+      )
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"))
+      .orderBy(idCol)
+
   /** Skew recipe: replicate the small side `salts` ways and scatter the
     * big side's hot keys across them — the manual fallback when AQE's
     * skew-join split isn't available (e.g. a non-shuffle child). Result

@@ -255,7 +255,16 @@ object Similarity {
     )
     graft.sources.Bucketing.writeBucketedKeys(e, s"${name}_vecs", buckets, Seq("vec_id"))
     val spark = corpus.sparkSession
+    // drop table AND its leftover location: an in-memory catalog from
+    // a previous JVM forgets the table but leaves the files, which
+    // makes the next CREATE fail with LOCATION_ALREADY_EXISTS (same
+    // guard as Bucketing.writeBucketedKeys)
     spark.sql(s"DROP TABLE IF EXISTS ${name}_centroids")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${name}_centroids".toLowerCase
+    )
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     centDf.write.mode("overwrite").saveAsTable(s"${name}_centroids")
   }
 

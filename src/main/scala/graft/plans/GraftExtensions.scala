@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinhashAgg, SimhashAgg, TopKAgg}
+import graft.functions.{CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
 
 /** Production wiring for graft's native expressions: a
   * SparkSessionExtensions hook, enabled with
@@ -56,6 +56,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("topk_agg"),
         info("topk_agg"),
         (es: Seq[Expression]) => TopKAgg(es(0), es(1), es(2).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingle_hashes"),
+        info("shingle_hashes"),
+        (es: Seq[Expression]) => ShingleHashes(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingle_hash_stream"),
+        info("shingle_hash_stream"),
+        (es: Seq[Expression]) => ShingleHashesGen(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("freq_items_agg"),
+        info("freq_items_agg"),
+        (es: Seq[Expression]) => FreqItemsAgg(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_agg"),
+        info("graft_bloom_agg"),
+        (es: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0), es(1), es(2), 0, 0)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_might_contain"),
+        info("graft_might_contain"),
+        (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))
       )
     )
   }

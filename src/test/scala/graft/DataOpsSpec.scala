@@ -133,6 +133,17 @@ class DataOpsSpec extends SparkSpec {
       windowed.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("snapshotDiff: identity diff is empty, planted changes classify exactly") {
+    val v1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    assert(DataOps.snapshotDiff(v1, v1).count() == 0)
+    val v2 = v1
+      .filter(col("doc_id") =!= 7)
+      .withColumn("text", when(col("doc_id") === 11, concat(col("text"), lit("x"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") === 3).select((col("doc_id") + 9999).as("doc_id"), col("text")))
+    val diff = DataOps.snapshotDiff(v1, v2).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(7L -> "removed", 11L -> "changed", 10002L -> "added"))
+  }
+
   test("dataset split is deterministic with the expected proportions") {
     val a = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = DataOps.datasetSplit(spark, sfDir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
