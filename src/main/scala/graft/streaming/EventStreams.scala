@@ -49,6 +49,33 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked windowed top-k via the custom imperative aggregate
+    * [[graft.functions.TopKAgg]]: per tumbling hour, the k
+    * highest-value events. What this pins down: a custom
+    * `TypedImperativeAggregate` is a MERGEABLE summary, so it composes
+    * with streaming state exactly like the built-ins — each
+    * micro-batch's partial buffer merges into the state store's, and
+    * the window emits its bounded k-pair summary when the watermark
+    * closes it. The window-FUNCTION formulation of top-k cannot run on
+    * a stream at all (rank over an unbounded, still-growing partition
+    * is not incremental); the bounded aggregate is the only shape that
+    * can, which is the same reason it is the 100 TB batch shape.
+    */
+  def windowedTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    graft.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"topk_agg(value, event_id, $k)").as("top"))
+      .select(col("window.start").as("ws"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(
+        col("ws"),
+        (col("i") + 1).cast("long").as("rnk"),
+        col("e.id").as("event_id"),
+        col("e.score").as("value")
+      )
+  }
+
   /** Streaming exact dedup: watermark bounds the dedup state so keys
     * older than the delay are evicted — unbounded-state dedup is the
     * classic streaming OOM. Keys default to the event id (at-least-once

@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming windowed top-k (custom imperative aggregate) == batch window-function top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_topk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet")
+    )
+    val query = EventStreams.startMemorySink(
+      EventStreams.windowedTopK(EventStreams.readEvents(spark, streamDir.toString)),
+      "stream_topk",
+      org.apache.spark.sql.streaming.OutputMode.Append
+    )
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("stream_topk").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.nonEmpty, "watermark emitted no closed windows")
+      // batch reference: the window-function formulation over the
+      // static table — the custom aggregate must agree rank for rank
+      // on every window the stream emitted
+      val w = Window.partitionBy("ws").orderBy(col("value").desc, col("event_id"))
+      val batch = Tables.events(spark, sfDir)
+        .select(window(col("ts"), "1 hour")("start").as("ws"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+      streamed.foreach { case (k, v) =>
+        assert(batch.get(k).contains(v), s"window/rank $k: streaming=$v batch=${batch.get(k)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming dedup drops re-delivered rows within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
     // simulate at-least-once delivery: the same table arrives twice
