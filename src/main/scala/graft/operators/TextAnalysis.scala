@@ -304,11 +304,12 @@ object TextAnalysis {
         ).as(Seq("__p", "g"))
       )
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+    // document frequency in ONE aggregate (countDistinct plans as a
+    // two-phase expand+aggregate) instead of distinct → groupBy, which
+    // pays an extra full exchange of the pair set
     val hot = inst
-      .select("doc_id", "g")
-      .distinct()
       .groupBy("g")
-      .agg(count(lit(1)).as("df_docs"))
+      .agg(countDistinct("doc_id").as("df_docs"))
       .filter(col("df_docs") >= minDocs)
       .select("g")
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
