@@ -225,8 +225,10 @@ object SparkEntry {
       DataOps.snapshotDiff(v1, v2)
     },
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
+    "sketch_kmv_parts" -> q((s, dir) => Sketches.kmvParts(s, dir)),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
+    "check_kmv"                -> q((s, dir) => Sketches.kmvCheck(s, dir)),
     "check_freq_items"         -> q(Checks.freqItemsGuarantee),
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
@@ -1152,6 +1154,18 @@ object SparkEntry {
       "check_hll_error" ->
         """SELECT l_returnflag, true AS parts_ok, true AS orders_ok
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "sketch_kmv_parts" ->
+        """SELECT * FROM (
+          |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+          |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          |  FROM lineitem GROUP BY l_returnflag
+          |  UNION ALL
+          |  SELECT 'ALL' AS scope, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+          |  FROM lineitem
+          |) ORDER BY scope""".stripMargin,
+      "check_kmv" ->
+        """SELECT true AS merge_invariant, true AS est_ok,
+          |       true AS union_ok, true AS intersect_ok""".stripMargin,
       "check_approx_quantiles" ->
         """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
