@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, KmvSketchAgg, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
+import graft.functions.{CmsAgg, CmsLookup, CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, KmvSketchAgg, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
 
 /** Registry of graft's native Catalyst expressions, exposed as SQL
   * functions so they compose with `expr(...)` / `selectExpr` / pure SQL
@@ -65,6 +65,16 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_might_contain",
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "cms_agg",
+      exprs => CmsAgg(exprs(0), exprs(1).eval().toString.toInt, exprs(2).eval().toString.toInt),
+      "built-in"
+    )
+    reg.createOrReplaceTempFunction(
+      "cms_estimate",
+      exprs => CmsLookup(exprs(0), exprs(1), exprs(2).eval().toString.toInt, exprs(3).eval().toString.toInt),
       "built-in"
     )
     reg.createOrReplaceTempFunction(

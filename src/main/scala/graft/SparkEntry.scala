@@ -226,9 +226,11 @@ object SparkEntry {
     },
     "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
     "sketch_kmv_parts" -> q((s, dir) => Sketches.kmvParts(s, dir)),
+    "text_cms_counts"  -> q((s, dir) => Sketches.cmsWordCounts(s, dir)),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
     "check_kmv"                -> q((s, dir) => Sketches.kmvCheck(s, dir)),
+    "check_cms"                -> q((s, dir) => Sketches.cmsCheck(s, dir)),
     "check_freq_items"         -> q(Checks.freqItemsGuarantee),
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
@@ -1166,6 +1168,10 @@ object SparkEntry {
       "check_kmv" ->
         """SELECT true AS merge_invariant, true AS est_ok,
           |       true AS union_ok, true AS intersect_ok""".stripMargin,
+      "text_cms_counts" -> wcSql,
+      "check_cms" ->
+        """SELECT CAST(0 AS BIGINT) AS under_violations, true AS bound_ok,
+          |       true AS merge_invariant""".stripMargin,
       "check_approx_quantiles" ->
         """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

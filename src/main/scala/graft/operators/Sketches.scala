@@ -80,6 +80,67 @@ object Sketches {
     groups.unionByName(all).orderBy("scope")
   }
 
+  /** Word counts replayed through a Count-Min sketch
+    * ([[graft.functions.CmsAgg]]): one depth×width counter grid over
+    * the token stream, probed per distinct term with the codegen'd
+    * [[graft.functions.CmsLookup]]. Run in the collision-free regime
+    * (width ≫ vocabulary), where the min-of-rows estimate IS the exact
+    * count — the DuckDB-replayable configuration; `check_cms`
+    * exercises the colliding regime. The sketch crosses the cluster
+    * once as ONE broadcast row of depth·width longs — the exact
+    * groupBy this replaces shuffles the full distinct-term table.
+    */
+  def cmsWordCounts(spark: SparkSession, dir: String, depth: Int = 4, width: Int = 8192): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val toks =
+      TextJobs.tokenized(Tables.documents(spark, dir).select("text"), "text", "word")
+    val sketch = toks.agg(expr(s"cms_agg(xxhash64(word), $depth, $width)").as("cms"))
+    toks
+      .select("word")
+      .distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), expr(s"cms_estimate(cms, xxhash64(word), $depth, $width)").as("cnt"))
+      .orderBy("word")
+  }
+
+  /** Count-Min guarantee check in the COLLIDING regime (width 64
+    * against ~10× more distinct custkeys, so nearly every counter is
+    * shared). DuckDB states the expected constants:
+    *   - under_violations = 0: est(x) ≥ c(x) for every key — the CMS
+    *     hard guarantee, no probability involved;
+    *   - merge_invariant: counter grids are elementwise sums, so the
+    *     sketch VALUE is bit-identical under different partitionings;
+    *   - bound_ok: the fraction of keys whose overcount exceeds
+    *     e·N/width is below 3·e^(−depth) (the per-key Markov bound is
+    *     e^(−depth); 3× head-room because K keys are not independent
+    *     trials — measured, deterministic for fixed data and hashes).
+    */
+  def cmsCheck(spark: SparkSession, dir: String, depth: Int = 4, width: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val keys   = Tables.orders(spark, dir).select(col("o_custkey").as("key"))
+    val exact  = keys.groupBy("key").agg(count(lit(1)).as("cnt"))
+    val n      = keys.agg(count(lit(1)).as("n"))
+    val skA    = keys.repartition(7).agg(expr(s"cms_agg(xxhash64(key), $depth, $width)").as("cms"))
+    val skB    = keys.repartition(13).agg(expr(s"cms_agg(xxhash64(key), $depth, $width)").as("cms_b"))
+    val eps    = math.E / width
+    val maxBad = 3.0 * math.exp(-depth.toDouble)
+    exact
+      .crossJoin(broadcast(skA))
+      .crossJoin(broadcast(n))
+      .select(
+        col("cnt"),
+        col("n"),
+        expr(s"cms_estimate(cms, xxhash64(key), $depth, $width)").as("est")
+      )
+      .agg(
+        sum(when(col("est") < col("cnt"), 1L).otherwise(0L)).as("under_violations"),
+        (sum(when(col("est") - col("cnt") > lit(eps) * col("n"), 1L).otherwise(0L)) <
+          count(lit(1)) * lit(maxBad)).as("bound_ok")
+      )
+      .crossJoin(broadcast(skA.crossJoin(broadcast(skB)).select((col("cms") === col("cms_b")).as("merge_invariant"))))
+      .select(col("under_violations"), col("bound_ok"), col("merge_invariant"))
+  }
+
   /** KMV guarantee check, run in the sub-capacity regime where the
     * sketch actually estimates (k=256 against thousands of distinct
     * orderkeys / custkeys). Verifies, with DuckDB stating the

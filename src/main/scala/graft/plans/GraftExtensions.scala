@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, KmvSketchAgg, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
+import graft.functions.{CmsAgg, CmsLookup, CosineSimilarity, DotProduct, FreqItemsAgg, HyperplaneCode, KmvSketchAgg, MinhashAgg, ShingleHashes, ShingleHashesGen, SimhashAgg, TopKAgg}
 
 /** Production wiring for graft's native expressions: a
   * SparkSessionExtensions hook, enabled with
@@ -77,6 +77,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("freq_items_agg"),
         info("freq_items_agg"),
         (es: Seq[Expression]) => FreqItemsAgg(es(0), es(1).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cms_agg"),
+        info("cms_agg"),
+        (es: Seq[Expression]) => CmsAgg(es(0), es(1).eval().toString.toInt, es(2).eval().toString.toInt)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cms_estimate"),
+        info("cms_estimate"),
+        (es: Seq[Expression]) => CmsLookup(es(0), es(1), es(2).eval().toString.toInt, es(3).eval().toString.toInt)
       )
     )
     ext.injectFunction(
