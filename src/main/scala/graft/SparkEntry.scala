@@ -211,6 +211,7 @@ object SparkEntry {
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
+    "docs_source_cap"  -> q((s, dir) => DataOps.sourceCap(s, dir)),
     // snapshot diff against a deterministically perturbed v2: drop
     // ids %97=0, rewrite text for %31=0, add fresh ids for %53=0 —
     // every class exercised, DuckDB derives the same v2
@@ -1172,6 +1173,13 @@ object SparkEntry {
       "check_cms" ->
         """SELECT CAST(0 AS BIGINT) AS under_violations, true AS bound_ok,
           |       true AS merge_invariant""".stripMargin,
+      "docs_source_cap" ->
+        """SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars FROM (
+          |  SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |                       ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
       "check_approx_quantiles" ->
         """SELECT o_orderstatus, true AS p50_ok, true AS p90_ok, true AS p99_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -148,6 +148,30 @@ object DataOps {
     * result is deterministic; the tie-break (term) makes the order
     * total.
     */
+  /** Per-source document cap (the RefinedWeb/C4-style "no domain may
+    * dominate the corpus" rule): keep the k highest-value documents of
+    * each source, here ranked by length with doc_id tie-break. Runs
+    * through [[graft.functions.TopKAgg]], so each mapper ships k
+    * (score, id) pairs per source instead of sorting every document of
+    * every domain under a window — at crawl scale the difference
+    * between shuffling k·|domains| fixed rows and the whole corpus.
+    */
+  def sourceCap(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables
+      .documents(spark, dir)
+      .groupBy("source")
+      .agg(expr(s"topk_agg(n_chars, doc_id, $k)").as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("n_chars")
+      )
+      .orderBy("source", "rn")
+  }
+
   def vocabIds(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
     import spark.implicits._
     val counts = TextJobs
