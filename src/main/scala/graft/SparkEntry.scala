@@ -32,13 +32,20 @@ object SparkEntry {
   val mixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 8) * 0.25).toMap
 
-  /** Corpus dirs whose `q_lsh_idx` standing index is already built —
+  /** Corpus dirs whose `q_lsh_idx_*` standing index is already built —
     * see `dedup_incremental_lsh`.
     */
   private val lshIndexBuilt = scala.collection.mutable.Set.empty[String]
 
   /** Same memoization for the semantic-dedup cell index. */
   private val semIndexBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Index table names are keyed by the data dir: a fixed name plus a
+    * per-dir memo would leave the memoized FIRST dir probing an index
+    * holding the SECOND dir's corpus when one JVM runs two dirs.
+    */
+  private def dirKeyed(base: String, dir: String): String =
+    s"${base}_${java.lang.Integer.toHexString(dir.hashCode)}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the two jobs of the reference engine ----
@@ -162,13 +169,14 @@ object SparkEntry {
       // contract is probe-against-STANDING-state, so repeated calls
       // (bench min-of-2, verify) measure the probe, not a rebuild.
       val docs = Tables.documents(s, dir)
+      val lshIdx = dirKeyed("q_lsh_idx", dir)
       lshIndexBuilt.synchronized {
         if (!lshIndexBuilt.contains(dir)) {
-          Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "q_lsh_idx")
+          Dedup.buildLshIndex(docs.filter(col("doc_id") % 10 =!= 0), lshIdx)
           lshIndexBuilt += dir
         }
       }
-      Dedup.incrementalMinhashLsh(s, "q_lsh_idx", docs.filter(col("doc_id") % 10 === 0))
+      Dedup.incrementalMinhashLsh(s, lshIdx, docs.filter(col("doc_id") % 10 === 0))
     },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
     "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
@@ -187,13 +195,14 @@ object SparkEntry {
       // standing corpus = 90% of vectors, arriving batch = 10%; index
       // build memoized per dir so repeated calls measure the probe
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val semIdx = dirKeyed("q_sem_idx", dir)
       semIndexBuilt.synchronized {
         if (!semIndexBuilt.contains(dir)) {
-          Similarity.buildSemanticIndex(e.filter(col("vec_id") % 10 =!= 0), "q_sem_idx")
+          Similarity.buildSemanticIndex(e.filter(col("vec_id") % 10 =!= 0), semIdx)
           semIndexBuilt += dir
         }
       }
-      Similarity.incrementalSemantic(s, "q_sem_idx", e.filter(col("vec_id") % 10 === 0))
+      Similarity.incrementalSemantic(s, semIdx, e.filter(col("vec_id") % 10 === 0))
     },
     // ---- text analysis ----
     "text_langid"      -> q(TextAnalysis.languageId),
@@ -207,6 +216,7 @@ object SparkEntry {
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
     "text_dup_spans"   -> q((s, dir) => TextAnalysis.duplicatedSpans(s, dir)),
+    "text_dedup_substrings" -> q((s, dir) => TextAnalysis.dedupSubstrings(s, dir)),
     "text_contamination_bloom" -> q((s, dir) => TextAnalysis.contaminationBloom(s, dir)),
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
@@ -1012,6 +1022,29 @@ object SparkEntry {
            |  COALESCE(per.covered_tokens, 0) AS covered_tokens,
            |  CASE WHEN len($toks) > 0
            |       THEN COALESCE(per.covered_tokens, 0) / CAST(len($toks) AS DOUBLE) END AS covered_ratio
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      "text_dedup_substrings" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |gr AS (SELECT doc_id, i AS pos,
+           |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+           |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+           |hot AS (SELECT g, min(doc_id) AS canon
+           |        FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+           |cut AS (SELECT DISTINCT gr.doc_id, gr.pos + j AS pos
+           |        FROM gr JOIN hot USING (g), UNNEST(range(0, 3)) AS r(j)
+           |        WHERE gr.doc_id <> hot.canon),
+           |tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+           |        FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+           |per AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |          string_agg(tok.tok, ' ' ORDER BY tok.pos) AS text_dedup
+           |        FROM tok
+           |        WHERE NOT EXISTS (SELECT 1 FROM cut
+           |                          WHERE cut.doc_id = tok.doc_id AND cut.pos = tok.pos)
+           |        GROUP BY tok.doc_id)
+           |SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  COALESCE(per.n_kept, 0) AS n_kept,
+           |  COALESCE(per.text_dedup, '') AS text_dedup
            |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
            |ORDER BY d.doc_id""".stripMargin,
       "dedup_incremental" ->

@@ -267,8 +267,12 @@ object Checks {
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
     val batch  = e.filter(col("vec_id") % 10 === 0)
     Similarity.buildSemanticIndex(corpus, "chk_sem_idx")
+    // cellCap disabled on BOTH sides: the reference pair set below is
+    // uncapped, so a cell whose combined population exceeded the
+    // production cap would fail the equivalence spuriously (a capped
+    // probe legitimately drops pairs the uncapped reference keeps)
     val inc = Similarity
-      .incrementalSemantic(spark, "chk_sem_idx", batch)
+      .incrementalSemantic(spark, "chk_sem_idx", batch, cellCap = Int.MaxValue)
       .select("a", "b")
       .localCheckpoint(eager = false)
     val centDf   = spark.table("chk_sem_idx_centroids")

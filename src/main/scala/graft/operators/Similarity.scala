@@ -395,18 +395,24 @@ object Similarity {
       k: Int = 5,
       m: Int = 16,
       codebookK: Int = 64,
-      queryFilter: String = "vec_id % 100 = 0"
+      queryFilter: String = "vec_id % 100 = 0",
+      dim: Int = 64
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val dim = raw.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
+    // dim is a PARAMETER with a per-row runtime guard, not a `first()`
+    // probe: a 1-row driver action at plan-build time would make every
+    // call fire a job before the caller runs anything (the laziness
+    // contract tfIdfTopTerm and lmScore honor). assert_true is
+    // codegen'd and free on the non-error path.
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // normalize so dot == cosine and ADC approximates the real metric
     val e = raw
+      .filter(assert_true(size(col("embedding")) === dim, lit(s"pqTopK: expected dim=$dim embeddings")).isNull)
       .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
       .filter(col("nrm") > 0.0)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))

@@ -291,10 +291,19 @@ object TextAnalysis {
     * hot grams and the interval merge is one window over (doc, pos) —
     * partitioned by doc, never a global sort.
     */
-  def duplicatedSpans(spark: SparkSession, dir: String, k: Int = 3, minDocs: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val inst = docs
+  def duplicatedSpans(spark: SparkSession, dir: String, k: Int = 3, minDocs: Int = 3): DataFrame =
+    duplicatedSpansDf(Tables.documents(spark, dir), k, minDocs)
+
+  /** k-gram instance stream (doc_id, pos, g), pos 1-based — shared by
+    * [[duplicatedSpansDf]] and [[dedupSubstrings]]. Lazily
+    * checkpointed: every consumer feeds it to BOTH a gram-frequency
+    * aggregate and a join back to itself, and Spark performs no
+    * cross-input subtree reuse, so without materialization the
+    * tokenize+posexplode would run once per consumer (same reason
+    * boilerplateScore checkpoints its pair set).
+    */
+  private def gramInstances(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), expr(toks("text")).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(
@@ -304,6 +313,11 @@ object TextAnalysis {
         ).as(Seq("__p", "g"))
       )
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+      .localCheckpoint(eager = false)
+
+  private[graft] def duplicatedSpansDf(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = gramInstances(docs, k)
     // document frequency in ONE aggregate (countDistinct plans as a
     // two-phase expand+aggregate) instead of distinct → groupBy, which
     // pays an extra full exchange of the pair set
@@ -332,6 +346,63 @@ object TextAnalysis {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         when(col("n_tokens") > 0, coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens").cast("double"))
           .as("covered_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Exact substring dedup — the REMOVAL half of [[duplicatedSpans]]
+    * (Lee et al. 2021, arXiv:2107.06499 §4): emit the corpus with
+    * every token that sits inside a cross-document duplicated k-gram
+    * (document frequency ≥ `minDocs`) cut out, KEEPING one canonical
+    * occurrence — the instance in the gram's minimum doc_id. The
+    * operator a curation pipeline actually runs where
+    * [[duplicatedSpans]] only measures; re-measuring the output
+    * reports ~zero coverage (each surviving span lives in one doc).
+    *
+    * Scale shape: the gram instance stream shuffles once for the
+    * frequency+canonical aggregate; cut instances explode to their k
+    * token positions (a k× inflation of the DUPLICATED region only,
+    * never the corpus) and remove kept tokens via an anti-join keyed
+    * (doc_id, pos) — at most one row per covered token crosses the
+    * shuffle. Reconstruction is one per-doc aggregate: sort-by-
+    * position inside the aggregation buffer (array_sort over collected
+    * structs), never a global sort.
+    */
+  def dedupSubstrings(spark: SparkSession, dir: String, k: Int = 3, minDocs: Int = 3): DataFrame =
+    dedupSubstringsDf(Tables.documents(spark, dir), k, minDocs)
+
+  private[graft] def dedupSubstringsDf(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
+    val inst = gramInstances(docs, k)
+    // one aggregate yields both the hot predicate and the canonical
+    // owner: min over all instances == min over distinct docs
+    val hot = inst
+      .groupBy("g")
+      .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon"))
+      .filter(col("df_docs") >= minDocs)
+      .select("g", "canon")
+    val cutPos = inst
+      .join(hot, Seq("g"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(expr(toks("text"))).as(Seq("__p", "tok")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("tok"))
+    val per = tokens
+      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+          .as("text_dedup")
+      )
+    docs
+      .select(col("doc_id"), size(expr(toks("text"))).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup")
       )
       .orderBy("doc_id")
   }

@@ -38,6 +38,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * sized the files. Registered as `graft-kv` via
   * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
   */
+/** Java-serializable carrier for the session Hadoop configuration.
+  * The driver plans with `sessionState.newHadoopConf()` (credentials,
+  * custom fs schemes); executor-side readers/writers must open files
+  * with the SAME conf or an S3A/custom-scheme path silently falls back
+  * to defaults. Hadoop's Configuration is not Serializable, so it
+  * round-trips through its own write/readFields wire format.
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class KvTextTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvTextTable.schema
@@ -117,22 +136,29 @@ class KvScan(path: String, required: StructType, filters: Array[Filter], limit: 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvReaderFactory(required.fieldNames, filters, limit)
+    // capture the session conf HERE (driver side) so executors open
+    // files with the same credentials/fs settings planning used
+    KvReaderFactory(
+      required.fieldNames,
+      filters,
+      limit,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+    )
 }
 
 case class KvInputPartition(file: String) extends InputPartition
 
-case class KvReaderFactory(fields: Array[String], filters: Array[Filter], limit: Int)
+case class KvReaderFactory(fields: Array[String], filters: Array[Filter], limit: Int, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file, fields, filters, limit)
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file, fields, filters, limit, conf.value)
 }
 
-class KvPartitionReader(file: String, fields: Array[String], filters: Array[Filter], limit: Int)
+class KvPartitionReader(file: String, fields: Array[String], filters: Array[Filter], limit: Int, conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val path = new Path(file)
   private val in = new BufferedReader(
-    new InputStreamReader(path.getFileSystem(new Configuration()).open(path), StandardCharsets.UTF_8)
+    new InputStreamReader(path.getFileSystem(conf).open(path), StandardCharsets.UTF_8)
   )
   private var current: InternalRow = _
   private var emitted              = 0L
@@ -196,7 +222,7 @@ class KvWrite(path: String, queryId: String, truncate: Boolean) extends Write wi
   private def tmpDir = new Path(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KvWriterFactory(path, queryId)
+    KvWriterFactory(path, queryId, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -222,17 +248,17 @@ class KvWrite(path: String, queryId: String, truncate: Boolean) extends Write wi
 
 case class KvCommitMessage(tmpFile: String, finalName: String) extends WriterCommitMessage
 
-case class KvWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+case class KvWriterFactory(path: String, queryId: String, conf: SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, queryId, partitionId, taskId)
+    new KvDataWriter(path, queryId, partitionId, taskId, conf.value)
 }
 
-class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long, conf: Configuration)
     extends DataWriter[InternalRow] {
   // taskId in the temp name keeps speculative attempts from clobbering
   // each other; only the committed attempt's file is moved into place
   private val tmpFile = new Path(new Path(path, s"_tmp_$queryId"), f"part-$partitionId%05d-$taskId.txt")
-  private val fs      = tmpFile.getFileSystem(new Configuration())
+  private val fs      = tmpFile.getFileSystem(conf)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmpFile, true), StandardCharsets.UTF_8)
   )
@@ -240,6 +266,10 @@ class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(0), "graft-kv cannot encode a NULL key")
     val key = row.getUTF8String(0).toString
+    // the separator inside a key would round-trip as a truncated key
+    // with the rest folded into the value — silent corruption, so
+    // reject like NULL keys (the reference format has no escaping)
+    require(!key.contains(": "), s"graft-kv cannot encode a key containing ': ': '$key'")
     if (row.isNullAt(1)) out.write(key)
     else { out.write(key); out.write(": "); out.write(row.getUTF8String(1).toString) }
     out.write("\n")
@@ -280,14 +310,22 @@ object KvFilterEval {
     case _                                => false
   }
 
+  // range comparisons use UTF8String (UTF-8 byte order, == code-point
+  // order) — Java String '<' compares UTF-16 code units, which
+  // disagrees for supplementary-plane characters; since accepted
+  // filters are REMOVED from the post-scan Filter, the pushed
+  // evaluation must match Spark's exactly
+  private def cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
   def eval(f: Filter, key: String, value: String): Boolean = {
     def col(attr: String): String = if (attr == "key") key else value
     f match {
       case EqualTo(a, v: String)            => col(a) != null && col(a) == v
-      case GreaterThan(a, v: String)        => col(a) != null && col(a) > v
-      case GreaterThanOrEqual(a, v: String) => col(a) != null && col(a) >= v
-      case LessThan(a, v: String)           => col(a) != null && col(a) < v
-      case LessThanOrEqual(a, v: String)    => col(a) != null && col(a) <= v
+      case GreaterThan(a, v: String)        => col(a) != null && cmp(col(a), v) > 0
+      case GreaterThanOrEqual(a, v: String) => col(a) != null && cmp(col(a), v) >= 0
+      case LessThan(a, v: String)           => col(a) != null && cmp(col(a), v) < 0
+      case LessThanOrEqual(a, v: String)    => col(a) != null && cmp(col(a), v) <= 0
       case StringStartsWith(a, v)           => col(a) != null && col(a).startsWith(v)
       case IsNotNull(a)                     => col(a) != null
       case IsNull(a)                        => col(a) == null

@@ -82,6 +82,30 @@ class KvSourceSpec extends SparkSpec {
     assert(back == wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  test("keys containing the ': ' separator are rejected at write (no silent truncation)") {
+    val dir = "/tmp/graft_kv_spec/sepkey"
+    val bad = spark.createDataFrame(Seq(("a: b", "v"))).toDF("key", "value")
+    val ex  = intercept[Exception](bad.write.format("graft-kv").mode("overwrite").save(dir))
+    def causes(t: Throwable): Seq[Throwable] = Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("': '"))), s"unexpected failure: $ex")
+  }
+
+  test("pushed range filters compare in UTF-8 order, matching the unpushed result") {
+    // U+10000 (𐀀, supplementary plane) sorts BELOW U+FFFD in UTF-16
+    // code units but ABOVE it in UTF-8 bytes / code points — the case
+    // where Java String '<' and Spark's UTF8String disagree
+    val dir = "/tmp/graft_kv_spec/utf8"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/part-0.txt"), "𐀀: supp\n�: bmp\n")
+    val df     = Sources.keyValueText(spark, dir)
+    val pushed = df.filter(col("key") > "�").collect().map(_.getString(1)).toSet
+    // unpushed twin: wrap the column so the predicate stays above the scan
+    val residual = df.filter(concat(col("key"), lit("")) > "�").collect().map(_.getString(1)).toSet
+    assert(pushed == residual, s"pushed=$pushed residual=$residual")
+    assert(pushed == Set("supp"))
+  }
+
   test("one input partition per data file; malformed lines yield NULL values") {
     val dir = "/tmp/graft_kv_spec/raw"
     Files.createDirectories(Paths.get(dir))

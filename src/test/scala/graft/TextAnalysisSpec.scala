@@ -64,6 +64,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.forall(_.getLong(2) == 0L))
   }
 
+  test("dedupSubstrings: canonical copy kept verbatim, duplicates cut, re-run reports zero coverage") {
+    import org.apache.spark.sql.functions.col
+    // planted corpus: a 6-token passage shared by docs 1/2/3 (embedded
+    // in distinct surroundings), plus unique docs 4/5 — nothing else
+    // repeats across >= 3 docs
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = spark
+      .createDataFrame(
+        Seq(
+          (1L, s"one two $passage three four"),
+          (2L, s"five six $passage seven eight"),
+          (3L, s"nine ten $passage eleven twelve"),
+          (4L, "lorem ipsum dolor sit amet unique"),
+          (5L, "consectetur adipiscing elit sed do")
+        )
+      )
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSubstringsDf(docs, k = 3, minDocs = 3).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // kept-copy invariant: the minimum doc_id containing the passage
+    // keeps its full text; the other two lose exactly the passage
+    assert(byId(1L).getString(3) == s"one two $passage three four")
+    assert(byId(2L).getString(3) == "five six seven eight")
+    assert(byId(3L).getString(3) == "nine ten eleven twelve")
+    assert(byId(4L).getString(3) == "lorem ipsum dolor sit amet unique")
+    assert(byId(5L).getString(3) == "consectetur adipiscing elit sed do")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    // re-running the MEASUREMENT half on the deduped corpus: zero
+    // duplicated-span coverage — the surviving passage lives in doc 1
+    // only, so no gram clears minDocs anymore
+    val remeasured = TextAnalysis
+      .duplicatedSpansDf(docs.select(col("doc_id")).join(
+        spark.createDataFrame(out.map(r => (r.getLong(0), r.getString(3))).toSeq).toDF("doc_id", "text"),
+        "doc_id"
+      ), k = 3, minDocs = 3)
+      .collect()
+    assert(remeasured.forall(_.getLong(2) == 0L), remeasured.mkString("; "))
+    // idempotence: a second dedup pass changes nothing
+    val again = TextAnalysis
+      .dedupSubstringsDf(
+        spark.createDataFrame(out.map(r => (r.getLong(0), r.getString(3))).toSeq).toDF("doc_id", "text"),
+        k = 3,
+        minDocs = 3
+      )
+      .collect()
+    assert(again.map(r => r.getLong(0) -> r.getString(3)).toMap ==
+      out.map(r => r.getLong(0) -> r.getString(3)).toMap)
+  }
+
+  test("dedupSubstrings on the corpus: kept tokens == n_tokens - duplicatedSpans coverage per doc") {
+    // the removal half must cut EXACTLY the token region the
+    // measurement half reports, doc by doc — with the one semantic
+    // delta that canonical copies are kept: so kept >= n - covered,
+    // with equality for every doc that owns no canonical instance.
+    // Global invariant that needs no per-doc canonical bookkeeping:
+    // sum(kept) == sum(n_tokens) - sum(covered) + sum(canonical spans
+    // kept), and every doc individually satisfies the >= bound.
+    val measured = TextAnalysis.duplicatedSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val deduped = TextAnalysis.dedupSubstrings(spark, sfDir).collect()
+    assert(deduped.nonEmpty)
+    deduped.foreach { r =>
+      val (n, covered) = measured(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) >= n - covered, s"doc ${r.getLong(0)} kept ${r.getLong(2)} < $n - $covered")
+    }
+    // the corpus has planted duplicates at sf scale — something is cut
+    assert(deduped.map(_.getLong(2)).sum < deduped.map(_.getLong(1)).sum)
+  }
+
   test("contaminationBloom == exact benchmarkContamination (bloom is a prefilter, not semantics)") {
     val exact = TextAnalysis.benchmarkContamination(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
