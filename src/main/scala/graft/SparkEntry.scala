@@ -189,6 +189,7 @@ object SparkEntry {
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
     "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
+    "sim_ivfpq_topk"      -> q((s, dir) => Similarity.ivfPqTopK(s, dir)),
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
     "dedup_incremental_semantic" -> q { (s, dir) =>
@@ -254,6 +255,7 @@ object SparkEntry {
     "check_ann_recall"         -> q(Checks.annRecall),
     "check_ivf_recall"         -> q(Checks.ivfRecall),
     "check_pq_recall"          -> q(Checks.pqRecall),
+    "check_ivfpq_recall"       -> q(Checks.ivfPqRecall),
     "check_curation"           -> q(Checks.curationInvariants),
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
@@ -1241,6 +1243,7 @@ object SparkEntry {
       "check_ann_recall" -> "SELECT true AS recall_ok",
       "check_ivf_recall" -> "SELECT true AS recall_ok",
       "check_pq_recall" -> "SELECT true AS recall_ok",
+      "check_ivfpq_recall" -> "SELECT true AS recall_ok, true AS work_reduced",
       "check_curation" ->
         """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,
           |       true AS keeper_ok, true AS split_ok, true AS quality_ok""".stripMargin,

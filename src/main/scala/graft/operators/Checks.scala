@@ -310,6 +310,27 @@ object Checks {
   def pqRecall(spark: SparkSession, dir: String): DataFrame =
     topkRecallCheck(spark, Similarity.pqTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.3)
 
+  /** IVF×PQ composed ANN: mean recall@5 vs brute force ≥ 0.2 AND the
+    * IVF restriction is real work reduction, not just a recall trade —
+    * the candidate stream ADC actually scores stays ≤ 60% of
+    * queries × (corpus − 1) (nominal nProbe/nCells = 1/4; probed cells
+    * skew large because queries probe their own neighborhoods, so the
+    * bound leaves headroom while still proving ≪ the full cross
+    * product plain PQ scans).
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val recall =
+      topkRecallCheck(spark, Similarity.ivfPqTopK(spark, dir), Similarity.bruteForceTopK(spark, dir), 0.2)
+    val nCand = Similarity.ivfPqCandidates(spark, dir).count().toDouble
+    val e     = Tables.embeddings(spark, dir).select("vec_id")
+    val n     = e.count().toDouble
+    val nQ    = e.filter(col("vec_id") % 100 === 0).count().toDouble
+    recall.select(
+      col("recall_ok"),
+      lit(nCand / (nQ * (n - 1.0)) <= 0.6).as("work_reduced")
+    )
+  }
+
   private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame = {
     val hit = ann
       .select(col("qid"), col("cand"))

@@ -389,49 +389,57 @@ object Similarity {
     * Training is deterministic (fixed seed, hash-mod sample), so
     * results are reproducible and the recall check is stable.
     */
-  def pqTopK(
-      spark: SparkSession,
-      dir: String,
-      k: Int = 5,
-      m: Int = 16,
-      codebookK: Int = 64,
-      queryFilter: String = "vec_id % 100 = 0",
-      dim: Int = 64
-  ): DataFrame = {
-    graft.GraftFunctions.register(spark)
+  /** Per-subspace sub-vector stream: (vec_id, sub_idx, subvec). */
+  private def subVecs(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(
+      col("vec_id"),
+      posexplode(
+        expr(s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")
+      ).as(Seq("sub_idx", "subvec"))
+    )
+
+  /** Shared PQ model fit + encode (the training/encoding half of
+    * [[pqTopK]], reused by [[ivfPqTopK]]): L2-normalize (so dot ==
+    * cosine), learn `m` per-subspace codebooks on a bounded
+    * deterministic hash-mod sample, and encode every vector as `m`
+    * small codes. Returns (normalized vectors, codebook table, codes).
+    *
+    * `dim` is a PARAMETER with a per-row runtime guard, not a
+    * `first()` probe: a 1-row driver action at plan-build time would
+    * make every call fire a job before the caller runs anything (the
+    * laziness contract tfIdfTopTerm and lmScore honor). assert_true is
+    * codegen'd and free on the non-error path. (The codebook KMeans
+    * fits are driver actions by nature — same documented shape as
+    * [[kmeansCells]].)
+    */
+  private[graft] def pqFit(
+      raw: DataFrame,
+      m: Int,
+      codebookK: Int,
+      dim: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    val spark = raw.sparkSession
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    // dim is a PARAMETER with a per-row runtime guard, not a `first()`
-    // probe: a 1-row driver action at plan-build time would make every
-    // call fire a job before the caller runs anything (the laziness
-    // contract tfIdfTopTerm and lmScore honor). assert_true is
-    // codegen'd and free on the non-error path.
-    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // normalize so dot == cosine and ADC approximates the real metric
     val e = raw
-      .filter(assert_true(size(col("embedding")) === dim, lit(s"pqTopK: expected dim=$dim embeddings")).isNull)
+      .filter(assert_true(size(col("embedding")) === dim, lit(s"pqFit: expected dim=$dim embeddings")).isNull)
       .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
       .filter(col("nrm") > 0.0)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
 
-    def subVecs(df: DataFrame): DataFrame =
-      df.select(
-        col("vec_id"),
-        posexplode(
-          expr(s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $subDim + 1, $subDim))")
-        ).as(Seq("sub_idx", "subvec"))
-      )
-
     // bounded deterministic training sample, one materialization for
     // all m subspace fits
     val sampleTarget = 256L * codebookK
-    val nVecs        = raw.count()
+    val nVecs        = raw.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
     val trainSubs = subVecs(
-      if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)
+      if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0),
+      m,
+      subDim
     ).withColumn("features", array_to_vector(col("subvec"))).localCheckpoint()
 
     val codebooks: Seq[(Int, Int, Array[Float])] = (0 until m).flatMap { s =>
@@ -450,21 +458,57 @@ object Similarity {
 
     // encode: nearest codebook entry per (vector, subspace) — min of
     // (l2, code) under struct ordering, an aggregate not a window
-    val codes = subVecs(e)
+    val codes = subVecs(e, m, subDim)
       .join(broadcast(cbDf), Seq("sub_idx"))
       .withColumn("l2", expr("aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, d) -> acc + d)"))
       .groupBy("vec_id", "sub_idx")
       .agg(min(struct(col("l2"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub_idx"), col("best.code").as("code"))
+    (e, cbDf, codes)
+  }
 
-    // ADC: per query, partial dot of each query sub-vector with every
-    // codebook entry; candidate score = sum of m lookups
-    val qtab = subVecs(e.filter(expr(queryFilter)))
+  /** Per-query nProbe nearest cells against a broadcast centroid
+    * table: (qid, cell). Shared by [[ivfPqTopK]] and its candidate
+    * measurement twin; [[ivfTopK]] keeps qe inline so it stays
+    * self-contained.
+    */
+  private def probeCells(queries: DataFrame, centDf: DataFrame, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist").desc, col("cell"))
+    queries
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", expr("cosine_sim(qe, centroid)"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select("qid", "cell")
+  }
+
+  /** Query-side ADC lookup table: per (query, subspace, code) the
+    * partial dot of the query sub-vector with that codebook entry.
+    */
+  private def adcTable(queries: DataFrame, cbDf: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVecs(queries, m, subDim)
       .withColumnRenamed("vec_id", "qid")
       .join(broadcast(cbDf), Seq("sub_idx"))
       .withColumn("pdot", expr("aggregate(zip_with(subvec, cvec, (a, b) -> cast(a * b as double)), 0.0D, (acc, d) -> acc + d)"))
       .select(col("qid"), col("sub_idx"), col("code"), col("pdot"))
-    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
+
+  def pqTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      m: Int = 16,
+      codebookK: Int = 64,
+      queryFilter: String = "vec_id % 100 = 0",
+      dim: Int = 64
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val raw             = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (e, cbDf, codes) = pqFit(raw, m, codebookK, dim)
+
+    // ADC: per query, partial dot of each query sub-vector with every
+    // codebook entry; candidate score = sum of m lookups
+    val qtab = adcTable(e.filter(expr(queryFilter)), cbDf, m, dim / m)
+    val w    = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
     codes
       .join(broadcast(qtab), Seq("sub_idx", "code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -474,6 +518,86 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
       .orderBy("qid", "rnk")
+  }
+
+  /** IVF×PQ — the production ANN composition [[pqTopK]]'s own doc
+    * promises: the IVF coarse quantizer restricts which encoded
+    * vectors each query's ADC scan touches (its `nProbe` nearest
+    * cells), and PQ keeps what it scans 12 B/vector. Plain PQ is ADC
+    * over the WHOLE corpus per query — O(|V|·m) lookups; here the
+    * per-query candidate set shrinks to ≈ nProbe/nCells of the corpus
+    * (`check_ivfpq_recall` asserts the measured fraction), which is
+    * the difference between a full-corpus scan per query and an
+    * index probe at 100 TB.
+    *
+    * Scale shape: centroids and the query ADC table broadcast; the
+    * encoded corpus joins its cell id once (shuffle by vec_id), then
+    * candidate restriction is a broadcast join on cell — the big side
+    * never shuffles again; scoring is the same broadcast (qid,
+    * sub_idx, code) lookup join as [[pqTopK]] over the reduced stream.
+    */
+  def ivfPqTopK(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 16,
+      codebookK: Int = 64,
+      queryFilter: String = "vec_id % 100 = 0",
+      dim: Int = 64
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val raw              = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (e, cbDf, codes) = pqFit(raw, m, codebookK, dim)
+    val (assigned, centDf) = kmeansCells(raw, nCells)
+
+    val probed = probeCells(
+      e.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      centDf,
+      nProbe
+    )
+
+    val qtab = adcTable(e.filter(expr(queryFilter)), cbDf, m, dim / m)
+    val w    = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
+    codes
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
+      .groupBy(col("qid"), col("vec_id").as("cand"))
+      .agg(sum("pdot").as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The candidate stream [[ivfPqTopK]] actually scores — exposed so
+    * `check_ivfpq_recall` can measure that the IVF restriction is
+    * real work reduction (candidates ≪ queries × corpus), not just a
+    * recall trade.
+    */
+  private[graft] def ivfPqCandidates(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      queryFilter: String = "vec_id % 100 = 0"
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val raw                = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (assigned, centDf) = kmeansCells(raw, nCells)
+    val probed = probeCells(
+      raw.filter(expr(queryFilter)).select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      centDf,
+      nProbe
+    )
+    assigned
+      .select("vec_id", "cell")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"))
   }
 
   /** ANN via multi-probe banding of the sign bits: split the

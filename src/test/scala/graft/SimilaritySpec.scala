@@ -62,6 +62,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@5 degraded to $recall")
   }
 
+  test("IVF×PQ: valid ranks, recall holds, candidates scanned are a fraction of queries × corpus") {
+    val brute = Similarity
+      .bruteForceTopK(spark, sfDir, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val ivfpq = Similarity.ivfPqTopK(spark, sfDir, k = 5).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
+    }
+    val recall = ivfpq.map(r => (r.getLong(0), r.getLong(2))).count(brute.contains).toDouble / brute.size
+    // the work-reduction half: the candidate stream ADC scores is the
+    // probed-cells fraction of the full cross product plain PQ scans
+    val e     = Tables.embeddings(spark, sfDir).select("vec_id")
+    val n     = e.count().toDouble
+    val nQ    = e.filter(col("vec_id") % 100 === 0).count().toDouble
+    val nCand = Similarity.ivfPqCandidates(spark, sfDir).count().toDouble
+    val frac  = nCand / (nQ * (n - 1.0))
+    info(f"ivfpq recall@5=$recall%.3f candidate_fraction=$frac%.3f")
+    assert(recall >= 0.2, s"IVF×PQ recall@5 degraded to $recall")
+    assert(frac <= 0.6, s"IVF restriction not reducing work: fraction $frac")
+  }
+
   test("embedding near-dup LSH finds a usable fraction of true pairs, all above threshold") {
     val exact = graft.operators.Dedup
       .embeddingNearDups(spark, sfDir, 0.4)
