@@ -1232,7 +1232,8 @@ object SparkEntry {
       "check_lsh_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_incremental_lsh" -> "SELECT true AS no_missed, true AS no_extra",
       "check_incremental_curation" ->
-        "SELECT true AS exact_ok, true AS near_dup_ok, true AS index_growth_ok",
+        """SELECT true AS exact_ok, true AS near_dup_ok, true AS index_growth_ok,
+          |  true AS semantic_dup_rejected, true AS semantic_control_admitted""".stripMargin,
       "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_embedding_lsh_recall" ->
         "SELECT true AS recall_ok, true AS no_false_positives",

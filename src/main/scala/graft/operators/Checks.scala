@@ -154,14 +154,42 @@ object Checks {
     * seed corpus or another accepted doc; (2) no uncapped near-dup pair
     * touches an accepted doc (pairs wholly inside the unscreened seed
     * corpus are allowed); (3) the digest index grew by exactly the
-    * accepted counts.
+    * accepted counts; (4) semantic tier: a PLANTED paraphrase dup — a
+    * batch doc with unique text (passes the exact and MinHash tiers)
+    * but a corpus doc's exact embedding — is rejected, while a planted
+    * doc with unique text AND a far-from-everything embedding is
+    * admitted (no false drop).
     */
   def incrementalCurationInvariants(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.IncrementalCuration
-    val docs   = Tables.documents(spark, dir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").join(emb, Seq("doc_id"), "left")
     val corpus = docs.filter(col("doc_id") < 300)
     val b1     = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-    val b2     = docs.filter(col("doc_id") >= 400)
+    // planted paraphrase: unique text, identical embedding to corpus
+    // doc 42 — only the semantic tier can catch it. Planted control:
+    // unique text, orthogonal one-hot embedding (the synthetic
+    // embeddings are dense mixtures, so a pure basis vector sits far
+    // from every cluster) — must NOT be dropped.
+    val dim = 64
+    val planted = spark
+      .createDataFrame(Seq(
+        (900001L, "planted paraphrase carries entirely novel wording about cerulean axolotl economics"),
+        (900002L, "planted control with unique text about quaternion bagpipe thermodynamics far from all")
+      ))
+      .toDF("doc_id", "text")
+      .join(
+        emb.filter(col("doc_id") === 42).select(col("embedding").as("dup_emb")),
+        lit(true)
+      )
+      .select(
+        col("doc_id"),
+        col("text"),
+        when(col("doc_id") === 900001L, col("dup_emb"))
+          .otherwise(expr(s"transform(sequence(1, $dim), i -> cast(if(i = 1, 1.0, 0.0) as float))"))
+          .as("embedding")
+      )
+    val b2 = docs.filter(col("doc_id") >= 400).unionByName(planted)
     IncrementalCuration.initIndexes(corpus, "chk_cur")
     val a1 = IncrementalCuration.ingestBatch(spark, b1, "chk_cur", bucketCap = Int.MaxValue)
     val a2 = IncrementalCuration.ingestBatch(spark, b2, "chk_cur", bucketCap = Int.MaxValue)
@@ -181,12 +209,17 @@ object Checks {
     val nDigests = spark.table("chk_cur_digests").count()
     val expected = corpus.filter(col("text").isNotNull).select(md5(col("text"))).distinct().count() +
       accepted.count()
+    val acceptedIds    = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val paraphraseGone = !acceptedIds.contains(900001L)
+    val controlKept    = acceptedIds.contains(900002L)
     spark
       .range(1)
       .select(
         lit(dupViolations == 0L).as("exact_ok"),
         lit(nearDupViolations == 0L).as("near_dup_ok"),
-        lit(nDigests == expected).as("index_growth_ok")
+        lit(nDigests == expected).as("index_growth_ok"),
+        lit(paraphraseGone).as("semantic_dup_rejected"),
+        lit(controlKept).as("semantic_control_admitted")
       )
   }
 

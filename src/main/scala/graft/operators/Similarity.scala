@@ -268,6 +268,25 @@ object Similarity {
     centDf.write.mode("overwrite").saveAsTable(s"${name}_centroids")
   }
 
+  /** Append newly-accepted vectors to a standing [[buildSemanticIndex]]
+    * index: assign with the index's FROZEN centroids (never retrain —
+    * the versioned-quantizer contract) and append to the bucketed
+    * `_cells`/`_vecs` tables, preserving their layout so later probes
+    * stay exchange-free on the index side.
+    */
+  def appendSemanticIndex(incoming: DataFrame, name: String, nAssign: Int = 2, buckets: Int = 32): Unit = {
+    val spark  = incoming.sparkSession
+    val centDf = spark.table(s"${name}_centroids")
+    val e      = incoming.select(col("vec_id"), col("embedding"))
+    graft.sources.Bucketing.appendBucketedKeys(
+      assignCells(e, centDf, nAssign).select(col("cell"), col("vec_id")),
+      s"${name}_cells",
+      buckets,
+      Seq("cell")
+    )
+    graft.sources.Bucketing.appendBucketedKeys(e, s"${name}_vecs", buckets, Seq("vec_id"))
+  }
+
   /** Incremental semantic near-dup: probe an incoming batch against a
     * persisted [[buildSemanticIndex]] index without re-clustering or
     * re-scanning the corpus. Returns every ≥-threshold pair the batch

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Continuous corpus curation against STANDING dedup state — the shape
   * a production training-data pipeline actually runs: documents arrive
@@ -17,7 +17,11 @@ import graft.operators.Dedup
   *   - `{name}_digests` (digest): md5 of every accepted text — the
   *     exact-dedup index;
   *   - `{name}_bands` / `{name}_sigs` ([[Dedup.buildLshIndex]]): the
-  *     MinHash-LSH near-dup index.
+  *     MinHash-LSH near-dup index;
+  *   - `{name}_sem_cells` / `{name}_sem_vecs` / `{name}_sem_centroids`
+  *     ([[Similarity.buildSemanticIndex]]): the embedding near-dup
+  *     index — present only when the corpus carries an `embedding`
+  *     column.
   *
   * Batch admission ([[ingestBatch]]):
   *   1. intra-batch exact dedup (min-id keeper) + anti-join against the
@@ -26,7 +30,16 @@ import graft.operators.Dedup
   *   2. [[Dedup.incrementalMinhashLsh]] probe: a batch doc that
   *      near-dups the standing corpus (any arrival order) or a
   *      smaller-id batch sibling is dropped — each pair's `newcomer`;
-  *   3. survivors' digests and signatures are APPENDED to the indexes,
+  *   3. semantic tier (when the batch carries `embedding` and the index
+  *      exists): [[Similarity.incrementalSemantic]] probe over the
+  *      MinHash survivors — the paraphrase that shares no shingles but
+  *      sits next to an accepted doc in embedding space is dropped
+  *      here. Runs AFTER the lexical tiers so a doc whose only
+  *      semantic partner was itself just rejected still survives
+  *      (admission is sequential, the kept set is mutually clean);
+  *   4. survivors' digests, signatures, AND cell assignments are
+  *      APPENDED to the indexes (frozen quantizer — cells are assigned
+  *      with the index's versioned centroids, never retrained),
   *      preserving the bucket layout.
   *
   * At 100 TB the cost per batch is proportional to the BATCH (plus
@@ -54,6 +67,12 @@ object IncrementalCuration {
       buckets,
       Seq("digest")
     )
+    if (corpus.columns.contains("embedding"))
+      Similarity.buildSemanticIndex(
+        corpus.filter(col("embedding").isNotNull).select(col("doc_id").as("vec_id"), col("embedding")),
+        s"${name}_sem",
+        buckets = buckets
+      )
   }
 
   /** Admit one batch against the standing indexes; returns the accepted
@@ -70,7 +89,8 @@ object IncrementalCuration {
       bands: Int = 16,
       threshold: Double = 0.5,
       bucketCap: Int = 256,
-      buckets: Int = 32
+      buckets: Int = 32,
+      semThreshold: Double = 0.4
   ): DataFrame = {
     // 1. exact tier: intra-batch keeper, then anti-join the digest index
     val intraDeduped = Dedup.exactDedup(batch.filter(col("text").isNotNull))
@@ -88,13 +108,40 @@ object IncrementalCuration {
       .incrementalMinhashLsh(spark, name, fresh, k, numHashes, bands, threshold, bucketCap = bucketCap)
       .select(col("newcomer").as("doc_id"))
       .distinct()
+    val lexicalOk = fresh.join(nearDupIds, Seq("doc_id"), "left_anti")
+
+    // 3. semantic tier over the lexical survivors: the paraphrase dup
+    // (no shared shingles, near-identical embedding) is dropped here.
+    // Probing only survivors keeps admission sequential — a doc whose
+    // sole semantic partner was itself just rejected still gets in.
+    val hasSem = batch.columns.contains("embedding") &&
+      spark.catalog.tableExists(s"${name}_sem_centroids")
+    val admitted =
+      if (!hasSem) lexicalOk
+      else {
+        val semDropIds = Similarity
+          .incrementalSemantic(
+            spark,
+            s"${name}_sem",
+            lexicalOk.filter(col("embedding").isNotNull).select(col("doc_id").as("vec_id"), col("embedding")),
+            semThreshold,
+            // coarse cells hold ~1/nCells of the corpus — far larger
+            // than shingle buckets, so the skew cap floors at the
+            // operator default while an uncapped run (the equivalence
+            // checks) stays uncapped
+            cellCap = bucketCap.max(4096)
+          )
+          .select(col("newcomer").as("doc_id"))
+          .distinct()
+        lexicalOk.join(semDropIds, Seq("doc_id"), "left_anti")
+      }
     // EAGER checkpoint: the admission decision reads the index tables,
-    // and step 3 appends to those same tables — materializing first
+    // and step 4 appends to those same tables — materializing first
     // severs the plan from the tables so the append never reads its own
     // write target (and the decision is frozen before state mutates)
-    val accepted = fresh.join(nearDupIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    val accepted = admitted.localCheckpoint()
 
-    // 3. fold the survivors into the standing state
+    // 4. fold the survivors into the standing state
     Dedup.appendLshIndex(accepted, name, k, numHashes, bands, buckets = buckets)
     graft.sources.Bucketing.appendBucketedKeys(
       accepted.select(md5(col("text")).as("digest")).distinct(),
@@ -102,12 +149,19 @@ object IncrementalCuration {
       buckets,
       Seq("digest")
     )
+    if (hasSem)
+      Similarity.appendSemanticIndex(
+        accepted.filter(col("embedding").isNotNull).select(col("doc_id").as("vec_id"), col("embedding")),
+        s"${name}_sem",
+        buckets = buckets
+      )
     // The relation (file-listing) cache is PER SESSION, and under
     // foreachBatch the micro-batch Datasets belong to a CLONED session
     // — the append above refreshes the writer's cache, not this
     // session's, so without an explicit refresh every later probe reads
     // the index as it was at first use and silently admits near-dups.
-    Seq(s"${name}_bands", s"${name}_sigs", s"${name}_digests")
+    (Seq(s"${name}_bands", s"${name}_sigs", s"${name}_digests") ++
+      (if (hasSem) Seq(s"${name}_sem_cells", s"${name}_sem_vecs") else Nil))
       .foreach(spark.catalog.refreshTable)
     accepted
   }

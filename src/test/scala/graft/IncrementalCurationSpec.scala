@@ -68,6 +68,40 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(nDigests == nCorpusD + acc1.size + acc2.size)
   }
 
+  test("semantic tier: planted paraphrase (unique text, duplicate embedding) rejected; far control admitted") {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id").as("doc_id"), col("embedding"))
+    val docsE  = docs.join(emb, Seq("doc_id"), "left")
+    val corpus = docsE.filter(col("doc_id") < 300)
+    // paraphrase: novel wording, corpus doc 42's exact embedding →
+    // passes exact+MinHash, only the semantic tier can reject it.
+    // control: novel wording, one-hot basis embedding (measured cos
+    // < 0.36 vs every synthetic vector) → must be admitted.
+    val planted = spark
+      .createDataFrame(Seq(
+        (900001L, "utterly novel wording concerning cerulean axolotl economics and moonlit ledgers"),
+        (900002L, "unique control text about quaternion bagpipe thermodynamics and silent glaciers")
+      ))
+      .toDF("doc_id", "text")
+      .join(emb.filter(col("doc_id") === 42).select(col("embedding").as("dup_emb")), lit(true))
+      .select(
+        col("doc_id"),
+        col("text"),
+        when(col("doc_id") === 900001L, col("dup_emb"))
+          .otherwise(expr("transform(sequence(1, 64), i -> cast(if(i = 1, 1.0, 0.0) as float))"))
+          .as("embedding")
+      )
+    val batch = docsE.filter(col("doc_id") >= 300 && col("doc_id") < 350).unionByName(planted)
+    IncrementalCuration.initIndexes(corpus, "t_cur_sem")
+    val acc = IncrementalCuration
+      .ingestBatch(spark, batch, "t_cur_sem", bucketCap = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!acc.contains(900001L), "paraphrase with duplicate embedding was admitted past the semantic tier")
+    assert(acc.contains(900002L), "semantically-distant control was wrongly rejected")
+    // the semantic index grew by the accepted vectors (2 cells each)
+    assert(spark.table("t_cur_sem_sem_vecs").count() ==
+      corpus.filter(col("embedding").isNotNull).count() + acc.size)
+  }
+
   test("streaming foreachBatch ingest reaches the same invariants") {
     val corpus = docs.filter(col("doc_id") < 300)
     IncrementalCuration.initIndexes(corpus, "t_cur_s")
