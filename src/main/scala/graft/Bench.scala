@@ -15,10 +15,10 @@ object Bench {
     "wc_wordcount", "ii_inverted_index",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_lsh",
     "dedup_semantic", "dedup_incremental_semantic",
-    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk",
+    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk", "sim_ivfpq_topk",
     "text_quality", "text_tfidf_top", "text_winnow",
     "text_lm_score", "text_boilerplate", "text_freq_items", "vocab_ids",
-    "text_dup_spans", "text_contamination_bloom",
+    "text_dup_spans", "text_dedup_substrings", "text_contamination_bloom",
     "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",
     "range_join_price_bands"
   )
@@ -47,7 +47,10 @@ object Bench {
       "text_quality",            // documents + tokenize pipeline
       "dedup_simhash",           // LSH machinery + custom aggregates
       "sim_topk_bruteforce",     // embeddings + vector expressions
-      "events_tumbling_hourly"   // events + event-time windows
+      "events_tumbling_hourly",  // events + event-time windows
+      "text_top_bigrams",        // gram/bigram explode family (spans/LM/boilerplate)
+      "text_contamination_bloom",// bloom build + probe path
+      "sim_ivf_topk"             // spark.ml KMeans fit + centroid broadcast (semantic/IVF/PQ)
     ).foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

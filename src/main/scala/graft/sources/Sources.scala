@@ -68,4 +68,16 @@ object Sources {
     */
   def keyValueText(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-kv").load(path)
+
+  /** Avro container files through the [[AvroTableProvider]] V2
+    * connector (schema from one container header, column pruning,
+    * commit-protocol writes) — the spark-avro module isn't shipped in
+    * this environment, so the connector is built on the core avro
+    * runtime directly.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-avro").load(path)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.format("graft-avro").mode(SaveMode.Overwrite).save(path)
 }
