@@ -408,6 +408,56 @@ object Similarity {
     * Training is deterministic (fixed seed, hash-mod sample), so
     * results are reproducible and the recall check is stable.
     */
+  /** Deterministic driver-side Lloyd's k-means over a bounded sample
+    * (the PQ codebook fit): seeded init picks k distinct sample points,
+    * ties break by lowest index, empty clusters keep their previous
+    * centroid. Only ever run on the capped training sample — never
+    * table-sized data.
+    */
+  private[graft] def lloyd(points: Array[Array[Float]], k: Int, seed: Long, iters: Int): Array[Array[Float]] = {
+    require(points.nonEmpty, "lloyd: empty training sample")
+    val d    = points.head.length
+    val rnd  = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toVector).take(math.min(k, points.length))
+    var centroids = init.map(i => points(i).clone()).toArray
+    // fewer sample points than k: duplicate-pad (downstream encoding
+    // simply never picks the padded copies over the originals)
+    while (centroids.length < k) centroids = centroids :+ centroids(centroids.length % init.length).clone()
+
+    def nearest(p: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        var s = 0.0; var i = 0
+        while (i < d) { val diff = p(i) - centroids(c)(i); s += diff * diff; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var it = 0
+    while (it < iters) {
+      val sums   = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centroids(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Per-subspace sub-vector stream: (vec_id, sub_idx, subvec). */
   private def subVecs(df: DataFrame, m: Int, subDim: Int): DataFrame =
     df.select(
@@ -437,9 +487,6 @@ object Similarity {
       codebookK: Int,
       dim: Int
   ): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val spark = raw.sparkSession
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
@@ -450,28 +497,26 @@ object Similarity {
       .filter(col("nrm") > 0.0)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
 
-    // bounded deterministic training sample, one materialization for
-    // all m subspace fits
+    // bounded deterministic training sample — ONE cluster job collects
+    // it (≤ 256·codebookK vectors ≈ 4 MB at the 64-dim default), then
+    // all m per-subspace Lloyd fits run on the driver. Launching m
+    // separate spark.ml fits here cost ~1 s of job-scheduling latency
+    // EACH on data this small (16 sequential fits dominated the whole
+    // query); the cap makes driver-side training legal at any corpus
+    // size — the sample never grows with the table.
     val sampleTarget = 256L * codebookK
     val nVecs        = raw.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
-    val trainSubs = subVecs(
-      if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0),
-      m,
-      subDim
-    ).withColumn("features", array_to_vector(col("subvec"))).localCheckpoint()
+    val sample: Array[Array[Float]] =
+      (if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0))
+        .orderBy("vec_id") // stable order → deterministic fits
+        .select("embedding")
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
 
     val codebooks: Seq[(Int, Int, Array[Float])] = (0 until m).flatMap { s =>
-      val model = new KMeans()
-        .setK(codebookK)
-        .setSeed(42L + s)
-        .setMaxIter(3)
-        .setInitMode("random")
-        .setFeaturesCol("features")
-        .fit(trainSubs.filter(col("sub_idx") === s))
-      model.clusterCenters.zipWithIndex.map { case (c, code) =>
-        (s, code, c.toArray.map(_.toFloat))
-      }
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(subs, codebookK, seed = 42L + s, iters = 5).zipWithIndex.map { case (c, code) => (s, code, c) }
     }
     val cbDf = spark.createDataFrame(codebooks).toDF("sub_idx", "code", "cvec")
 
