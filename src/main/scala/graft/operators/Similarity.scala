@@ -637,6 +637,92 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Build and persist a standing IVF×PQ ANN index — the build half of
+    * the build-once/probe-many contract a production vector store
+    * runs (the same standing-state pattern as [[buildSemanticIndex]]
+    * and [[Dedup.buildLshIndex]]). Tables:
+    *
+    *   - `{name}_centroids` (cell, centroid): the frozen coarse
+    *     quantizer — probes assign with THESE, never retrain;
+    *   - `{name}_codebooks` (sub_idx, code, cvec): the frozen PQ
+    *     codebooks (m·codebookK rows — broadcast-sized);
+    *   - `{name}_codes` (vec_id, sub_idx, code, cell), bucketed by
+    *     cell: the encoded corpus, 12 B/vector at the 16×64 default —
+    *     the probe's big side, read with NO exchange.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      name: String,
+      nCells: Int = 16,
+      m: Int = 16,
+      codebookK: Int = 64,
+      dim: Int = 64,
+      buckets: Int = 32
+  ): Unit = {
+    val spark              = corpus.sparkSession
+    val raw                = corpus.select(col("vec_id"), col("embedding"))
+    val (_, cbDf, codes)   = pqFit(raw, m, codebookK, dim)
+    val (assigned, centDf) = kmeansCells(raw, nCells)
+    graft.sources.Bucketing.writeBucketedKeys(
+      codes.join(assigned.select("vec_id", "cell"), Seq("vec_id")),
+      s"${name}_codes",
+      buckets,
+      Seq("cell")
+    )
+    Seq(s"${name}_centroids" -> centDf, s"${name}_codebooks" -> cbDf).foreach { case (t, df) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.mode("overwrite").saveAsTable(t)
+    }
+  }
+
+  /** Probe a standing [[buildIvfPqIndex]] index: queries (qid,
+    * embedding) → top-k by ADC over the query's nProbe nearest cells.
+    * The probe never touches raw corpus vectors — centroids and
+    * codebooks broadcast, the bucketed code table joins on cell
+    * exchange-free, and per-query work is the probed cells' code rows.
+    * Identical math to the self-contained [[ivfPqTopK]] (spec-pinned),
+    * minus the per-call refit.
+    */
+  def ivfPqProbe(
+      spark: SparkSession,
+      indexName: String,
+      queries: DataFrame,
+      k: Int = 5,
+      nProbe: Int = 4,
+      m: Int = 16,
+      dim: Int = 64
+  ): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val centDf = spark.table(s"${indexName}_centroids")
+    val cbDf   = spark.table(s"${indexName}_codebooks")
+    // normalize queries the way pqFit normalized the corpus
+    val qn = queries
+      .filter(assert_true(size(col("embedding")) === dim, lit(s"ivfPqProbe: expected dim=$dim")).isNull)
+      .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
+      .filter(col("nrm") > 0.0)
+      .select(col("qid").as("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
+    val probed = probeCells(
+      qn.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      centDf,
+      nProbe
+    )
+    val qtab = adcTable(qn, cbDf, m, dim / m)
+    val w    = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
+    spark
+      .table(s"${indexName}_codes")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
+      .groupBy(col("qid"), col("vec_id").as("cand"))
+      .agg(sum("pdot").as("adc"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .orderBy("qid", "rnk")
+  }
+
   /** The candidate stream [[ivfPqTopK]] actually scores — exposed so
     * `check_ivfpq_recall` can measure that the IVF restriction is
     * real work reduction (candidates ≪ queries × corpus), not just a

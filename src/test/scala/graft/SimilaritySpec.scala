@@ -86,6 +86,20 @@ class SimilaritySpec extends SparkSpec {
     assert(frac <= 0.6, s"IVF restriction not reducing work: fraction $frac")
   }
 
+  test("standing IVF×PQ index probe returns exactly the self-contained ivfPqTopK result") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.buildIvfPqIndex(e, "t_ivfpq")
+    val probe = Similarity
+      .ivfPqProbe(spark, "t_ivfpq", e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val oneShot = Similarity
+      .ivfPqTopK(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(probe.toSeq == oneShot.toSeq, "index probe diverged from the self-contained computation")
+  }
+
   test("embedding near-dup LSH finds a usable fraction of true pairs, all above threshold") {
     val exact = graft.operators.Dedup
       .embeddingNearDups(spark, sfDir, 0.4)
