@@ -75,6 +75,13 @@ object SparkEntry {
         .select(col("key").as("word"), col("value").cast("long").as("cnt"))
         .orderBy("word")
     },
+    "avro_roundtrip" -> q { (s, dir) =>
+      // wordcount → graft-avro container files → read back: the oracle
+      // replays the COMPUTATION, so a lossy round-trip hash-fails
+      val out = s"/tmp/graft_avro_rt/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Sources.writeAvro(TextJobs.wordCount(Tables.documents(s, dir)), out)
+      graft.sources.Sources.avro(s, out).orderBy("word")
+    },
     "ref_ii_large" -> q((s, _) => TextJobs.invertedIndexDir(s, "/root/reference/input/large")),
     // ---- relational surface ----
     "q1_pricing_summary"    -> q(Relational.q1PricingSummary),
@@ -317,6 +324,7 @@ object SparkEntry {
       "wc_wordcount" -> wcSql,
       "mr_wordcount" -> wcSql,
       "kv_roundtrip" -> wcSql,
+      "avro_roundtrip" -> wcSql,
       "ii_inverted_index" ->
         s"""SELECT word, count(DISTINCT source) AS n_files,
            |       string_agg(DISTINCT source, ',' ORDER BY source) AS files
