@@ -100,6 +100,27 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.toSeq == oneShot.toSeq, "index probe diverged from the self-contained computation")
   }
 
+  test("IVF×PQ probe plan: code-table side reads its buckets with no shuffle exchange") {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Similarity.buildIvfPqIndex(e, "t_ivfpq_plan")
+    val probe = Similarity.ivfPqProbe(
+      spark,
+      "t_ivfpq_plan",
+      e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+    )
+    val plan = probe.queryExecution.executedPlan.toString
+    // the probed joins (cell restriction, ADC lookup) must both be
+    // broadcasts — any hashpartitioning exchange upstream of the
+    // final per-query aggregate means the corpus-sized code table
+    // is being shuffled, which is exactly what the index exists to
+    // avoid. The only legal exchanges are the top-k window's and the
+    // (qid, cand) aggregate's over ALREADY-REDUCED candidate rows.
+    assert(plan.contains("t_ivfpq_plan_codes"), s"code table scan missing from plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe joins are not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"code table shuffled into a non-broadcast join:\n$plan")
+  }
+
   test("embedding near-dup LSH finds a usable fraction of true pairs, all above threshold") {
     val exact = graft.operators.Dedup
       .embeddingNearDups(spark, sfDir, 0.4)
