@@ -252,6 +252,7 @@ object SparkEntry {
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "docs_source_cap"  -> q((s, dir) => DataOps.sourceCap(s, dir)),
+    "budgeted_selection" -> q((s, dir) => DataOps.budgetedSelection(s, dir)),
     // snapshot diff against a deterministically perturbed v2: drop
     // ids %97=0, rewrite text for %31=0, add fresh ids for %53=0 —
     // every class exercised, DuckDB derives the same v2
@@ -1204,6 +1205,13 @@ object SparkEntry {
            |SELECT term, CAST(cnt AS BIGINT) AS cnt,
            |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
            |FROM c ORDER BY vocab_id""".stripMargin,
+      "budgeted_selection" ->
+        s"""SELECT doc_id, n_tokens, cum_tokens FROM (
+           |  SELECT doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(len($toks)) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+           |  FROM documents)
+           |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
       "text_tfidf_top" ->
         s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -190,6 +190,63 @@ object DataOps {
       .orderBy("vocab_id")
   }
 
+  /** Token-budgeted dataset selection (epoch construction): admit
+    * documents in a deterministic priority order — (n_chars DESC,
+    * doc_id ASC) here, any total order works — until the cumulative
+    * token count reaches `budget`; the first document that would
+    * exceed it is cut off, matching the SQL prefix-sum semantics
+    * `SUM(n_tokens) OVER (ORDER BY …) <= budget`.
+    *
+    * The global running sum deliberately avoids the one unscalable
+    * window shape (`SUM() OVER (ORDER BY …)` plans an Exchange
+    * SinglePartition — the whole corpus through one task): same
+    * two-pass pattern as [[vocabIds]] — range-partition by the
+    * priority key, one tiny job computes per-partition token totals
+    * (`parts` rows to the driver), their scan gives each partition its
+    * prefix offset, and a narrow second pass emits running sums.
+    * Partitions whose offset already exceeds the budget short-circuit
+    * without iterating. Cost is two passes over the prioritized rows;
+    * the cumulative result depends only on the total order, not the
+    * partition boundaries (spec-pinned against the window form).
+    */
+  def budgetedSelection(spark: SparkSession, dir: String, budget: Long = 20000L, parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val toksExpr = "filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')"
+    val prioritized = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(expr(toksExpr)).cast("long").as("n_tokens")
+      )
+      .as[(Long, Long, Long)]
+      .repartitionByRange(parts, col("n_chars").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id").asc)
+      .rdd
+    val partTotals = prioritized
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bc      = spark.sparkContext.broadcast(offsets)
+    prioritized
+      .mapPartitionsWithIndex { case (pid, it) =>
+        if (bc.value(pid) > budget) Iterator.empty
+        else {
+          var run = bc.value(pid)
+          it.flatMap { case (id, _, nt) =>
+            run += nt
+            if (run <= budget) Iterator.single((id, nt, run)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Z-order (Morton) value for two non-negative integer dimensions:
     * interleave the low `bits` bits of each. Sorting/range-partitioning
     * a table by this value clusters rows so that a rectangle predicate

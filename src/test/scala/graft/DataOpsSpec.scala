@@ -133,6 +133,33 @@ class DataOpsSpec extends SparkSpec {
       windowed.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("budgetedSelection: equals the global-window prefix sum, invariant to partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val toksE = expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")
+    val windowed = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), size(toksE).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("cum_tokens") <= 20000L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(windowed.nonEmpty, "budget admits nothing — test corpus changed?")
+    Seq(1, 8, 32).foreach { parts =>
+      val got = DataOps
+        .budgetedSelection(spark, sfDir, budget = 20000L, parts = parts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == windowed, s"parts=$parts diverged from the window formulation")
+    }
+    // the budget is a hard ceiling and the cut is at the boundary: the
+    // admitted prefix fits, adding the next-priority doc would not
+    assert(windowed.map(_._2).sum <= 20000L)
+  }
+
   test("snapshotDiff: identity diff is empty, planted changes classify exactly") {
     val v1 = Tables.documents(spark, sfDir).select("doc_id", "text")
     assert(DataOps.snapshotDiff(v1, v1).count() == 0)
