@@ -253,6 +253,7 @@ object SparkEntry {
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "docs_source_cap"  -> q((s, dir) => DataOps.sourceCap(s, dir)),
     "budgeted_selection" -> q((s, dir) => DataOps.budgetedSelection(s, dir)),
+    "dataset_shuffle"  -> q((s, dir) => DataOps.deterministicShuffle(s, dir)),
     // snapshot diff against a deterministically perturbed v2: drop
     // ids %97=0, rewrite text for %31=0, add fresh ids for %53=0 —
     // every class exercised, DuckDB derives the same v2
@@ -1205,6 +1206,11 @@ object SparkEntry {
            |SELECT term, CAST(cnt AS BIGINT) AS cnt,
            |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vocab_id
            |FROM c ORDER BY vocab_id""".stripMargin,
+      "dataset_shuffle" ->
+        """SELECT CAST(row_number() OVER (
+          |         ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS pos,
+          |       doc_id
+          |FROM documents ORDER BY pos""".stripMargin,
       "budgeted_selection" ->
         s"""SELECT doc_id, n_tokens, cum_tokens FROM (
            |  SELECT doc_id,

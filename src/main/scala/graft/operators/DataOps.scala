@@ -190,6 +190,30 @@ object DataOps {
       .orderBy("vocab_id")
   }
 
+  /** Deterministic corpus shuffle: a reproducible pseudo-random
+    * training order (shuffle-before-sharding) with contiguous
+    * positions 1..N. The permutation key is the same multiplicative
+    * Knuth hash the dataset split and stratified sample use — pure,
+    * engine-replayable, no RNG state — and positions are assigned with
+    * the [[vocabIds]] range-partition + per-partition-offset pattern,
+    * never a single-partition global window.
+    */
+  def deterministicShuffle(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") * lit(2654435761L) % lit(1000000007L)).as("__k"))
+      .as[(Long, Long)]
+    keyed
+      .repartitionByRange(parts, col("__k").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("__k").asc, col("doc_id").asc)
+      .rdd
+      .zipWithIndex()
+      .map { case ((id, _), idx) => (idx + 1L, id) }
+      .toDF("pos", "doc_id")
+      .orderBy("pos")
+  }
+
   /** Token-budgeted dataset selection (epoch construction): admit
     * documents in a deterministic priority order — (n_chars DESC,
     * doc_id ASC) here, any total order works — until the cumulative

@@ -160,6 +160,18 @@ class DataOpsSpec extends SparkSpec {
     assert(windowed.map(_._2).sum <= 20000L)
   }
 
+  test("deterministicShuffle: a permutation, stable across runs and partition counts") {
+    val a = DataOps.deterministicShuffle(spark, sfDir, parts = 8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = DataOps.deterministicShuffle(spark, sfDir, parts = 32).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, "shuffle order depends on partition count")
+    // contiguous positions over exactly the corpus ids — a true permutation
+    assert(a.map(_._1).toSeq == (1L to a.length.toLong))
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_._2).toSet == ids)
+    // and genuinely shuffled: not the identity order
+    assert(a.map(_._2).toSeq != a.map(_._2).sorted.toSeq)
+  }
+
   test("snapshotDiff: identity diff is empty, planted changes classify exactly") {
     val v1 = Tables.documents(spark, sfDir).select("doc_id", "text")
     assert(DataOps.snapshotDiff(v1, v1).count() == 0)
