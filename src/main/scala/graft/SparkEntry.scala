@@ -43,6 +43,9 @@ object SparkEntry {
   /** Same memoization for the IVF×PQ ANN index. */
   private val ivfPqIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Same memoization for the substring-dedup gram index. */
+  private val gramIndexBuilt = scala.collection.mutable.Set.empty[String]
+
   /** Index table names are keyed by the data dir: a fixed name plus a
     * per-dir memo would leave the memoized FIRST dir probing an index
     * holding the SECOND dir's corpus when one JVM runs two dirs.
@@ -247,6 +250,19 @@ object SparkEntry {
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
     "text_dup_spans"   -> q((s, dir) => TextAnalysis.duplicatedSpans(s, dir)),
     "text_dedup_substrings" -> q((s, dir) => TextAnalysis.dedupSubstrings(s, dir)),
+    "dedup_incremental_substrings" -> q { (s, dir) =>
+      // standing gram-frequency index memoized per dir (same contract
+      // as q_lsh_idx); the query measures the batch-proportional probe
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val idx  = dirKeyed("q_gram_idx", dir)
+      gramIndexBuilt.synchronized {
+        if (!gramIndexBuilt.contains(dir)) {
+          TextAnalysis.buildGramIndex(docs.filter(col("doc_id") % 10 =!= 0), idx)
+          gramIndexBuilt += dir
+        }
+      }
+      TextAnalysis.incrementalDedupSubstrings(s, idx, docs.filter(col("doc_id") % 10 === 0))
+    },
     "text_contamination_bloom" -> q((s, dir) => TextAnalysis.contaminationBloom(s, dir)),
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
@@ -279,6 +295,7 @@ object SparkEntry {
     "check_lsh_recall"         -> q(Checks.lshRecall),
     "check_incremental_lsh"    -> q(Checks.incrementalLshEquivalence),
     "check_incremental_curation" -> q(Checks.incrementalCurationInvariants),
+    "check_incremental_substrings" -> q(Checks.incrementalSubstringEquivalence),
     "check_simhash_recall"     -> q(Checks.simhashRecall),
     "check_embedding_lsh_recall" -> q(Checks.embeddingLshRecall),
     "check_semantic_dedup"       -> q(Checks.semanticDedupCheck),
@@ -1081,6 +1098,33 @@ object SparkEntry {
            |  COALESCE(per.text_dedup, '') AS text_dedup
            |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      // incremental probe == from-scratch over corpus ∪ batch
+      // restricted to batch rows (disjoint-split equivalence), so the
+      // oracle is the full replay filtered to the batch
+      "dedup_incremental_substrings" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |gr AS (SELECT doc_id, i AS pos,
+           |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+           |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+           |hot AS (SELECT g, min(doc_id) AS canon
+           |        FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+           |cut AS (SELECT DISTINCT gr.doc_id, gr.pos + j AS pos
+           |        FROM gr JOIN hot USING (g), UNNEST(range(0, 3)) AS r(j)
+           |        WHERE gr.doc_id <> hot.canon),
+           |tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+           |        FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+           |per AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           |          string_agg(tok.tok, ' ' ORDER BY tok.pos) AS text_dedup
+           |        FROM tok
+           |        WHERE NOT EXISTS (SELECT 1 FROM cut
+           |                          WHERE cut.doc_id = tok.doc_id AND cut.pos = tok.pos)
+           |        GROUP BY tok.doc_id)
+           |SELECT d.doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  COALESCE(per.n_kept, 0) AS n_kept,
+           |  COALESCE(per.text_dedup, '') AS text_dedup
+           |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+           |WHERE d.doc_id % 10 = 0
+           |ORDER BY d.doc_id""".stripMargin,
       "dedup_incremental" ->
         """SELECT doc_id FROM documents n
           |WHERE doc_id >= 400
@@ -1278,6 +1322,7 @@ object SparkEntry {
       "check_incremental_curation" ->
         """SELECT true AS exact_ok, true AS near_dup_ok, true AS index_growth_ok,
           |  true AS semantic_dup_rejected, true AS semantic_control_admitted""".stripMargin,
+      "check_incremental_substrings" -> "SELECT true AS no_missed, true AS no_extra",
       "check_simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed_pairs",
       "check_embedding_lsh_recall" ->
         "SELECT true AS recall_ok, true AS no_false_positives",

@@ -223,6 +223,33 @@ object Checks {
       )
   }
 
+  /** Incremental substring dedup == from-scratch dedupSubstrings over
+    * corpus ∪ batch restricted to batch rows, both directions — the
+    * standing gram index with reader-side sum/min aggregation must
+    * reproduce the global document frequencies and canonical owners
+    * exactly. Exercises the APPEND contract too: the index is built
+    * from two appends (seed + first half of the corpus), so multiple
+    * rows per gram are on disk.
+    */
+  def incrementalSubstringEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch  = docs.filter(col("doc_id") % 10 === 0)
+    TextAnalysis.buildGramIndex(corpus.filter(col("doc_id") < 250), "chk_gram")
+    TextAnalysis.appendGramIndex(corpus.filter(col("doc_id") >= 250), "chk_gram")
+    spark.catalog.refreshTable("chk_gram_gramdf")
+    val inc = TextAnalysis
+      .incrementalDedupSubstrings(spark, "chk_gram", batch)
+      .localCheckpoint(eager = false)
+    val full = TextAnalysis
+      .dedupSubstringsDf(docs)
+      .filter(col("doc_id") % 10 === 0)
+      .localCheckpoint(eager = false)
+    val missed = full.exceptAll(inc).count()
+    val extra  = inc.exceptAll(full).count()
+    spark.range(1).select(lit(missed == 0L).as("no_missed"), lit(extra == 0L).as("no_extra"))
+  }
+
   /** SimHash pigeonhole candidates are EXACT for hamming ≤ maxDist:
     * every pair within distance 3 must appear. Missed = 0 by
     * construction (chunking is a proof, not a probability).

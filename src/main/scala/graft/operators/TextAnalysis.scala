@@ -407,6 +407,114 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Build and persist the standing gram-frequency index for
+    * incremental substring dedup — per-gram document frequency and
+    * canonical owner over the accepted corpus, bucketed by gram so
+    * probes join exchange-free on the index side. Append-friendly
+    * contract: the table may hold MULTIPLE rows per gram (one per
+    * ingest append); readers aggregate `sum(df_docs), min(canon)` —
+    * appends stay cheap (no index rewrite), the same trade the LSH
+    * band index makes.
+    */
+  def buildGramIndex(corpus: DataFrame, name: String, k: Int = 3, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketedKeys(
+      gramInstances(corpus, k)
+        .groupBy("g")
+        .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon")),
+      s"${name}_gramdf",
+      buckets,
+      Seq("g")
+    )
+
+  /** Append a batch's gram statistics to a [[buildGramIndex]] index
+    * (one row per gram per append; readers sum).
+    */
+  def appendGramIndex(batch: DataFrame, name: String, k: Int = 3, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.appendBucketedKeys(
+      gramInstances(batch, k)
+        .groupBy("g")
+        .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon")),
+      s"${name}_gramdf",
+      buckets,
+      Seq("g")
+    )
+
+  /** Incremental exact substring dedup: cut duplicated spans from an
+    * ARRIVING batch against the standing corpus statistics without
+    * re-scanning the corpus — the batch-proportional form of
+    * [[dedupSubstrings]], completing the standing-index family (exact
+    * digests, MinHash bands, semantic cells, now gram frequencies).
+    *
+    * Semantics: a batch span is cut when its gram's TOTAL document
+    * frequency (corpus + this batch) reaches `minDocs` and the doc is
+    * not the gram's canonical owner — the global min doc_id across
+    * corpus and batch, computed as least(index canon, batch canon), so
+    * for ANY disjoint corpus/batch split the result equals the
+    * from-scratch [[dedupSubstrings]] over corpus ∪ batch restricted
+    * to batch rows (which is why the query itself is hash-oracled
+    * against the DuckDB from-scratch replay, and
+    * `check_incremental_substrings` proves the equality both
+    * directions in-engine). Corpus rows are immutable by contract —
+    * prior acceptances are never rewritten, same stance as every other
+    * incremental tier.
+    *
+    * Probe shape: the index scan is semi-joined to the batch's gram
+    * keys FIRST (probe work proportional to the batch, not the
+    * corpus), the index side joins bucketed-exchange-free, and only
+    * batch-derived streams shuffle.
+    */
+  def incrementalDedupSubstrings(
+      spark: SparkSession,
+      indexName: String,
+      batch: DataFrame,
+      k: Int = 3,
+      minDocs: Int = 3
+  ): DataFrame = {
+    val inst = gramInstances(batch, k)
+    val batchStats = inst
+      .groupBy("g")
+      .agg(countDistinct("doc_id").as("df_b"), min("doc_id").as("canon_b"))
+    val idxTouched = spark
+      .table(s"${indexName}_gramdf")
+      .join(batchStats.select("g"), Seq("g"), "left_semi")
+      .groupBy("g")
+      .agg(sum("df_docs").as("df_idx"), min("canon").as("canon_idx"))
+    val hot = batchStats
+      .join(idxTouched, Seq("g"), "left")
+      .select(
+        col("g"),
+        (coalesce(col("df_idx"), lit(0L)) + col("df_b")).as("df_tot"),
+        least(coalesce(col("canon_idx"), lit(Long.MaxValue)), col("canon_b")).as("canon")
+      )
+      .filter(col("df_tot") >= minDocs)
+      .select("g", "canon")
+    val cutPos = inst
+      .join(hot, Seq("g"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
+    val tokens = batch
+      .select(col("doc_id"), posexplode(expr(toks("text"))).as(Seq("__p", "tok")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("tok"))
+    val per = tokens
+      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
+          .as("text_dedup")
+      )
+    batch
+      .select(col("doc_id"), size(expr(toks("text"))).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — same RESULT as
     * [[benchmarkContamination]] (the bloom filter has no false
     * negatives and every hit is re-verified by the exact join), but

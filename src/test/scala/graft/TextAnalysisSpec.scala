@@ -113,6 +113,40 @@ class TextAnalysisSpec extends SparkSpec {
       out.map(r => r.getLong(0) -> r.getString(3)).toMap)
   }
 
+  test("incrementalDedupSubstrings: probe == from-scratch on batch rows; corpus-owned spans cut") {
+    import org.apache.spark.sql.functions.col
+    val passage = "omega psi chi phi upsilon tau"
+    val docs = spark
+      .createDataFrame(Seq(
+        (1L, s"c one $passage c two"),        // corpus: two owners of the passage
+        (2L, s"c three $passage c four"),
+        (11L, "corpus unique text about nothing shared"),
+        (20L, s"b one $passage b two"),       // batch: third occurrence → gram df hits 3
+        (21L, "batch unique text entirely novel")
+      ))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 20)
+    val batch  = docs.filter(col("doc_id") >= 20)
+    graft.operators.TextAnalysis.buildGramIndex(corpus, "t_gram_inc")
+    val inc = graft.operators.TextAnalysis
+      .incrementalDedupSubstrings(spark, "t_gram_inc", batch)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    // the batch occurrence pushes df to 3; canon is corpus doc 1, so
+    // the batch copy is cut while its unique surroundings survive
+    assert(inc(20L) == "b one b two")
+    assert(inc(21L) == "batch unique text entirely novel")
+    // equals from-scratch restricted to the batch
+    val full = graft.operators.TextAnalysis
+      .dedupSubstringsDf(docs)
+      .filter(col("doc_id") >= 20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3))
+      .toMap
+    assert(inc == full)
+  }
+
   test("dedupSubstrings on the corpus: kept tokens == n_tokens - duplicatedSpans coverage per doc") {
     // the removal half must cut EXACTLY the token region the
     // measurement half reports, doc by doc — with the one semantic
