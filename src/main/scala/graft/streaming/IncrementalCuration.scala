@@ -166,6 +166,45 @@ object IncrementalCuration {
     accepted
   }
 
+  /** Continuous substring-dedup REWRITE: each arriving micro-batch has
+    * its duplicated spans cut against the gram statistics of
+    * everything that arrived before it
+    * ([[graft.operators.TextAnalysis.incrementalDedupSubstrings]]),
+    * then its ORIGINAL grams fold into the standing index — so a
+    * passage seen often enough across the stream's history is removed
+    * from every later copy, keeping the earliest (canonical)
+    * occurrence intact. The rewrite twin of [[streamIngest]]'s
+    * admission: admission drops whole documents, this cuts the
+    * duplicated region and keeps the rest.
+    *
+    * The cut decision is frozen (eager checkpoint) BEFORE the gram
+    * append mutates the index — same read-then-append discipline as
+    * [[ingestBatch]] — and the per-session relation cache is refreshed
+    * for the probing session afterwards.
+    */
+  def streamSubstringDedup(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      indexName: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int = 3,
+      minDocs: Int = 3
+  ): StreamingQuery =
+    docsStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.operators.TextAnalysis
+        val cut = TextAnalysis
+          .incrementalDedupSubstrings(spark, indexName, batch.filter(col("text").isNotNull), k, minDocs)
+          .localCheckpoint()
+        TextAnalysis.appendGramIndex(batch.filter(col("text").isNotNull), indexName, k)
+        spark.catalog.refreshTable(s"${indexName}_gramdf")
+        cut.write.mode(SaveMode.Append).parquet(outPath)
+      }
+      .start()
+
   /** Streaming wrapper: drain a document stream through [[ingestBatch]]
     * with AvailableNow — the restartable "curate what's new" job. Each
     * micro-batch is admitted against state that includes every prior

@@ -102,6 +102,42 @@ class IncrementalCurationSpec extends SparkSpec {
       corpus.filter(col("embedding").isNotNull).count() + acc.size)
   }
 
+  test("streaming substring-dedup rewrite: later arrivals lose passages the stream has seen enough") {
+    import graft.operators.TextAnalysis
+    val passage = "sigma lambda kappa iota theta eta"
+    val mkDocs = (rows: Seq[(Long, String)]) => spark.createDataFrame(rows).toDF("doc_id", "text")
+    // the standing corpus already carries the passage once (canonical
+    // doc 1) — with minDocs=2 EVERY later stream occurrence is cut,
+    // regardless of which micro-batch the file source serves first
+    TextAnalysis.buildGramIndex(mkDocs(Seq((1L, s"seed owner $passage canonical copy"))), "t_gram_s")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sub_in")
+    val outDir    = java.nio.file.Files.createTempDirectory("graft_sub_out").resolve("cut")
+    val ckpt      = java.nio.file.Files.createTempDirectory("graft_sub_ck")
+    // surroundings are fully distinct across docs so the ONLY hot
+    // grams are the seeded passage's (a shared junction gram would be
+    // cut or kept depending on micro-batch arrival order)
+    mkDocs(Seq((10L, s"north winds $passage east rains")))
+      .coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    mkDocs(Seq((20L, s"south hills $passage west stones"), (21L, "unrelated novel content flows on")))
+      .coalesce(1).write.parquet(streamDir.resolve("b2").toString)
+
+    val stream = spark.readStream
+      .schema(mkDocs(Seq((0L, ""))).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/*")
+    val query = IncrementalCuration.streamSubstringDedup(
+      spark, stream, "t_gram_s", outDir.toString, ckpt.toString, minDocs = 2)
+    try query.awaitTermination()
+    finally query.stop()
+
+    val out = spark.read.parquet(outDir.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(10L) == "north winds east rains", "corpus-owned passage must be cut from doc 10")
+    assert(out(20L) == "south hills west stones", "corpus-owned passage must be cut from doc 20")
+    assert(out(21L) == "unrelated novel content flows on")
+  }
+
   test("streaming foreachBatch ingest reaches the same invariants") {
     val corpus = docs.filter(col("doc_id") < 300)
     IncrementalCuration.initIndexes(corpus, "t_cur_s")
