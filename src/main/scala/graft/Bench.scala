@@ -14,6 +14,7 @@ object Bench {
     "window_top3_per_customer", "topk_agg_per_customer", "window_running_sum",
     "wc_wordcount", "ii_inverted_index",
     "dedup_exact_groups", "dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_lsh",
+    "dedup_incremental_substrings",
     "dedup_semantic", "dedup_incremental_semantic",
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk", "sim_ivfpq_topk",
     "text_quality", "text_tfidf_top", "text_winnow",

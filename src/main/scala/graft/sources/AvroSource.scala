@@ -91,10 +91,17 @@ class AvroTable(path: String, schema0: StructType) extends Table with SupportsRe
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new AvroWriteBuilder(path, info)
 }
 
-class AvroScanBuilder(path: String, full: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+class AvroScanBuilder(path: String, full: StructType)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType                            = full
+  private var limit: Int                                      = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan                                  = new AvroScan(path, required)
+  // partial pushdown: each reader stops at `limit`, Spark re-limits
+  // globally above (same contract as the kv scan)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def build(): Scan              = new AvroScan(path, required, limit)
 }
 
 object AvroScan {
@@ -115,10 +122,11 @@ object AvroScan {
   }
 }
 
-class AvroScan(path: String, required: StructType) extends Scan with Batch {
+class AvroScan(path: String, required: StructType, limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch           = this
-  override def description(): String    = s"graft-avro $path ReadSchema: ${required.simpleString}"
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${required.simpleString}, PushedLimit: $limit"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -126,34 +134,39 @@ class AvroScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.json, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+    AvroReaderFactory(required.json, limit, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 case class AvroInputPartition(file: String) extends InputPartition
 
-case class AvroReaderFactory(requiredJson: String, conf: SerializableHadoopConf) extends PartitionReaderFactory {
+case class AvroReaderFactory(requiredJson: String, limit: Int, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
       partition.asInstanceOf[AvroInputPartition].file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      limit,
       conf.value
     )
 }
 
-class AvroPartitionReader(file: String, required: StructType, conf: Configuration)
+class AvroPartitionReader(file: String, required: StructType, limit: Int, conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val reader =
     new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), new GenericDatumReader[GenericRecord]())
   private var current: InternalRow = _
+  private var emitted              = 0L
 
   override def next(): Boolean =
-    if (reader.hasNext) {
+    if (limit >= 0 && emitted >= limit) false
+    else if (reader.hasNext) {
       val rec = reader.next()
       // convert only the REQUIRED fields — pruning narrows decode work
       // and row width even though a row format can't skip byte reads
       current = InternalRow.fromSeq(
         required.fields.toSeq.map(f => AvroConv.toCatalyst(rec.get(f.name), f.dataType))
       )
+      emitted += 1
       true
     } else false
 

@@ -82,6 +82,14 @@ class AvroSourceSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("limit pushdown reaches the scan; global limit stays correct") {
+    val dir = s"$base/limit"
+    Sources.writeAvro(Tables.documents(spark, sfDir).select("doc_id", "text"), dir)
+    val df = Sources.avro(spark, dir).limit(3)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    assert(df.count() == 3)
+  }
+
   test("overwrite replaces atomically, append coexists, no temp litter") {
     val dir = s"$base/write"
     val df1 = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "v")
