@@ -131,32 +131,37 @@ object Similarity {
     *         (cell, centroid) — tiny, broadcast-able)
     */
   private[graft] def kmeansCells(e: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val spark = e.sparkSession
-    val fe    = e.withColumn("features", array_to_vector(col("embedding")))
+    val spark        = e.sparkSession
     val sampleTarget = 256L * nCells
     val nVecs        = e.count() // parquet metadata count — no data scan
     val modulus      = math.max(1L, nVecs / sampleTarget)
-    // cached: KMeans re-scans its training input every iteration (and
-    // warns when it isn't cached) — without this each of the 5 rounds
-    // re-reads parquet and re-derives the sample
-    val trainFe = (if (modulus == 1L) fe else fe.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0)).cache()
-    val model =
-      try
-        new KMeans()
-          .setK(nCells)
-          .setSeed(42L)
-          .setMaxIter(5)
-          .setInitMode("random")
-          .setFeaturesCol("features")
-          .fit(trainFe)
-      finally trainFe.unpersist()
-    val assigned  = model.transform(fe).select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c: Vector, i: Int) => (i, c.toArray.map(_.toFloat)) }
-    (assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+    // bounded deterministic sample collected once, quantizer fit on
+    // the driver ([[lloyd]] — same treatment as the PQ codebooks: a
+    // spark.ml fit on sample-sized data paid multiple jobs of
+    // scheduling latency per call, and the cap makes driver-side legal
+    // at any corpus size); assignment stays distributed — one narrow
+    // codegen'd pass against the broadcast centroid table
+    val sample: Array[Array[Float]] =
+      (if (modulus == 1L) e else e.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    val centDf = spark
+      .createDataFrame(lloyd(sample, nCells, seed = 42L, iters = 5).toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    // Euclidean-nearest centroid (the k-means metric), deterministic
+    // tie-break by cell id via struct-min — an aggregate, not a window
+    val assigned = e
+      .crossJoin(broadcast(centDf))
+      .withColumn(
+        "d2",
+        expr("aggregate(zip_with(embedding, centroid, (a, b) -> cast((a - b) * (a - b) as double)), 0.0D, (acc, x) -> acc + x)")
+      )
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+    (assigned, centDf)
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
