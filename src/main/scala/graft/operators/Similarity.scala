@@ -689,6 +689,12 @@ object Similarity {
     * exchange-free, and per-query work is the probed cells' code rows.
     * Identical math to the self-contained [[ivfPqTopK]] (spec-pinned),
     * minus the per-call refit.
+    *
+    * Sized for BOUNDED query batches (the online-serving shape): the
+    * per-query ADC table broadcasts at m·codebookK rows per query —
+    * same stance as [[bruteForceTopK]]'s broadcast query side. A
+    * corpus-scale query set should go through the batch operators
+    * (cell-join both sides on the bucketed code table) instead.
     */
   def ivfPqProbe(
       spark: SparkSession,

@@ -471,9 +471,12 @@ object TextAnalysis {
       minDocs: Int = 3
   ): DataFrame = {
     val inst = gramInstances(batch, k)
+    // two consumers (the index semi-join probe and the merge join) —
+    // materialize the small per-gram batch stats once
     val batchStats = inst
       .groupBy("g")
       .agg(countDistinct("doc_id").as("df_b"), min("doc_id").as("canon_b"))
+      .localCheckpoint(eager = false)
     val idxTouched = spark
       .table(s"${indexName}_gramdf")
       .join(batchStats.select("g"), Seq("g"), "left_semi")
