@@ -380,29 +380,59 @@ object TextAnalysis {
       .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon"))
       .filter(col("df_docs") >= minDocs)
       .select("g", "canon")
-    val cutPos = inst
+    val cutStarts = inst
       .join(hot, Seq("g"))
       .filter(col("doc_id") =!= col("canon"))
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
-    val tokens = docs
-      .select(col("doc_id"), posexplode(expr(toks("text"))).as(Seq("__p", "tok")))
-      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("tok"))
-    val per = tokens
-      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .select("doc_id", "pos")
+    cutAndRebuild(docs, cutStarts, k)
+  }
+
+  /** Shared removal tail for the substring-dedup family: merge the cut
+    * gram instances into per-doc COVERED INTERVALS (the duplicated
+    * region only — a handful of (start, end) structs per doc, never
+    * one row per token), then rebuild each document's text in ONE
+    * narrow codegen'd pass over its token array (indexed transform +
+    * interval-exists filter). The earlier formulation shuffled the
+    * ENTIRE token stream through an anti-join on (doc, pos) and
+    * re-collected every kept token per doc — two corpus-sized
+    * shuffles this shape never pays; here only hot-gram instances
+    * shuffle (the window + two aggregates below), and the interval
+    * merge keeps the per-doc cut array small even for heavily
+    * duplicated documents (a fully-covered doc is ONE interval).
+    */
+  private def cutAndRebuild(docs: DataFrame, cutStarts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    val wRun  = Window.partitionBy("doc_id").orderBy("pos")
+    val cuts = cutStarts
+      .distinct()
+      .withColumn("e", col("pos") + (k - 1))
+      .withColumn("prev_e", max(col("e")).over(wPrev))
+      // new interval when this span starts beyond the furthest end so
+      // far (+1: adjacent spans union into one contiguous interval)
+      .withColumn("brk", when(col("prev_e").isNull || col("pos") > col("prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(wRun))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), max("e").as("e"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
-          .as("text_dedup")
-      )
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
     docs
-      .select(col("doc_id"), size(expr(toks("text"))).cast("long").as("n_tokens"))
-      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(toks("text")).as("tk"))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn(
+        "kept",
+        expr(
+          """transform(
+            |  filter(transform(tk, (t, i) -> named_struct('t', t, 'i', i + 1)),
+            |         x -> cuts is null or not exists(cuts, c -> x.i >= c.s and x.i <= c.e)),
+            |  x -> x.t)""".stripMargin
+        )
+      )
       .select(
         col("doc_id"),
-        col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup")
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(size(col("kept")).cast("long"), lit(0L)).as("n_kept"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("text_dedup")
       )
       .orderBy("doc_id")
   }
@@ -491,31 +521,11 @@ object TextAnalysis {
       )
       .filter(col("df_tot") >= minDocs)
       .select("g", "canon")
-    val cutPos = inst
+    val cutStarts = inst
       .join(hot, Seq("g"))
       .filter(col("doc_id") =!= col("canon"))
-      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
-    val tokens = batch
-      .select(col("doc_id"), posexplode(expr(toks("text"))).as(Seq("__p", "tok")))
-      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("tok"))
-    val per = tokens
-      .join(cutPos, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"), " ")
-          .as("text_dedup")
-      )
-    batch
-      .select(col("doc_id"), size(expr(toks("text"))).cast("long").as("n_tokens"))
-      .join(per, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup")
-      )
-      .orderBy("doc_id")
+      .select("doc_id", "pos")
+    cutAndRebuild(batch, cutStarts, k)
   }
 
   /** Bloom-prefiltered decontamination — same RESULT as
