@@ -325,6 +325,41 @@ object DataOps {
       .select(col(idCol), col("change"))
       .orderBy(idCol)
 
+  /** Compact a parquet directory into right-sized files — the
+    * small-file remediation every long-lived ingest path eventually
+    * needs (each streaming micro-batch/append leaves file counts
+    * growing; a 100 TB table of 1 MB files pays per-file open/footer
+    * cost and floods the driver's file listing). Sizes the rewrite
+    * from the CURRENT on-disk bytes (file metadata, no data scan):
+    * ceil(bytes / targetBytes) output files. Returns (files_before,
+    * files_after, bytes). The rewrite is one shuffle-free coalesce
+    * when shrinking; rows are preserved exactly (spec-pinned).
+    *
+    * Deliberately writes to a NEW directory + atomic swap is left to
+    * the caller's table layer (a self-overwriting rewrite that fails
+    * mid-job loses data — same reason the V2 sinks stage through temp
+    * files).
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String, targetBytes: Long = 128L << 20): (Long, Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val p    = new org.apache.hadoop.fs.Path(inPath)
+    val fs   = p.getFileSystem(conf)
+    val dataFiles = fs
+      .listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val bytes  = dataFiles.map(_.getLen).sum
+    val nOut   = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val df     = spark.read.parquet(inPath)
+    // coalesce, not repartition: shrinking file counts needs no
+    // shuffle (growing them would — caller picks a smaller target)
+    df.coalesce(nOut.toInt).write.mode("overwrite").parquet(outPath)
+    val after = fs
+      .listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    (dataFiles.length.toLong, after.toLong, bytes)
+  }
+
   /** Skew recipe: replicate the small side `salts` ways and scatter the
     * big side's hot keys across them — the manual fallback when AQE's
     * skew-join split isn't available (e.g. a non-shuffle child). Result

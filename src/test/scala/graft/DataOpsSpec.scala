@@ -172,6 +172,29 @@ class DataOpsSpec extends SparkSpec {
     assert(a.map(_._2).toSeq != a.map(_._2).sorted.toSeq)
   }
 
+  test("compactParquet: fewer right-sized files, rows preserved exactly") {
+    val in  = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").resolve("c").toString
+    // 32 tiny files
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(32).write.mode("overwrite").parquet(in)
+    val (before, after, bytes) = DataOps.compactParquet(spark, in, out, targetBytes = bytesOf(in) / 2 + 1)
+    assert(before == 32)
+    assert(after == 2, s"expected 2 output files, got $after")
+    assert(bytes > 0)
+    val a = spark.read.parquet(in).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val b = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "compaction altered the data")
+  }
+
+  private def bytesOf(dir: String): Long = {
+    val p  = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getLen)
+      .sum
+  }
+
   test("snapshotDiff: identity diff is empty, planted changes classify exactly") {
     val v1 = Tables.documents(spark, sfDir).select("doc_id", "text")
     assert(DataOps.snapshotDiff(v1, v1).count() == 0)
