@@ -219,7 +219,8 @@ object SparkEntry {
       Similarity.ivfPqProbe(
         s,
         idx,
-        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")),
+        excludeSelf = true // queries come from the indexed corpus here
       )
     },
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),

@@ -236,12 +236,16 @@ object DataOps {
   def budgetedSelection(spark: SparkSession, dir: String, budget: Long = 20000L, parts: Int = 32): DataFrame = {
     import spark.implicits._
     val toksExpr = "filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')"
+    // null-tolerant like every other curation operator: a NULL text
+    // counts 0 tokens (size(NULL) is NULL under ANSI and would NPE the
+    // non-nullable encoder), NULL n_chars sorts as 0 (bottom priority
+    // — ties with true-0 rows break on doc_id either way)
     val prioritized = Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
-        col("n_chars").cast("long").as("n_chars"),
-        size(expr(toksExpr)).cast("long").as("n_tokens")
+        coalesce(col("n_chars").cast("long"), lit(0L)).as("n_chars"),
+        coalesce(size(expr(toksExpr)).cast("long"), lit(0L)).as("n_tokens")
       )
       .as[(Long, Long, Long)]
       .repartitionByRange(parts, col("n_chars").desc, col("doc_id").asc)
@@ -343,20 +347,31 @@ object DataOps {
   def compactParquet(spark: SparkSession, inPath: String, outPath: String, targetBytes: Long = 128L << 20): (Long, Long, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val conf = spark.sessionState.newHadoopConf()
-    val p    = new org.apache.hadoop.fs.Path(inPath)
-    val fs   = p.getFileSystem(conf)
-    val dataFiles = fs
-      .listStatus(p)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    val bytes  = dataFiles.map(_.getLen).sum
-    val nOut   = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val df     = spark.read.parquet(inPath)
+    // RECURSIVE listing, matching what spark.read.parquet reads — a
+    // partitionBy layout keeps its data in subdirectories, and sizing
+    // from the top level alone would see 0 bytes and coalesce(1) the
+    // whole table. (The rewrite itself flattens partitioning — compact
+    // a partitioned table per partition directory.)
+    def listRec(fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it  = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n  = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += st
+      }
+      buf.toSeq
+    }
+    val p         = new org.apache.hadoop.fs.Path(inPath)
+    val fs        = p.getFileSystem(conf)
+    val dataFiles = listRec(fs, p)
+    val bytes     = dataFiles.map(_.getLen).sum
+    val nOut      = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val df        = spark.read.parquet(inPath)
     // coalesce, not repartition: shrinking file counts needs no
     // shuffle (growing them would — caller picks a smaller target)
     df.coalesce(nOut.toInt).write.mode("overwrite").parquet(outPath)
-    val after = fs
-      .listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val after = listRec(fs, new org.apache.hadoop.fs.Path(outPath)).length
     (dataFiles.length.toLong, after.toLong, bytes)
   }
 

@@ -147,20 +147,31 @@ object Similarity {
         .select("embedding")
         .collect()
         .map(_.getSeq[Float](0).toArray)
+    val cents = lloyd(sample, nCells, seed = 42L, iters = 5)
     val centDf = spark
-      .createDataFrame(lloyd(sample, nCells, seed = 42L, iters = 5).toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .createDataFrame(cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
-    // Euclidean-nearest centroid (the k-means metric), deterministic
-    // tie-break by cell id via struct-min — an aggregate, not a window
+    // Euclidean-nearest centroid (the k-means metric) as ONE narrow
+    // codegen'd projection against the centroid LITERAL — the
+    // centroids are already driver-side, so a crossJoin + per-vector
+    // aggregate would add a full-corpus exchange for nothing.
+    // array_position of the min picks the smallest cell id on ties
+    // (first occurrence), the same deterministic tie-break as a
+    // (d2, cell) struct-min.
+    val centLit = typedlit(cents.toSeq.map(_.toSeq))
+    val d2s = transform(
+      centLit,
+      ct =>
+        aggregate(
+          zip_with(col("embedding"), ct, (a, b) => ((a - b) * (a - b)).cast("double")),
+          lit(0.0d),
+          (acc, x) => acc + x
+        )
+    )
     val assigned = e
-      .crossJoin(broadcast(centDf))
-      .withColumn(
-        "d2",
-        expr("aggregate(zip_with(embedding, centroid, (a, b) -> cast((a - b) * (a - b) as double)), 0.0D, (acc, x) -> acc + x)")
-      )
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"), min(struct(col("d2"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("embedding"), col("best.cell").as("cell"))
+      .withColumn("__d2s", d2s)
+      .withColumn("cell", (array_position(col("__d2s"), array_min(col("__d2s"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     (assigned, centDf)
   }
 
@@ -695,6 +706,12 @@ object Similarity {
     * same stance as [[bruteForceTopK]]'s broadcast query side. A
     * corpus-scale query set should go through the batch operators
     * (cell-join both sides on the bucketed code table) instead.
+    *
+    * `excludeSelf` drops candidates whose vec_id equals the qid —
+    * ONLY correct when queries are drawn from the indexed corpus
+    * (the sim_ivfpq_topk shape). External queries live in their own
+    * id space, where an accidental numeric collision would silently
+    * drop a real neighbor — hence default OFF.
     */
   def ivfPqProbe(
       spark: SparkSession,
@@ -703,7 +720,8 @@ object Similarity {
       k: Int = 5,
       nProbe: Int = 4,
       m: Int = 16,
-      dim: Int = 64
+      dim: Int = 64,
+      excludeSelf: Boolean = false
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
     val centDf = spark.table(s"${indexName}_centroids")
@@ -721,10 +739,10 @@ object Similarity {
     )
     val qtab = adcTable(qn, cbDf, m, dim / m)
     val w    = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
-    spark
+    val candidates = spark
       .table(s"${indexName}_codes")
       .join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
+    (if (excludeSelf) candidates.filter(col("vec_id") =!= col("qid")) else candidates)
       .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
       .groupBy(col("qid"), col("vec_id").as("cand"))
       .agg(sum("pdot").as("adc"))

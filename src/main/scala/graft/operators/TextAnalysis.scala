@@ -295,15 +295,17 @@ object TextAnalysis {
     duplicatedSpansDf(Tables.documents(spark, dir), k, minDocs)
 
   /** k-gram instance stream (doc_id, pos, g), pos 1-based — shared by
-    * [[duplicatedSpansDf]] and [[dedupSubstrings]]. Lazily
-    * checkpointed: every consumer feeds it to BOTH a gram-frequency
-    * aggregate and a join back to itself, and Spark performs no
-    * cross-input subtree reuse, so without materialization the
-    * tokenize+posexplode would run once per consumer (same reason
-    * boilerplateScore checkpoints its pair set).
+    * [[duplicatedSpansDf]], [[dedupSubstrings]] and the gram-index
+    * build/probe paths. `materialize` lazily checkpoints the stream
+    * for callers that feed it to BOTH a gram-frequency aggregate and a
+    * join back to itself (Spark performs no cross-input subtree reuse,
+    * so without it the tokenize+posexplode runs once per consumer —
+    * same reason boilerplateScore checkpoints its pair set); the
+    * single-consumer index build/append paths pass false, because
+    * persisting a corpus-scale stream for one reader is pure cost.
     */
-  private def gramInstances(docs: DataFrame, k: Int): DataFrame =
-    docs
+  private def gramInstances(docs: DataFrame, k: Int, materialize: Boolean = true): DataFrame = {
+    val inst = docs
       .select(col("doc_id"), expr(toks("text")).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(
@@ -313,7 +315,8 @@ object TextAnalysis {
         ).as(Seq("__p", "g"))
       )
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
-      .localCheckpoint(eager = false)
+    if (materialize) inst.localCheckpoint(eager = false) else inst
+  }
 
   private[graft] def duplicatedSpansDf(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -448,7 +451,7 @@ object TextAnalysis {
     */
   def buildGramIndex(corpus: DataFrame, name: String, k: Int = 3, buckets: Int = 32): Unit =
     graft.sources.Bucketing.writeBucketedKeys(
-      gramInstances(corpus, k)
+      gramInstances(corpus, k, materialize = false)
         .groupBy("g")
         .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon")),
       s"${name}_gramdf",
@@ -461,7 +464,7 @@ object TextAnalysis {
     */
   def appendGramIndex(batch: DataFrame, name: String, k: Int = 3, buckets: Int = 32): Unit =
     graft.sources.Bucketing.appendBucketedKeys(
-      gramInstances(batch, k)
+      gramInstances(batch, k, materialize = false)
         .groupBy("g")
         .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon")),
       s"${name}_gramdf",

@@ -48,9 +48,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * narrows decode: only the required fields are CONVERTED to Catalyst
   * values, and the rows crossing the scan boundary carry just the
   * projected width. Schema comes from one container header (a few KB)
-  * — never a data scan. Writes follow the same temp-dir + task-commit
-  * + job-rename protocol as [[KvWrite]], so concurrent readers never
-  * observe a half-written directory.
+  * — never a data scan. Writes go through the shared
+  * [[V2TempCommit]] rename-first protocol: in-progress task output is
+  * invisible (temp dir), and an overwrite that fails mid-commit
+  * leaves the previous data recoverable instead of destroyed.
   */
 class AvroTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -189,29 +190,23 @@ class AvroWrite(path: String, queryId: String, schema: StructType, truncate: Boo
   override def toBatch: BatchWrite   = this
   override def description(): String = s"graft-avro write $path (truncate=$truncate)"
 
-  private def tmpDir = new Path(path, s"_tmp_$queryId")
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     AvroWriterFactory(path, queryId, schema.json, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs   = new Path(path).getFileSystem(conf)
-    if (truncate && fs.exists(new Path(path))) {
-      fs.listStatus(new Path(path))
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
-    messages.foreach { case AvroCommitMessage(tmpFile, finalName) =>
-      require(fs.rename(new Path(tmpFile), new Path(path, finalName)), s"commit rename failed for $tmpFile")
-    }
-    fs.delete(tmpDir, true)
-  }
+  // shared rename-first protocol (V2TempCommit): new files in, then
+  // the captured old list out — a mid-commit failure leaves a mixed
+  // directory, never a destroyed one
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    V2TempCommit.commit(
+      path,
+      queryId,
+      truncate,
+      messages.toSeq.map { case AvroCommitMessage(t, f) => (t, f) },
+      SparkSession.active.sessionState.newHadoopConf()
+    )
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    fs.delete(tmpDir, true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    V2TempCommit.abort(path, queryId, SparkSession.active.sessionState.newHadoopConf())
 }
 
 case class AvroCommitMessage(tmpFile: String, finalName: String) extends WriterCommitMessage

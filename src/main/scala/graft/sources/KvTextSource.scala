@@ -57,6 +57,42 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
   }
 }
 
+/** Shared temp-dir commit protocol for the graft V2 sinks (kv text,
+  * avro): tasks write to `_tmp_<queryId>/` and report (tmpFile,
+  * finalName); job commit renames every reported file into place and
+  * THEN deletes pre-existing data files when truncating — the old
+  * list is captured before any rename, and final names carry the
+  * queryId so new files never collide with old. Rename-first means a
+  * mid-commit failure leaves a recoverable mixed directory instead of
+  * destroying the previous data (delete-first loses it); a fully
+  * atomic swap needs a manifest/table layer above a rename-based
+  * filesystem and is explicitly out of scope here.
+  */
+object V2TempCommit {
+  def commit(path: String, queryId: String, truncate: Boolean, moves: Seq[(String, String)], conf: Configuration): Unit = {
+    val root = new Path(path)
+    val fs   = root.getFileSystem(conf)
+    val old: Array[Path] =
+      if (truncate && fs.exists(root))
+        fs.listStatus(root)
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Array.empty
+    moves.foreach { case (tmpFile, finalName) =>
+      // rename returns false instead of throwing on e.g. an existing
+      // destination — a silent false would drop a partition's data
+      require(fs.rename(new Path(tmpFile), new Path(path, finalName)), s"commit rename failed for $tmpFile")
+    }
+    old.foreach(f => fs.delete(f, false))
+    fs.delete(new Path(root, s"_tmp_$queryId"), true)
+  }
+
+  def abort(path: String, queryId: String, conf: Configuration): Unit = {
+    val root = new Path(path)
+    root.getFileSystem(conf).delete(new Path(root, s"_tmp_$queryId"), true)
+  }
+}
+
 class KvTextTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvTextTable.schema
@@ -189,17 +225,19 @@ class KvPartitionReader(file: String, fields: Array[String], filters: Array[Filt
 
 // ---------------------------------------------------------------- write
 
-/** Write half of the connector: the V2 commit protocol over
+/** Write half of the connector: the [[V2TempCommit]] protocol over
   * reference-format text. Each task writes its partition to a
   * uniquely-named temp file under `_tmp_<queryId>/`; task commit
-  * reports the temp path, job commit moves every reported file into
-  * place (after clearing existing data files when the write was a
-  * truncate/overwrite), job abort deletes the temp dir — so
-  * concurrent readers never observe a half-written directory and a
+  * reports the temp path, job commit renames every reported file into
+  * place and then clears the pre-existing data files on
+  * truncate/overwrite (rename-first — a mid-commit failure leaves the
+  * old data recoverable), job abort deletes the temp dir — so a
   * failed/speculative task leaves nothing behind. NULL values write
   * as a bare key line (which the scan reads back as NULL — lossless
   * round-trip); NULL keys are rejected (the reference format has no
-  * encoding for them).
+  * encoding for them), as are keys containing the ': ' separator and
+  * keys/values containing line terminators — each would silently
+  * change row boundaries on read-back.
   */
 class KvWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -219,31 +257,20 @@ class KvWrite(path: String, queryId: String, truncate: Boolean) extends Write wi
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-kv write $path (truncate=$truncate)"
 
-  private def tmpDir = new Path(path, s"_tmp_$queryId")
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     KvWriterFactory(path, queryId, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs   = new Path(path).getFileSystem(conf)
-    if (truncate && fs.exists(new Path(path))) {
-      fs.listStatus(new Path(path))
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
-    messages.foreach { case KvCommitMessage(tmpFile, finalName) =>
-      // rename returns false instead of throwing on e.g. an existing
-      // destination — a silent false would drop a partition's data
-      require(fs.rename(new Path(tmpFile), new Path(path, finalName)), s"commit rename failed for $tmpFile")
-    }
-    fs.delete(tmpDir, true)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    V2TempCommit.commit(
+      path,
+      queryId,
+      truncate,
+      messages.toSeq.map { case KvCommitMessage(t, f) => (t, f) },
+      SparkSession.active.sessionState.newHadoopConf()
+    )
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    fs.delete(tmpDir, true)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    V2TempCommit.abort(path, queryId, SparkSession.active.sessionState.newHadoopConf())
 }
 
 case class KvCommitMessage(tmpFile: String, finalName: String) extends WriterCommitMessage
@@ -267,11 +294,20 @@ class KvDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long
     require(!row.isNullAt(0), "graft-kv cannot encode a NULL key")
     val key = row.getUTF8String(0).toString
     // the separator inside a key would round-trip as a truncated key
-    // with the rest folded into the value — silent corruption, so
-    // reject like NULL keys (the reference format has no escaping)
+    // with the rest folded into the value, and a line terminator in
+    // either field would round-trip as extra bogus rows (the reader is
+    // line-based) — silent corruption either way, so reject like NULL
+    // keys (the reference format has no escaping)
     require(!key.contains(": "), s"graft-kv cannot encode a key containing ': ': '$key'")
+    def noNewline(s: String, what: String): Unit =
+      require(!s.contains('\n') && !s.contains('\r'), s"graft-kv cannot encode a $what containing a line terminator")
+    noNewline(key, "key")
     if (row.isNullAt(1)) out.write(key)
-    else { out.write(key); out.write(": "); out.write(row.getUTF8String(1).toString) }
+    else {
+      val value = row.getUTF8String(1).toString
+      noNewline(value, "value")
+      out.write(key); out.write(": "); out.write(value)
+    }
     out.write("\n")
   }
 

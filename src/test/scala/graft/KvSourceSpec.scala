@@ -91,6 +91,17 @@ class KvSourceSpec extends SparkSpec {
       causes(ex).exists(c => Option(c.getMessage).exists(_.contains("': '"))), s"unexpected failure: $ex")
   }
 
+  test("keys/values containing line terminators are rejected at write (reader is line-based)") {
+    val dir = "/tmp/graft_kv_spec/nlkey"
+    def causes(t: Throwable): Seq[Throwable] = Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    Seq(("a\nb", "v"), ("k", "a\nb"), ("a\rb", "v")).foreach { case (k, v) =>
+      val bad = spark.createDataFrame(Seq((k, v))).toDF("key", "value")
+      val ex  = intercept[Exception](bad.write.format("graft-kv").mode("overwrite").save(dir))
+      assert(causes(ex).exists(c => Option(c.getMessage).exists(_.contains("line terminator"))),
+        s"unexpected failure for ($k, $v): $ex")
+    }
+  }
+
   test("pushed range filters compare in UTF-8 order, matching the unpushed result") {
     // U+10000 (𐀀, supplementary plane) sorts BELOW U+FFFD in UTF-16
     // code units but ABOVE it in UTF-8 bytes / code points — the case

@@ -90,7 +90,12 @@ class SimilaritySpec extends SparkSpec {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     Similarity.buildIvfPqIndex(e, "t_ivfpq")
     val probe = Similarity
-      .ivfPqProbe(spark, "t_ivfpq", e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")))
+      .ivfPqProbe(
+        spark,
+        "t_ivfpq",
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")),
+        excludeSelf = true
+      )
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val oneShot = Similarity
