@@ -43,6 +43,12 @@ object SparkEntry {
   /** Same memoization for the IVF×PQ ANN index. */
   private val ivfPqIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Same memoization for the build-then-append IVF×PQ index variant
+    * (its own table set: the append MUTATES the codes table, so it
+    * must run exactly once per dir).
+    */
+  private val ivfPqAppendBuilt = scala.collection.mutable.Set.empty[String]
+
   /** Same memoization for the substring-dedup gram index. */
   private val gramIndexBuilt = scala.collection.mutable.Set.empty[String]
 
@@ -223,6 +229,28 @@ object SparkEntry {
         excludeSelf = true // queries come from the indexed corpus here
       )
     },
+    "sim_ivfpq_append" -> q { (s, dir) =>
+      // ingest shape: standing index built on 90% of the corpus, the
+      // arriving 10% APPENDED against the frozen centroids/codebooks
+      // (never retrained), then probed — the build-append-probe
+      // lifecycle a production vector store runs per ingest batch.
+      // check_ivfpq_append pins append ≡ frozen-model rebuild exactly.
+      val e   = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = dirKeyed("q_ivfpq_app", dir)
+      ivfPqAppendBuilt.synchronized {
+        if (!ivfPqAppendBuilt.contains(dir)) {
+          Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0), idx)
+          Similarity.appendIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx)
+          ivfPqAppendBuilt += dir
+        }
+      }
+      Similarity.ivfPqProbe(
+        s,
+        idx,
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")),
+        excludeSelf = true // queries come from the indexed corpus here
+      )
+    },
     "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
     "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
     "dedup_incremental_semantic" -> q { (s, dir) =>
@@ -305,6 +333,7 @@ object SparkEntry {
     "check_ivf_recall"         -> q(Checks.ivfRecall),
     "check_pq_recall"          -> q(Checks.pqRecall),
     "check_ivfpq_recall"       -> q(Checks.ivfPqRecall),
+    "check_ivfpq_append"       -> q(Checks.ivfPqAppendEquivalence),
     "check_curation"           -> q(Checks.curationInvariants),
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
@@ -1335,6 +1364,7 @@ object SparkEntry {
       "check_ivf_recall" -> "SELECT true AS recall_ok",
       "check_pq_recall" -> "SELECT true AS recall_ok",
       "check_ivfpq_recall" -> "SELECT true AS recall_ok, true AS work_reduced",
+      "check_ivfpq_append" -> "SELECT true AS codes_equivalent, true AS recall_within_bound",
       "check_curation" ->
         """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,
           |       true AS keeper_ok, true AS split_ok, true AS quality_ok""".stripMargin,

@@ -391,6 +391,73 @@ object Checks {
     )
   }
 
+  /** Standing IVF×PQ index: build-on-corpus + append-batch ≡ a frozen-
+    * model encode of corpus ∪ batch (exact table equality — append
+    * must apply the index's persisted centroids/codebooks, nothing
+    * retrained, nothing lost or duplicated), AND the appended index
+    * serves probes whose mean recall@5 vs brute force is within 0.15
+    * of a full retrained rebuild's. Deterministic (seeded fits,
+    * hash-mod samples), so both booleans are stable.
+    */
+  def ivfPqAppendEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val e      = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch  = e.filter(col("vec_id") % 10 === 0)
+    Similarity.buildIvfPqIndex(corpus, "chk_ivfpq_app")
+    Similarity.appendIvfPqIndex(batch, "chk_ivfpq_app")
+
+    // exact half: the standing codes table now equals what a frozen-
+    // model encode of the WHOLE union produces (same centroids, same
+    // codebooks — the reference side never touches the append path)
+    val cbDf     = spark.table("chk_ivfpq_app_codebooks")
+    val centRows = spark.table("chk_ivfpq_app_centroids").orderBy("cell").collect()
+    val cents    = centRows.toSeq.map(r => r.getSeq[Float](r.fieldIndex("centroid")))
+    val refCodes = Similarity
+      .encodeWithCodebooks(Similarity.l2Normalize(e, 64, "check"), cbDf, 16, 4)
+      .join(Similarity.assignNearestCell(e, cents).select("vec_id", "cell"), Seq("vec_id"))
+      .select("vec_id", "sub_idx", "code", "cell")
+      .localCheckpoint(eager = false)
+    val appended = spark.table("chk_ivfpq_app_codes").select("vec_id", "sub_idx", "code", "cell")
+    val keys     = Seq("vec_id", "sub_idx", "code", "cell")
+    val missed   = refCodes.join(appended, keys, "left_anti").count()
+    val extra    = appended.join(refCodes, keys, "left_anti").count()
+    val dupes    = appended.groupBy("vec_id", "sub_idx").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+
+    // recall half: the appended index vs a full retrained rebuild
+    val queries  = e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
+    val brute    = Similarity.bruteForceTopK(spark, dir).localCheckpoint(eager = false)
+    val rAppend  = meanRecall(Similarity.ivfPqProbe(spark, "chk_ivfpq_app", queries, excludeSelf = true), brute)
+    Similarity.buildIvfPqIndex(e, "chk_ivfpq_reb")
+    val rRebuild = meanRecall(Similarity.ivfPqProbe(spark, "chk_ivfpq_reb", queries, excludeSelf = true), brute)
+    spark
+      .range(1)
+      .select(
+        lit(missed == 0L && extra == 0L && dupes == 0L).as("codes_equivalent"),
+        lit(rAppend >= rRebuild - 0.15).as("recall_within_bound")
+      )
+  }
+
+  /** Mean recall@k of `ann` against the brute-force reference — the
+    * scalar [[topkRecallCheck]] thresholds, exposed for checks that
+    * compare two ANN variants' recall to each other.
+    */
+  private def meanRecall(ann: DataFrame, brute: DataFrame): Double = {
+    val hit = ann
+      .select(col("qid"), col("cand"))
+      .join(brute.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_semi")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+    brute
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n"))
+      .join(hit, Seq("qid"), "left")
+      .select((coalesce(col("hits"), lit(0L)) / col("n")).as("r"))
+      .agg(avg("r").as("mean_recall"))
+      .collect()(0)
+      .getDouble(0)
+  }
+
   private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame = {
     val hit = ann
       .select(col("qid"), col("cand"))

@@ -151,14 +151,21 @@ object Similarity {
     val centDf = spark
       .createDataFrame(cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
-    // Euclidean-nearest centroid (the k-means metric) as ONE narrow
-    // codegen'd projection against the centroid LITERAL — the
-    // centroids are already driver-side, so a crossJoin + per-vector
-    // aggregate would add a full-corpus exchange for nothing.
-    // array_position of the min picks the smallest cell id on ties
-    // (first occurrence), the same deterministic tie-break as a
-    // (d2, cell) struct-min.
-    val centLit = typedlit(cents.toSeq.map(_.toSeq))
+    (assignNearestCell(e, cents.toSeq.map(_.toSeq)), centDf)
+  }
+
+  /** Euclidean-nearest centroid (the k-means metric) as ONE narrow
+    * codegen'd projection against the centroid LITERAL — the
+    * centroids are already driver-side, so a crossJoin + per-vector
+    * aggregate would add a full-corpus exchange for nothing.
+    * array_position of the min picks the smallest cell id on ties
+    * (first occurrence), the same deterministic tie-break as a
+    * (d2, cell) struct-min. `cents(i)` must be cell i's centroid —
+    * shared by the build path ([[kmeansCells]]) and the frozen-model
+    * append path ([[appendIvfPqIndex]]) so both assign identically.
+    */
+  private[graft] def assignNearestCell(e: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
+    val centLit = typedlit(cents)
     val d2s = transform(
       centLit,
       ct =>
@@ -168,11 +175,9 @@ object Similarity {
           (acc, x) => acc + x
         )
     )
-    val assigned = e
-      .withColumn("__d2s", d2s)
+    e.withColumn("__d2s", d2s)
       .withColumn("cell", (array_position(col("__d2s"), array_min(col("__d2s"))) - 1).cast("int"))
       .select(col("vec_id"), col("embedding"), col("cell"))
-    (assigned, centDf)
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
@@ -497,6 +502,32 @@ object Similarity {
     * fits are driver actions by nature — same documented shape as
     * [[kmeansCells]].)
     */
+  /** L2-normalize an embedding column (so dot == cosine) with a per-row
+    * codegen'd dim guard — the shared front half of every PQ path
+    * (fit, probe, append), kept in one place so their normalization
+    * cannot drift.
+    */
+  private[graft] def l2Normalize(raw: DataFrame, dim: Int, who: String): DataFrame =
+    raw
+      .filter(assert_true(size(col("embedding")) === dim, lit(s"$who: expected dim=$dim embeddings")).isNull)
+      .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
+
+  /** Encode normalized vectors against a (frozen) codebook table:
+    * nearest codebook entry per (vector, subspace) — min of (l2, code)
+    * under struct ordering, an aggregate not a window. Shared by the
+    * fit path ([[pqFit]]) and the frozen-model append path
+    * ([[appendIvfPqIndex]]) so both encode identically.
+    */
+  private[graft] def encodeWithCodebooks(e: DataFrame, cbDf: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVecs(e, m, subDim)
+      .join(broadcast(cbDf), Seq("sub_idx"))
+      .withColumn("l2", expr("aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, d) -> acc + d)"))
+      .groupBy("vec_id", "sub_idx")
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub_idx"), col("best.code").as("code"))
+
   private[graft] def pqFit(
       raw: DataFrame,
       m: Int,
@@ -507,11 +538,7 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     // normalize so dot == cosine and ADC approximates the real metric
-    val e = raw
-      .filter(assert_true(size(col("embedding")) === dim, lit(s"pqFit: expected dim=$dim embeddings")).isNull)
-      .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
-      .filter(col("nrm") > 0.0)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
+    val e = l2Normalize(raw, dim, "pqFit")
 
     // bounded deterministic training sample — ONE cluster job collects
     // it (≤ 256·codebookK vectors ≈ 4 MB at the 64-dim default), then
@@ -536,14 +563,7 @@ object Similarity {
     }
     val cbDf = spark.createDataFrame(codebooks).toDF("sub_idx", "code", "cvec")
 
-    // encode: nearest codebook entry per (vector, subspace) — min of
-    // (l2, code) under struct ordering, an aggregate not a window
-    val codes = subVecs(e, m, subDim)
-      .join(broadcast(cbDf), Seq("sub_idx"))
-      .withColumn("l2", expr("aggregate(zip_with(subvec, cvec, (a, b) -> (a - b) * (a - b)), 0.0D, (acc, d) -> acc + d)"))
-      .groupBy("vec_id", "sub_idx")
-      .agg(min(struct(col("l2"), col("code"))).as("best"))
-      .select(col("vec_id"), col("sub_idx"), col("best.code").as("code"))
+    val codes = encodeWithCodebooks(e, cbDf, m, subDim)
     (e, cbDf, codes)
   }
 
@@ -693,6 +713,52 @@ object Similarity {
     }
   }
 
+  /** Append newly-arrived vectors to a standing [[buildIvfPqIndex]]
+    * index — the ingest half of the build-once/probe-many contract,
+    * closing the same build/append/probe triangle the LSH
+    * ([[Dedup.appendLshIndex]]), semantic ([[appendSemanticIndex]]),
+    * and gram indexes already have. Standard IVF ingest semantics:
+    * the coarse quantizer and PQ codebooks are FROZEN — incoming
+    * vectors are encoded against the index's persisted codebooks and
+    * assigned with its persisted centroids (never retrained; re-train
+    * only via an explicit rebuild), then appended to the bucketed
+    * `_codes` table preserving its layout so probes stay exchange-free
+    * as the index grows. The assignment and encode paths are the SAME
+    * functions the build uses ([[assignNearestCell]],
+    * `encodeWithCodebooks`), so append ∘ build ≡ build-with-frozen-
+    * model over the union — `check_ivfpq_append` asserts exactly that.
+    *
+    * The centroid collect is nCells rows (16 by default) — driver-side
+    * by design, same stance as the build's own sample-fit.
+    */
+  def appendIvfPqIndex(
+      incoming: DataFrame,
+      name: String,
+      m: Int = 16,
+      dim: Int = 64,
+      buckets: Int = 32
+  ): Unit = {
+    val spark = incoming.sparkSession
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val cbDf = spark.table(s"${name}_codebooks")
+    val centRows = spark.table(s"${name}_centroids").orderBy("cell").collect()
+    centRows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getAs[Int]("cell") == i, s"appendIvfPqIndex: non-contiguous cell ids in ${name}_centroids")
+    }
+    val cents: Seq[Seq[Float]] = centRows.toSeq.map(r => r.getSeq[Float](r.fieldIndex("centroid")))
+    val raw   = incoming.select(col("vec_id"), col("embedding"))
+    val codes = encodeWithCodebooks(l2Normalize(raw, dim, "appendIvfPqIndex"), cbDf, m, dim / m)
+    // cell assignment runs on the RAW vectors — the build assigns
+    // kmeansCells(raw) before pqFit normalizes, and append must match
+    val assigned = assignNearestCell(raw, cents)
+    graft.sources.Bucketing.appendBucketedKeys(
+      codes.join(assigned.select("vec_id", "cell"), Seq("vec_id")),
+      s"${name}_codes",
+      buckets,
+      Seq("cell")
+    )
+  }
+
   /** Probe a standing [[buildIvfPqIndex]] index: queries (qid,
     * embedding) → top-k by ADC over the query's nProbe nearest cells.
     * The probe never touches raw corpus vectors — centroids and
@@ -727,11 +793,7 @@ object Similarity {
     val centDf = spark.table(s"${indexName}_centroids")
     val cbDf   = spark.table(s"${indexName}_codebooks")
     // normalize queries the way pqFit normalized the corpus
-    val qn = queries
-      .filter(assert_true(size(col("embedding")) === dim, lit(s"ivfPqProbe: expected dim=$dim")).isNull)
-      .withColumn("nrm", sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, x) => a + x)))
-      .filter(col("nrm") > 0.0)
-      .select(col("qid").as("vec_id"), expr("transform(embedding, x -> cast(x / nrm as float))").as("embedding"))
+    val qn = l2Normalize(queries.select(col("qid").as("vec_id"), col("embedding")), dim, "ivfPqProbe")
     val probed = probeCells(
       qn.select(col("vec_id").as("qid"), col("embedding").as("qe")),
       centDf,

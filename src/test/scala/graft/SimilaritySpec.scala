@@ -105,6 +105,51 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.toSeq == oneShot.toSeq, "index probe diverged from the self-contained computation")
   }
 
+  test("IVF×PQ append: build+append equals a frozen-model encode of the union, probe stays valid") {
+    val e      = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch  = e.filter(col("vec_id") % 10 === 0)
+    Similarity.buildIvfPqIndex(corpus, "t_ivfpq_app")
+    Similarity.appendIvfPqIndex(batch, "t_ivfpq_app")
+
+    // reference: encode + assign EVERYTHING with the index's frozen
+    // model (the append path must be indistinguishable from it)
+    val cbDf  = spark.table("t_ivfpq_app_codebooks")
+    val cents = spark
+      .table("t_ivfpq_app_centroids")
+      .orderBy("cell")
+      .collect()
+      .toSeq
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")))
+    val ref = Similarity
+      .encodeWithCodebooks(Similarity.l2Normalize(e, 64, "spec"), cbDf, 16, 4)
+      .join(Similarity.assignNearestCell(e, cents).select("vec_id", "cell"), Seq("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val got = spark
+      .table("t_ivfpq_app_codes")
+      .select("vec_id", "sub_idx", "code", "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.length == got.toSet.size, "append produced duplicate (vec_id, sub_idx) code rows")
+    assert(got.toSet == ref, "appended index diverged from the frozen-model encode of corpus ∪ batch")
+
+    // the appended index serves probes: valid contiguous ranks per query
+    val probe = Similarity
+      .ivfPqProbe(
+        spark,
+        "t_ivfpq_app",
+        e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding")),
+        excludeSelf = true
+      )
+      .collect()
+    assert(probe.nonEmpty)
+    probe.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
   test("IVF×PQ probe plan: code-table side reads its buckets with no shuffle exchange") {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     Similarity.buildIvfPqIndex(e, "t_ivfpq_plan")
