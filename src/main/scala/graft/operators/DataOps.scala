@@ -238,13 +238,16 @@ object DataOps {
     val toksExpr = "filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')"
     // null-tolerant like every other curation operator: a NULL text
     // counts 0 tokens (size(NULL) is NULL under ANSI and would NPE the
-    // non-nullable encoder), NULL n_chars sorts as 0 (bottom priority
-    // — ties with true-0 rows break on doc_id either way)
+    // non-nullable encoder). NULL n_chars sorts BELOW every real value
+    // (-1 sentinel; n_chars is a length, never negative) — DuckDB's
+    // ORDER BY … DESC places NULLs last, so coalescing to 0 would
+    // interleave NULL rows with true-zero rows in a different order
+    // than the oracle's near a budget cutoff
     val prioritized = Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
-        coalesce(col("n_chars").cast("long"), lit(0L)).as("n_chars"),
+        coalesce(col("n_chars").cast("long"), lit(-1L)).as("n_chars"),
         coalesce(size(expr(toksExpr)).cast("long"), lit(0L)).as("n_tokens")
       )
       .as[(Long, Long, Long)]
@@ -353,12 +356,25 @@ object DataOps {
     // whole table. (The rewrite itself flattens partitioning — compact
     // a partitioned table per partition directory.)
     def listRec(fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      // a file is hidden if ANY path component below `dir` is hidden
+      // (spark.read.parquet skips e.g. everything under a leftover
+      // _temporary/ attempt dir, so sizing must skip it too — filtering
+      // only the leaf name would count those bytes)
+      val root = fs.makeQualified(dir).toUri.getPath
+      def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+        var cur = p
+        while (cur != null && cur.toUri.getPath != root) {
+          val n = cur.getName
+          if (n.startsWith("_") || n.startsWith(".")) return true
+          cur = cur.getParent
+        }
+        false
+      }
       val it  = fs.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val st = it.next()
-        val n  = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) buf += st
+        if (!hidden(st.getPath)) buf += st
       }
       buf.toSeq
     }

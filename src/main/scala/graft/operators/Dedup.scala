@@ -662,12 +662,29 @@ object Dedup {
   // ------------------------------------------------------ embedding cosine
 
   /** Exact embedding near-dups: all pairs with cosine ≥ threshold.
-    * Uses the native codegen'd cosine expression; quadratic — the
-    * oracle path. [[Similarity.annLsh]] is the scale path.
+    * Uses the native codegen'd cosine expression; QUADRATIC by design —
+    * this is the oracle/ground-truth path the recall checks measure
+    * against, and [[Similarity.embeddingNearDupLsh]] is the scale path.
+    * `maxRows` makes the footgun explicit: the guard refuses a corpus
+    * whose pair count would be ruinous instead of silently launching
+    * an O(n²) job (the count is parquet-metadata-cheap). Raise the cap
+    * deliberately if a larger ground-truth set is genuinely wanted.
     */
-  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDups(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      maxRows: Long = 10000L
+  ): DataFrame = {
     graft.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count() // parquet metadata count — no data scan
+    require(
+      n <= maxRows,
+      s"embeddingNearDups is the quadratic oracle path: $n vectors > cap $maxRows " +
+        s"(~${n * n / 2} pairs). Use Similarity.embeddingNearDupLsh for large corpora, " +
+        "or raise maxRows deliberately."
+    )
     e.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
       .withColumn("cos", expr("cosine_sim(ea, eb)"))

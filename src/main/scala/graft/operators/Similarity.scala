@@ -147,11 +147,17 @@ object Similarity {
         .select("embedding")
         .collect()
         .map(_.getSeq[Float](0).toArray)
-    val cents = lloyd(sample, nCells, seed = 42L, iters = 5)
+    // distinct clamps effective nCells when lloyd duplicate-padded a
+    // too-small sample (or iterations converged two centroids onto the
+    // same point): identical centroids tie on every metric, so
+    // nAssign>1 multi-assignment in [[assignCells]] would burn probe
+    // slots on copies of one cell instead of genuine diversity.
+    // First-occurrence order is kept, so cell ids stay stable.
+    val cents = lloyd(sample, nCells, seed = 42L, iters = 5).map(_.toSeq).distinct
     val centDf = spark
-      .createDataFrame(cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
-    (assignNearestCell(e, cents.toSeq.map(_.toSeq)), centDf)
+    (assignNearestCell(e, cents.toIndexedSeq), centDf)
   }
 
   /** Euclidean-nearest centroid (the k-means metric) as ONE narrow

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,84 +95,240 @@ class AvroTable(path: String, schema0: StructType) extends Table with SupportsRe
 class AvroScanBuilder(path: String, full: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType                            = full
+  private var pushed: Array[Filter]                           = Array.empty
   private var limit: Int                                      = -1
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(AvroFilterEval.supported(_, full))
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   // partial pushdown: each reader stops at `limit`, Spark re-limits
   // globally above (same contract as the kv scan)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
-  override def build(): Scan              = new AvroScan(path, required, limit)
+  override def build(): Scan              = new AvroScan(path, required, full, pushed, limit)
 }
 
 object AvroScan {
-  /** Driver-side listing, session Hadoop conf; skips hidden/underscore
-    * files, sorted for deterministic partition ids.
+  /** Driver-side listing, session Hadoop conf; RECURSIVE (a nested or
+    * partitioned layout keeps data in subdirectories — a top-level-only
+    * listing would silently read partial data, the same hazard
+    * compactParquet documents for parquet), skipping files with ANY
+    * hidden/underscore path component below the root (e.g. a leftover
+    * `_temporary/` attempt dir), sorted for deterministic partition ids.
     */
   def listFiles(path: String, conf: Configuration): Seq[String] = {
-    val p    = new Path(path)
-    val fs   = p.getFileSystem(conf)
-    val stat = if (fs.getFileStatus(p).isDirectory) fs.listStatus(p) else Array(fs.getFileStatus(p))
-    stat
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
-      .map(_.toString)
-      .sorted
-      .toSeq
+    val p  = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.getFileStatus(p).isDirectory) return Seq(p.toString)
+    val root = fs.makeQualified(p).toUri.getPath
+    def hidden(f: Path): Boolean = {
+      var cur = f
+      while (cur != null && cur.toUri.getPath != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it  = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !hidden(st.getPath)) buf += st.getPath.toString
+    }
+    buf.sorted.toSeq
   }
+
+  /** The expected (reader) Avro schema for a directory: the first
+    * file's header schema — the same header [[AvroTableProvider
+    * .inferSchema]] derived the Catalyst schema from. Every file then
+    * decodes through Avro SCHEMA RESOLUTION against it, so a directory
+    * of heterogeneous-but-compatible writer schemas (renamed-by-alias,
+    * reordered, or extra fields) reads consistently instead of each
+    * file decoding under its own writer schema and `rec.get(name)`
+    * throwing or mis-reading. Incompatible files fail loudly inside
+    * the Avro resolver. None when the directory has no data files
+    * (no partitions are planned then, so no reader ever needs it).
+    */
+  def expectedSchema(path: String, conf: Configuration): Option[AvroSchema] =
+    listFiles(path, conf).headOption.map { first =>
+      val reader =
+        new DataFileReader[GenericRecord](new FsInput(new Path(first), conf), new GenericDatumReader[GenericRecord]())
+      try reader.getSchema
+      finally reader.close()
+    }
 }
 
-class AvroScan(path: String, required: StructType, limit: Int = -1) extends Scan with Batch {
+class AvroScan(path: String, required: StructType, full: StructType, filters: Array[Filter], limit: Int = -1)
+    extends Scan
+    with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch           = this
   override def description(): String =
-    s"graft-avro $path ReadSchema: ${required.simpleString}, PushedLimit: $limit"
+    s"graft-avro $path ReadSchema: ${required.simpleString}, PushedFilters: [${filters.mkString(", ")}], PushedLimit: $limit"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     AvroScan.listFiles(path, conf).map(f => AvroInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.json, limit, new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    AvroReaderFactory(
+      required.json,
+      full.json,
+      // the expected (reader) schema, resolved once driver-side from
+      // the same header inferSchema used; None only when the dir is
+      // empty, and then no partitions exist to read
+      AvroScan.expectedSchema(path, conf).map(_.toString).orNull,
+      filters,
+      limit,
+      new SerializableHadoopConf(conf)
+    )
+  }
 }
 
 case class AvroInputPartition(file: String) extends InputPartition
 
-case class AvroReaderFactory(requiredJson: String, limit: Int, conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
+case class AvroReaderFactory(
+    requiredJson: String,
+    fullJson: String,
+    expectedAvroJson: String,
+    filters: Array[Filter],
+    limit: Int,
+    conf: SerializableHadoopConf
+) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
       partition.asInstanceOf[AvroInputPartition].file,
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      DataType.fromJson(fullJson).asInstanceOf[StructType],
+      expectedAvroJson,
+      filters,
       limit,
       conf.value
     )
 }
 
-class AvroPartitionReader(file: String, required: StructType, limit: Int, conf: Configuration)
-    extends PartitionReader[InternalRow] {
-  private val reader =
-    new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), new GenericDatumReader[GenericRecord]())
+class AvroPartitionReader(
+    file: String,
+    required: StructType,
+    full: StructType,
+    expectedAvroJson: String,
+    filters: Array[Filter],
+    limit: Int,
+    conf: Configuration
+) extends PartitionReader[InternalRow] {
+  // decode through Avro schema resolution against the table's expected
+  // schema (not each file's own writer schema): heterogeneous writer
+  // schemas — reordered or extra fields — resolve by field name, and
+  // genuinely incompatible files fail loudly in the resolver instead
+  // of mis-reading
+  private val datumReader = {
+    val expected = new AvroSchema.Parser().parse(expectedAvroJson)
+    new GenericDatumReader[GenericRecord](null, expected)
+  }
+  private val reader               = new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), datumReader)
   private var current: InternalRow = _
   private var emitted              = 0L
 
-  override def next(): Boolean =
-    if (limit >= 0 && emitted >= limit) false
-    else if (reader.hasNext) {
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (reader.hasNext) {
       val rec = reader.next()
-      // convert only the REQUIRED fields — pruning narrows decode work
-      // and row width even though a row format can't skip byte reads
-      current = InternalRow.fromSeq(
-        required.fields.toSeq.map(f => AvroConv.toCatalyst(rec.get(f.name), f.dataType))
-      )
-      emitted += 1
-      true
-    } else false
+      // pushed filters evaluate on the decoded record BEFORE Catalyst
+      // conversion — rows that fail never materialize an InternalRow;
+      // the post-scan Filter for these predicates is gone, so this
+      // evaluation must match Spark's exactly (AvroFilterEval)
+      if (filters.forall(AvroFilterEval.eval(_, rec, full))) {
+        // convert only the REQUIRED fields — pruning narrows decode work
+        // and row width even though a row format can't skip byte reads
+        current = InternalRow.fromSeq(
+          required.fields.toSeq.map(f => AvroConv.toCatalyst(rec.get(f.name), f.dataType))
+        )
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit      = reader.close()
+}
+
+/** Typed filter evaluation for the avro scan. `supported` is the
+  * contract with Catalyst: anything it accepts is FULLY handled in
+  * [[AvroPartitionReader]] (so the post-scan Filter drops it); the
+  * rest is residual and evaluated above the scan as usual. Scope is
+  * deliberately narrow — top-level string/int/long (+ boolean
+  * equality) fields only: string ranges compare in UTF8String
+  * byte order (== code-point order; Java String '<' compares UTF-16
+  * code units, which disagrees for supplementary-plane characters —
+  * the KvFilterEval lesson), and float/double are EXCLUDED because
+  * Spark's SQL equality semantics for NaN and -0.0 differ from
+  * java.lang.{Float,Double}.compare, a silent-wrong-results trap no
+  * pushdown win justifies.
+  */
+object AvroFilterEval {
+  private def fieldType(schema: StructType, attr: String): Option[DataType] =
+    schema.fields.find(_.name == attr).map(_.dataType)
+
+  private def comparable(dt: DataType, v: Any): Boolean = (dt, v) match {
+    case (StringType, _: String) => true
+    case (IntegerType, _: Int)   => true
+    case (LongType, _: Long)     => true
+    case _                       => false
+  }
+
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) =>
+      fieldType(schema, a).exists(dt => comparable(dt, v) || (dt == BooleanType && v.isInstanceOf[Boolean]))
+    case GreaterThan(a, v)        => fieldType(schema, a).exists(comparable(_, v))
+    case GreaterThanOrEqual(a, v) => fieldType(schema, a).exists(comparable(_, v))
+    case LessThan(a, v)           => fieldType(schema, a).exists(comparable(_, v))
+    case LessThanOrEqual(a, v)    => fieldType(schema, a).exists(comparable(_, v))
+    case StringStartsWith(a, _)   => fieldType(schema, a).contains(StringType)
+    case IsNotNull(a)             => fieldType(schema, a).isDefined
+    case IsNull(a)                => fieldType(schema, a).isDefined
+    case _                        => false
+  }
+
+  private def cmp(dt: DataType, rv: Any, v: Any): Int = dt match {
+    // Utf8 (or String) record value → String; compare in UTF-8 byte order
+    case StringType  => UTF8String.fromString(rv.toString).compareTo(UTF8String.fromString(v.asInstanceOf[String]))
+    case IntegerType => java.lang.Integer.compare(rv.asInstanceOf[Int], v.asInstanceOf[Int])
+    case LongType    => java.lang.Long.compare(rv.asInstanceOf[Long], v.asInstanceOf[Long])
+    case other       => throw new IllegalStateException(s"graft-avro: unexpected pushed comparison type $other")
+  }
+
+  def eval(f: Filter, rec: GenericRecord, schema: StructType): Boolean = {
+    def rv(a: String): Any      = rec.get(a)
+    def dt(a: String): DataType = schema.fields.find(_.name == a).get.dataType
+    f match {
+      case EqualTo(a, v) =>
+        val x = rv(a)
+        x != null && (dt(a) match {
+          case BooleanType => x.asInstanceOf[Boolean] == v.asInstanceOf[Boolean]
+          case d           => cmp(d, x, v) == 0
+        })
+      case GreaterThan(a, v)        => val x = rv(a); x != null && cmp(dt(a), x, v) > 0
+      case GreaterThanOrEqual(a, v) => val x = rv(a); x != null && cmp(dt(a), x, v) >= 0
+      case LessThan(a, v)           => val x = rv(a); x != null && cmp(dt(a), x, v) < 0
+      case LessThanOrEqual(a, v)    => val x = rv(a); x != null && cmp(dt(a), x, v) <= 0
+      case StringStartsWith(a, v)   => val x = rv(a); x != null && x.toString.startsWith(v)
+      case IsNotNull(a)             => rv(a) != null
+      case IsNull(a)                => rv(a) == null
+      case _                        => true
+    }
+  }
 }
 
 // ---------------------------------------------------------------- write

@@ -102,6 +102,79 @@ class AvroSourceSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir)).filter(p => p.getFileName.toString.startsWith("_tmp_")).count() == 0)
   }
 
+  test("filter pushdown: supported predicates reach the scan and leave no post-scan Filter") {
+    val dir = s"$base/filters"
+    Sources.writeAvro(Tables.documents(spark, sfDir).select("doc_id", "source", "text"), dir)
+    val q = Sources
+      .avro(spark, dir)
+      .filter(col("doc_id") >= 100L && col("doc_id") < 200L && col("source") === "src3")
+      .select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in plan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(doc_id,100)"), s"range filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(source,src3)"), s"equality filter not pushed:\n$plan")
+    // every predicate was accepted → Spark must plan NO Filter node
+    assert(!plan.contains("Filter "), s"post-scan Filter survived full pushdown:\n$plan")
+    val expect = Tables
+      .documents(spark, sfDir)
+      .filter(col("doc_id") >= 100L && col("doc_id") < 200L && col("source") === "src3")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(q.collect().map(_.getLong(0)).toSet == expect)
+    assert(expect.nonEmpty, "test data lost its filter-surviving rows — tighten the predicate")
+    // unsupported predicate stays residual and still evaluates correctly
+    val resid = Sources.avro(spark, dir).filter(length(col("text")) > 200)
+    assert(resid.queryExecution.executedPlan.toString.contains("Filter"), "residual predicate should stay above the scan")
+    assert(resid.count() == Tables.documents(spark, sfDir).filter(length(col("text")) > 200).count())
+  }
+
+  test("nested directory layouts read recursively; hidden dirs are skipped") {
+    val dir = s"$base/nested_layout"
+    val d1  = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "v")
+    val d2  = spark.createDataFrame(Seq((3L, "c"))).toDF("id", "v")
+    d1.write.format("graft-avro").mode("overwrite").save(s"$dir/part=0")
+    d2.write.format("graft-avro").mode("overwrite").save(s"$dir/part=1")
+    // litter a hidden dir the listing must skip (its file would poison
+    // schema inference if read)
+    val hiddenDir = Paths.get(s"$dir/_temporary/0")
+    Files.createDirectories(hiddenDir)
+    Files.write(hiddenDir.resolve("junk.avro"), Array[Byte](1, 2, 3))
+    val back = Sources.avro(spark, dir)
+    assert(back.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L), "recursive listing missed nested files")
+  }
+
+  test("heterogeneous writer schemas resolve against the table's expected schema") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = s"$base/hetero"
+    Files.createDirectories(Paths.get(dir))
+    def write(file: String, schema: org.apache.avro.Schema, rows: Seq[Map[String, Any]]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(file))
+      rows.foreach { m =>
+        val rec = new GenericData.Record(schema)
+        m.foreach { case (k, v) => rec.put(k, v) }
+        w.append(rec)
+      }
+      w.close()
+    }
+    val narrow = SchemaBuilder.record("row").fields()
+      .requiredString("word").requiredLong("cnt").endRecord()
+    // same fields REORDERED plus an extra one — resolution must match
+    // by name against the first (expected) schema and skip the extra
+    val wide = SchemaBuilder.record("row").fields()
+      .requiredLong("extra").requiredLong("cnt").requiredString("word").endRecord()
+    write(s"$dir/a.avro", narrow, Seq(Map("word" -> "alpha", "cnt" -> 1L)))
+    write(s"$dir/b.avro", wide, Seq(Map("word" -> "beta", "cnt" -> 2L, "extra" -> 9L)))
+    val back = Sources.avro(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("word", "cnt"), "schema must come from the first file's header")
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set("alpha" -> 1L, "beta" -> 2L),
+      "wide file mis-decoded: schema resolution by name failed")
+  }
+
   test("unsupported types are rejected with a clear error, not silently mangled") {
     val dir = s"$base/reject"
     val df  = spark.range(1).select(current_timestamp().as("ts"))

@@ -189,4 +189,11 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("embeddingNearDups guard refuses a corpus over the quadratic cap") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(spark, sfDir, 0.4, maxRows = 10L)
+    }
+    assert(ex.getMessage.contains("embeddingNearDupLsh"), s"guard message should point to the scale path: ${ex.getMessage}")
+  }
 }

@@ -171,6 +171,20 @@ class SimilaritySpec extends SparkSpec {
       s"code table shuffled into a non-broadcast join:\n$plan")
   }
 
+  test("kmeansCells clamps duplicate-padded centroids when the sample is smaller than k") {
+    import SparkSpec.spark.implicits._
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (assigned, centDf) = Similarity.kmeansCells(tiny, nCells = 8)
+    val cents = centDf.collect().map(_.getSeq[Float](1).toList)
+    assert(cents.length == cents.distinct.length, "duplicate centroids survived the clamp")
+    assert(cents.length <= 3, s"effective nCells should clamp to the distinct sample, got ${cents.length}")
+    assert(assigned.count() == 3L)
+  }
+
   test("embedding near-dup LSH finds a usable fraction of true pairs, all above threshold") {
     val exact = graft.operators.Dedup
       .embeddingNearDups(spark, sfDir, 0.4)
