@@ -1430,7 +1430,27 @@ object SparkEntry {
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  hex(encode(substr(text, 1, 8))) AS hex_prefix,
           |  CAST(doc_id % 3 AS INTEGER) AS modality
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // the frame sampler's 60-bit hash is hex-digit arithmetic over
+      // md5 — replayed here digit by digit (instr gives the nibble,
+      // << its place value); integer ops only, so both engines agree
+      // bit for bit
+      "multimodal_frame_sample" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         CAST(list_sum(list_transform(range(0, 15), i ->
+          |           (CAST(instr('0123456789abcdef', substr(md5(text), CAST(i + 1 AS INTEGER), 1)) AS BIGINT) - 1)
+          |             * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INTEGER))
+          |         )) AS BIGINT) AS h60
+          |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+          |), d AS (
+          |  SELECT doc_id, h60, 1000 + h60 % 600000 AS duration_ms FROM h
+          |), f AS (
+          |  SELECT doc_id, h60, unnest(range(0, duration_ms // 40, 10)) AS frame_idx FROM d
+          |)
+          |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |       xor(h60, CAST(frame_idx AS BIGINT)) AS frame_sig
+          |FROM f ORDER BY doc_id, frame_idx""".stripMargin
     )
   }
 }

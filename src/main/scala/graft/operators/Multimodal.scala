@@ -122,19 +122,34 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling for "video" rows: every `stride`-th
-    * frame index up to a fake frame count derived from the checksum —
+    * frame index up to a fake frame count derived from the payload —
     * the explode-shaped (one row in, many rows out) media op.
+    *
+    * The stub duration/signature hash is the first 15 hex digits of
+    * md5(payload) as a 60-bit integer — deliberately PORTABLE math
+    * (md5 + integer ops both engines compute bit-identically) rather
+    * than [[StubDecoder]]'s FNV, so the DuckDB oracle replays the
+    * whole operator and the correctness check is a hash match instead
+    * of rows-only. Runs as pure codegen'd expressions (md5 + sequence
+    * + explode) — the explode shape, not the hash, is what a real
+    * frame sampler keeps.
     */
-  def sampleFrames(spark: SparkSession, dir: String, stride: Int = 10): DataFrame = {
-    import spark.implicits._
-    extractMeta(spark, dir)
-      .filter(_.media_type == "video")
-      .flatMap { m =>
-        val nFrames = (m.duration_ms / 40).toInt // 25 fps stub
-        (0 until nFrames by stride).map(f => (m.doc_id, f, m.checksum ^ f.toLong))
-      }
-      .toDF("doc_id", "frame_idx", "frame_sig")
-  }
+  def sampleFrames(spark: SparkSession, dir: String, stride: Int = 10): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        expr("cast(conv(substring(md5(encode(text, 'UTF-8')), 1, 15), 16, 10) as bigint)").as("h60")
+      )
+      .select(col("doc_id"), col("h60"), (lit(1000L) + col("h60") % 600000L).as("duration_ms")) // stub: 1–601 s
+      .select(
+        col("doc_id"),
+        col("h60"),
+        // 25 fps stub → duration/40 frames; stride-sample from 0
+        explode(expr(s"sequence(0L, duration_ms div 40 - 1, $stride)")).as("frame_idx")
+      )
+      .select(col("doc_id"), col("frame_idx"), expr("h60 ^ frame_idx").as("frame_sig"))
 
   /** SQL-expressible slice of the binary plumbing (oracle-checkable):
     * payload byte length + hex prefix of the payload.

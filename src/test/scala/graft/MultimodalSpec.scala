@@ -45,7 +45,7 @@ class MultimodalSpec extends SparkSpec {
     val videoIds = Multimodal.extractMeta(spark, sfDir).filter(_.media_type == "video").collect().map(_.doc_id).toSet
     frames.foreach { r =>
       assert(videoIds.contains(r.getLong(0)))
-      assert(r.getInt(1) % 10 == 0)
+      assert(r.getLong(1) % 10 == 0)
     }
   }
 }
