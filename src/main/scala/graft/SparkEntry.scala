@@ -172,6 +172,7 @@ object SparkEntry {
     ),
     "dedup_minhash_lsh" -> q((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
     "dedup_components"  -> q(Dedup.nearDupComponents),
+    "dedup_components_star" -> q(Dedup.nearDupComponentsStar),
     "dedup_simhash"     -> q((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> q((s, dir) => Dedup.embeddingNearDups(s, dir)),
     "dedup_incremental" -> q { (s, dir) =>
@@ -357,6 +358,13 @@ object SparkEntry {
     * (hash-based LSH internals aren't portably expressible in SQL).
     */
   def oracleSql: Map[String, String] = {
+    val base    = oracleSqlBase
+    // the star-CC variant is algorithm-equivalent to the propagation
+    // loop — one oracle, two hash-checked implementations
+    base + ("dedup_components_star" -> base("dedup_components"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = {
     val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
     val top3Sql =
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

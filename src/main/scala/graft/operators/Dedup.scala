@@ -651,11 +651,105 @@ object Dedup {
     out.select(col("node").as("doc_id"), col("label").as("component")).orderBy("doc_id")
   }
 
+  /** Connected components by ALTERNATING large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the variant whose round count is O(log² n) on ANY
+    * graph shape, independent of component diameter. Same signature
+    * and same output contract as [[connectedComponents]] (spec-pinned
+    * equivalent); kept alongside it because the label-propagation
+    * loop's per-round work is lighter on the shallow clusters near-dup
+    * graphs usually form, while this one is the safe choice when the
+    * component shape is unknown (a pathological chain can't stall it).
+    *
+    * State is an edge set kept in canonical (u > v) direction:
+    *   - large-star: every node u connects its LARGER neighbors to the
+    *     minimum of its closed neighborhood — long chains fold toward
+    *     minima from every node at once;
+    *   - small-star: every node u re-points its smaller neighbors (and
+    *     itself) at that minimum — partial stars flatten.
+    * At fixpoint the edges are exactly (node → component minimum) for
+    * every non-root node. Each phase is one groupBy + one join keyed
+    * by node id — no global structure, shuffles by node key; the edge
+    * set never grows beyond one edge per (node, current parent).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val nodes = pairs
+      .select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .distinct()
+      .cache()
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .cache()
+
+    // large-star over the symmetric view: for each center, larger
+    // neighbors re-point at min(closed neighborhood). Result stays
+    // canonical: the emitted (v, m) has v > center ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("c"), col("v").as("n"))
+        .union(e.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy("c").agg(min("n").as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      sym
+        .join(mins, Seq("c"))
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star on the canonical direction: each center's smaller
+    // neighbors (and the center) re-point at their minimum.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins    = e.groupBy("u").agg(min("v").as("m"))
+      val rewired = e.join(mins, Seq("u")).filter(col("v") =!= col("m")).select(col("v").as("u"), col("m").as("v"))
+      val own     = mins.select(col("u"), col("m").as("v"))
+      rewired.union(own).distinct()
+    }
+
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges))
+      // truncate lineage each round: the loop body is two joins deep,
+      // and carrying the whole history makes planning itself the cost
+      val nextMat = next.localCheckpoint()
+      val changed = nextMat.except(edges).count() + edges.except(nextMat).count()
+      edges.unpersist()
+      edges = nextMat
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds"
+      )
+    val out = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node").as("doc_id"), coalesce(col("component"), col("node")).as("component"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    nodes.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** Near-dup clusters over the bounded exact-Jaccard pair set (the
     * oracle replays this with a recursive CTE).
     */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
+      ngramJaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
+    )
+
+  /** [[nearDupComponents]] computed by the large-star/small-star
+    * variant — same pair set, same oracle (the two algorithms are
+    * spec-pinned equivalent, and the driver hash-checks both).
+    */
+  def nearDupComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
       ngramJaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     )
 

@@ -96,6 +96,22 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("large-star/small-star components == propagation loop on every graph shape") {
+    // the equivalence contract: same labels on the real near-dup pair
+    // set, a deep chain (the star algorithm's reason to exist), and
+    // disjoint cliques + isolated edges (no cross-component leakage)
+    val realPairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).select("a", "b")
+    val chain     = spark.range(0, 40).selectExpr("id AS a", "id + 1 AS b")
+    val cliques = spark
+      .createDataFrame(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L)))
+      .toDF("a", "b")
+    for ((name, pairs) <- Seq(("real", realPairs), ("chain", chain), ("cliques", cliques))) {
+      val loop = Dedup.connectedComponents(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == loop, s"star CC diverged from propagation loop on $name graph")
+    }
+  }
+
   test("LSH bucket cap bounds candidates under an adversarial hot bucket") {
     // 500 identical boilerplate docs share every band bucket: uncapped,
     // the bucket self-join would emit 500·499/2 ≈ 125k pairs — the
