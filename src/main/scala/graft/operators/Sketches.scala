@@ -57,15 +57,22 @@ object Sketches {
       .otherwise(rho.cast("double") / size(l) * kmvEstimate(l, k))
   }
 
-  /** Distinct parts per return flag — and their exact union — from
-    * ONE pass building per-group KMV sketches, run in the exact regime
-    * (k ≥ the true distinct count, so every hash is retained and
-    * `size` / `array_distinct(flatten(...))` are exact, DuckDB-
-    * replayable answers). The 'ALL' row is the point of the exercise:
-    * per-group COUNT(DISTINCT) results cannot be added (groups share
-    * parts), but group SKETCHES merge into the global answer without
-    * touching the data again — the pattern that turns a daily
-    * 100 TB distinct-count job into a merge of per-partition arrays.
+  /** Distinct parts per return flag — and their union — from ONE pass
+    * building per-group KMV sketches. Below capacity (k ≥ the true
+    * distinct count — the gate scales) every hash is retained, the
+    * estimate degenerates to the exact size, and the answers are
+    * DuckDB-replayable; AT capacity the sketch reports its (k−1)/u(k)
+    * ESTIMATE — reporting the saturated size instead would silently
+    * cap the answer at k, the failure mode the sf1 run surfaced
+    * (SCALE.md: 200 k true distinct vs a 32 768 cap). The 'ALL' row is
+    * the point of the exercise: per-group COUNT(DISTINCT) results
+    * cannot be added (groups share parts), but group sketches merge —
+    * bottom-k of the union, the same semilattice [[kmvUnion]] uses —
+    * into the global answer without touching the data again: the
+    * pattern that turns a daily 100 TB distinct-count job into a merge
+    * of per-partition arrays. `check_kmv` pins the at-capacity
+    * estimate's error bound; this query's oracle pins the exact
+    * regime.
     */
   def kmvParts(spark: SparkSession, dir: String, k: Int = 32768): DataFrame = {
     graft.GraftFunctions.register(spark)
@@ -73,10 +80,18 @@ object Sketches {
       .lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(expr(s"kmv_agg(xxhash64(l_partkey), $k)").as("sk"))
-    val groups = perFlag.select(col("l_returnflag").as("scope"), size(col("sk")).cast("long").as("n_parts"))
+    val groups = perFlag.select(
+      col("l_returnflag").as("scope"),
+      round(kmvEstimate(col("sk"), k), 0).cast("long").as("n_parts")
+    )
     val all = perFlag
       .agg(collect_list("sk").as("sks"))
-      .select(lit("ALL").as("scope"), size(array_distinct(flatten(col("sks")))).cast("long").as("n_parts"))
+      .select(
+        lit("ALL").as("scope"),
+        round(kmvEstimate(slice(array_sort(array_distinct(flatten(col("sks")))), 1, k), k), 0)
+          .cast("long")
+          .as("n_parts")
+      )
     groups.unionByName(all).orderBy("scope")
   }
 

@@ -92,6 +92,19 @@ class KmvSpec extends SparkSpec {
     assert(got == exactPer + ("ALL" -> exactAll))
   }
 
+  test("kmvParts at capacity estimates instead of silently capping at k") {
+    // force saturation: k far below the true distinct part count — the
+    // sf1-surfaced failure mode was n_parts = k exactly (the sketch
+    // SIZE) instead of the (k−1)/u(k) estimate
+    val k   = 64
+    val got = Sketches.kmvParts(spark, sfDir, k = k).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.lineitem(spark, sfDir).agg(countDistinct("l_partkey")).collect()(0).getLong(0)
+    assert(exactAll > k, s"test needs a saturated sketch: $exactAll distinct vs k=$k")
+    assert(got("ALL") != k.toLong, "saturated sketch reported its capacity, not an estimate")
+    val relErr = math.abs(got("ALL").toDouble - exactAll) / exactAll
+    assert(relErr < 0.4, s"ALL estimate ${got("ALL")} vs exact $exactAll (relErr $relErr)")
+  }
+
   test("check_kmv invariants all hold on the test tables") {
     val row = Sketches.kmvCheck(spark, sfDir).collect()(0)
     for (i <- 0 until 4) assert(row.getBoolean(i), s"flag $i false: $row")
