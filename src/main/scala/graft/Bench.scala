@@ -65,6 +65,12 @@ object Bench {
     // and the method rides along in the artifact so readers know what
     // the number is.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val times = (1 to reps).map { _ =>
@@ -73,7 +79,7 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.sorted.apply(times.length / 2)
+        name -> median(times)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

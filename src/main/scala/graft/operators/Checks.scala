@@ -443,8 +443,8 @@ object Checks {
   }
 
   /** Mean recall@k of `ann` against the brute-force reference — the
-    * scalar [[topkRecallCheck]] thresholds, exposed for checks that
-    * compare two ANN variants' recall to each other.
+    * single recall definition every ANN check thresholds
+    * ([[topkRecallCheck]]) or compares ([[ivfPqAppendEquivalence]]).
     */
   private def meanRecall(ann: DataFrame, brute: DataFrame): Double = {
     val hit = ann
@@ -462,20 +462,8 @@ object Checks {
       .getDouble(0)
   }
 
-  private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame = {
-    val hit = ann
-      .select(col("qid"), col("cand"))
-      .join(brute.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_semi")
-      .groupBy("qid")
-      .agg(count(lit(1)).as("hits"))
-    val recall = brute
-      .groupBy("qid")
-      .agg(count(lit(1)).as("n"))
-      .join(hit, Seq("qid"), "left")
-      .select((coalesce(col("hits"), lit(0L)) / col("n")).as("r"))
-      .agg(avg("r").as("mean_recall"))
-    recall.select((col("mean_recall") >= bound).as("recall_ok"))
-  }
+  private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame =
+    spark.range(1).select(lit(meanRecall(ann, brute) >= bound).as("recall_ok"))
 
   /** Curation pipeline invariants: unique ids, output ⊆ input with
     * identical text, keeper = min id of its exact-text group, split

@@ -355,29 +355,10 @@ object DataOps {
     // from the top level alone would see 0 bytes and coalesce(1) the
     // whole table. (The rewrite itself flattens partitioning — compact
     // a partitioned table per partition directory.)
-    def listRec(fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      // a file is hidden if ANY path component below `dir` is hidden
-      // (spark.read.parquet skips e.g. everything under a leftover
-      // _temporary/ attempt dir, so sizing must skip it too — filtering
-      // only the leaf name would count those bytes)
-      val root = fs.makeQualified(dir).toUri.getPath
-      def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
-        var cur = p
-        while (cur != null && cur.toUri.getPath != root) {
-          val n = cur.getName
-          if (n.startsWith("_") || n.startsWith(".")) return true
-          cur = cur.getParent
-        }
-        false
-      }
-      val it  = fs.listFiles(dir, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (!hidden(st.getPath)) buf += st
-      }
-      buf.toSeq
-    }
+    // hidden-path-aware recursive listing, matching what
+    // spark.read.parquet reads (shared with the avro scan)
+    def listRec(fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      graft.sources.FsListing.listDataFiles(fs, dir)
     val p         = new org.apache.hadoop.fs.Path(inPath)
     val fs        = p.getFileSystem(conf)
     val dataFiles = listRec(fs, p)

@@ -534,6 +534,19 @@ object Similarity {
       .agg(min(struct(col("l2"), col("code"))).as("best"))
       .select(col("vec_id"), col("sub_idx"), col("best.code").as("code"))
 
+  /** The PQ geometry (m, subDim) a standing index's codebook table
+    * records — derived, never trusted from a caller, so probes and
+    * appends cannot silently disagree with the frozen model. One
+    * aggregate over a broadcast-sized table.
+    */
+  private def indexGeometry(cbDf: DataFrame): (Int, Int) = {
+    val row = cbDf
+      .agg(max(col("sub_idx")).as("mi"), max(size(col("cvec"))).as("dmax"), min(size(col("cvec"))).as("dmin"))
+      .collect()(0)
+    require(row.getInt(1) == row.getInt(2), "corrupt codebooks: ragged cvec lengths")
+    (row.getInt(0) + 1, row.getInt(1))
+  }
+
   private[graft] def pqFit(
       raw: DataFrame,
       m: Int,
@@ -740,20 +753,22 @@ object Similarity {
   def appendIvfPqIndex(
       incoming: DataFrame,
       name: String,
-      m: Int = 16,
-      dim: Int = 64,
       buckets: Int = 32
   ): Unit = {
     val spark = incoming.sparkSession
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
     val cbDf = spark.table(s"${name}_codebooks")
+    // geometry comes from the index itself, never the caller: a
+    // mismatched m/dim here would append garbage codes into the
+    // standing table with no error
+    val (m, subDim) = indexGeometry(cbDf)
+    val dim         = m * subDim
     val centRows = spark.table(s"${name}_centroids").orderBy("cell").collect()
     centRows.zipWithIndex.foreach { case (r, i) =>
       require(r.getAs[Int]("cell") == i, s"appendIvfPqIndex: non-contiguous cell ids in ${name}_centroids")
     }
     val cents: Seq[Seq[Float]] = centRows.toSeq.map(r => r.getSeq[Float](r.fieldIndex("centroid")))
     val raw   = incoming.select(col("vec_id"), col("embedding"))
-    val codes = encodeWithCodebooks(l2Normalize(raw, dim, "appendIvfPqIndex"), cbDf, m, dim / m)
+    val codes = encodeWithCodebooks(l2Normalize(raw, dim, "appendIvfPqIndex"), cbDf, m, subDim)
     // cell assignment runs on the RAW vectors — the build assigns
     // kmeansCells(raw) before pqFit normalizes, and append must match
     val assigned = assignNearestCell(raw, cents)
@@ -791,13 +806,16 @@ object Similarity {
       queries: DataFrame,
       k: Int = 5,
       nProbe: Int = 4,
-      m: Int = 16,
-      dim: Int = 64,
       excludeSelf: Boolean = false
   ): DataFrame = {
     graft.GraftFunctions.register(spark)
     val centDf = spark.table(s"${indexName}_centroids")
     val cbDf   = spark.table(s"${indexName}_codebooks")
+    // PQ geometry from the index's own codebooks (m, subDim) — a
+    // caller-supplied m/dim that disagreed with the frozen model would
+    // silently score garbage
+    val (m, subDim) = indexGeometry(cbDf)
+    val dim         = m * subDim
     // normalize queries the way pqFit normalized the corpus
     val qn = l2Normalize(queries.select(col("qid").as("vec_id"), col("embedding")), dim, "ivfPqProbe")
     val probed = probeCells(
@@ -805,7 +823,7 @@ object Similarity {
       centDf,
       nProbe
     )
-    val qtab = adcTable(qn, cbDf, m, dim / m)
+    val qtab = adcTable(qn, cbDf, m, subDim)
     val w    = Window.partitionBy("qid").orderBy(col("adc").desc, col("cand"))
     val candidates = spark
       .table(s"${indexName}_codes")

@@ -68,10 +68,7 @@ class AvroTableProvider extends TableProvider with DataSourceRegister {
     val first = AvroScan.listFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"graft-avro: no data files under $path")
     )
-    val reader =
-      new DataFileReader[GenericRecord](new FsInput(new Path(first), conf), new GenericDatumReader[GenericRecord]())
-    try AvroConv.toSqlType(reader.getSchema).asInstanceOf[StructType]
-    finally reader.close()
+    AvroConv.toSqlType(AvroScan.headerSchema(first, conf)).asInstanceOf[StructType]
   }
 
   override def getTable(
@@ -127,43 +124,16 @@ object AvroScan {
     val p  = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.getFileStatus(p).isDirectory) return Seq(p.toString)
-    val root = fs.makeQualified(p).toUri.getPath
-    def hidden(f: Path): Boolean = {
-      var cur = f
-      while (cur != null && cur.toUri.getPath != root) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
-    val it  = fs.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && !hidden(st.getPath)) buf += st.getPath.toString
-    }
-    buf.sorted.toSeq
+    FsListing.listDataFiles(fs, p).map(_.getPath.toString).sorted
   }
 
-  /** The expected (reader) Avro schema for a directory: the first
-    * file's header schema — the same header [[AvroTableProvider
-    * .inferSchema]] derived the Catalyst schema from. Every file then
-    * decodes through Avro SCHEMA RESOLUTION against it, so a directory
-    * of heterogeneous-but-compatible writer schemas (renamed-by-alias,
-    * reordered, or extra fields) reads consistently instead of each
-    * file decoding under its own writer schema and `rec.get(name)`
-    * throwing or mis-reading. Incompatible files fail loudly inside
-    * the Avro resolver. None when the directory has no data files
-    * (no partitions are planned then, so no reader ever needs it).
-    */
-  def expectedSchema(path: String, conf: Configuration): Option[AvroSchema] =
-    listFiles(path, conf).headOption.map { first =>
-      val reader =
-        new DataFileReader[GenericRecord](new FsInput(new Path(first), conf), new GenericDatumReader[GenericRecord]())
-      try reader.getSchema
-      finally reader.close()
-    }
+  /** One container file's header schema (a few KB read, never data). */
+  def headerSchema(file: String, conf: Configuration): AvroSchema = {
+    val reader =
+      new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), new GenericDatumReader[GenericRecord]())
+    try reader.getSchema
+    finally reader.close()
+  }
 }
 
 class AvroScan(path: String, required: StructType, full: StructType, filters: Array[Filter], limit: Int = -1)
@@ -174,25 +144,31 @@ class AvroScan(path: String, required: StructType, full: StructType, filters: Ar
   override def description(): String =
     s"graft-avro $path ReadSchema: ${required.simpleString}, PushedFilters: [${filters.mkString(", ")}], PushedLimit: $limit"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    AvroScan.listFiles(path, conf).map(f => AvroInputPartition(f): InputPartition).toArray
-  }
+  // one recursive listing per scan, shared by partition planning and
+  // the expected-schema resolution (a large directory should not be
+  // walked twice in driver-side planning)
+  private lazy val hadoopConf           = SparkSession.active.sessionState.newHadoopConf()
+  private lazy val files: Seq[String]   = AvroScan.listFiles(path, hadoopConf)
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => AvroInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
     AvroReaderFactory(
       required.json,
       full.json,
-      // the expected (reader) schema, resolved once driver-side from
-      // the same header inferSchema used; None only when the dir is
-      // empty, and then no partitions exist to read
-      AvroScan.expectedSchema(path, conf).map(_.toString).orNull,
+      // the expected (reader) Avro schema: the first file's header —
+      // the same header inferSchema derived the Catalyst schema from.
+      // Every file decodes through Avro SCHEMA RESOLUTION against it,
+      // so heterogeneous-but-compatible writer schemas (reordered or
+      // extra fields) read consistently, and incompatible files fail
+      // loudly in the resolver. Null only when the dir is empty — and
+      // then no partitions exist, so no reader ever parses it.
+      files.headOption.map(f => AvroScan.headerSchema(f, hadoopConf).toString).orNull,
       filters,
       limit,
-      new SerializableHadoopConf(conf)
+      new SerializableHadoopConf(hadoopConf)
     )
-  }
 }
 
 case class AvroInputPartition(file: String) extends InputPartition
@@ -231,11 +207,17 @@ class AvroPartitionReader(
   // schemas — reordered or extra fields — resolve by field name, and
   // genuinely incompatible files fail loudly in the resolver instead
   // of mis-reading
-  private val datumReader = {
-    val expected = new AvroSchema.Parser().parse(expectedAvroJson)
-    new GenericDatumReader[GenericRecord](null, expected)
+  private val expectedSchema = new AvroSchema.Parser().parse(expectedAvroJson)
+  private val datumReader    = new GenericDatumReader[GenericRecord](null, expectedSchema)
+  private val reader         = new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), datumReader)
+  // pushed filters COMPILED once per reader: field positions resolved
+  // against the expected schema, comparison constants pre-encoded —
+  // the innermost scan loop must not pay a schema lookup and a
+  // constant re-encode per row per filter
+  private val compiledFilters: Array[GenericRecord => Boolean] = {
+    val pos = expectedSchema.getFields.asScala.map(f => f.name -> f.pos).toMap
+    filters.map(AvroFilterEval.compile(_, full, pos))
   }
-  private val reader               = new DataFileReader[GenericRecord](new FsInput(new Path(file), conf), datumReader)
   private var current: InternalRow = _
   private var emitted              = 0L
 
@@ -247,7 +229,7 @@ class AvroPartitionReader(
       // conversion — rows that fail never materialize an InternalRow;
       // the post-scan Filter for these predicates is gone, so this
       // evaluation must match Spark's exactly (AvroFilterEval)
-      if (filters.forall(AvroFilterEval.eval(_, rec, full))) {
+      if (compiledFilters.forall(_(rec))) {
         // convert only the REQUIRED fields — pruning narrows decode work
         // and row width even though a row format can't skip byte reads
         current = InternalRow.fromSeq(
@@ -301,32 +283,57 @@ object AvroFilterEval {
     case _                        => false
   }
 
-  private def cmp(dt: DataType, rv: Any, v: Any): Int = dt match {
-    // Utf8 (or String) record value → String; compare in UTF-8 byte order
-    case StringType  => UTF8String.fromString(rv.toString).compareTo(UTF8String.fromString(v.asInstanceOf[String]))
-    case IntegerType => java.lang.Integer.compare(rv.asInstanceOf[Int], v.asInstanceOf[Int])
-    case LongType    => java.lang.Long.compare(rv.asInstanceOf[Long], v.asInstanceOf[Long])
-    case other       => throw new IllegalStateException(s"graft-avro: unexpected pushed comparison type $other")
-  }
-
-  def eval(f: Filter, rec: GenericRecord, schema: StructType): Boolean = {
-    def rv(a: String): Any      = rec.get(a)
+  /** Compile one pushed filter into a per-record predicate: the field
+    * POSITION is resolved once against the expected (reader) schema,
+    * the Catalyst type once against the table schema, and comparison
+    * constants are pre-encoded (the string side as UTF8String) — so
+    * the per-row cost is one positional get plus one comparison.
+    */
+  def compile(f: Filter, schema: StructType, pos: Map[String, Int]): GenericRecord => Boolean = {
     def dt(a: String): DataType = schema.fields.find(_.name == a).get.dataType
+    def p(a: String): Int       = pos(a)
+    // record string values arrive as Utf8 (or String); range compares
+    // must use UTF-8 byte order (== code-point order), so the record
+    // side converts per row but the CONSTANT side is encoded here once
+    def strCmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = {
+      val i = p(a); val c = UTF8String.fromString(v.asInstanceOf[String])
+      rec => { val x = rec.get(i); x != null && test(UTF8String.fromString(x.toString).compareTo(c)) }
+    }
+    def longCmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = {
+      val i = p(a); val c = v.asInstanceOf[Long]
+      rec => { val x = rec.get(i); x != null && test(java.lang.Long.compare(x.asInstanceOf[Long], c)) }
+    }
+    def intCmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = {
+      val i = p(a); val c = v.asInstanceOf[Int]
+      rec => { val x = rec.get(i); x != null && test(java.lang.Integer.compare(x.asInstanceOf[Int], c)) }
+    }
+    def cmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = dt(a) match {
+      case StringType  => strCmp(a, v)(test)
+      case IntegerType => intCmp(a, v)(test)
+      case LongType    => longCmp(a, v)(test)
+      case other       => throw new IllegalStateException(s"graft-avro: unexpected pushed comparison type $other")
+    }
     f match {
       case EqualTo(a, v) =>
-        val x = rv(a)
-        x != null && (dt(a) match {
-          case BooleanType => x.asInstanceOf[Boolean] == v.asInstanceOf[Boolean]
-          case d           => cmp(d, x, v) == 0
-        })
-      case GreaterThan(a, v)        => val x = rv(a); x != null && cmp(dt(a), x, v) > 0
-      case GreaterThanOrEqual(a, v) => val x = rv(a); x != null && cmp(dt(a), x, v) >= 0
-      case LessThan(a, v)           => val x = rv(a); x != null && cmp(dt(a), x, v) < 0
-      case LessThanOrEqual(a, v)    => val x = rv(a); x != null && cmp(dt(a), x, v) <= 0
-      case StringStartsWith(a, v)   => val x = rv(a); x != null && x.toString.startsWith(v)
-      case IsNotNull(a)             => rv(a) != null
-      case IsNull(a)                => rv(a) == null
-      case _                        => true
+        dt(a) match {
+          case BooleanType =>
+            val i = p(a); val c = v.asInstanceOf[Boolean]
+            rec => { val x = rec.get(i); x != null && x.asInstanceOf[Boolean] == c }
+          case StringType =>
+            // equality needs no byte-order: code-point equality is
+            // byte equality, and String.equals skips the encode
+            val i = p(a); val c = v.asInstanceOf[String]
+            rec => { val x = rec.get(i); x != null && x.toString == c }
+          case _ => cmp(a, v)(_ == 0)
+        }
+      case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v)(_ <= 0)
+      case StringStartsWith(a, v)   => val i = p(a); rec => { val x = rec.get(i); x != null && x.toString.startsWith(v) }
+      case IsNotNull(a)             => val i = p(a); rec => rec.get(i) != null
+      case IsNull(a)                => val i = p(a); rec => rec.get(i) == null
+      case _                        => _ => true
     }
   }
 }

@@ -24,8 +24,16 @@ import graft.operators.Similarity
 object AnnServing {
 
   /** Drain a (qid, embedding) query stream through the standing
-    * `indexName` IVF×PQ index, appending per-query top-k answer rows
-    * (qid, rnk, cand, adc) to `outPath`.
+    * `indexName` IVF×PQ index, writing per-query top-k answer rows
+    * (qid, rnk, cand, adc) under `outPath`.
+    *
+    * Output is IDEMPOTENT per micro-batch: each batch overwrites its
+    * own `batch=<id>/` subdirectory, so foreachBatch's at-least-once
+    * replay (a crash after the write but before the checkpoint
+    * commits, then a restart re-running the batch) re-overwrites the
+    * same directory instead of appending duplicate answer rows — the
+    * standard batchId-keyed exactly-once recipe for a non-transactional
+    * sink. Readers see `batch` as a partition column.
     */
   def streamProbe(
       spark: SparkSession,
@@ -35,14 +43,12 @@ object AnnServing {
       checkpoint: String,
       k: Int = 5,
       nProbe: Int = 4,
-      m: Int = 16,
-      dim: Int = 64,
       excludeSelf: Boolean = false
   ): StreamingQuery =
     queryStream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         Similarity
           .ivfPqProbe(
             spark,
@@ -50,13 +56,11 @@ object AnnServing {
             batch.select(col("qid"), col("embedding")),
             k,
             nProbe,
-            m,
-            dim,
             excludeSelf
           )
           .write
-          .mode(SaveMode.Append)
-          .parquet(outPath)
+          .mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/batch=$batchId")
       }
       .start()
 }
