@@ -273,6 +273,7 @@ object SparkEntry {
     "text_tokens"      -> q(TextAnalysis.tokenCounts),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    "text_bm25_topk"   -> q((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "text_chunks"      -> q((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
@@ -1312,6 +1313,35 @@ object SparkEntry {
            |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
            |      FROM sc)
            |SELECT doc_id, term AS top_term, tfidf FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // BM25 arithmetic mirrored term-for-term (same association
+      // order); scores rounded to 4 decimals BEFORE ranking with
+      // doc_id tie-break, so both engines rank identically
+      "text_bm25_topk" ->
+        s"""WITH q(query_id, term) AS (VALUES
+           |  (0,'fast'),(0,'hash'),(0,'join'),
+           |  (1,'stream'),(1,'window'),(1,'agg'),
+           |  (2,'customer'),(2,'order'),(2,'table'),
+           |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
+           |  (4,'vector'),(4,'merge'),(4,'batch')),
+           |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           |consts AS (SELECT
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+           |post AS (SELECT q.query_id, q.term, tf.doc_id, tf.tf FROM q JOIN tf USING (term)),
+           |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM post GROUP BY 1),
+           |sc AS (SELECT p.query_id, p.doc_id,
+           |         round(sum(ln(1 + (c.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           |           * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+           |       FROM post p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c
+           |       GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
       // hard checks: the property itself is the oracle — DuckDB states
       // the expected invariant (all-true / zero-miss / base-table
       // counts) and the driver hash-compares Spark's computed result

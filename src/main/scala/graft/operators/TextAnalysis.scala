@@ -672,4 +672,95 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** The default retrieval query set for [[bm25TopK]] — short
+    * multi-term queries over the corpus vocabulary, distinct terms
+    * per query (standard BM25 ignores query-side term frequency for
+    * short queries).
+    */
+  val defaultBm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("fast", "hash", "join"),
+    1 -> Seq("stream", "window", "agg"),
+    2 -> Seq("customer", "order", "table"),
+    3 -> Seq("slow", "scan", "filter", "spark"),
+    4 -> Seq("vector", "merge", "batch")
+  )
+
+  /** BM25 full-text retrieval: top-`k` documents per query under
+    * Okapi BM25 (k1, b; idf = ln(1 + (N − df + ½)/(df + ½)), the
+    * always-positive "+1" variant from the original Robertson–Spärck
+    * Jones formulation as used by Lucene).
+    *
+    * Built to invert the classic search shape into Spark relational
+    * algebra at corpus scale:
+    *   - the query set is a TINY literal relation, broadcast into the
+    *     per-doc term-frequency table — the corpus-side scan + hash
+    *     join keeps only postings for query terms, so everything
+    *     downstream is proportional to the postings of the queried
+    *     terms, not the corpus;
+    *   - document frequency is computed FROM those postings (a
+    *     query-term-only groupBy), never as a full-vocabulary
+    *     aggregate — at 100 TB a global df table is a vocabulary-scale
+    *     shuffle this operator never needs;
+    *   - corpus constants (N, total token count → avgdl) enter as
+    *     broadcast 1-row aggregates, keeping the plan one lazy job;
+    *   - ranking is a per-query window over the candidate set only
+    *     (docs sharing ≥1 query term), not the corpus.
+    *
+    * Scores are rounded to 4 decimals BEFORE ranking and doc_id breaks
+    * ties, so ordering is reproducible across engines and summation
+    * orders. Reference: the reference engine's inverted-index job
+    * (reducer.go:159-186) stops at postings lists; this composes the
+    * same postings into scored retrieval.
+    */
+  def bm25TopK(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, dir)
+    val tokens = tokenRows(spark, dir)
+    val tf     = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl     = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // N counts ALL docs (a token-free doc is still a non-candidate
+    // member of the collection); avgdl = total tokens / N
+    val consts = docs
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(tokens.agg(count(lit(1)).cast("double").as("__ntok")))
+      .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val postings = tf.join(broadcast(qterms), "tok")
+    // df per query term, from the already-filtered postings
+    val dfq = postings
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val scored = postings
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .withColumn("idf", log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      // association order mirrors the oracle SQL term-for-term so the
+      // doubles (pre-rounding) are bit-identical modulo summation order
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+      )
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -195,4 +195,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
+
+  test("bm25TopK matches the Okapi formula exactly on a hand-built corpus") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bm25TopK(spark, dir, queries = Seq(0 -> Seq("apple")), k = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent restatement of the formula: N=3, avgdl=3, df(apple)=2
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((0, 1L, 1L, s(2, 3)), (0, 2L, 2L, s(1, 2))))
+  }
+
+  test("bm25TopK invariants on the corpus: dense ranks, monotone scores, candidates only") {
+    val rows = TextAnalysis.bm25TopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getInt(0))
+    assert(perQ.keySet == TextAnalysis.defaultBm25Queries.map(_._1).toSet)
+    perQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, "ranks dense from 1")
+      assert(sorted.length <= 5)
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, "scores non-increasing in rank")
+      assert(scores.forall(_ > 0.0), "the +1 idf variant keeps every score positive")
+    }
+    // every returned doc contains at least one of its query's terms
+    val terms = TextAnalysis.defaultBm25Queries.toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("[^\\p{L}]+").toSet).toMap
+    rows.foreach { r =>
+      assert(terms(r.getInt(0)).exists(docs(r.getLong(2)).contains),
+        s"doc ${r.getLong(2)} carries no term of query ${r.getInt(0)}")
+    }
+  }
 }
