@@ -724,24 +724,41 @@ object TextAnalysis {
     import spark.implicits._
     val docs   = Tables.documents(spark, dir)
     val tokens = tokenRows(spark, dir)
-    val tf     = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl     = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // explicit isnotnull(doc_id): the inner joins below push this null
+    // filter into SOME consumers of tf but not others, and the
+    // asymmetry breaks exchange canonical equality — stating it once
+    // here keeps every consumer's tf subtree identical so the
+    // tokenize+shuffle stage executes once and is reused
+    val tf = tokens
+      .where(col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    // doc length and the corpus token total DERIVE from tf (each token
+    // lands in exactly one (doc, term) group), so all three consumers
+    // share one tokenize+shuffle subtree — Spark's ReuseExchange
+    // collapses them to a single corpus scan instead of re-tokenizing
+    // per consumer
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // N counts ALL docs (a token-free doc is still a non-candidate
     // member of the collection); avgdl = total tokens / N
     val consts = docs
       .agg(count(lit(1)).cast("double").as("__n"))
-      .crossJoin(tokens.agg(count(lit(1)).cast("double").as("__ntok")))
+      .crossJoin(dl.agg(sum("dl").cast("double").as("__ntok")))
       .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")
     val postings = tf.join(broadcast(qterms), "tok")
-    // df per query term, from the already-filtered postings
-    val dfq = postings
-      .groupBy("tok")
-      .agg(countDistinct("doc_id").cast("double").as("df"))
+    // df per query term as a WINDOW over the postings — (query_id,
+    // tok, doc_id) rows are unique, so count(*) per (query_id, tok)
+    // partition IS the document frequency. A separate groupBy+rejoin
+    // formulation re-derives tf from scratch under column pruning
+    // (Catalyst prunes the count column, breaking exchange reuse) and
+    // costs a second corpus tokenize; the window reuses the postings
+    // rows already in hand.
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("query_id", "tok")
     val scored = postings
-      .join(broadcast(dfq), "tok")
+      .withColumn("df", count(lit(1)).over(wdf).cast("double"))
       .join(dl, "doc_id")
       .crossJoin(broadcast(consts))
       .withColumn("idf", log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))

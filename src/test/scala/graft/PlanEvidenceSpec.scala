@@ -31,6 +31,27 @@ class PlanEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("bm25 executes the tokenize+tf shuffle once, reused across its consumers") {
+    // the static plan shows the tf subtree (scan → tokenize → partial
+    // agg → exchange) under four consumers (postings ×2, dl, token
+    // total); at runtime AQE's stage cache must collapse those
+    // canonically-equal exchanges to ONE executed map stage — at
+    // corpus scale the difference is one tokenize pass vs four
+    val df = operators.TextAnalysis.bm25TopK(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.explainString(FormattedMode)
+    assert(finalPlan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    // reuse nests: postings' twin borrows the tf stage, and the token
+    // total borrows the whole dl stage (which contains the tf stage),
+    // so full dedup shows as ≥2 reuse markers and exactly 2 executed
+    // scans — the tf map stage and the metadata-cheap N count
+    val executed = finalPlan.split("== Initial Plan ==")(0)
+    val reused   = "ReusedQueryStage|ReusedExchange".r.findAllIn(executed).length
+    val scans    = "Scan parquet".r.findAllIn(executed).length
+    assert(reused >= 2, s"expected >=2 reused stages in the final plan, found $reused:\n$executed")
+    assert(scans <= 2, s"expected <=2 executed documents scans, found $scans:\n$executed")
+  }
+
   test("AQE splits the skewed partition of a hot-key join") {
     ScaleDemos.withSkewConfs(spark) {
       val df = ScaleDemos.skewedJoin(spark)
