@@ -749,13 +749,31 @@ object TextAnalysis {
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")
     val postings = tf.join(broadcast(qterms), "tok")
-    // df per query term as a WINDOW over the postings — (query_id,
-    // tok, doc_id) rows are unique, so count(*) per (query_id, tok)
-    // partition IS the document frequency. A separate groupBy+rejoin
-    // formulation re-derives tf from scratch under column pruning
-    // (Catalyst prunes the count column, breaking exchange reuse) and
-    // costs a second corpus tokenize; the window reuses the postings
-    // rows already in hand.
+    bm25Rank(postings, dl, consts, k, k1, b)
+  }
+
+  /** The shared BM25 scoring/ranking tail: `postings` is (query_id,
+    * tok, doc_id, tf) for query terms only, `dl` is (doc_id, dl),
+    * `consts` one row (__n, __avgdl). One definition serves both the
+    * one-shot [[bm25TopK]] and the standing-index [[bm25IndexProbe]],
+    * so the two paths are arithmetically identical by construction.
+    *
+    * df per query term is a WINDOW over the postings — (query_id, tok,
+    * doc_id) rows are unique, so count(*) per (query_id, tok)
+    * partition IS the document frequency. A separate groupBy+rejoin
+    * formulation re-derives tf from scratch under column pruning
+    * (Catalyst prunes the count column, breaking exchange reuse) and
+    * costs a second corpus tokenize; the window reuses the postings
+    * rows already in hand.
+    */
+  private def bm25Rank(
+      postings: DataFrame,
+      dl: DataFrame,
+      consts: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy("query_id", "tok")
     val scored = postings
       .withColumn("df", count(lit(1)).over(wdf).cast("double"))
@@ -779,5 +797,131 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** Build the STANDING BM25 retrieval index — the deployment shape of
+    * [[bm25TopK]], completing the standing-index family (exact
+    * digests, MinHash bands, semantic cells, gram frequencies, IVF×PQ,
+    * now full-text postings). Three tables:
+    *
+    *   - `name_postings` (tok, doc_id, tf), bucketed by `tok`: probes
+    *     scan only the buckets their literal query terms hash to
+    *     (bucket pruning) and join exchange-free on the index side;
+    *   - `name_docstats` (doc_id, dl), bucketed by `doc_id`;
+    *   - `name_stats` (n_docs, n_tokens): ADDITIVE corpus constants,
+    *     one row per build/append — readers SUM (the same
+    *     multi-row-per-key append contract as the gram index).
+    *
+    * One corpus tokenize total: docstats and the token count derive
+    * from the postings TABLE after it lands, not from a second pass.
+    */
+  def buildBm25Index(corpus: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark  = corpus.sparkSession
+    val tokens = TextJobs.tokenized(corpus.select("doc_id", "text"), "text", "tok")
+    val tf = tokens
+      .where(col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    graft.sources.Bucketing.writeBucketedKeys(
+      tf.select(col("tok"), col("doc_id"), col("tf")),
+      s"${name}_postings",
+      buckets,
+      Seq("tok")
+    )
+    spark.catalog.refreshTable(s"${name}_postings")
+    graft.sources.Bucketing.writeBucketedKeys(
+      spark.table(s"${name}_postings").groupBy("doc_id").agg(sum("tf").as("dl")),
+      s"${name}_docstats",
+      buckets,
+      Seq("doc_id")
+    )
+    spark.catalog.refreshTable(s"${name}_docstats")
+    // n_docs counts ALL corpus rows (token-free docs included — they
+    // are collection members for idf/avgdl even though they can never
+    // be candidates); n_tokens from the landed docstats
+    val statsTable = s"${name}_stats"
+    // a rebuild must clear a stale warehouse location from a previous
+    // JVM (catalog entries are per-session, the directory is not) —
+    // same cleanup Bucketing.writeBucketedKeys does
+    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      statsTable.toLowerCase
+    )
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    corpus
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(spark.table(s"${name}_docstats").agg(coalesce(sum("dl"), lit(0L)).as("n_tokens")))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(statsTable)
+  }
+
+  /** Append NEW documents to a [[buildBm25Index]] index (batch doc_ids
+    * must be disjoint from the corpus — prior rows are immutable, the
+    * same stance as every other standing index). Appends postings and
+    * docstats rows plus one additive stats row; no index rewrite.
+    */
+  def appendBm25Index(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark  = batch.sparkSession
+    val tokens = TextJobs.tokenized(batch.select("doc_id", "text"), "text", "tok")
+    // the batch tf feeds three appends — checkpoint so the (small)
+    // batch tokenizes once, not per consumer
+    val tf = tokens
+      .where(col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    graft.sources.Bucketing.appendBucketedKeys(
+      tf.select(col("tok"), col("doc_id"), col("tf")),
+      s"${name}_postings",
+      buckets,
+      Seq("tok")
+    )
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint(eager = false)
+    graft.sources.Bucketing.appendBucketedKeys(dl, s"${name}_docstats", buckets, Seq("doc_id"))
+    batch
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("n_tokens")))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet")
+      .saveAsTable(s"${name}_stats")
+    spark.catalog.refreshTable(s"${name}_postings")
+    spark.catalog.refreshTable(s"${name}_docstats")
+  }
+
+  /** Retrieval against the standing index: zero corpus scans — the
+    * postings scan is BUCKET-PRUNED by the literal query terms (only
+    * the buckets those terms hash to are read), document stats join
+    * per candidate, and the additive stats rows sum to the corpus
+    * constants. Identical arithmetic to [[bm25TopK]] via [[bm25Rank]]:
+    * over the same corpus the two return byte-identical rows (the
+    * probe is hash-oracled against the same from-scratch SQL).
+    */
+  def bm25IndexProbe(
+      spark: SparkSession,
+      indexName: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      k: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val termLits = queries.flatMap(_._2).distinct
+    val postings = spark
+      .table(s"${indexName}_postings")
+      .where(col("tok").isin(termLits: _*))
+      .join(broadcast(qterms), "tok")
+    val dl = spark.table(s"${indexName}_docstats")
+    val consts = spark
+      .table(s"${indexName}_stats")
+      .agg(sum("n_docs").cast("double").as("__n"), sum("n_tokens").cast("double").as("__ntok"))
+      .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
+    bm25Rank(postings, dl, consts, k, k1, b)
   }
 }

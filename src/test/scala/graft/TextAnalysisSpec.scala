@@ -238,4 +238,23 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc ${r.getLong(2)} carries no term of query ${r.getInt(0)}")
     }
   }
+
+  test("standing BM25 index: probe after build+append == one-shot, postings scan bucket-pruned") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // split build/append so the probe exercises the additive contract:
+    // multiple stats rows, postings from two writes
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), "t_bm25_spec")
+    TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 10 === 0), "t_bm25_spec")
+    val probe   = TextAnalysis.bm25IndexProbe(spark, "t_bm25_spec")
+    val oneShot = TextAnalysis.bm25TopK(spark, sfDir)
+    assert(probe.collect().toSeq == oneShot.collect().toSeq,
+      "standing-index probe diverged from the from-scratch computation")
+    // the probe must not scan the whole postings table: the literal
+    // query terms prune to their buckets
+    val plan = probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in probe plan:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, s"postings scan read every bucket: ${m.get.matched}")
+  }
 }
