@@ -210,6 +210,7 @@ object SparkEntry {
     "json_quarantine"  -> q(EventAnalytics.jsonQuarantine),
     "cogroup_order_gaps" -> q(MapReduce.customerOrderGaps),
     "stratified_sample"  -> q((s, dir) => DataOps.stratifiedSample(s, dir)),
+    "weighted_sample"    -> q((s, dir) => DataOps.weightedSample(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
@@ -1228,6 +1229,19 @@ object SparkEntry {
           |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
           |  FROM documents)
           |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+      // A-ES race keys rounded to 6 decimals before ranking (doc_id
+      // tie-break) so both engines select the same k rows; the uniform
+      // is exact integer arithmetic on both sides
+      "weighted_sample" ->
+        """SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rnk,
+          |       doc_id, w, skey
+          |FROM (
+          |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          |    round(-ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
+          |          / n_chars, 6) AS skey
+          |  FROM documents WHERE n_chars > 0
+          |  ORDER BY skey, doc_id LIMIT 100)
+          |ORDER BY rnk""".stripMargin,
       "cogroup_order_gaps" ->
         """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
           |g AS (SELECT o_custkey, d,

@@ -120,6 +120,44 @@ object DataOps {
     * of the data. The per-stratum top-k is a window here for oracle
     * parity; the bounded-shuffle form is [[graft.functions.TopKAgg]].
     */
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    * exponential-key form): inclusion probability proportional to
+    * weight (`n_chars` here — the "sample long documents more" mix
+    * knob), selected in ONE pass as the global bottom-k of the race
+    * key e = −ln(u)/w. Selection is `orderBy().limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver), never a single-partition window, so the pass scales to
+    * any corpus.
+    *
+    * Deterministic and oracle-replayable: the per-row uniform is the
+    * multiplicative-hash residue mapped into (0, 1] (the same
+    * [[deterministicShuffle]] arithmetic — exact integers in both
+    * engines; the +1 keeps u off 0 where ln blows up), and the key is
+    * rounded to 6 decimals BEFORE ranking with doc_id tie-break, so
+    * both engines pick the same k rows in the same order.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (col("doc_id") * lit(2654435761L) % lit(1000000007L) + lit(1L)) / lit(1000000008.0)
+    val picked = Tables
+      .documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("w"),
+        round(-log(u) / col("n_chars"), 6).as("skey")
+      )
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .limit(k)
+    // rank assignment runs on the k-row result only — the window is
+    // post-limit, never corpus-sized
+    val wr = Window.orderBy(col("skey").asc, col("doc_id").asc)
+    picked
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .select("rnk", "doc_id", "w", "skey")
+      .orderBy("rnk")
+  }
+
   def stratifiedSample(spark: SparkSession, dir: String, perSource: Int = 5): DataFrame = {
     val w = Window
       .partitionBy("source")

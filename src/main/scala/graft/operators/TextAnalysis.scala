@@ -722,6 +722,7 @@ object TextAnalysis {
       b: Double = 0.75
   ): DataFrame = {
     import spark.implicits._
+    requireValidQueries(queries)
     val docs   = Tables.documents(spark, dir)
     val tokens = tokenRows(spark, dir)
     // explicit isnotnull(doc_id): the inner joins below push this null
@@ -766,6 +767,21 @@ object TextAnalysis {
     * costs a second corpus tokenize; the window reuses the postings
     * rows already in hand.
     */
+  /** Query terms must be single lowercase-letter tokens — anything the
+    * `[^\p{L}]+` tokenizer could never emit (spaces, digits, empty)
+    * would silently match nothing, which reads as "no results" instead
+    * of the caller error it is.
+    */
+  private def requireValidQueries(queries: Seq[(Int, Seq[String])]): Unit = {
+    require(queries.map(_._1).distinct.length == queries.length, "duplicate query_id in query set")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms")
+      ts.foreach(t =>
+        require(t.nonEmpty && t.forall(_.isLetter), s"query $qid term '$t' is not a single letter-only token")
+      )
+    }
+  }
+
   private def bm25Rank(
       postings: DataFrame,
       dl: DataFrame,
@@ -774,6 +790,9 @@ object TextAnalysis {
       k1: Double,
       b: Double
   ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0.0, s"k1 must be positive, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1], got $b")
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy("query_id", "tok")
     val scored = postings
       .withColumn("df", count(lit(1)).over(wdf).cast("double"))
@@ -909,6 +928,7 @@ object TextAnalysis {
       b: Double = 0.75
   ): DataFrame = {
     import spark.implicits._
+    requireValidQueries(queries)
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")

@@ -213,4 +213,29 @@ class DataOpsSpec extends SparkSpec {
     val frac = a.values.count(_ == "train").toDouble / a.size
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of envelope")
   }
+
+  test("weightedSample: selection matches an independent A-ES restatement; heavy docs overrepresented") {
+    val k = 25
+    val got = DataOps.weightedSample(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // independent restatement of the race over the collected corpus
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 2654435761L) % 1000000007L + 1).toDouble / 1000000008.0
+      BigDecimal(-math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = corpus.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy(t => (t._3, t._1)).take(k).zipWithIndex
+      .map { case ((id, w, s), i) => (i + 1L, id, w, s) }
+    assert(got.toSeq == expect.toSeq, "A-ES selection diverged from the restatement")
+    // weight = n_chars → sampled docs should skew long
+    val sampleMeanW = got.map(_._3).sum.toDouble / got.length
+    val corpusMeanW = corpus.map(_._2).sum.toDouble / corpus.length
+    assert(sampleMeanW > corpusMeanW, s"no weight bias: sample $sampleMeanW vs corpus $corpusMeanW")
+    // selection is a per-partition-heap top-k, never a global sort or
+    // single-partition window over the corpus
+    val plan = DataOps.weightedSample(spark, sfDir, k).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+  }
 }
