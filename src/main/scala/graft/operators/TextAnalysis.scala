@@ -911,6 +911,49 @@ object TextAnalysis {
     spark.catalog.refreshTable(s"${name}_docstats")
   }
 
+  /** Compact an append-accumulated BM25 index in place: every append
+    * adds small bucket files and one stats row, so a long-lived index
+    * drifts toward many-files-per-bucket reads. Compaction rewrites
+    * postings/docstats into fresh buckets and folds the additive stats
+    * rows into one; probe results are unchanged by construction
+    * (readers already aggregate), so this is purely a read-
+    * amplification reset — the standing-index analogue of
+    * [[graft.operators.DataOps.compactParquet]].
+    */
+  def compactBm25Index(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    // EAGER checkpoints: the rewrite drops the very tables these plans
+    // read, so the current state must be materialized off-table first
+    val postings = spark.table(s"${name}_postings").localCheckpoint()
+    val docstats = spark.table(s"${name}_docstats").localCheckpoint()
+    val stats = spark
+      .table(s"${name}_stats")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .localCheckpoint()
+    graft.sources.Bucketing.writeBucketedKeys(postings, s"${name}_postings", buckets, Seq("tok"))
+    graft.sources.Bucketing.writeBucketedKeys(docstats, s"${name}_docstats", buckets, Seq("doc_id"))
+    val statsTable = s"${name}_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), statsTable.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet").saveAsTable(statsTable)
+    Seq(s"${name}_postings", s"${name}_docstats", statsTable).foreach(spark.catalog.refreshTable)
+  }
+
+  /** Compact an append-accumulated gram index ([[buildGramIndex]]):
+    * fold the multiple rows per gram that appends leave (readers
+    * `sum(df_docs), min(canon)`) back into one row per gram in fresh
+    * buckets. Probe results unchanged; read amplification reset.
+    */
+  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    val folded = spark
+      .table(s"${name}_gramdf")
+      .groupBy("g")
+      .agg(sum("df_docs").as("df_docs"), min("canon").as("canon"))
+      .localCheckpoint()
+    graft.sources.Bucketing.writeBucketedKeys(folded, s"${name}_gramdf", buckets, Seq("g"))
+    spark.catalog.refreshTable(s"${name}_gramdf")
+  }
+
   /** Retrieval against the standing index: zero corpus scans — the
     * postings scan is BUCKET-PRUNED by the literal query terms (only
     * the buckets those terms hash to are read), document stats join

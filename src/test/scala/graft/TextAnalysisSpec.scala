@@ -257,4 +257,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.isDefined, s"no bucket pruning in probe plan:\n$plan")
     assert(m.get.group(1).toInt < m.get.group(2).toInt, s"postings scan read every bucket: ${m.get.matched}")
   }
+
+  test("compactBm25Index: probe identical before/after, stats rows folded to one") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 3 === 0), "t_bm25_cpt")
+    TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 3 === 1), "t_bm25_cpt")
+    TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 3 === 2), "t_bm25_cpt")
+    assert(spark.table("t_bm25_cpt_stats").count() == 3)
+    val before = TextAnalysis.bm25IndexProbe(spark, "t_bm25_cpt").collect().toSeq
+    TextAnalysis.compactBm25Index(spark, "t_bm25_cpt")
+    val after = TextAnalysis.bm25IndexProbe(spark, "t_bm25_cpt").collect().toSeq
+    assert(after == before, "compaction changed probe results")
+    assert(spark.table("t_bm25_cpt_stats").count() == 1, "stats rows not folded")
+  }
+
+  test("compactGramIndex: incremental probe identical before/after, one row per gram") {
+    import org.apache.spark.sql.functions.col
+    val docs   = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch  = docs.filter(col("doc_id") % 10 === 0)
+    TextAnalysis.buildGramIndex(corpus.filter(col("doc_id") < 250), "t_gram_cpt")
+    TextAnalysis.appendGramIndex(corpus.filter(col("doc_id") >= 250), "t_gram_cpt")
+    spark.catalog.refreshTable("t_gram_cpt_gramdf")
+    val before = TextAnalysis.incrementalDedupSubstrings(spark, "t_gram_cpt", batch).collect().toSeq
+    TextAnalysis.compactGramIndex(spark, "t_gram_cpt")
+    val after = TextAnalysis.incrementalDedupSubstrings(spark, "t_gram_cpt", batch).collect().toSeq
+    assert(after == before, "compaction changed incremental dedup results")
+    val grams = spark.table("t_gram_cpt_gramdf")
+    assert(grams.groupBy("g").count().filter(col("count") > 1).count() == 0, "multi-row grams remain")
+  }
 }
