@@ -1229,18 +1229,19 @@ object SparkEntry {
           |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
           |  FROM documents)
           |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
-      // A-ES race keys rounded to 6 decimals before ranking (doc_id
-      // tie-break) so both engines select the same k rows; the uniform
-      // is exact integer arithmetic on both sides
+      // A-ES selection ranks on the RAW race key (quantizing first
+      // would collapse heavy docs into doc_id ties); only the reported
+      // key is rounded. The uniform is exact integer arithmetic on
+      // both sides, so selection agrees across engines.
       "weighted_sample" ->
-        """SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rnk,
-          |       doc_id, w, skey
+        """SELECT CAST(row_number() OVER (ORDER BY rawkey, doc_id) AS BIGINT) AS rnk,
+          |       doc_id, w, round(rawkey, 6) AS skey
           |FROM (
           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-          |    round(-ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
-          |          / n_chars, 6) AS skey
+          |    -ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
+          |          / n_chars AS rawkey
           |  FROM documents WHERE n_chars > 0
-          |  ORDER BY skey, doc_id LIMIT 100)
+          |  ORDER BY rawkey, doc_id LIMIT 100)
           |ORDER BY rnk""".stripMargin,
       "cogroup_order_gaps" ->
         """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),

@@ -452,14 +452,16 @@ object Checks {
       .join(brute.select(col("qid"), col("cand")), Seq("qid", "cand"), "left_semi")
       .groupBy("qid")
       .agg(count(lit(1)).as("hits"))
-    brute
+    val row = brute
       .groupBy("qid")
       .agg(count(lit(1)).as("n"))
       .join(hit, Seq("qid"), "left")
       .select((coalesce(col("hits"), lit(0L)) / col("n")).as("r"))
       .agg(avg("r").as("mean_recall"))
       .collect()(0)
-      .getDouble(0)
+    // an EMPTY brute-force reference averages over zero rows → null;
+    // report recall 0 (the check fails legibly) instead of an NPE
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame =

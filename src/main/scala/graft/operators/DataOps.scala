@@ -132,9 +132,14 @@ object DataOps {
     * Deterministic and oracle-replayable: the per-row uniform is the
     * multiplicative-hash residue mapped into (0, 1] (the same
     * [[deterministicShuffle]] arithmetic — exact integers in both
-    * engines; the +1 keeps u off 0 where ln blows up), and the key is
-    * rounded to 6 decimals BEFORE ranking with doc_id tie-break, so
-    * both engines pick the same k rows in the same order.
+    * engines; the +1 keeps u off 0 where ln blows up). Ranking uses
+    * the RAW key — race keys scale as 1/w, so quantizing before
+    * selection would collapse heavy documents into giant doc_id-break
+    * ties and erase the weight-proportional property; hash-uniform
+    * keys are generically far further apart than the 1-ulp ln()
+    * difference the two engines can disagree by. Only the REPORTED
+    * key is rounded (6 significant-digit-safe decimals after
+    * selection) so the oracle hash compares stable bytes.
     */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -145,16 +150,16 @@ object DataOps {
       .select(
         col("doc_id"),
         col("n_chars").cast("long").as("w"),
-        round(-log(u) / col("n_chars"), 6).as("skey")
+        (-log(u) / col("n_chars")).as("rawkey")
       )
-      .orderBy(col("skey").asc, col("doc_id").asc)
+      .orderBy(col("rawkey").asc, col("doc_id").asc)
       .limit(k)
     // rank assignment runs on the k-row result only — the window is
     // post-limit, never corpus-sized
-    val wr = Window.orderBy(col("skey").asc, col("doc_id").asc)
+    val wr = Window.orderBy(col("rawkey").asc, col("doc_id").asc)
     picked
       .withColumn("rnk", row_number().over(wr).cast("long"))
-      .select("rnk", "doc_id", "w", "skey")
+      .select(col("rnk"), col("doc_id"), col("w"), round(col("rawkey"), 6).as("skey"))
       .orderBy("rnk")
   }
 

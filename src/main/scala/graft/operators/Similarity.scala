@@ -539,13 +539,26 @@ object Similarity {
     * appends cannot silently disagree with the frozen model. One
     * aggregate over a broadcast-sized table.
     */
-  private def indexGeometry(cbDf: DataFrame): (Int, Int) = {
-    val row = cbDf
-      .agg(max(col("sub_idx")).as("mi"), max(size(col("cvec"))).as("dmax"), min(size(col("cvec"))).as("dmin"))
-      .collect()(0)
-    require(row.getInt(1) == row.getInt(2), "corrupt codebooks: ragged cvec lengths")
-    (row.getInt(0) + 1, row.getInt(1))
-  }
+  // geometry is FROZEN once an index is built, so the derivation
+  // aggregate runs once per index per JVM — not once per probe (a
+  // streaming serving job probes every micro-batch; a per-probe
+  // driver-blocking job on an immutable value is pure latency).
+  // buildIvfPqIndex invalidates on rebuild.
+  private val geomCache = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  private[graft] def invalidateGeometry(indexName: String): Unit = geomCache.remove(indexName)
+
+  private def indexGeometry(spark: SparkSession, indexName: String): (Int, Int) =
+    geomCache.getOrElseUpdate(
+      indexName, {
+        val row = spark
+          .table(s"${indexName}_codebooks")
+          .agg(max(col("sub_idx")).as("mi"), max(size(col("cvec"))).as("dmax"), min(size(col("cvec"))).as("dmin"))
+          .collect()(0)
+        require(row.getInt(1) == row.getInt(2), "corrupt codebooks: ragged cvec lengths")
+        (row.getInt(0) + 1, row.getInt(1))
+      }
+    )
 
   private[graft] def pqFit(
       raw: DataFrame,
@@ -714,7 +727,10 @@ object Similarity {
       dim: Int = 64,
       buckets: Int = 32
   ): Unit = {
-    val spark              = corpus.sparkSession
+    val spark = corpus.sparkSession
+    // a rebuild may change the frozen geometry — drop the memo before
+    // the new codebooks land
+    invalidateGeometry(name)
     val raw                = corpus.select(col("vec_id"), col("embedding"))
     val (_, cbDf, codes)   = pqFit(raw, m, codebookK, dim)
     val (assigned, centDf) = kmeansCells(raw, nCells)
@@ -760,7 +776,7 @@ object Similarity {
     // geometry comes from the index itself, never the caller: a
     // mismatched m/dim here would append garbage codes into the
     // standing table with no error
-    val (m, subDim) = indexGeometry(cbDf)
+    val (m, subDim) = indexGeometry(spark, name)
     val dim         = m * subDim
     val centRows = spark.table(s"${name}_centroids").orderBy("cell").collect()
     centRows.zipWithIndex.foreach { case (r, i) =>
@@ -814,7 +830,7 @@ object Similarity {
     // PQ geometry from the index's own codebooks (m, subDim) — a
     // caller-supplied m/dim that disagreed with the frozen model would
     // silently score garbage
-    val (m, subDim) = indexGeometry(cbDf)
+    val (m, subDim) = indexGeometry(spark, indexName)
     val dim         = m * subDim
     // normalize queries the way pqFit normalized the corpus
     val qn = l2Normalize(queries.select(col("qid").as("vec_id"), col("embedding")), dim, "ivfPqProbe")

@@ -753,20 +753,6 @@ object TextAnalysis {
     bm25Rank(postings, dl, consts, k, k1, b)
   }
 
-  /** The shared BM25 scoring/ranking tail: `postings` is (query_id,
-    * tok, doc_id, tf) for query terms only, `dl` is (doc_id, dl),
-    * `consts` one row (__n, __avgdl). One definition serves both the
-    * one-shot [[bm25TopK]] and the standing-index [[bm25IndexProbe]],
-    * so the two paths are arithmetically identical by construction.
-    *
-    * df per query term is a WINDOW over the postings — (query_id, tok,
-    * doc_id) rows are unique, so count(*) per (query_id, tok)
-    * partition IS the document frequency. A separate groupBy+rejoin
-    * formulation re-derives tf from scratch under column pruning
-    * (Catalyst prunes the count column, breaking exchange reuse) and
-    * costs a second corpus tokenize; the window reuses the postings
-    * rows already in hand.
-    */
   /** Query terms must be single lowercase-letter tokens — anything the
     * `[^\p{L}]+` tokenizer could never emit (spaces, digits, empty)
     * would silently match nothing, which reads as "no results" instead
@@ -782,6 +768,20 @@ object TextAnalysis {
     }
   }
 
+  /** The shared BM25 scoring/ranking tail: `postings` is (query_id,
+    * tok, doc_id, tf) for query terms only, `dl` is (doc_id, dl),
+    * `consts` one row (__n, __avgdl). One definition serves both the
+    * one-shot [[bm25TopK]] and the standing-index [[bm25IndexProbe]],
+    * so the two paths are arithmetically identical by construction.
+    *
+    * df per query term is a WINDOW over the postings — (query_id, tok,
+    * doc_id) rows are unique, so count(*) per (query_id, tok)
+    * partition IS the document frequency. A separate groupBy+rejoin
+    * formulation re-derives tf from scratch under column pruning
+    * (Catalyst prunes the count column, breaking exchange reuse) and
+    * costs a second corpus tokenize; the window reuses the postings
+    * rows already in hand.
+    */
   private def bm25Rank(
       postings: DataFrame,
       dl: DataFrame,
@@ -920,39 +920,68 @@ object TextAnalysis {
     * amplification reset — the standing-index analogue of
     * [[graft.operators.DataOps.compactParquet]].
     */
+  /** The write-aside-then-swap step compaction rests on: materialize
+    * `df` as a NEW bucketed table `table__cpt` (the source table stays
+    * live and readable throughout the heavy write), then swap it in
+    * with two metadata operations. The full data always exists in SOME
+    * table — a crash during the write leaves the original untouched; a
+    * crash between drop and rename leaves the complete compacted copy
+    * under `table__cpt`, recoverable by re-running the compaction
+    * (which re-reads whichever name survives). Never a self-
+    * overwriting rewrite — the hazard [[DataOps.compactParquet]]
+    * documents.
+    */
+  private def swapInCompacted(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      buckets: Int,
+      keys: Seq[String]
+  ): Unit = {
+    val tmp = s"${table}__cpt"
+    graft.sources.Bucketing.writeBucketedKeys(df, tmp, buckets, keys)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
   def compactBm25Index(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
-    // EAGER checkpoints: the rewrite drops the very tables these plans
-    // read, so the current state must be materialized off-table first
-    val postings = spark.table(s"${name}_postings").localCheckpoint()
-    val docstats = spark.table(s"${name}_docstats").localCheckpoint()
-    val stats = spark
-      .table(s"${name}_stats")
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .localCheckpoint()
-    graft.sources.Bucketing.writeBucketedKeys(postings, s"${name}_postings", buckets, Seq("tok"))
-    graft.sources.Bucketing.writeBucketedKeys(docstats, s"${name}_docstats", buckets, Seq("doc_id"))
+    swapInCompacted(spark, s"${name}_postings", spark.table(s"${name}_postings"), buckets, Seq("tok"))
+    swapInCompacted(spark, s"${name}_docstats", spark.table(s"${name}_docstats"), buckets, Seq("doc_id"))
     val statsTable = s"${name}_stats"
-    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
-    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), statsTable.toLowerCase)
+    val statsTmp   = s"${statsTable}__cpt"
+    spark.sql(s"DROP TABLE IF EXISTS $statsTmp")
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), statsTmp.toLowerCase)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet").saveAsTable(statsTable)
-    Seq(s"${name}_postings", s"${name}_docstats", statsTable).foreach(spark.catalog.refreshTable)
+    spark
+      .table(statsTable)
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(statsTmp)
+    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
+    spark.sql(s"ALTER TABLE $statsTmp RENAME TO $statsTable")
+    spark.catalog.refreshTable(statsTable)
   }
 
   /** Compact an append-accumulated gram index ([[buildGramIndex]]):
     * fold the multiple rows per gram that appends leave (readers
     * `sum(df_docs), min(canon)`) back into one row per gram in fresh
-    * buckets. Probe results unchanged; read amplification reset.
+    * buckets, via the same write-aside-then-swap protocol. Probe
+    * results unchanged; read amplification reset.
     */
-  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
-    val folded = spark
-      .table(s"${name}_gramdf")
-      .groupBy("g")
-      .agg(sum("df_docs").as("df_docs"), min("canon").as("canon"))
-      .localCheckpoint()
-    graft.sources.Bucketing.writeBucketedKeys(folded, s"${name}_gramdf", buckets, Seq("g"))
-    spark.catalog.refreshTable(s"${name}_gramdf")
-  }
+  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit =
+    swapInCompacted(
+      spark,
+      s"${name}_gramdf",
+      spark
+        .table(s"${name}_gramdf")
+        .groupBy("g")
+        .agg(sum("df_docs").as("df_docs"), min("canon").as("canon")),
+      buckets,
+      Seq("g")
+    )
 
   /** Retrieval against the standing index: zero corpus scans — the
     * postings scan is BUCKET-PRUNED by the literal query terms (only

@@ -221,13 +221,16 @@ class DataOpsSpec extends SparkSpec {
     // independent restatement of the race over the collected corpus
     val corpus = Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
-    def key(id: Long, w: Long): Double = {
+    def rawKey(id: Long, w: Long): Double = {
       val u = ((id * 2654435761L) % 1000000007L + 1).toDouble / 1000000008.0
-      BigDecimal(-math.log(u) / w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      -math.log(u) / w
     }
-    val expect = corpus.map { case (id, w) => (id, w, key(id, w)) }
+    def rounded(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // selection and rank on the RAW key; only the reported key rounds
+    val expect = corpus.map { case (id, w) => (id, w, rawKey(id, w)) }
       .sortBy(t => (t._3, t._1)).take(k).zipWithIndex
-      .map { case ((id, w, s), i) => (i + 1L, id, w, s) }
+      .map { case ((id, w, s), i) => (i + 1L, id, w, rounded(s)) }
     assert(got.toSeq == expect.toSeq, "A-ES selection diverged from the restatement")
     // weight = n_chars → sampled docs should skew long
     val sampleMeanW = got.map(_._3).sum.toDouble / got.length
