@@ -281,6 +281,7 @@ object SparkEntry {
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
     "text_bm25_topk"   -> q((s, dir) => TextAnalysis.bm25TopK(s, dir)),
+    "text_phrase_search" -> q((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "bm25_index_topk" -> q { (s, dir) =>
       // standing postings index memoized per dir; built from a build
       // PLUS an append covering the full corpus, so the probe (which
@@ -1384,6 +1385,29 @@ object SparkEntry {
       // hash-matching it proves probe == from-scratch.
       "text_bm25_topk" -> bm25Sql,
       "bm25_index_topk" -> bm25Sql,
+      // exact-phrase search: integer occurrence counts, doc_id
+      // tie-break — no floating point anywhere
+      "text_phrase_search" ->
+        s"""WITH p(phrase_id, g, l) AS (VALUES
+           |  (0,'hash join',2),(1,'table scan',2),
+           |  (2,'big order scan',3),(3,'stream data filter',3)),
+           |t AS (SELECT doc_id, $toks AS tk FROM documents),
+           |g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+           |       FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+           |g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+           |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+           |hits AS (
+           |  SELECT p.phrase_id, g2.doc_id, count(*) AS n_hits
+           |  FROM g2 JOIN p ON p.l = 2 AND g2.g = p.g GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT p.phrase_id, g3.doc_id, count(*) AS n_hits
+           |  FROM g3 JOIN p ON p.l = 3 AND g3.g = p.g GROUP BY 1, 2),
+           |r AS (SELECT phrase_id, doc_id, n_hits,
+           |        row_number() OVER (PARTITION BY phrase_id
+           |                           ORDER BY n_hits DESC, doc_id) AS rn
+           |      FROM hits)
+           |SELECT phrase_id, CAST(rn AS BIGINT) AS rnk, doc_id, n_hits
+           |FROM r WHERE rn <= 10 ORDER BY phrase_id, rnk""".stripMargin,
       // hard checks: the property itself is the oracle — DuckDB states
       // the expected invariant (all-true / zero-miss / base-table
       // counts) and the driver hash-compares Spark's computed result

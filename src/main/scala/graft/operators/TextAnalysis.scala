@@ -911,6 +911,69 @@ object TextAnalysis {
     spark.catalog.refreshTable(s"${name}_docstats")
   }
 
+  /** Default phrase set for [[phraseSearch]] — mixed lengths exercise
+    * the per-length gram paths; a phrase absent at a given corpus
+    * scale simply returns no rows for that id (both engines agree on
+    * absence).
+    */
+  val defaultPhrases: Seq[(Int, String)] = Seq(
+    0 -> "hash join",
+    1 -> "table scan",
+    2 -> "big order scan",
+    3 -> "stream data filter"
+  )
+
+  /** Exact-phrase search: top-`k` documents per phrase by occurrence
+    * count. An L-token phrase is exactly one L-gram, so matching rides
+    * the same [[gramInstances]] machinery as the dedup family: one
+    * gram pass per DISTINCT phrase length over the corpus, each
+    * filtered to the phrase literals BEFORE any shuffle (the isin
+    * filter sits under the aggregation, so only matching instances
+    * leave the scan stage), then a count per (phrase, doc) and a
+    * per-phrase top-k window over matched docs only. Counts are exact
+    * integers — no floating-point anywhere — and ties break by doc_id,
+    * so ordering is trivially cross-engine deterministic.
+    */
+  def phraseSearch(
+      spark: SparkSession,
+      dir: String,
+      phrases: Seq[(Int, String)] = defaultPhrases,
+      k: Int = 10
+  ): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(phrases.nonEmpty, "empty phrase set")
+    require(phrases.map(_._1).distinct.length == phrases.length, "duplicate phrase_id")
+    val norm = phrases.map { case (pid, p) =>
+      val ts = p.trim.split("\\s+").toSeq
+      require(ts.nonEmpty && ts.forall(t => t.nonEmpty && t.forall(_.isLetter)),
+        s"phrase $pid '$p' is not a space-separated letter-token sequence")
+      (pid, ts.mkString(" "), ts.length)
+    }
+    require(norm.map(_._2).distinct.length == norm.length, "duplicate phrase text")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val hits = norm
+      .groupBy(_._3)
+      .toSeq
+      .map { case (len, ps) =>
+        val pdf = ps.map { case (pid, g, _) => (pid, g) }.toDF("phrase_id", "g")
+        gramInstances(docs, len, materialize = false)
+          .where(col("g").isin(ps.map(_._2): _*))
+          .join(broadcast(pdf), "g")
+          .groupBy("phrase_id", "doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+      }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phrase_id")
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    hits
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("phrase_id", "rnk", "doc_id", "n_hits")
+      .orderBy("phrase_id", "rnk")
+  }
+
   /** Compact an append-accumulated BM25 index in place: every append
     * adds small bucket files and one stats row, so a long-lived index
     * drifts toward many-files-per-bucket reads. Compaction rewrites

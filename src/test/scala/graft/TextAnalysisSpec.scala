@@ -258,6 +258,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt, s"postings scan read every bucket: ${m.get.matched}")
   }
 
+  test("phraseSearch: overlapping occurrences counted, ranks by count, matches are real") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      (1L, "alpha beta alpha beta alpha"), // "alpha beta" ×2, "beta alpha" ×2
+      (2L, "alpha beta gamma"),            // "alpha beta" ×1
+      (3L, "gamma gamma gamma")            // "gamma gamma" ×2 (overlap)
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis
+      .phraseSearch(spark, dir, Seq(0 -> "alpha beta", 1 -> "gamma gamma", 2 -> "beta gamma absent"), k = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((0, 1L, 1L, 2L), (0, 2L, 2L, 1L), (1, 1L, 3L, 2L)))
+    // corpus invariant: every reported doc really contains its phrase
+    val rows = TextAnalysis.phraseSearch(spark, sfDir).collect()
+    val phrases = TextAnalysis.defaultPhrases.toMap
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).mkString(" ")).toMap
+    rows.foreach { r =>
+      assert(texts(r.getLong(2)).contains(phrases(r.getInt(0))),
+        s"doc ${r.getLong(2)} does not contain phrase '${phrases(r.getInt(0))}'")
+    }
+  }
+
   test("compactBm25Index: probe identical before/after, stats rows folded to one") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
