@@ -460,8 +460,11 @@ object Checks {
       .agg(avg("r").as("mean_recall"))
       .collect()(0)
     // an EMPTY brute-force reference averages over zero rows → null;
-    // report recall 0 (the check fails legibly) instead of an NPE
-    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    // report NaN so EVERY downstream comparison is false — including
+    // the relative one in [[ivfPqAppendEquivalence]], where a 0.0
+    // fallback would make the degenerate 0.0 >= 0.0 − bound case pass
+    // while having verified nothing
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
   }
 
   private def topkRecallCheck(spark: SparkSession, ann: DataFrame, brute: DataFrame, bound: Double): DataFrame =

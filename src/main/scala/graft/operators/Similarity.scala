@@ -546,11 +546,17 @@ object Similarity {
   // buildIvfPqIndex invalidates on rebuild.
   private val geomCache = scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
 
-  private[graft] def invalidateGeometry(indexName: String): Unit = geomCache.remove(indexName)
+  // two sessions in one JVM may hold same-named indexes in different
+  // warehouses — the cache key must carry both
+  private def geomKey(spark: SparkSession, indexName: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir", "")}#$indexName"
+
+  private[graft] def invalidateGeometry(spark: SparkSession, indexName: String): Unit =
+    geomCache.remove(geomKey(spark, indexName))
 
   private def indexGeometry(spark: SparkSession, indexName: String): (Int, Int) =
     geomCache.getOrElseUpdate(
-      indexName, {
+      geomKey(spark, indexName), {
         val row = spark
           .table(s"${indexName}_codebooks")
           .agg(max(col("sub_idx")).as("mi"), max(size(col("cvec"))).as("dmax"), min(size(col("cvec"))).as("dmin"))
@@ -728,9 +734,6 @@ object Similarity {
       buckets: Int = 32
   ): Unit = {
     val spark = corpus.sparkSession
-    // a rebuild may change the frozen geometry — drop the memo before
-    // the new codebooks land
-    invalidateGeometry(name)
     val raw                = corpus.select(col("vec_id"), col("embedding"))
     val (_, cbDf, codes)   = pqFit(raw, m, codebookK, dim)
     val (assigned, centDf) = kmeansCells(raw, nCells)
@@ -746,6 +749,11 @@ object Similarity {
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
       df.write.mode("overwrite").saveAsTable(t)
     }
+    // a rebuild may change the frozen geometry — drop the memo AFTER
+    // the new codebooks land (invalidating before the write lets a
+    // concurrent probe re-cache the old geometry, which would then
+    // stick past the rebuild)
+    invalidateGeometry(spark, name)
   }
 
   /** Append newly-arrived vectors to a standing [[buildIvfPqIndex]]

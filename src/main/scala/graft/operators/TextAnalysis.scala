@@ -983,49 +983,55 @@ object TextAnalysis {
     * amplification reset — the standing-index analogue of
     * [[graft.operators.DataOps.compactParquet]].
     */
-  /** The write-aside-then-swap step compaction rests on: materialize
-    * `df` as a NEW bucketed table `table__cpt` (the source table stays
-    * live and readable throughout the heavy write), then swap it in
-    * with two metadata operations. The full data always exists in SOME
-    * table — a crash during the write leaves the original untouched; a
-    * crash between drop and rename leaves the complete compacted copy
-    * under `table__cpt`, recoverable by re-running the compaction
-    * (which re-reads whichever name survives). Never a self-
-    * overwriting rewrite — the hazard [[DataOps.compactParquet]]
-    * documents.
+  /** The write-aside-then-swap step compaction rests on: `write`
+    * materializes the compacted copy under the NEW name `table__cpt`
+    * (the source table stays live and readable throughout the heavy
+    * write), then two metadata operations swap it in. The full data
+    * always exists in SOME table — a crash during the write leaves the
+    * original untouched, and a crash between drop and rename leaves
+    * the complete copy under `__cpt`, which the adoption step at the
+    * top of the NEXT run renames into place before compacting again.
+    * Never a self-overwriting rewrite — the hazard
+    * [[DataOps.compactParquet]] documents. One protocol for every
+    * index table (bucketed or plain), so the recovery logic has
+    * exactly one implementation.
     */
-  private def swapInCompacted(
-      spark: SparkSession,
-      table: String,
-      df: DataFrame,
-      buckets: Int,
-      keys: Seq[String]
-  ): Unit = {
+  private def swapInCompacted(spark: SparkSession, table: String)(write: String => Unit): Unit = {
     val tmp = s"${table}__cpt"
-    graft.sources.Bucketing.writeBucketedKeys(df, tmp, buckets, keys)
+    // crash recovery: a previous run may have dropped `table` after
+    // fully writing `tmp` — adopt the surviving copy before compacting
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+    write(tmp)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.catalog.refreshTable(table)
   }
 
   def compactBm25Index(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
-    swapInCompacted(spark, s"${name}_postings", spark.table(s"${name}_postings"), buckets, Seq("tok"))
-    swapInCompacted(spark, s"${name}_docstats", spark.table(s"${name}_docstats"), buckets, Seq("doc_id"))
+    val postings = s"${name}_postings"
+    swapInCompacted(spark, postings) { tmp =>
+      graft.sources.Bucketing.writeBucketedKeys(spark.table(postings), tmp, buckets, Seq("tok"))
+    }
+    val docstats = s"${name}_docstats"
+    swapInCompacted(spark, docstats) { tmp =>
+      graft.sources.Bucketing.writeBucketedKeys(spark.table(docstats), tmp, buckets, Seq("doc_id"))
+    }
     val statsTable = s"${name}_stats"
-    val statsTmp   = s"${statsTable}__cpt"
-    spark.sql(s"DROP TABLE IF EXISTS $statsTmp")
-    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), statsTmp.toLowerCase)
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
-    spark
-      .table(statsTable)
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet")
-      .saveAsTable(statsTmp)
-    spark.sql(s"DROP TABLE IF EXISTS $statsTable")
-    spark.sql(s"ALTER TABLE $statsTmp RENAME TO $statsTable")
-    spark.catalog.refreshTable(statsTable)
+    swapInCompacted(spark, statsTable) { tmp =>
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      spark
+        .table(statsTable)
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet")
+        .saveAsTable(tmp)
+    }
   }
 
   /** Compact an append-accumulated gram index ([[buildGramIndex]]):
@@ -1034,17 +1040,20 @@ object TextAnalysis {
     * buckets, via the same write-aside-then-swap protocol. Probe
     * results unchanged; read amplification reset.
     */
-  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit =
-    swapInCompacted(
-      spark,
-      s"${name}_gramdf",
-      spark
-        .table(s"${name}_gramdf")
-        .groupBy("g")
-        .agg(sum("df_docs").as("df_docs"), min("canon").as("canon")),
-      buckets,
-      Seq("g")
-    )
+  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    val table = s"${name}_gramdf"
+    swapInCompacted(spark, table) { tmp =>
+      graft.sources.Bucketing.writeBucketedKeys(
+        spark
+          .table(table)
+          .groupBy("g")
+          .agg(sum("df_docs").as("df_docs"), min("canon").as("canon")),
+        tmp,
+        buckets,
+        Seq("g")
+      )
+    }
+  }
 
   /** Retrieval against the standing index: zero corpus scans — the
     * postings scan is BUCKET-PRUNED by the literal query terms (only

@@ -273,14 +273,17 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == Seq((0, 1L, 1L, 2L), (0, 2L, 2L, 1L), (1, 1L, 3L, 2L)))
-    // corpus invariant: every reported doc really contains its phrase
+    // corpus invariant: every reported doc contains its phrase as a
+    // TOKEN-ALIGNED subsequence (a string-contains check would also
+    // accept sub-token fragments like "rehash joint" ⊇ "hash join")
     val rows = TextAnalysis.phraseSearch(spark, sfDir).collect()
     val phrases = TextAnalysis.defaultPhrases.toMap
-    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).mkString(" ")).toMap
+    val toks = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("[^\\p{L}]+").filter(_.nonEmpty).toSeq).toMap
     rows.foreach { r =>
-      assert(texts(r.getLong(2)).contains(phrases(r.getInt(0))),
-        s"doc ${r.getLong(2)} does not contain phrase '${phrases(r.getInt(0))}'")
+      val p = phrases(r.getInt(0)).split(" ").toSeq
+      assert(toks(r.getLong(2)).sliding(p.length).contains(p),
+        s"doc ${r.getLong(2)} has no token-aligned occurrence of '${phrases(r.getInt(0))}'")
     }
   }
 
