@@ -301,6 +301,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spark.table("t_bm25_cpt_stats").count() == 1, "stats rows not folded")
   }
 
+  test("compaction swap recovery: a surviving __cpt copy is adopted on the next run") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    TextAnalysis.buildBm25Index(docs, "t_bm25_rec")
+    val before = TextAnalysis.bm25IndexProbe(spark, "t_bm25_rec").collect().toSeq
+    // simulate a crash in the swap window: the live postings table is
+    // gone, the complete copy survives only under __cpt
+    spark.sql("ALTER TABLE t_bm25_rec_postings RENAME TO t_bm25_rec_postings__cpt")
+    assert(!spark.catalog.tableExists("t_bm25_rec_postings"))
+    TextAnalysis.compactBm25Index(spark, "t_bm25_rec")
+    val after = TextAnalysis.bm25IndexProbe(spark, "t_bm25_rec").collect().toSeq
+    assert(after == before, "recovered index diverged")
+  }
+
   test("compactGramIndex: incremental probe identical before/after, one row per gram") {
     import org.apache.spark.sql.functions.col
     val docs   = Tables.documents(spark, sfDir).select("doc_id", "text")
