@@ -22,7 +22,10 @@ object Bm25Sf1Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.prepare(spark)
-    Seq("text_bm25_topk", "bm25_index_topk", "text_bm25_topk", "bm25_index_topk").foreach { name =>
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("text_bm25_topk", "bm25_index_topk", "text_bm25_topk", "bm25_index_topk")
+    names.foreach { name =>
       val t0 = System.nanoTime()
       val n  = SparkEntry.queries(name)(spark, dir).collect().length
       println(f"[bm25sf1] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
