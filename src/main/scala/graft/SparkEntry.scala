@@ -282,6 +282,7 @@ object SparkEntry {
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
     "text_bm25_topk"   -> q((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "text_phrase_search" -> q((s, dir) => TextAnalysis.phraseSearch(s, dir)),
+    "text_ql_topk"     -> q((s, dir) => TextAnalysis.qlTopK(s, dir)),
     "bm25_index_topk" -> q { (s, dir) =>
       // standing postings index memoized per dir; built from a build
       // PLUS an append covering the full corpus, so the probe (which
@@ -1385,6 +1386,41 @@ object SparkEntry {
       // hash-matching it proves probe == from-scratch.
       "text_bm25_topk" -> bm25Sql,
       "bm25_index_topk" -> bm25Sql,
+      // Dirichlet query likelihood: absent query terms contribute
+      // their smoothed background probability (the grid left join);
+      // arithmetic mirrored term-for-term, rounded before ranking
+      "text_ql_topk" ->
+        s"""WITH q(query_id, term) AS (VALUES
+           |  (0,'fast'),(0,'hash'),(0,'join'),
+           |  (1,'stream'),(1,'window'),(1,'agg'),
+           |  (2,'customer'),(2,'order'),(2,'table'),
+           |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
+           |  (4,'vector'),(4,'merge'),(4,'batch')),
+           |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           |ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tok),
+           |pq AS (SELECT q.query_id, q.term, tf.doc_id, tf.tf FROM q JOIN tf USING (term)),
+           |cf AS (SELECT query_id, term, CAST(sum(tf) AS DOUBLE) AS cf FROM pq GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT query_id, doc_id FROM pq),
+           |grid AS (SELECT c.query_id, c.doc_id, q.term
+           |         FROM cand c JOIN q ON q.query_id = c.query_id),
+           |sc AS (SELECT g.query_id, g.doc_id,
+           |         round(sum(ln((COALESCE(p.tf, 0) + 2000.0 * cf.cf / ctot.c)
+           |                      / (dl.dl + 2000.0))), 4) AS score
+           |       FROM grid g
+           |       JOIN cf ON cf.query_id = g.query_id AND cf.term = g.term
+           |       LEFT JOIN pq p ON p.query_id = g.query_id AND p.term = g.term
+           |                     AND p.doc_id = g.doc_id
+           |       JOIN dl ON dl.doc_id = g.doc_id
+           |       CROSS JOIN ctot
+           |       GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score,
+           |        row_number() OVER (PARTITION BY query_id
+           |                           ORDER BY score DESC, doc_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
+           |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
       // exact-phrase search: integer occurrence counts, doc_id
       // tie-break — no floating point anywhere
       "text_phrase_search" ->

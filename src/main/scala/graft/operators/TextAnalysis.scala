@@ -911,6 +911,70 @@ object TextAnalysis {
     spark.catalog.refreshTable(s"${name}_docstats")
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty): score(Q, D) = Σ_t ln((tf + μ·cf(t)/|C|) / (dl + μ))
+    * over ALL query terms — absent terms contribute their smoothed
+    * background probability, which is what makes the model a proper
+    * likelihood and not just a tf heuristic. A second scorer over the
+    * SAME postings/doc-length/corpus-stats shapes as [[bm25TopK]]:
+    * the candidate set is docs sharing ≥1 query term (the standard
+    * practical restriction — a doc with zero query terms scores below
+    * every candidate on every term), the (candidate × query-term)
+    * grid is candidate-bounded, and corpus term frequency cf(t) comes
+    * from the query-term postings themselves — never a vocabulary
+    * aggregate. Scores round to 4 decimals before ranking, doc_id
+    * breaks ties.
+    */
+  def qlTopK(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      k: Int = 5,
+      mu: Double = 2000.0
+  ): DataFrame = {
+    import spark.implicits._
+    requireValidQueries(queries)
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    val docs   = Tables.documents(spark, dir)
+    val tokens = tokenRows(spark, dir)
+    val tf = tokens
+      .where(col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val consts = dl.agg(sum("dl").cast("double").as("__ctot"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    // the query-term postings feed three consumers (candidates, cf,
+    // the grid left join) — materialize the SMALL filtered slice once
+    // instead of leaning on exchange reuse across differently-pruned
+    // subtrees
+    val pq = tf.join(broadcast(qterms), "tok").localCheckpoint(eager = false)
+    val cf = pq.groupBy("query_id", "tok").agg(sum("tf").cast("double").as("cf"))
+    val cand = pq.select("query_id", "doc_id").distinct()
+    val grid = cand.join(broadcast(qterms), Seq("query_id"))
+    val scored = grid
+      .join(pq, Seq("query_id", "tok", "doc_id"), "left")
+      .join(broadcast(cf), Seq("query_id", "tok"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .withColumn(
+        "contrib",
+        log((coalesce(col("tf"), lit(0L)) + lit(mu) * col("cf") / col("__ctot")) / (col("dl") + lit(mu)))
+      )
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Default phrase set for [[phraseSearch]] — mixed lengths exercise
     * the per-length gram paths; a phrase absent at a given corpus
     * scale simply returns no rows for that id (both engines agree on

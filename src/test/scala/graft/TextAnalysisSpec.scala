@@ -258,6 +258,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt, s"postings scan read every bucket: ${m.get.matched}")
   }
 
+  test("qlTopK matches the Dirichlet formula exactly, absent query terms smoothed") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ql").toString
+    Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis
+      .qlTopK(spark, dir, queries = Seq(0 -> Seq("apple", "banana")), k = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // independent restatement: |C|=9, cf(apple)=3, cf(banana)=5, mu=2000
+    def term(tf: Long, cf: Double, dl: Long): Double =
+      math.log((tf + 2000.0 * cf / 9.0) / (dl + 2000.0))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // candidates: all three docs share a query term; doc2 has banana
+    // ABSENT (tf=0, smoothed), doc3 has apple absent
+    val s1 = r4(term(2, 3, 3) + term(1, 5, 3))
+    val s2 = r4(term(1, 3, 2) + term(0, 5, 2))
+    val s3 = r4(term(0, 3, 4) + term(4, 5, 4))
+    val expect = Seq((1L, s1), (2L, s2), (3L, s3))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex
+      .map { case ((id, s), i) => (0, i + 1L, id, s) }
+    assert(got == expect, s"got $got expected $expect")
+  }
+
   test("phraseSearch: overlapping occurrences counted, ranks by count, matches are real") {
     val sess = spark
     import sess.implicits._
