@@ -19,7 +19,8 @@ object Bench {
     "sim_topk_bruteforce", "sim_ann_lsh", "sim_ivf_topk", "sim_ivfpq_topk",
     "sim_ivfpq_append",
     "text_quality", "text_tfidf_top", "text_bm25_topk", "bm25_index_topk",
-    "text_ql_topk", "text_phrase_search", "text_winnow",
+    "text_ql_topk", "ql_index_topk", "text_phrase_search", "phrase_index_search",
+    "text_winnow",
     "text_lm_score", "text_boilerplate", "text_freq_items", "vocab_ids",
     "text_dup_spans", "text_dedup_substrings", "text_contamination_bloom",
     "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",

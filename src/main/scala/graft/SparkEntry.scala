@@ -58,12 +58,34 @@ object SparkEntry {
     */
   private val bm25IndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Same memoization for the standing phrase-gram index. */
+  private val phraseIndexBuilt = scala.collection.mutable.Set.empty[String]
+
   /** Index table names are keyed by the data dir: a fixed name plus a
     * per-dir memo would leave the memoized FIRST dir probing an index
     * holding the SECOND dir's corpus when one JVM runs two dirs.
     */
   private def dirKeyed(base: String, dir: String): String =
     s"${base}_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Dump an IVF×PQ index's three tables as plain parquet under a
+    * FIXED path so the DuckDB oracle can replay the probe's ADC
+    * arithmetic against the exact frozen model (the centroids and
+    * codebooks come from a seeded driver-side Lloyd fit that no
+    * portable SQL can re-derive — the dumped model IS the probe's
+    * input contract, the same stance as `ref_wc_large` reading the
+    * reference corpus from its fixed path). A Verify run serves ONE
+    * data dir, so the last-written dump always matches the dir under
+    * check; the oracle thereby hash-verifies normalization, cell
+    * probing, ADC lookup, scoring, and ranking end-to-end.
+    */
+  private def dumpIvfPqOracle(s: SparkSession, idx: String, tag: String): Unit =
+    Seq("centroids", "codebooks", "codes").foreach { t =>
+      s.table(s"${idx}_$t")
+        .write
+        .mode("overwrite")
+        .parquet(s"/tmp/graft_ivfpq_oracle/$tag/$t")
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the two jobs of the reference engine ----
@@ -227,6 +249,7 @@ object SparkEntry {
       ivfPqIndexBuilt.synchronized {
         if (!ivfPqIndexBuilt.contains(dir)) {
           Similarity.buildIvfPqIndex(e, idx)
+          dumpIvfPqOracle(s, idx, "topk")
           ivfPqIndexBuilt += dir
         }
       }
@@ -249,6 +272,7 @@ object SparkEntry {
         if (!ivfPqAppendBuilt.contains(dir)) {
           Similarity.buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0), idx)
           Similarity.appendIvfPqIndex(e.filter(col("vec_id") % 10 === 0), idx)
+          dumpIvfPqOracle(s, idx, "append")
           ivfPqAppendBuilt += dir
         }
       }
@@ -298,6 +322,39 @@ object SparkEntry {
         }
       }
       TextAnalysis.bm25IndexProbe(s, idx)
+    },
+    "ql_index_topk" -> q { (s, dir) =>
+      // the SECOND scorer served from the SAME standing index tables
+      // (shared q_bm25_idx memo — one build covers both probes): the
+      // deployment stance that every scorer answers from the index,
+      // hash-oracled against the same from-scratch SQL as text_ql_topk
+      // so probe == rebuild through the build+append split
+      val idx = dirKeyed("q_bm25_idx", dir)
+      bm25IndexBuilt.synchronized {
+        if (!bm25IndexBuilt.contains(dir)) {
+          val docs = Tables.documents(s, dir).select("doc_id", "text")
+          TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), idx)
+          TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 10 === 0), idx)
+          bm25IndexBuilt += dir
+        }
+      }
+      TextAnalysis.qlIndexProbe(s, idx)
+    },
+    "phrase_index_search" -> q { (s, dir) =>
+      // standing per-length gram postings, built on 90% + one append
+      // covering the rest, so the probe (hash-oracled against the same
+      // from-scratch SQL as text_phrase_search) proves the additive
+      // append contract each run — the bm25_index_topk recipe
+      val idx = dirKeyed("q_phrase_idx", dir)
+      phraseIndexBuilt.synchronized {
+        if (!phraseIndexBuilt.contains(dir)) {
+          val docs = Tables.documents(s, dir).select("doc_id", "text")
+          TextAnalysis.buildPhraseIndex(docs.filter(col("doc_id") % 10 =!= 0), idx)
+          TextAnalysis.appendPhraseIndex(docs.filter(col("doc_id") % 10 === 0), idx)
+          phraseIndexBuilt += dir
+        }
+      }
+      TextAnalysis.phraseIndexSearch(s, idx)
     },
     "text_chunks"      -> q((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
@@ -429,6 +486,105 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
          |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
+    val qlSql =
+      s"""WITH q(query_id, term) AS (VALUES
+         |  (0,'fast'),(0,'hash'),(0,'join'),
+         |  (1,'stream'),(1,'window'),(1,'agg'),
+         |  (2,'customer'),(2,'order'),(2,'table'),
+         |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
+         |  (4,'vector'),(4,'merge'),(4,'batch')),
+         |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tok),
+         |pq AS (SELECT q.query_id, q.term, tf.doc_id, tf.tf FROM q JOIN tf USING (term)),
+         |cf AS (SELECT query_id, term, CAST(sum(tf) AS DOUBLE) AS cf FROM pq GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT query_id, doc_id FROM pq),
+         |grid AS (SELECT c.query_id, c.doc_id, q.term
+         |         FROM cand c JOIN q ON q.query_id = c.query_id),
+         |sc AS (SELECT g.query_id, g.doc_id,
+         |         round(sum(ln((COALESCE(p.tf, 0) + 2000.0 * cf.cf / ctot.c)
+         |                      / (dl.dl + 2000.0))), 4) AS score
+         |       FROM grid g
+         |       JOIN cf ON cf.query_id = g.query_id AND cf.term = g.term
+         |       LEFT JOIN pq p ON p.query_id = g.query_id AND p.term = g.term
+         |                     AND p.doc_id = g.doc_id
+         |       JOIN dl ON dl.doc_id = g.doc_id
+         |       CROSS JOIN ctot
+         |       GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY score DESC, doc_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin
+    // IVF×PQ probe replay from the dumped frozen model (see
+    // dumpIvfPqOracle): every arithmetic step mirrors the engine's —
+    // squares and sub-vector products in FLOAT (both engines multiply
+    // REAL×REAL in float32), accumulations and cosines in DOUBLE,
+    // scores rounded to 4 decimals BEFORE ranking with cand tie-break.
+    // Hash-matching proves normalization + cell probe + ADC lookup +
+    // scoring + ranking end-to-end, turning the two rows-only sim_*
+    // entries hash-green.
+    def ivfPqSql(tag: String): String = {
+      val base = s"/tmp/graft_ivfpq_oracle/$tag"
+      s"""WITH cent AS (SELECT cell, centroid FROM '$base/centroids/*.parquet'),
+         |cb AS (SELECT sub_idx, code, cvec FROM '$base/codebooks/*.parquet'),
+         |codes AS (SELECT vec_id, sub_idx, code, cell FROM '$base/codes/*.parquet'),
+         |q0 AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id % 100 = 0),
+         |qn AS (SELECT qid,
+         |         list_transform(e, x -> CAST(CAST(x AS DOUBLE) / nrm AS REAL)) AS qe
+         |       FROM (SELECT qid, e,
+         |               sqrt(list_sum(list_transform(e, x -> CAST(x * x AS DOUBLE)))) AS nrm
+         |             FROM q0)
+         |       WHERE nrm > 0),
+         |pr AS (SELECT qn.qid, cent.cell,
+         |         list_cosine_similarity(CAST(qn.qe AS DOUBLE[]), CAST(cent.centroid AS DOUBLE[])) AS cdist
+         |       FROM qn CROSS JOIN cent),
+         |probed AS (SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cdist DESC, cell) AS prank
+         |    FROM pr)
+         |  WHERE prank <= 4),
+         |qsub AS (SELECT qid, s AS sub_idx,
+         |           qe[CAST(s * 4 + 1 AS INTEGER):CAST(s * 4 + 4 AS INTEGER)] AS subvec
+         |         FROM qn, UNNEST(range(0, 16)) AS u(s)),
+         |qtab AS (SELECT q.qid, cb.sub_idx, cb.code,
+         |           list_sum(list_transform(range(1, 5),
+         |             i -> CAST(q.subvec[CAST(i AS INTEGER)] * cb.cvec[CAST(i AS INTEGER)] AS DOUBLE))) AS pdot
+         |         FROM qsub q JOIN cb ON cb.sub_idx = q.sub_idx),
+         |sc AS (SELECT p.qid, c.vec_id AS cand, round(sum(t.pdot), 4) AS adc
+         |       FROM codes c
+         |       JOIN probed p ON c.cell = p.cell AND c.vec_id <> p.qid
+         |       JOIN qtab t ON t.qid = p.qid AND t.sub_idx = c.sub_idx AND t.code = c.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT qid, cand, adc,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cand) AS rn
+         |      FROM sc)
+         |SELECT qid, CAST(rn AS BIGINT) AS rnk, cand, adc
+         |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin
+    }
+    val phraseSql =
+      s"""WITH p(phrase_id, g, l) AS (VALUES
+         |  (0,'hash join',2),(1,'table scan',2),
+         |  (2,'big order scan',3),(3,'stream data filter',3)),
+         |t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+         |       FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         |g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
+         |hits AS (
+         |  SELECT p.phrase_id, g2.doc_id, count(*) AS n_hits
+         |  FROM g2 JOIN p ON p.l = 2 AND g2.g = p.g GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT p.phrase_id, g3.doc_id, count(*) AS n_hits
+         |  FROM g3 JOIN p ON p.l = 3 AND g3.g = p.g GROUP BY 1, 2),
+         |r AS (SELECT phrase_id, doc_id, n_hits,
+         |        row_number() OVER (PARTITION BY phrase_id
+         |                           ORDER BY n_hits DESC, doc_id) AS rn
+         |      FROM hits)
+         |SELECT phrase_id, CAST(rn AS BIGINT) AS rnk, doc_id, n_hits
+         |FROM r WHERE rn <= 10 ORDER BY phrase_id, rnk""".stripMargin
     Map(
       "wc_wordcount" -> wcSql,
       "mr_wordcount" -> wcSql,
@@ -1232,14 +1388,17 @@ object SparkEntry {
           |  FROM documents)
           |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
       // A-ES selection ranks on the RAW race key (quantizing first
-      // would collapse heavy docs into doc_id ties); only the reported
-      // key is rounded. The uniform is exact integer arithmetic on
-      // both sides, so selection agrees across engines.
+      // would collapse heavy docs into doc_id ties); the REPORTED
+      // columns are exact integers (hash residue + weight), so the
+      // hash compare never rides on cross-engine ln() agreement at a
+      // decimal boundary — selection itself is safe because adjacent
+      // race keys sit far beyond 1 ulp apart.
       "weighted_sample" ->
         """SELECT CAST(row_number() OVER (ORDER BY rawkey, doc_id) AS BIGINT) AS rnk,
-          |       doc_id, w, round(rawkey, 6) AS skey
+          |       doc_id, w, u_res
           |FROM (
           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          |    CAST((doc_id * 2654435761) % 1000000007 + 1 AS BIGINT) AS u_res,
           |    -ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
           |          / n_chars AS rawkey
           |  FROM documents WHERE n_chars > 0
@@ -1388,62 +1547,19 @@ object SparkEntry {
       "bm25_index_topk" -> bm25Sql,
       // Dirichlet query likelihood: absent query terms contribute
       // their smoothed background probability (the grid left join);
-      // arithmetic mirrored term-for-term, rounded before ranking
-      "text_ql_topk" ->
-        s"""WITH q(query_id, term) AS (VALUES
-           |  (0,'fast'),(0,'hash'),(0,'join'),
-           |  (1,'stream'),(1,'window'),(1,'agg'),
-           |  (2,'customer'),(2,'order'),(2,'table'),
-           |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
-           |  (4,'vector'),(4,'merge'),(4,'batch')),
-           |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-           |ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tok),
-           |pq AS (SELECT q.query_id, q.term, tf.doc_id, tf.tf FROM q JOIN tf USING (term)),
-           |cf AS (SELECT query_id, term, CAST(sum(tf) AS DOUBLE) AS cf FROM pq GROUP BY 1, 2),
-           |cand AS (SELECT DISTINCT query_id, doc_id FROM pq),
-           |grid AS (SELECT c.query_id, c.doc_id, q.term
-           |         FROM cand c JOIN q ON q.query_id = c.query_id),
-           |sc AS (SELECT g.query_id, g.doc_id,
-           |         round(sum(ln((COALESCE(p.tf, 0) + 2000.0 * cf.cf / ctot.c)
-           |                      / (dl.dl + 2000.0))), 4) AS score
-           |       FROM grid g
-           |       JOIN cf ON cf.query_id = g.query_id AND cf.term = g.term
-           |       LEFT JOIN pq p ON p.query_id = g.query_id AND p.term = g.term
-           |                     AND p.doc_id = g.doc_id
-           |       JOIN dl ON dl.doc_id = g.doc_id
-           |       CROSS JOIN ctot
-           |       GROUP BY 1, 2),
-           |r AS (SELECT query_id, doc_id, score,
-           |        row_number() OVER (PARTITION BY query_id
-           |                           ORDER BY score DESC, doc_id) AS rn
-           |      FROM sc)
-           |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
-           |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
+      // arithmetic mirrored term-for-term, rounded before ranking.
+      // The standing-index probe (ql_index_topk) answers the SAME
+      // question from the postings/docstats/stats tables, so it shares
+      // this oracle — hash-matching it proves probe == from-scratch.
+      "text_ql_topk" -> qlSql,
+      "ql_index_topk" -> qlSql,
       // exact-phrase search: integer occurrence counts, doc_id
-      // tie-break — no floating point anywhere
-      "text_phrase_search" ->
-        s"""WITH p(phrase_id, g, l) AS (VALUES
-           |  (0,'hash join',2),(1,'table scan',2),
-           |  (2,'big order scan',3),(3,'stream data filter',3)),
-           |t AS (SELECT doc_id, $toks AS tk FROM documents),
-           |g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
-           |       FROM t, UNNEST(range(1, len(tk))) AS u(i)),
-           |g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
-           |       FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)),
-           |hits AS (
-           |  SELECT p.phrase_id, g2.doc_id, count(*) AS n_hits
-           |  FROM g2 JOIN p ON p.l = 2 AND g2.g = p.g GROUP BY 1, 2
-           |  UNION ALL
-           |  SELECT p.phrase_id, g3.doc_id, count(*) AS n_hits
-           |  FROM g3 JOIN p ON p.l = 3 AND g3.g = p.g GROUP BY 1, 2),
-           |r AS (SELECT phrase_id, doc_id, n_hits,
-           |        row_number() OVER (PARTITION BY phrase_id
-           |                           ORDER BY n_hits DESC, doc_id) AS rn
-           |      FROM hits)
-           |SELECT phrase_id, CAST(rn AS BIGINT) AS rnk, doc_id, n_hits
-           |FROM r WHERE rn <= 10 ORDER BY phrase_id, rnk""".stripMargin,
+      // tie-break — no floating point anywhere. The standing-index
+      // probe (phrase_index_search) answers the SAME question from its
+      // bucketed gram table, so it shares this oracle — hash-matching
+      // it proves probe == from-scratch through the append split.
+      "text_phrase_search" -> phraseSql,
+      "phrase_index_search" -> phraseSql,
       // hard checks: the property itself is the oracle — DuckDB states
       // the expected invariant (all-true / zero-miss / base-table
       // counts) and the driver hash-compares Spark's computed result
@@ -1504,6 +1620,8 @@ object SparkEntry {
       "check_ivf_recall" -> "SELECT true AS recall_ok",
       "check_pq_recall" -> "SELECT true AS recall_ok",
       "check_ivfpq_recall" -> "SELECT true AS recall_ok, true AS work_reduced",
+      "sim_ivfpq_topk"   -> ivfPqSql("topk"),
+      "sim_ivfpq_append" -> ivfPqSql("append"),
       "check_ivfpq_append" -> "SELECT true AS codes_equivalent, true AS recall_within_bound",
       "check_curation" ->
         """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,

@@ -19,6 +19,15 @@ import graft.Tables
   */
 object Checks {
 
+  /** Check-scratch index table names are keyed by the data dir — the
+    * same stance as SparkEntry's standing indexes (its `dirKeyed`):
+    * one JVM running checks over two data dirs concurrently must not
+    * race two corpora into one scratch table and compare against the
+    * wrong one.
+    */
+  private def dirKeyed(base: String, dir: String): String =
+    s"${base}_${java.lang.Integer.toHexString(dir.hashCode)}"
+
   /** HyperLogLog++ estimates within the configured 2% target (5%
     * asserted) of the exact distinct counts, per group.
     */
@@ -129,11 +138,12 @@ object Checks {
     val docs   = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") < 400)
     val batch  = docs.filter(col("doc_id") >= 400)
-    Dedup.buildLshIndex(corpus, "chk_lsh_idx")
+    val idx = dirKeyed("chk_lsh_idx", dir)
+    Dedup.buildLshIndex(corpus, idx)
     // both sides are consumed twice (two anti-join counts): lazy
     // localCheckpoint = compute once, blocks GC-freed, no CacheManager
     val incr = Dedup
-      .incrementalMinhashLsh(spark, "chk_lsh_idx", batch, bucketCap = Int.MaxValue)
+      .incrementalMinhashLsh(spark, idx, batch, bucketCap = Int.MaxValue)
       .select("a", "b")
       .localCheckpoint(eager = false)
     val full = Dedup
@@ -190,9 +200,10 @@ object Checks {
           .as("embedding")
       )
     val b2 = docs.filter(col("doc_id") >= 400).unionByName(planted)
-    IncrementalCuration.initIndexes(corpus, "chk_cur")
-    val a1 = IncrementalCuration.ingestBatch(spark, b1, "chk_cur", bucketCap = Int.MaxValue)
-    val a2 = IncrementalCuration.ingestBatch(spark, b2, "chk_cur", bucketCap = Int.MaxValue)
+    val idx = dirKeyed("chk_cur", dir)
+    IncrementalCuration.initIndexes(corpus, idx)
+    val a1 = IncrementalCuration.ingestBatch(spark, b1, idx, bucketCap = Int.MaxValue)
+    val a2 = IncrementalCuration.ingestBatch(spark, b2, idx, bucketCap = Int.MaxValue)
     val accepted    = a1.unionByName(a2).localCheckpoint(eager = false)
     val finalCorpus = corpus.unionByName(accepted).localCheckpoint(eager = false)
 
@@ -206,7 +217,7 @@ object Checks {
       .minhashNearDups(finalCorpus, bucketCap = Int.MaxValue)
       .filter(col("a") >= 300 || col("b") >= 300)
       .count()
-    val nDigests = spark.table("chk_cur_digests").count()
+    val nDigests = spark.table(s"${idx}_digests").count()
     val expected = corpus.filter(col("text").isNotNull).select(md5(col("text"))).distinct().count() +
       accepted.count()
     val acceptedIds    = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -235,11 +246,12 @@ object Checks {
     val docs   = Tables.documents(spark, dir).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch  = docs.filter(col("doc_id") % 10 === 0)
-    TextAnalysis.buildGramIndex(corpus.filter(col("doc_id") < 250), "chk_gram")
-    TextAnalysis.appendGramIndex(corpus.filter(col("doc_id") >= 250), "chk_gram")
-    spark.catalog.refreshTable("chk_gram_gramdf")
+    val idx = dirKeyed("chk_gram", dir)
+    TextAnalysis.buildGramIndex(corpus.filter(col("doc_id") < 250), idx)
+    TextAnalysis.appendGramIndex(corpus.filter(col("doc_id") >= 250), idx)
+    spark.catalog.refreshTable(s"${idx}_gramdf")
     val inc = TextAnalysis
-      .incrementalDedupSubstrings(spark, "chk_gram", batch)
+      .incrementalDedupSubstrings(spark, idx, batch)
       .localCheckpoint(eager = false)
     val full = TextAnalysis
       .dedupSubstringsDf(docs)
@@ -326,16 +338,17 @@ object Checks {
     val e      = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
     val batch  = e.filter(col("vec_id") % 10 === 0)
-    Similarity.buildSemanticIndex(corpus, "chk_sem_idx")
+    val idx = dirKeyed("chk_sem_idx", dir)
+    Similarity.buildSemanticIndex(corpus, idx)
     // cellCap disabled on BOTH sides: the reference pair set below is
     // uncapped, so a cell whose combined population exceeded the
     // production cap would fail the equivalence spuriously (a capped
     // probe legitimately drops pairs the uncapped reference keeps)
     val inc = Similarity
-      .incrementalSemantic(spark, "chk_sem_idx", batch, cellCap = Int.MaxValue)
+      .incrementalSemantic(spark, idx, batch, cellCap = Int.MaxValue)
       .select("a", "b")
       .localCheckpoint(eager = false)
-    val centDf   = spark.table("chk_sem_idx_centroids")
+    val centDf   = spark.table(s"${idx}_centroids")
     val assigned = Similarity.assignCells(e, centDf, nAssign = 2)
     val ref = Dedup
       .bucketPairs(assigned.select(col("cell"), col("vec_id")), Seq("cell"), col("vec_id"), Int.MaxValue)
@@ -408,21 +421,23 @@ object Checks {
     val e      = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
     val batch  = e.filter(col("vec_id") % 10 === 0)
-    Similarity.buildIvfPqIndex(corpus, "chk_ivfpq_app")
-    Similarity.appendIvfPqIndex(batch, "chk_ivfpq_app")
+    val appIdx = dirKeyed("chk_ivfpq_app", dir)
+    val rebIdx = dirKeyed("chk_ivfpq_reb", dir)
+    Similarity.buildIvfPqIndex(corpus, appIdx)
+    Similarity.appendIvfPqIndex(batch, appIdx)
 
     // exact half: the standing codes table now equals what a frozen-
     // model encode of the WHOLE union produces (same centroids, same
     // codebooks — the reference side never touches the append path)
-    val cbDf     = spark.table("chk_ivfpq_app_codebooks")
-    val centRows = spark.table("chk_ivfpq_app_centroids").orderBy("cell").collect()
+    val cbDf     = spark.table(s"${appIdx}_codebooks")
+    val centRows = spark.table(s"${appIdx}_centroids").orderBy("cell").collect()
     val cents    = centRows.toSeq.map(r => r.getSeq[Float](r.fieldIndex("centroid")))
     val refCodes = Similarity
       .encodeWithCodebooks(Similarity.l2Normalize(e, 64, "check"), cbDf, 16, 4)
       .join(Similarity.assignNearestCell(e, cents).select("vec_id", "cell"), Seq("vec_id"))
       .select("vec_id", "sub_idx", "code", "cell")
       .localCheckpoint(eager = false)
-    val appended = spark.table("chk_ivfpq_app_codes").select("vec_id", "sub_idx", "code", "cell")
+    val appended = spark.table(s"${appIdx}_codes").select("vec_id", "sub_idx", "code", "cell")
     val keys     = Seq("vec_id", "sub_idx", "code", "cell")
     val missed   = refCodes.join(appended, keys, "left_anti").count()
     val extra    = appended.join(refCodes, keys, "left_anti").count()
@@ -431,9 +446,9 @@ object Checks {
     // recall half: the appended index vs a full retrained rebuild
     val queries  = e.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("qid"), col("embedding"))
     val brute    = Similarity.bruteForceTopK(spark, dir).localCheckpoint(eager = false)
-    val rAppend  = meanRecall(Similarity.ivfPqProbe(spark, "chk_ivfpq_app", queries, excludeSelf = true), brute)
-    Similarity.buildIvfPqIndex(e, "chk_ivfpq_reb")
-    val rRebuild = meanRecall(Similarity.ivfPqProbe(spark, "chk_ivfpq_reb", queries, excludeSelf = true), brute)
+    val rAppend  = meanRecall(Similarity.ivfPqProbe(spark, appIdx, queries, excludeSelf = true), brute)
+    Similarity.buildIvfPqIndex(e, rebIdx)
+    val rRebuild = meanRecall(Similarity.ivfPqProbe(spark, rebIdx, queries, excludeSelf = true), brute)
     spark
       .range(1)
       .select(

@@ -137,20 +137,24 @@ object DataOps {
     * selection would collapse heavy documents into giant doc_id-break
     * ties and erase the weight-proportional property; hash-uniform
     * keys are generically far further apart than the 1-ulp ln()
-    * difference the two engines can disagree by. Only the REPORTED
-    * key is rounded (6 significant-digit-safe decimals after
-    * selection) so the oracle hash compares stable bytes.
+    * difference the two engines can disagree by. The REPORTED columns
+    * are all exact integers — the hash residue `u_res` (the key's
+    * numerator: rawkey = −ln(u_res/1000000008)/w) and the weight — so
+    * the oracle hash compares exact bytes; a rounded float key would
+    * reintroduce the decimal-boundary flake the selection argument
+    * just excluded.
     */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = (col("doc_id") * lit(2654435761L) % lit(1000000007L) + lit(1L)) / lit(1000000008.0)
+    val uRes = col("doc_id") * lit(2654435761L) % lit(1000000007L) + lit(1L)
     val picked = Tables
       .documents(spark, dir)
       .filter(col("n_chars") > 0)
       .select(
         col("doc_id"),
         col("n_chars").cast("long").as("w"),
-        (-log(u) / col("n_chars")).as("rawkey")
+        uRes.as("u_res"),
+        (-log(uRes / lit(1000000008.0)) / col("n_chars")).as("rawkey")
       )
       .orderBy(col("rawkey").asc, col("doc_id").asc)
       .limit(k)
@@ -159,7 +163,7 @@ object DataOps {
     val wr = Window.orderBy(col("rawkey").asc, col("doc_id").asc)
     picked
       .withColumn("rnk", row_number().over(wr).cast("long"))
-      .select(col("rnk"), col("doc_id"), col("w"), round(col("rawkey"), 6).as("skey"))
+      .select(col("rnk"), col("doc_id"), col("w"), col("u_res"))
       .orderBy("rnk")
   }
 

@@ -420,6 +420,20 @@ object Dedup {
     )
   }
 
+  /** Compact an append-accumulated LSH index: every
+    * [[appendLshIndex]] lands new small files in both tables' buckets,
+    * so a long-lived index drifts toward many-files-per-bucket reads.
+    * Rows are already unique (batch doc_ids are disjoint by contract)
+    * — this is pure file folding into fresh buckets via the shared
+    * write-aside-then-swap protocol
+    * ([[graft.sources.Bucketing.swapInCompacted]]); probe results are
+    * byte-identical by construction.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, name: String, buckets: Int = 32): Unit = {
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_bands", buckets, Seq("band", "bucket"))
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_sigs", buckets, Seq("doc_id"))
+  }
+
   /** Incremental near-dup dedup: probe an incoming batch against a
     * persisted [[buildLshIndex]] index WITHOUT re-banding the corpus.
     * Returns all near-dup pairs the batch introduces — batch↔corpus

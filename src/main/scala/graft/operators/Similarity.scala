@@ -314,6 +314,19 @@ object Similarity {
     graft.sources.Bucketing.appendBucketedKeys(e, s"${name}_vecs", buckets, Seq("vec_id"))
   }
 
+  /** Compact an append-accumulated semantic index: fold the small
+    * files each [[appendSemanticIndex]] leaves in the `_cells` and
+    * `_vecs` buckets into fresh ones (rows already unique — batch
+    * vec_ids disjoint by contract) via the shared
+    * write-aside-then-swap protocol. The `_centroids` table is frozen
+    * single-write state — nothing to compact. Probe results
+    * byte-identical by construction.
+    */
+  def compactSemanticIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_cells", buckets, Seq("cell"))
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_vecs", buckets, Seq("vec_id"))
+  }
+
   /** Incremental semantic near-dup: probe an incoming batch against a
     * persisted [[buildSemanticIndex]] index without re-clustering or
     * re-scanning the corpus. Returns every ≥-threshold pair the batch
@@ -704,10 +717,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
       .groupBy(col("qid"), col("vec_id").as("cand"))
-      .agg(sum("pdot").as("adc"))
+      // round BEFORE ranking (the bm25Rank stance): ranking unrounded
+      // doubles makes the order hostage to summation-order ulps, which
+      // is exactly the cross-engine flake the 4-decimal quantization
+      // exists to remove
+      .agg(round(sum("pdot"), 4).as("adc"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .select(col("qid"), col("rnk"), col("cand"), col("adc"))
       .orderBy("qid", "rnk")
   }
 
@@ -804,6 +821,18 @@ object Similarity {
     )
   }
 
+  /** Compact an append-accumulated IVF×PQ index: fold the small files
+    * each [[appendIvfPqIndex]] leaves in the `_codes` buckets into
+    * fresh ones (rows already unique — batch vec_ids disjoint by
+    * contract) via the shared write-aside-then-swap protocol. The
+    * `_centroids`/`_codebooks` tables are the frozen model —
+    * single-write, nothing to compact; the geometry memo stays valid
+    * because compaction never touches them. Probe results
+    * byte-identical by construction.
+    */
+  def compactIvfPqIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_codes", buckets, Seq("cell"))
+
   /** Probe a standing [[buildIvfPqIndex]] index: queries (qid,
     * embedding) → top-k by ADC over the query's nProbe nearest cells.
     * The probe never touches raw corpus vectors — centroids and
@@ -855,10 +884,12 @@ object Similarity {
     (if (excludeSelf) candidates.filter(col("vec_id") =!= col("qid")) else candidates)
       .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
       .groupBy(col("qid"), col("vec_id").as("cand"))
-      .agg(sum("pdot").as("adc"))
+      // round before ranking — same rationale (and same arithmetic) as
+      // [[ivfPqTopK]], which this probe is spec-pinned identical to
+      .agg(round(sum("pdot"), 4).as("adc"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .select(col("qid"), col("rnk"), col("cand"), col("adc"))
       .orderBy("qid", "rnk")
   }
 

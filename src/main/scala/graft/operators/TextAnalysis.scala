@@ -946,12 +946,38 @@ object TextAnalysis {
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "tok")
-    // the query-term postings feed three consumers (candidates, cf,
-    // the grid left join) — materialize the SMALL filtered slice once
-    // instead of leaning on exchange reuse across differently-pruned
-    // subtrees
-    val pq = tf.join(broadcast(qterms), "tok").localCheckpoint(eager = false)
-    val cf = pq.groupBy("query_id", "tok").agg(sum("tf").cast("double").as("cf"))
+    qlRank(tf.join(broadcast(qterms), "tok"), dl, consts, qterms, k, mu)
+  }
+
+  /** The shared Dirichlet-QL scoring/ranking tail: `postings` is
+    * (query_id, tok, doc_id, tf) for query terms only, `dl` (doc_id,
+    * dl), `consts` one row (__ctot), `qterms` the tiny broadcast query
+    * relation. One definition serves both the one-shot [[qlTopK]] and
+    * the standing-index [[qlIndexProbe]] — the same twin contract as
+    * [[bm25Rank]], so the two paths are arithmetically identical by
+    * construction. The query-term postings feed three consumers
+    * (candidates, cf, the grid left join), so the SMALL filtered slice
+    * materializes once instead of leaning on exchange reuse across
+    * differently-pruned subtrees — in the ONE-SHOT path, where the
+    * slice derives from a full corpus tokenize (`materialize = true`).
+    * The index probe passes false: its postings are already a cheap
+    * bucket-pruned scan, and re-reading those buckets per consumer
+    * costs less than materializing them (it also keeps the pruned scan
+    * visible in the plan, which the bucket-pruning spec asserts).
+    */
+  private def qlRank(
+      postings: DataFrame,
+      dl: DataFrame,
+      consts: DataFrame,
+      qterms: DataFrame,
+      k: Int,
+      mu: Double,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    val pq   = if (materialize) postings.localCheckpoint(eager = false) else postings
+    val cf   = pq.groupBy("query_id", "tok").agg(sum("tf").cast("double").as("cf"))
     val cand = pq.select("query_id", "doc_id").distinct()
     val grid = cand.join(broadcast(qterms), Seq("query_id"))
     val scored = grid
@@ -973,6 +999,42 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** Dirichlet-QL retrieval against the standing [[buildBm25Index]]
+    * index — the second scorer served from the SAME three tables
+    * (postings/docstats/stats), because a deployed retrieval stack
+    * serves every scorer from the index it maintains rather than
+    * re-tokenizing the corpus per call ([[qlTopK]]'s one-shot shape).
+    * Zero corpus scans: the postings scan is bucket-pruned by the
+    * literal query terms, cf(t) derives from the query-term postings
+    * slice (never a vocabulary aggregate), and the corpus token total
+    * |C| is the SUM of the additive stats rows. Identical arithmetic
+    * to [[qlTopK]] via [[qlRank]]: over the same corpus the two return
+    * byte-identical rows (the probe is hash-oracled against the same
+    * from-scratch SQL). Reference tie: the ii job's postings
+    * (reducer.go:159-186) are the ancestor shape both scorers elevate.
+    */
+  def qlIndexProbe(
+      spark: SparkSession,
+      indexName: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      k: Int = 5,
+      mu: Double = 2000.0
+  ): DataFrame = {
+    import spark.implicits._
+    requireValidQueries(queries)
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val termLits = queries.flatMap(_._2).distinct
+    val postings = spark
+      .table(s"${indexName}_postings")
+      .where(col("tok").isin(termLits: _*))
+      .join(broadcast(qterms), "tok")
+    val dl     = spark.table(s"${indexName}_docstats")
+    val consts = spark.table(s"${indexName}_stats").agg(sum("n_tokens").cast("double").as("__ctot"))
+    qlRank(postings, dl, consts, qterms, k, mu, materialize = false)
   }
 
   /** Default phrase set for [[phraseSearch]] — mixed lengths exercise
@@ -998,14 +1060,13 @@ object TextAnalysis {
     * integers — no floating-point anywhere — and ties break by doc_id,
     * so ordering is trivially cross-engine deterministic.
     */
-  def phraseSearch(
-      spark: SparkSession,
-      dir: String,
-      phrases: Seq[(Int, String)] = defaultPhrases,
-      k: Int = 10
-  ): DataFrame = {
-    import spark.implicits._
-    require(k >= 1, s"k must be >= 1, got $k")
+  /** Validate and normalize a phrase set to (phrase_id, gram text,
+    * token count) — shared by the one-shot [[phraseSearch]] and the
+    * standing-index [[phraseIndexSearch]] so both reject the same
+    * malformed inputs (a phrase the tokenizer could never emit would
+    * silently read as "no results" instead of the caller error it is).
+    */
+  private def normalizePhrases(phrases: Seq[(Int, String)]): Seq[(Int, String, Int)] = {
     require(phrases.nonEmpty, "empty phrase set")
     require(phrases.map(_._1).distinct.length == phrases.length, "duplicate phrase_id")
     val norm = phrases.map { case (pid, p) =>
@@ -1015,6 +1076,18 @@ object TextAnalysis {
       (pid, ts.mkString(" "), ts.length)
     }
     require(norm.map(_._2).distinct.length == norm.length, "duplicate phrase text")
+    norm
+  }
+
+  def phraseSearch(
+      spark: SparkSession,
+      dir: String,
+      phrases: Seq[(Int, String)] = defaultPhrases,
+      k: Int = 10
+  ): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val norm = normalizePhrases(phrases)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val hits = norm
       .groupBy(_._3)
@@ -1038,6 +1111,124 @@ object TextAnalysis {
       .orderBy("phrase_id", "rnk")
   }
 
+  /** Build and persist the STANDING phrase index — the deployment
+    * shape of [[phraseSearch]], which re-tokenizes the corpus once per
+    * distinct phrase length per CALL; at 100 TB every search paying a
+    * corpus scan is the cost a standing index exists to delete. Two
+    * tables:
+    *
+    *   - `name_grams` (g, doc_id, n_hits): occurrence counts of every
+    *     `lengths`-gram, bucketed by `g` so probes scan only the
+    *     buckets their literal phrases hash to (the `bm25_index_topk`
+    *     bucket-pruning pattern) and join exchange-free on the index
+    *     side. Append-friendly: multiple rows per (g, doc_id) across
+    *     ingest batches — readers SUM (the gram-index contract);
+    *   - `name_lens` (l): which phrase lengths are indexed — probes
+    *     fail LOUDLY on an unindexed length instead of silently
+    *     returning no rows.
+    *
+    * An L-token phrase is exactly one L-gram, so a probe is a lookup,
+    * not a scan: filter by phrase literals (bucket-pruned), sum counts,
+    * rank. Index size is one row per distinct (gram, doc) — the same
+    * order as the dedup gram index the corpus already carries.
+    */
+  def buildPhraseIndex(
+      corpus: DataFrame,
+      name: String,
+      lengths: Seq[Int] = Seq(2, 3),
+      buckets: Int = 32
+  ): Unit = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1), s"bad phrase lengths $lengths")
+    require(lengths.distinct.length == lengths.length, s"duplicate phrase lengths in $lengths")
+    val spark = corpus.sparkSession
+    graft.sources.Bucketing.writeBucketedKeys(
+      phraseGramCounts(corpus, lengths),
+      s"${name}_grams",
+      buckets,
+      Seq("g")
+    )
+    val lensTable = s"${name}_lens"
+    spark.sql(s"DROP TABLE IF EXISTS $lensTable")
+    val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), lensTable.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    import spark.implicits._
+    lengths.toDF("l").write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet").saveAsTable(lensTable)
+  }
+
+  /** Per-length gram occurrence counts (g, doc_id, n_hits) for the
+    * phrase index — one [[gramInstances]] pass per length, counts
+    * aggregated BEFORE the write so the stored row count is distinct
+    * (gram, doc) pairs, not raw instances.
+    */
+  private def phraseGramCounts(docs: DataFrame, lengths: Seq[Int]): DataFrame =
+    lengths
+      .map(l =>
+        gramInstances(docs.select("doc_id", "text"), l, materialize = false)
+          .groupBy("g", "doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+      )
+      .reduce(_ unionByName _)
+
+  /** Append NEW documents to a [[buildPhraseIndex]] index (batch
+    * doc_ids disjoint from the corpus — the immutable-prior-rows
+    * stance of every standing index). One row per (gram, doc) per
+    * append; readers sum. The indexed lengths come from the index's
+    * own `_lens` table — an append can never silently index a
+    * different gram set than the build.
+    */
+  def appendPhraseIndex(batch: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark   = batch.sparkSession
+    val lengths = spark.table(s"${name}_lens").orderBy("l").collect().map(_.getInt(0)).toSeq
+    graft.sources.Bucketing.appendBucketedKeys(
+      phraseGramCounts(batch, lengths),
+      s"${name}_grams",
+      buckets,
+      Seq("g")
+    )
+    spark.catalog.refreshTable(s"${name}_grams")
+  }
+
+  /** Exact-phrase search against the standing index: zero corpus scans
+    * — the gram table scan is BUCKET-PRUNED by the literal phrase
+    * texts, counts sum across append rows, and ranking windows over
+    * matched docs only. Identical results to [[phraseSearch]] over the
+    * same corpus by construction (hash-oracled against the same
+    * from-scratch SQL). Phrases whose length is not indexed fail with
+    * the lengths the index actually holds.
+    */
+  def phraseIndexSearch(
+      spark: SparkSession,
+      indexName: String,
+      phrases: Seq[(Int, String)] = defaultPhrases,
+      k: Int = 10
+  ): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val norm    = normalizePhrases(phrases)
+    val indexed = spark.table(s"${indexName}_lens").collect().map(_.getInt(0)).toSet
+    val missing = norm.filter(p => !indexed.contains(p._3))
+    require(
+      missing.isEmpty,
+      s"phrases ${missing.map(_._1).mkString(",")} have unindexed lengths " +
+        s"${missing.map(_._3).distinct.mkString(",")}; index '$indexName' holds ${indexed.toSeq.sorted.mkString(",")}"
+    )
+    val pdf = norm.map { case (pid, g, _) => (pid, g) }.toDF("phrase_id", "g")
+    val hits = spark
+      .table(s"${indexName}_grams")
+      .where(col("g").isin(norm.map(_._2): _*))
+      .join(broadcast(pdf), "g")
+      .groupBy("phrase_id", "doc_id")
+      .agg(sum("n_hits").as("n_hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phrase_id")
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    hits
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("phrase_id", "rnk", "doc_id", "n_hits")
+      .orderBy("phrase_id", "rnk")
+  }
+
   /** Compact an append-accumulated BM25 index in place: every append
     * adds small bucket files and one stats row, so a long-lived index
     * drifts toward many-files-per-bucket reads. Compaction rewrites
@@ -1047,44 +1238,16 @@ object TextAnalysis {
     * amplification reset — the standing-index analogue of
     * [[graft.operators.DataOps.compactParquet]].
     */
-  /** The write-aside-then-swap step compaction rests on: `write`
-    * materializes the compacted copy under the NEW name `table__cpt`
-    * (the source table stays live and readable throughout the heavy
-    * write), then two metadata operations swap it in. The full data
-    * always exists in SOME table — a crash during the write leaves the
-    * original untouched, and a crash between drop and rename leaves
-    * the complete copy under `__cpt`, which the adoption step at the
-    * top of the NEXT run renames into place before compacting again.
-    * Never a self-overwriting rewrite — the hazard
-    * [[DataOps.compactParquet]] documents. One protocol for every
-    * index table (bucketed or plain), so the recovery logic has
-    * exactly one implementation.
+  /** The write-aside-then-swap protocol lives in
+    * [[graft.sources.Bucketing.swapInCompacted]] — shared by every
+    * index family's compaction so the crash-recovery logic has exactly
+    * one implementation.
     */
-  private def swapInCompacted(spark: SparkSession, table: String)(write: String => Unit): Unit = {
-    val tmp = s"${table}__cpt"
-    // crash recovery: a previous run may have dropped `table` after
-    // fully writing `tmp` — adopt the surviving copy before compacting
-    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      spark.catalog.refreshTable(table)
-    }
-    write(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.catalog.refreshTable(table)
-  }
-
   def compactBm25Index(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
-    val postings = s"${name}_postings"
-    swapInCompacted(spark, postings) { tmp =>
-      graft.sources.Bucketing.writeBucketedKeys(spark.table(postings), tmp, buckets, Seq("tok"))
-    }
-    val docstats = s"${name}_docstats"
-    swapInCompacted(spark, docstats) { tmp =>
-      graft.sources.Bucketing.writeBucketedKeys(spark.table(docstats), tmp, buckets, Seq("doc_id"))
-    }
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_postings", buckets, Seq("tok"))
+    graft.sources.Bucketing.compactBucketed(spark, s"${name}_docstats", buckets, Seq("doc_id"))
     val statsTable = s"${name}_stats"
-    swapInCompacted(spark, statsTable) { tmp =>
+    graft.sources.Bucketing.swapInCompacted(spark, statsTable) { tmp =>
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
@@ -1104,20 +1267,30 @@ object TextAnalysis {
     * buckets, via the same write-aside-then-swap protocol. Probe
     * results unchanged; read amplification reset.
     */
-  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit = {
-    val table = s"${name}_gramdf"
-    swapInCompacted(spark, table) { tmp =>
-      graft.sources.Bucketing.writeBucketedKeys(
-        spark
-          .table(table)
-          .groupBy("g")
-          .agg(sum("df_docs").as("df_docs"), min("canon").as("canon")),
-        tmp,
-        buckets,
-        Seq("g")
-      )
-    }
-  }
+  def compactGramIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.compactBucketed(
+      spark,
+      s"${name}_gramdf",
+      buckets,
+      Seq("g"),
+      fold = _.groupBy("g").agg(sum("df_docs").as("df_docs"), min("canon").as("canon"))
+    )
+
+  /** Compact an append-accumulated phrase index ([[buildPhraseIndex]]):
+    * fold the multiple rows per (g, doc_id) that appends leave (probes
+    * `sum(n_hits)`) back into one row per pair in fresh buckets, via
+    * the shared write-aside-then-swap protocol. Probe results
+    * unchanged; read amplification reset. The `_lens` table is
+    * single-write metadata — nothing to compact.
+    */
+  def compactPhraseIndex(spark: SparkSession, name: String, buckets: Int = 32): Unit =
+    graft.sources.Bucketing.compactBucketed(
+      spark,
+      s"${name}_grams",
+      buckets,
+      Seq("g"),
+      fold = _.groupBy("g", "doc_id").agg(sum("n_hits").as("n_hits"))
+    )
 
   /** Retrieval against the standing index: zero corpus scans — the
     * postings scan is BUCKET-PRUNED by the literal query terms (only

@@ -52,4 +52,64 @@ object Bucketing {
     */
   def cogroupedJoin(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** The write-aside-then-swap step every standing-index compaction
+    * rests on: `write` materializes the compacted copy under the NEW
+    * name `table__cpt` (the source table stays live and readable
+    * throughout the heavy write), then two metadata operations swap it
+    * in. The full data always exists in SOME table — a crash during
+    * the write leaves the original untouched, and a crash between drop
+    * and rename leaves the complete copy under `__cpt`, which the
+    * adoption step at the top of the NEXT run renames into place
+    * before compacting again. Never a self-overwriting rewrite — the
+    * hazard [[graft.operators.DataOps.compactParquet]] documents. One
+    * protocol for every index table (bucketed or plain) across every
+    * index family (BM25 postings, gram/phrase grams, LSH bands,
+    * semantic cells, IVF×PQ codes), so the recovery logic has exactly
+    * one implementation.
+    */
+  private[graft] def swapInCompacted(spark: SparkSession, table: String)(write: String => Unit): Unit = {
+    val tmp = s"${table}__cpt"
+    // crash recovery: a previous run may have dropped `table` after
+    // fully writing `tmp` — adopt the surviving copy before compacting
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+    write(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Compact a bucketed index table in place via [[swapInCompacted]]:
+    * re-bucket the current rows into fresh files (optionally folding
+    * rows first via `fold`). Probe results are unchanged by
+    * construction — readers of append-accumulated tables already
+    * aggregate — so this is purely a read-amplification reset. The
+    * pre-write repartition keys on the BUCKET-ID EXPRESSION
+    * (pmod(hash(keys), buckets)), which confines every bucket to one
+    * writer task → exactly one file per non-empty bucket.
+    * Repartitioning on the raw keys does NOT work here: the source is
+    * itself a bucketed table, whose scan already reports the requested
+    * hash partitioning, so the planner elides that shuffle and the
+    * plain multi-file scan layout leaks straight into the "compacted"
+    * write (measured: a 64-file table re-"compacting" to 64 files).
+    */
+  private[graft] def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      buckets: Int,
+      keys: Seq[String],
+      fold: DataFrame => DataFrame = identity
+  ): Unit =
+    swapInCompacted(spark, table) { tmp =>
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      writeBucketedKeys(
+        fold(spark.table(table)).repartition(buckets, pmod(hash(keys.map(col): _*), lit(buckets))),
+        tmp,
+        buckets,
+        keys
+      )
+    }
 }

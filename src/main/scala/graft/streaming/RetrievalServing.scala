@@ -41,18 +41,55 @@ object RetrievalServing {
       checkpoint: String,
       k: Int = 5
   ): StreamingQuery =
+    streamScored(spark, queryStream, outPath, checkpoint)(
+      (qs, bid) => TextAnalysis.bm25IndexProbe(spark, indexName, qs, k)
+    )
+
+  /** Streaming Dirichlet-QL serving from the SAME standing index —
+    * the second scorer gets the same online form as BM25 (a deployed
+    * retrieval stack serves every scorer it offers from the index it
+    * maintains). Identical micro-batch discipline: literal terms for
+    * bucket pruning, batchId-keyed idempotent output.
+    */
+  def streamQl(
+      spark: SparkSession,
+      queryStream: DataFrame,
+      indexName: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int = 5,
+      mu: Double = 2000.0
+  ): StreamingQuery =
+    streamScored(spark, queryStream, outPath, checkpoint)(
+      (qs, bid) => TextAnalysis.qlIndexProbe(spark, indexName, qs, k, mu)
+    )
+
+  /** Shared micro-batch drain: collect the batch's (bounded, human-
+    * issued) query set to the driver as literals — an `isin` over
+    * literals is what lets the postings scan bucket-prune; a joined
+    * DataFrame of terms cannot prune at planning time — then answer
+    * via `probe` and write idempotently under `batch=<id>/`.
+    */
+  private def streamScored(
+      spark: SparkSession,
+      queryStream: DataFrame,
+      outPath: String,
+      checkpoint: String
+  )(probe: (Seq[(Int, Seq[String])], Long) => org.apache.spark.sql.DataFrame): StreamingQuery =
     queryStream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // explicit int cast: a stream whose query_id arrives as LONG
+        // (the natural id type elsewhere) would otherwise blow up with
+        // a ClassCastException inside getInt at runtime
         val qs: Seq[(Int, Seq[String])] = batch
-          .select(col("query_id"), col("terms"))
+          .select(col("query_id").cast("int"), col("terms"))
           .collect()
           .toSeq
           .map(r => r.getInt(0) -> r.getSeq[String](1).toSeq)
         if (qs.nonEmpty)
-          TextAnalysis
-            .bm25IndexProbe(spark, indexName, qs, k)
+          probe(qs, batchId)
             .write
             .mode(SaveMode.Overwrite)
             .parquet(s"$outPath/batch=$batchId")

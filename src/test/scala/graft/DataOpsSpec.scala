@@ -217,20 +217,18 @@ class DataOpsSpec extends SparkSpec {
   test("weightedSample: selection matches an independent A-ES restatement; heavy docs overrepresented") {
     val k = 25
     val got = DataOps.weightedSample(spark, sfDir, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // independent restatement of the race over the collected corpus
     val corpus = Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
-    def rawKey(id: Long, w: Long): Double = {
-      val u = ((id * 2654435761L) % 1000000007L + 1).toDouble / 1000000008.0
-      -math.log(u) / w
-    }
-    def rounded(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // selection and rank on the RAW key; only the reported key rounds
+    def uRes(id: Long): Long = (id * 2654435761L) % 1000000007L + 1
+    def rawKey(id: Long, w: Long): Double =
+      -math.log(uRes(id).toDouble / 1000000008.0) / w
+    // selection and rank on the RAW key; the reported key is the exact
+    // integer residue (no float ever crosses the compare)
     val expect = corpus.map { case (id, w) => (id, w, rawKey(id, w)) }
       .sortBy(t => (t._3, t._1)).take(k).zipWithIndex
-      .map { case ((id, w, s), i) => (i + 1L, id, w, rounded(s)) }
+      .map { case ((id, w, _), i) => (i + 1L, id, w, uRes(id)) }
     assert(got.toSeq == expect.toSeq, "A-ES selection diverged from the restatement")
     // weight = n_chars → sampled docs should skew long
     val sampleMeanW = got.map(_._3).sum.toDouble / got.length

@@ -258,6 +258,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt, s"postings scan read every bucket: ${m.get.matched}")
   }
 
+  test("standing QL probe: qlIndexProbe after build+append == one-shot qlTopK, bucket-pruned") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // the SAME index serves both scorers — build once, probe twice
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), "t_ql_spec")
+    TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 10 === 0), "t_ql_spec")
+    val probe   = TextAnalysis.qlIndexProbe(spark, "t_ql_spec")
+    val oneShot = TextAnalysis.qlTopK(spark, sfDir)
+    assert(probe.collect().toSeq == oneShot.collect().toSeq,
+      "standing-index QL probe diverged from the from-scratch computation")
+    // several bucketed scans print SelectedBucketsCount (docstats reads
+    // all its buckets by design); the postings scan must be the pruned
+    // one — assert at least one scan selects a strict subset
+    val plan = probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val ms = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findAllMatchIn(plan).toSeq
+    assert(ms.nonEmpty, s"no bucket pruning in QL probe plan:\n$plan")
+    assert(ms.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"every bucketed scan read every bucket: ${ms.map(_.matched).mkString("; ")}")
+    // both scorers from one index: BM25 probe against the same tables
+    // still matches its own one-shot (no cross-scorer interference)
+    assert(TextAnalysis.bm25IndexProbe(spark, "t_ql_spec").collect().toSeq ==
+      TextAnalysis.bm25TopK(spark, sfDir).collect().toSeq)
+  }
+
   test("qlTopK matches the Dirichlet formula exactly, absent query terms smoothed") {
     val sess = spark
     import sess.implicits._
@@ -316,6 +340,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(toks(r.getLong(2)).sliding(p.length).contains(p),
         s"doc ${r.getLong(2)} has no token-aligned occurrence of '${phrases(r.getInt(0))}'")
     }
+  }
+
+  test("standing phrase index: probe after build+append == one-shot, bucket-pruned, loud on unindexed length") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    TextAnalysis.buildPhraseIndex(docs.filter(col("doc_id") % 10 =!= 0), "t_phrase_spec")
+    TextAnalysis.appendPhraseIndex(docs.filter(col("doc_id") % 10 === 0), "t_phrase_spec")
+    val probe   = TextAnalysis.phraseIndexSearch(spark, "t_phrase_spec")
+    val oneShot = TextAnalysis.phraseSearch(spark, sfDir)
+    assert(probe.collect().toSeq == oneShot.collect().toSeq,
+      "standing-index phrase probe diverged from the from-scratch computation")
+    // the probe must not scan the whole gram table: the literal phrase
+    // texts prune to their buckets
+    val plan = probe.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val ms = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findAllMatchIn(plan).toSeq
+    assert(ms.nonEmpty, s"no bucket pruning in phrase probe plan:\n$plan")
+    assert(ms.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"gram scan read every bucket: ${ms.map(_.matched).mkString("; ")}")
+    // a phrase length the index does not hold must fail loudly, not
+    // silently return zero rows
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.phraseIndexSearch(spark, "t_phrase_spec", Seq(0 -> "one two three four"))
+    }
+    assert(e.getMessage.contains("unindexed length"), e.getMessage)
   }
 
   test("compactBm25Index: probe identical before/after, stats rows folded to one") {

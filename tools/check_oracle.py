@@ -24,6 +24,37 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# (query, column) pairs whose round(sum, 4) reaches ~1e11 at sf1: the
+# 4th decimal is then the 16th significant digit — past double
+# precision — so Spark's parallel and DuckDB's sequential summation
+# legitimately land 1 ulp apart and the round can fall on different
+# sides of the quantum (SCALE.md "Correctness at sf1"). For these
+# pairs ONLY, floats compare with a last-rounded-decimal tolerance
+# gated on a sub-double-precision RELATIVE difference, so it can never
+# mask a real arithmetic error (any genuine bug is astronomically
+# larger than 5e-15 relative). The set is the five sf1-observed
+# columns plus check_salted_join, which computes the identical sum as
+# check_bucketed_join through a different physical plan (different
+# summation order — same ulp exposure, pass/fail there is a coin
+# toss).
+ULP_TOL_COLS = {
+    ("check_bucketed_join", "total"),
+    ("check_salted_join", "total"),
+    ("cube_order_stats", "total"),
+    ("histogram_totalprice", "total"),
+    ("q19_disjunctive_filter", "revenue"),
+    ("range_join_price_bands", "total"),
+}
+
+def ulp_tolerated(a, b):
+    if not (isinstance(a, float) and isinstance(b, float)):
+        return False
+    if math.isnan(a) or math.isnan(b):
+        return False
+    d = abs(a - b)
+    m = max(abs(a), abs(b))
+    return d <= 1.01e-4 and m > 0 and d / m <= 5e-15
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -71,6 +102,8 @@ for name in sorted(os.listdir(out_dir)):
             if an and bn:
                 continue
             if norm(a) != norm(b):
+                if (name, c) in ULP_TOL_COLS and ulp_tolerated(a, b):
+                    continue
                 bad = f"row {i} col {c}: engine={a!r} oracle={b!r}"
                 break
         if bad:
