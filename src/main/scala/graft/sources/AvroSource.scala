@@ -250,14 +250,16 @@ class AvroPartitionReader(
   * contract with Catalyst: anything it accepts is FULLY handled in
   * [[AvroPartitionReader]] (so the post-scan Filter drops it); the
   * rest is residual and evaluated above the scan as usual. Scope is
-  * deliberately narrow — top-level string/int/long (+ boolean
-  * equality) fields only: string ranges compare in UTF8String
+  * deliberately narrow — top-level string/int/long/float/double (+
+  * boolean equality) fields only: string ranges compare in UTF8String
   * byte order (== code-point order; Java String '<' compares UTF-16
   * code units, which disagrees for supplementary-plane characters —
-  * the KvFilterEval lesson), and float/double are EXCLUDED because
-  * Spark's SQL equality semantics for NaN and -0.0 differ from
-  * java.lang.{Float,Double}.compare, a silent-wrong-results trap no
-  * pushdown win justifies.
+  * the KvFilterEval lesson). Float/double compare under SPARK's SQL
+  * total order, not raw IEEE: NaN is greater than every value and
+  * equal to itself (java.lang.{Float,Double}.compare already does
+  * this), and -0.0 equals 0.0 (compare does NOT — both sides are
+  * normalized first; AvroSourceSpec pins the corner cases against
+  * Spark's own evaluation).
   */
 object AvroFilterEval {
   private def fieldType(schema: StructType, attr: String): Option[DataType] =
@@ -267,6 +269,8 @@ object AvroFilterEval {
     case (StringType, _: String) => true
     case (IntegerType, _: Int)   => true
     case (LongType, _: Long)     => true
+    case (DoubleType, _: Double) => true
+    case (FloatType, _: Float)   => true
     case _                       => false
   }
 
@@ -307,10 +311,26 @@ object AvroFilterEval {
       val i = p(a); val c = v.asInstanceOf[Int]
       rec => { val x = rec.get(i); x != null && test(java.lang.Integer.compare(x.asInstanceOf[Int], c)) }
     }
+    // Spark's SQL total order: Double.compare already ranks NaN above
+    // everything and equal to itself (Spark agrees), but it also ranks
+    // -0.0 below 0.0 where Spark says they're EQUAL — normalizing both
+    // sides to +0.0 closes that one gap
+    def normD(d: Double): Double = if (d == 0.0d) 0.0d else d
+    def normF(f: Float): Float   = if (f == 0.0f) 0.0f else f
+    def dblCmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = {
+      val i = p(a); val c = normD(v.asInstanceOf[Double])
+      rec => { val x = rec.get(i); x != null && test(java.lang.Double.compare(normD(x.asInstanceOf[Double]), c)) }
+    }
+    def fltCmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = {
+      val i = p(a); val c = normF(v.asInstanceOf[Float])
+      rec => { val x = rec.get(i); x != null && test(java.lang.Float.compare(normF(x.asInstanceOf[Float]), c)) }
+    }
     def cmp(a: String, v: Any)(test: Int => Boolean): GenericRecord => Boolean = dt(a) match {
       case StringType  => strCmp(a, v)(test)
       case IntegerType => intCmp(a, v)(test)
       case LongType    => longCmp(a, v)(test)
+      case DoubleType  => dblCmp(a, v)(test)
+      case FloatType   => fltCmp(a, v)(test)
       case other       => throw new IllegalStateException(s"graft-avro: unexpected pushed comparison type $other")
     }
     f match {

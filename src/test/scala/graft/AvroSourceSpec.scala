@@ -130,6 +130,47 @@ class AvroSourceSpec extends SparkSpec {
     assert(resid.count() == Tables.documents(spark, sfDir).filter(length(col("text")) > 200).count())
   }
 
+  test("double filter pushdown: Spark total-order semantics (NaN, -0.0) preserved at the scan") {
+    val dir = s"$base/dbl_filters"
+    val rows = Seq(
+      (1L, 1.5d), (2L, 0.0d), (3L, -0.0d), (4L, Double.NaN),
+      (5L, Double.PositiveInfinity), (6L, Double.NegativeInfinity), (7L, -2.25d)
+    )
+    val df = spark.createDataFrame(rows).toDF("id", "d")
+    df.write.format("graft-avro").mode("overwrite").save(dir)
+    val avro = Sources.avro(spark, dir)
+
+    // plain range: pushed, no post-scan Filter, and NaN counts as
+    // greater than everything (Spark's total order)
+    val q    = avro.filter(col("d") > 0.0d).select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(d,0.0)"), s"double filter not pushed:\n$plan")
+    assert(!plan.contains("Filter "), s"post-scan Filter survived full pushdown:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+
+    // -0.0 == 0.0 under Spark semantics; raw Double.compare would
+    // silently drop the -0.0 row
+    assert(avro.filter(col("d") === 0.0d).collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // NaN = NaN is TRUE in Spark SQL, and NaN ranks above +Inf
+    assert(avro.filter(col("d") === Double.NaN).collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(avro.filter(col("d") >= Double.PositiveInfinity).collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+
+    // every shape agrees with Spark's own in-memory evaluation
+    Seq(
+      col("d") > 0.0d,
+      col("d") === 0.0d,
+      col("d") <= 0.0d,
+      col("d") < Double.PositiveInfinity,
+      col("d") >= -2.25d
+    ).foreach { p =>
+      assert(
+        avro.filter(p).collect().map(_.getLong(0)).toSet ==
+          df.filter(p).collect().map(_.getLong(0)).toSet,
+        s"pushdown diverged from Spark evaluation for $p"
+      )
+    }
+  }
+
   test("nested directory layouts read recursively; hidden dirs are skipped") {
     val dir = s"$base/nested_layout"
     val d1  = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "v")
