@@ -73,22 +73,40 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = headline.flatMap { name =>
+    // A rep that THROWS is not a timing: time-to-exception (~0.07 s for
+    // an analysis error) polluting the artifact reads as a 40× speedup.
+    // Failed queries go to an `errors` map and are excluded from
+    // `queries`/`total`, so a schema drift shows up as an error count —
+    // never as a fake number.
+    def jsonEscape(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").replace("\r", " ").take(160)
+    val timed: Seq[(String, Either[String, Double])] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to reps).map { _ =>
+        var err: Option[String] = None
+        val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+          }
         }
-        name -> median(times)
+        name -> (if (times.isEmpty) Left(err.getOrElse("failed")) else Right(median(times)))
       }
     }
+    val results = timed.collect { case (k, Right(v)) => k -> v }
+    val errors  = timed.collect { case (k, Left(m)) => k -> m }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // per-query history for cross-round regression detection (±1s
     // single-run noise on this host makes one-off comparisons useless)

@@ -79,6 +79,20 @@ object SparkEntry {
     * check; the oracle thereby hash-verifies normalization, cell
     * probing, ADC lookup, scoring, and ranking end-to-end.
     */
+  /** Per-(kind, dir) memo for the one-shot ANN oracle dumps: the
+    * frozen state is seeded-deterministic, so dumping once per JVM per
+    * dir is exact, and bench reps never pay the dump twice.
+    */
+  private val simOracleDumped = scala.collection.mutable.Set.empty[String]
+
+  private def dumpSimOracleOnce(kind: String, dir: String)(body: => Unit): Unit =
+    simOracleDumped.synchronized {
+      if (!simOracleDumped.contains(s"$kind@$dir")) {
+        body
+        simOracleDumped += s"$kind@$dir"
+      }
+    }
+
   private def dumpIvfPqOracle(s: SparkSession, idx: String, tag: String): Unit =
     Seq("centroids", "codebooks", "codes").foreach { t =>
       s.table(s"${idx}_$t")
@@ -235,9 +249,41 @@ object SparkEntry {
     "weighted_sample"    -> q((s, dir) => DataOps.weightedSample(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
-    "sim_ann_lsh"         -> q((s, dir) => Similarity.annLshTopK(s, dir)),
-    "sim_ivf_topk"        -> q((s, dir) => Similarity.ivfTopK(s, dir)),
-    "sim_pq_topk"         -> q((s, dir) => Similarity.pqTopK(s, dir)),
+    // the three one-shot ANN variants dump their deterministic frozen
+    // state (LSH codes / IVF centroids+assignments / PQ model) under a
+    // fixed path so the DuckDB oracle replays banding/probing/ADC from
+    // the exact model — the dumpIvfPqOracle stance, graduating all
+    // three from rows-only to hash-verified. The dump is memoized per
+    // dir (models are seeded-deterministic, so the recompute here
+    // equals what the query itself derives) and never runs on repeat
+    // bench reps.
+    "sim_ann_lsh" -> q { (s, dir) =>
+      dumpSimOracleOnce("lsh", dir) {
+        Similarity
+          .hyperplaneCodes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 16)
+          .select("vec_id", "lsh_code")
+          .write.mode("overwrite").parquet("/tmp/graft_lsh_oracle/topk/codes")
+      }
+      Similarity.annLshTopK(s, dir)
+    },
+    "sim_ivf_topk" -> q { (s, dir) =>
+      dumpSimOracleOnce("ivf", dir) {
+        val (assigned, centDf) =
+          Similarity.kmeansCells(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 16)
+        centDf.write.mode("overwrite").parquet("/tmp/graft_ivf_oracle/topk/centroids")
+        assigned.select("vec_id", "cell").write.mode("overwrite").parquet("/tmp/graft_ivf_oracle/topk/assigned")
+      }
+      Similarity.ivfTopK(s, dir)
+    },
+    "sim_pq_topk" -> q { (s, dir) =>
+      dumpSimOracleOnce("pq", dir) {
+        val (_, cbDf, codes) =
+          Similarity.pqFit(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 16, 64, 64)
+        cbDf.write.mode("overwrite").parquet("/tmp/graft_pq_oracle/topk/codebooks")
+        codes.write.mode("overwrite").parquet("/tmp/graft_pq_oracle/topk/codes")
+      }
+      Similarity.pqTopK(s, dir)
+    },
     "sim_ivfpq_topk" -> q { (s, dir) =>
       // production shape: the IVF×PQ index is STANDING state (built
       // once per corpus, memoized per dir like q_lsh_idx/q_sem_idx);
@@ -1619,6 +1665,88 @@ object SparkEntry {
       "check_ann_recall" -> "SELECT true AS recall_ok",
       "check_ivf_recall" -> "SELECT true AS recall_ok",
       "check_pq_recall" -> "SELECT true AS recall_ok",
+      // hyperplane-LSH replay from the dumped code table: banding
+      // (shiftright + mask), the >cap bucket drop, bucket-join
+      // candidate generation, exact-cosine rescore, top-5 — the sign
+      // arithmetic is inside the dumped codes (the model IS the input
+      // contract, like the ivfpq centroid dump)
+      "sim_ann_lsh" ->
+        """WITH coded AS (SELECT vec_id, lsh_code FROM '/tmp/graft_lsh_oracle/topk/codes/*.parquet'),
+          |banded AS (SELECT vec_id, CAST(c AS INTEGER) AS band,
+          |             (lsh_code >> (CAST(c AS INTEGER) * 4)) & 15 AS sub_code
+          |           FROM coded, UNNEST(range(0, 4)) AS u(c)),
+          |ok AS (SELECT band, sub_code FROM banded GROUP BY 1, 2 HAVING count(*) <= 4096),
+          |kept AS (SELECT b.* FROM banded b JOIN ok USING (band, sub_code)),
+          |qs AS (SELECT vec_id AS qid, band, sub_code FROM kept WHERE vec_id % 100 = 0),
+          |cand AS (SELECT DISTINCT q.qid, k2.vec_id AS cand
+          |         FROM qs q JOIN kept k2 USING (band, sub_code) WHERE k2.vec_id <> q.qid),
+          |sc AS (SELECT c.qid, c.cand,
+          |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+          |                                CAST(ce.embedding AS DOUBLE[])) AS cos
+          |       FROM cand c
+          |       JOIN embeddings qe ON qe.vec_id = c.qid
+          |       JOIN embeddings ce ON ce.vec_id = c.cand),
+          |r AS (SELECT qid, cand, cos,
+          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rn FROM sc)
+          |SELECT qid, CAST(rn AS BIGINT) AS rnk, cand, round(cos, 4) AS cos
+          |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+      // IVF replay from the dumped frozen quantizer: nProbe=4 cell
+      // probe against the dumped centroids, candidate restriction via
+      // the dumped assignments, exact-cosine rescore, top-5
+      "sim_ivf_topk" ->
+        """WITH cent AS (SELECT cell, centroid FROM '/tmp/graft_ivf_oracle/topk/centroids/*.parquet'),
+          |asg AS (SELECT vec_id, cell FROM '/tmp/graft_ivf_oracle/topk/assigned/*.parquet'),
+          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+          |pr AS (SELECT q.qid, cent.cell,
+          |         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+          |                                CAST(cent.centroid AS DOUBLE[])) AS cdist
+          |       FROM q CROSS JOIN cent),
+          |probed AS (SELECT qid, cell FROM (
+          |    SELECT qid, cell,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cdist DESC, cell) AS prank
+          |    FROM pr)
+          |  WHERE prank <= 4),
+          |sc AS (SELECT p.qid, a.vec_id AS cand,
+          |         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+          |                                CAST(e.embedding AS DOUBLE[])) AS cos
+          |       FROM asg a
+          |       JOIN probed p ON a.cell = p.cell AND a.vec_id <> p.qid
+          |       JOIN q ON q.qid = p.qid
+          |       JOIN embeddings e ON e.vec_id = a.vec_id),
+          |r AS (SELECT qid, cand, cos,
+          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rn FROM sc)
+          |SELECT qid, CAST(rn AS BIGINT) AS rnk, cand, round(cos, 4) AS cos
+          |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+      // plain-PQ replay from the dumped codebooks + codes: query
+      // normalization, per-subspace ADC table, whole-corpus code
+      // lookup sum (no cell restriction — that is what ivfpq adds),
+      // round-then-rank; float/double staging mirrors ivfPqSql
+      "sim_pq_topk" ->
+        """WITH cb AS (SELECT sub_idx, code, cvec FROM '/tmp/graft_pq_oracle/topk/codebooks/*.parquet'),
+          |codes AS (SELECT vec_id, sub_idx, code FROM '/tmp/graft_pq_oracle/topk/codes/*.parquet'),
+          |q0 AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id % 100 = 0),
+          |qn AS (SELECT qid,
+          |         list_transform(e, x -> CAST(CAST(x AS DOUBLE) / nrm AS REAL)) AS qe
+          |       FROM (SELECT qid, e,
+          |               sqrt(list_sum(list_transform(e, x -> CAST(x * x AS DOUBLE)))) AS nrm
+          |             FROM q0)
+          |       WHERE nrm > 0),
+          |qsub AS (SELECT qid, s AS sub_idx,
+          |           qe[CAST(s * 4 + 1 AS INTEGER):CAST(s * 4 + 4 AS INTEGER)] AS subvec
+          |         FROM qn, UNNEST(range(0, 16)) AS u(s)),
+          |qtab AS (SELECT q.qid, cb.sub_idx, cb.code,
+          |           list_sum(list_transform(range(1, 5),
+          |             i -> CAST(q.subvec[CAST(i AS INTEGER)] * cb.cvec[CAST(i AS INTEGER)] AS DOUBLE))) AS pdot
+          |         FROM qsub q JOIN cb ON cb.sub_idx = q.sub_idx),
+          |sc AS (SELECT t.qid, c.vec_id AS cand, round(sum(t.pdot), 4) AS adc
+          |       FROM codes c
+          |       JOIN qtab t ON t.sub_idx = c.sub_idx AND t.code = c.code
+          |       WHERE c.vec_id <> t.qid
+          |       GROUP BY 1, 2),
+          |r AS (SELECT qid, cand, adc,
+          |        row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cand) AS rn FROM sc)
+          |SELECT qid, CAST(rn AS BIGINT) AS rnk, cand, adc
+          |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
       "check_ivfpq_recall" -> "SELECT true AS recall_ok, true AS work_reduced",
       "sim_ivfpq_topk"   -> ivfPqSql("topk"),
       "sim_ivfpq_append" -> ivfPqSql("append"),

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -28,16 +29,34 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` ships with parquet TIMESTAMP(NANOS) which Spark only
-    * reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[GraftSession]]). This loader keeps the raw nanos as `ts_ns` and
-    * adds a proper microsecond `ts` timestamp (floor division, matching
-    * DuckDB's TIMESTAMP_NS → TIMESTAMP cast).
+  /** Normalize the physical `ts` encoding of the events table to the
+    * engine's canonical pair: `ts` (session-TZ TIMESTAMP at µs) plus
+    * `ts_ns` (raw epoch nanos, LONG). The driver's generator has
+    * shipped BOTH parquet TIMESTAMP(NANOS) — read as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[GraftSession]]) —
+    * and timestamp[us] — read as TIMESTAMP_NTZ. Branching on the read
+    * dataType keeps every consumer working across regenerations
+    * (session TZ is UTC, so the NTZ→TIMESTAMP cast is value-exact).
     */
+  def normalizeEventTime(df: DataFrame): DataFrame = {
+    val canonical =
+      Seq("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props").map(col)
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong: floor-div to µs like DuckDB's NS→TIMESTAMP cast
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+          .select(canonical: _*)
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+          .select(canonical: _*)
+      case other =>
+        throw new IllegalStateException(s"events.ts read as unsupported type $other")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    normalizeEventTime(load(spark, dir, "events"))
 
   /** Register every table as a temp view (SQL surface / grouping sets). */
   def registerAll(spark: SparkSession, dir: String): Unit =

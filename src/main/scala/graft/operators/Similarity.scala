@@ -664,10 +664,14 @@ object Similarity {
       .join(broadcast(qtab), Seq("sub_idx", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("cand"))
-      .agg(sum("pdot").as("adc"))
+      // round BEFORE ranking (the ivfPqTopK stance): the ADC sum's
+      // summation order is partition-dependent, and ranking unrounded
+      // doubles makes the order hostage to those ulps — quantize
+      // first so the rank is reproducible across engines and runs
+      .agg(round(sum("pdot"), 4).as("adc"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("cand"), round(col("adc"), 4).as("adc"))
+      .select(col("qid"), col("rnk"), col("cand"), col("adc"))
       .orderBy("qid", "rnk")
   }
 

@@ -744,7 +744,7 @@ object TextAnalysis {
     // member of the collection); avgdl = total tokens / N
     val consts = docs
       .agg(count(lit(1)).cast("double").as("__n"))
-      .crossJoin(dl.agg(sum("dl").cast("double").as("__ntok")))
+      .crossJoin(broadcast(dl.agg(sum("dl").cast("double").as("__ntok"))))
       .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
@@ -870,7 +870,7 @@ object TextAnalysis {
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     corpus
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(spark.table(s"${name}_docstats").agg(coalesce(sum("dl"), lit(0L)).as("n_tokens")))
+      .crossJoin(broadcast(spark.table(s"${name}_docstats").agg(coalesce(sum("dl"), lit(0L)).as("n_tokens"))))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet")
@@ -902,7 +902,7 @@ object TextAnalysis {
     graft.sources.Bucketing.appendBucketedKeys(dl, s"${name}_docstats", buckets, Seq("doc_id"))
     batch
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("n_tokens")))
+      .crossJoin(broadcast(dl.agg(coalesce(sum("dl"), lit(0L)).as("n_tokens"))))
       .write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet")

@@ -17,27 +17,20 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events table as read with nanosAsLong (ts = raw
-    * nanos; streaming reads must supply the schema explicitly).
+  /** Streaming source over a directory of events parquet files.
+    *
+    * Streaming reads must supply the schema explicitly, but the
+    * physical encoding of `ts` is not stable across testdata
+    * regenerations (TIMESTAMP(NANOS)-as-BIGINT vs timestamp[us]) — so
+    * the schema comes from a driver-side batch footer read of the same
+    * path, and [[graft.Tables.normalizeEventTime]] adapts whichever
+    * encoding showed up to the canonical (`ts` TIMESTAMP, `ts_ns`
+    * LONG) pair.
     */
-  val eventsSchema: StructType = StructType(
-    Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)
-    )
-  )
-
-  /** Streaming source over a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTime(spark.readStream.schema(physical).parquet(dir))
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — late
     * rows beyond the watermark are dropped, state is bounded.

@@ -8,6 +8,35 @@ package graft
   */
 class EntryRegistrySpec extends SparkSpec {
 
+  test("every registered query analyzes against the current testdata") {
+    // Round-7 postmortem: a testdata regeneration changed events.ts
+    // from TIMESTAMP(NANOS)-as-BIGINT to timestamp[us] and 15 queries
+    // started throwing AT ANALYSIS TIME — the correctness driver drops
+    // throwers instead of recording err, so the oracle file silently
+    // shrank from 164 to 149 entries with "0 failures". This smoke
+    // forces analysis (not execution) of the full registry so any
+    // schema drift fails `sbt test` with a named count instead.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).queryExecution.analyzed
+        None
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString
+          Some(s"$name: ${e.getClass.getSimpleName}: $msg")
+      }
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size}/${SparkEntry.queries.size} queries failed analysis:\n${failures.mkString("\n")}"
+    )
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracleSql keys without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
+  }
+
   test("standing-index queries stay correct across two data dirs in one JVM") {
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     // First pass primes the memos in dir order; second pass re-queries

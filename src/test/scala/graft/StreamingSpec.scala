@@ -171,10 +171,26 @@ class StreamingSpec extends SparkSpec {
     * session's close on the next micro-batch.
     */
   private def advanceWatermark(streamDir: java.nio.file.Path): Unit = {
-    import SparkSpec.spark.implicits._
-    val maxNs = Tables.events(spark, sfDir).agg(max("ts_ns")).collect()(0).getLong(0)
-    val lateDf = Seq((999999999L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the advance file must match the stream dir's PHYSICAL ts type
+    // (raw nanos LONG vs timestamp[us]) or the running stream's fixed
+    // schema fails the read — mirror whatever the real file shipped
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val maxNs  = Tables.events(spark, sfDir).agg(max("ts_ns")).collect()(0).getLong(0)
+    val lateNs = maxNs + 30L * 24 * 3600 * 1000000000L
+    val tsCol = physical match {
+      case org.apache.spark.sql.types.LongType => lit(lateNs)
+      case other => expr(s"cast(timestamp_micros(${lateNs / 1000}L) as ${other.sql})")
+    }
+    val lateDf = spark
+      .range(1)
+      .select(
+        lit(999999999L).as("event_id"),
+        tsCol.as("ts"),
+        lit(-1L).as("user_id"),
+        lit("click").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props")
+      )
     val tmpOut = java.nio.file.Files.createTempDirectory("graft_wm_adv")
     lateDf.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
     val part = java.nio.file.Files
