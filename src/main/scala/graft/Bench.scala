@@ -27,6 +27,9 @@ object Bench {
     "range_join_price_bands"
   )
   def main(args: Array[String]): Unit = {
+    // never overwrite the Verify-time oracle dumps (SparkEntry's
+    // fixed-path frozen-model dumps) from a bench at a different sfDir
+    System.setProperty("graft.oracle.dump", "off")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()

@@ -85,8 +85,16 @@ object SparkEntry {
     */
   private val simOracleDumped = scala.collection.mutable.Set.empty[String]
 
+  /** Oracle dumps exist solely for the Verify→DuckDB compare; a Bench
+    * run (different sfDir) re-executing these queries must NOT
+    * overwrite the fixed dump paths the pending compare reads —
+    * Bench.main sets this property to suppress all dumps.
+    */
+  private def oracleDumpsSuppressed: Boolean =
+    sys.props.get("graft.oracle.dump").contains("off")
+
   private def dumpSimOracleOnce(kind: String, dir: String)(body: => Unit): Unit =
-    simOracleDumped.synchronized {
+    if (!oracleDumpsSuppressed) simOracleDumped.synchronized {
       if (!simOracleDumped.contains(s"$kind@$dir")) {
         body
         simOracleDumped += s"$kind@$dir"
@@ -94,7 +102,7 @@ object SparkEntry {
     }
 
   private def dumpIvfPqOracle(s: SparkSession, idx: String, tag: String): Unit =
-    Seq("centroids", "codebooks", "codes").foreach { t =>
+    if (!oracleDumpsSuppressed) Seq("centroids", "codebooks", "codes").foreach { t =>
       s.table(s"${idx}_$t")
         .write
         .mode("overwrite")
@@ -1039,12 +1047,19 @@ object SparkEntry {
            |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
            |FROM c ORDER BY source, doc_id""".stripMargin,
       "agg_extras" ->
-        """SELECT o_orderstatus,
-          |  min_by(o_orderkey, o_totalprice) AS cheapest_order,
-          |  max_by(o_orderkey, o_totalprice) AS priciest_order,
+        // window-CASE formulation of the deterministic (price, key)
+        // tie-break: min/max key among the rows attaining the extreme
+        // price (replicated corpora hold many attaining rows)
+        """WITH w AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+          |  min(o_totalprice) OVER (PARTITION BY o_orderstatus) AS mn,
+          |  max(o_totalprice) OVER (PARTITION BY o_orderstatus) AS mx
+          |  FROM orders)
+          |SELECT o_orderstatus,
+          |  min(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS cheapest_order,
+          |  max(CASE WHEN o_totalprice = mx THEN o_orderkey END) AS priciest_order,
           |  bool_and(o_totalprice > 1000) AS all_above_1k,
           |  bool_or(o_totalprice > 500000) AS any_above_500k
-          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+          |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "dataset_split" ->
         """SELECT doc_id,
           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split

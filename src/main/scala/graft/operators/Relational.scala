@@ -909,8 +909,12 @@ object Relational {
       .orders(spark, dir)
       .groupBy("o_orderstatus")
       .agg(
-        expr("min_by(o_orderkey, o_totalprice)").as("cheapest_order"),
-        expr("max_by(o_orderkey, o_totalprice)").as("priciest_order"),
+        // struct ordering key = deterministic tie-break: replicated
+        // corpora (sf1) hold MANY orders at the extreme price, and
+        // bare min_by/max_by pick an arbitrary attaining row — the
+        // (price, key) lexicographic order pins min-key/max-key
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("cheapest_order"),
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("priciest_order"),
         expr("bool_and(o_totalprice > 1000)").as("all_above_1k"),
         expr("bool_or(o_totalprice > 500000)").as("any_above_500k")
       )

@@ -37,6 +37,26 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # check_bucketed_join through a different physical plan (different
 # summation order — same ulp exposure, pass/fail there is a coin
 # toss).
+# Sketch-estimate columns: BELOW sketch capacity the estimate
+# degenerates to the exact count and the tight compare binds (all gate
+# scales); AT saturation (sf1: 200k parts vs k=32768) a KMV estimate
+# legitimately differs from the oracle's exact count, bounded by the
+# published 3/sqrt(k) = 1.66% error. A real sketch bug (the r6
+# saturation cap reported 32768 for 200k — 84% off) fails loudly.
+EST_TOL_COLS = {
+    ("sketch_kmv_parts", "n_parts"): 3.0 / math.sqrt(32768),
+}
+
+def est_tolerated(name, c, a, b):
+    tol = EST_TOL_COLS.get((name, c))
+    if tol is None:
+        return False
+    try:
+        a, b = float(a), float(b)
+    except (TypeError, ValueError):
+        return False
+    return b != 0 and abs(a - b) / abs(b) <= tol
+
 ULP_TOL_COLS = {
     ("check_bucketed_join", "total"),
     ("check_salted_join", "total"),
@@ -53,7 +73,16 @@ def ulp_tolerated(a, b):
         return False
     d = abs(a - b)
     m = max(abs(a), abs(b))
-    return d <= 1.01e-4 and m > 0 and d / m <= 5e-15
+    # Spark's parallel (tree) summation and DuckDB's sequential order
+    # accumulate DIFFERENT float error over millions of rows: sf1
+    # observed up to ~100 ulps apart (0.0015 at 7.3e10 over 1.5M rows,
+    # rel 2.1e-14) — well within summation-order noise (bound ~n*eps),
+    # and 4 orders of magnitude below one missing/extra row's
+    # contribution (the smallest o_totalprice is ~900 → rel ~1e-8).
+    # 1e-12 therefore tolerates reordering noise only; any genuine
+    # arithmetic or row-count error still fails loudly (the +1
+    # injection demo lands at rel 1.3e-11 and FAILS).
+    return m > 0 and d / m <= 1e-12
 
 def norm(v):
     if isinstance(v, float):
@@ -103,6 +132,8 @@ for name in sorted(os.listdir(out_dir)):
                 continue
             if norm(a) != norm(b):
                 if (name, c) in ULP_TOL_COLS and ulp_tolerated(a, b):
+                    continue
+                if est_tolerated(name, c, a, b):
                     continue
                 bad = f"row {i} col {c}: engine={a!r} oracle={b!r}"
                 break
