@@ -101,6 +101,18 @@ object SparkEntry {
       }
     }
 
+  /** Hyperplane-LSH code dump shared by `sim_ann_lsh` and
+    * `dedup_embedding_lsh` (both derive candidates from the SAME
+    * numPlanes=16 code table; whichever runs first dumps it).
+    */
+  private def dumpLshCodes(s: SparkSession, dir: String): Unit =
+    dumpSimOracleOnce("lsh", dir) {
+      Similarity
+        .hyperplaneCodes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 16)
+        .select("vec_id", "lsh_code")
+        .write.mode("overwrite").parquet("/tmp/graft_lsh_oracle/topk/codes")
+    }
+
   private def dumpIvfPqOracle(s: SparkSession, idx: String, tag: String): Unit =
     if (!oracleDumpsSuppressed) Seq("centroids", "codebooks", "codes").foreach { t =>
       s.table(s"${idx}_$t")
@@ -220,10 +232,34 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     ),
-    "dedup_minhash_lsh" -> q((s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir))),
+    // the near-dup families dump their deterministic frozen state
+    // (signatures / band assignments / cell assignments) so the DuckDB
+    // oracle replays banding, bucket caps, candidate pairing, and
+    // rescoring from the exact model — the same dump stance that
+    // graduated the ANN variants to hash-verified
+    "dedup_minhash_lsh" -> q { (s, dir) =>
+      dumpSimOracleOnce("minhash", dir) {
+        val sigs = Dedup
+          .minhashSignatures(Dedup.hashedShingles(Tables.documents(s, dir), 3), 64)
+          .localCheckpoint(eager = false)
+        sigs.write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/sigs")
+        Dedup
+          .bandedSignatures(sigs, 64, 16, "doc_id")
+          .select("doc_id", "band", "bucket")
+          .write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/bands")
+      }
+      Dedup.minhashNearDups(Tables.documents(s, dir))
+    },
     "dedup_components"  -> q(Dedup.nearDupComponents),
     "dedup_components_star" -> q(Dedup.nearDupComponentsStar),
-    "dedup_simhash"     -> q((s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir))),
+    "dedup_simhash" -> q { (s, dir) =>
+      dumpSimOracleOnce("simhash", dir) {
+        Dedup
+          .simhash(Tables.documents(s, dir))
+          .write.mode("overwrite").parquet("/tmp/graft_simhash_oracle/sigs")
+      }
+      Dedup.simhashNearDups(Tables.documents(s, dir))
+    },
     "dedup_embedding_cosine" -> q((s, dir) => Dedup.embeddingNearDups(s, dir)),
     "dedup_incremental" -> q { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -246,6 +282,22 @@ object SparkEntry {
           lshIndexBuilt += dir
         }
       }
+      dumpSimOracleOnce("ilsh", dir) {
+        // frozen probe state: the standing index tables plus the
+        // batch's deterministic signatures/banding — the oracle
+        // replays touched-bucket pruning, the combined-population cap,
+        // candidate pairing, and signature-similarity rescoring
+        s.table(s"${lshIdx}_bands").write.mode("overwrite").parquet("/tmp/graft_ilsh_oracle/bands")
+        s.table(s"${lshIdx}_sigs").write.mode("overwrite").parquet("/tmp/graft_ilsh_oracle/sigs")
+        val batchSigs = Dedup
+          .minhashSignatures(Dedup.hashedShingles(docs.filter(col("doc_id") % 10 === 0), 3), 64)
+          .localCheckpoint(eager = false)
+        batchSigs.write.mode("overwrite").parquet("/tmp/graft_ilsh_oracle/batch_sigs")
+        Dedup
+          .bandedSignatures(batchSigs, 64, 16, "doc_id")
+          .select("doc_id", "band", "bucket")
+          .write.mode("overwrite").parquet("/tmp/graft_ilsh_oracle/batch_bands")
+      }
       Dedup.incrementalMinhashLsh(s, lshIdx, docs.filter(col("doc_id") % 10 === 0))
     },
     "text_repetition" -> q(TextAnalysis.repetitionScore),
@@ -266,12 +318,7 @@ object SparkEntry {
     // equals what the query itself derives) and never runs on repeat
     // bench reps.
     "sim_ann_lsh" -> q { (s, dir) =>
-      dumpSimOracleOnce("lsh", dir) {
-        Similarity
-          .hyperplaneCodes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), 16)
-          .select("vec_id", "lsh_code")
-          .write.mode("overwrite").parquet("/tmp/graft_lsh_oracle/topk/codes")
-      }
+      dumpLshCodes(s, dir)
       Similarity.annLshTopK(s, dir)
     },
     "sim_ivf_topk" -> q { (s, dir) =>
@@ -337,8 +384,21 @@ object SparkEntry {
         excludeSelf = true // queries come from the indexed corpus here
       )
     },
-    "dedup_embedding_lsh" -> q((s, dir) => Similarity.embeddingNearDupLsh(s, dir)),
-    "dedup_semantic"      -> q((s, dir) => Similarity.semanticNearDups(s, dir)),
+    "dedup_embedding_lsh" -> q { (s, dir) =>
+      dumpLshCodes(s, dir) // same numPlanes=16 codes as sim_ann_lsh
+      Similarity.embeddingNearDupLsh(s, dir)
+    },
+    "dedup_semantic" -> q { (s, dir) =>
+      dumpSimOracleOnce("sem", dir) {
+        val e           = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val (_, centDf) = Similarity.kmeansCells(e, 16)
+        Similarity
+          .assignCells(e, centDf, 2)
+          .select("vec_id", "cell")
+          .write.mode("overwrite").parquet("/tmp/graft_sem_oracle/assigned")
+      }
+      Similarity.semanticNearDups(s, dir)
+    },
     "dedup_incremental_semantic" -> q { (s, dir) =>
       // standing corpus = 90% of vectors, arriving batch = 10%; index
       // build memoized per dir so repeated calls measure the probe
@@ -349,6 +409,13 @@ object SparkEntry {
           Similarity.buildSemanticIndex(e.filter(col("vec_id") % 10 =!= 0), semIdx)
           semIndexBuilt += dir
         }
+      }
+      dumpSimOracleOnce("isem", dir) {
+        s.table(s"${semIdx}_cells").write.mode("overwrite").parquet("/tmp/graft_isem_oracle/cells")
+        Similarity
+          .assignCells(e.filter(col("vec_id") % 10 === 0), s.table(s"${semIdx}_centroids"), 2)
+          .select("vec_id", "cell")
+          .write.mode("overwrite").parquet("/tmp/graft_isem_oracle/batch")
       }
       Similarity.incrementalSemantic(s, semIdx, e.filter(col("vec_id") % 10 === 0))
     },
@@ -1732,6 +1799,140 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rn FROM sc)
           |SELECT qid, CAST(rn AS BIGINT) AS rnk, cand, round(cos, 4) AS cos
           |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+      // MinHash-LSH replay from the dumped signature + band tables:
+      // 2..cap bucket membership, a<b candidate pairs, signature
+      // similarity = fraction of equal components (exact: m/64 is a
+      // dyadic rational), threshold, round-then-emit
+      "dedup_minhash_lsh" ->
+        """WITH sigs AS (SELECT doc_id, sig FROM '/tmp/graft_minhash_oracle/sigs/*.parquet'),
+          |bands AS (SELECT doc_id, band, bucket FROM '/tmp/graft_minhash_oracle/bands/*.parquet'),
+          |ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 256),
+          |kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |         FROM kept x JOIN kept y USING (band, bucket) WHERE x.doc_id < y.doc_id),
+          |sc AS (SELECT c.a, c.b,
+          |         list_sum(list_transform(range(1, 65),
+          |           i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]
+          |                THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
+          |       FROM cand c
+          |       JOIN sigs sa ON sa.doc_id = c.a
+          |       JOIN sigs sb ON sb.doc_id = c.b)
+          |SELECT a, b, round(est_jaccard, 4) AS est_jaccard FROM sc
+          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+      // SimHash replay from the dumped signatures: pigeonhole chunk
+      // candidates (4 × 16-bit chunks — arithmetic vs logical shift
+      // is immaterial under the low-16 mask), hamming via
+      // bit_count(xor), cap + threshold
+      "dedup_simhash" ->
+        """WITH s AS (SELECT doc_id, simhash FROM '/tmp/graft_simhash_oracle/sigs/*.parquet'),
+          |ch AS (SELECT doc_id, simhash, CAST(c AS INTEGER) AS chunk_idx,
+          |         (simhash >> (CAST(c AS INTEGER) * 16)) & 65535 AS chunk_val
+          |       FROM s, UNNEST(range(0, 4)) AS u(c)),
+          |ok AS (SELECT chunk_idx, chunk_val FROM ch GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 256),
+          |kept AS (SELECT c.* FROM ch c JOIN ok USING (chunk_idx, chunk_val)),
+          |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+          |            bit_count(xor(x.simhash, y.simhash)) AS hamming
+          |          FROM kept x JOIN kept y USING (chunk_idx, chunk_val)
+          |          WHERE x.doc_id < y.doc_id)
+          |SELECT a, b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+      // SemDeDup replay from the dumped 2-nearest-cell assignments:
+      // within-cell pairs under the cap, exact-cosine rescore
+      "dedup_semantic" ->
+        """WITH asg AS (SELECT vec_id, cell FROM '/tmp/graft_sem_oracle/assigned/*.parquet'),
+          |ok AS (SELECT cell FROM asg GROUP BY 1 HAVING count(*) BETWEEN 2 AND 4096),
+          |kept AS (SELECT a.* FROM asg a JOIN ok USING (cell)),
+          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          |         FROM kept x JOIN kept y USING (cell) WHERE x.vec_id < y.vec_id),
+          |sc AS (SELECT c.a, c.b,
+          |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+          |                                CAST(eb.embedding AS DOUBLE[])) AS cos
+          |       FROM cand c
+          |       JOIN embeddings ea ON ea.vec_id = c.a
+          |       JOIN embeddings eb ON eb.vec_id = c.b)
+          |SELECT a, b, round(cos, 4) AS cos FROM sc
+          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+      // embedding-LSH near-dup replay from the shared hyperplane code
+      // dump: 8 bands x 2 bits, capped buckets, exact-cosine rescore
+      "dedup_embedding_lsh" ->
+        """WITH coded AS (SELECT vec_id, lsh_code FROM '/tmp/graft_lsh_oracle/topk/codes/*.parquet'),
+          |banded AS (SELECT vec_id, CAST(c AS INTEGER) AS band,
+          |             (lsh_code >> (CAST(c AS INTEGER) * 2)) & 3 AS sub_code
+          |           FROM coded, UNNEST(range(0, 8)) AS u(c)),
+          |ok AS (SELECT band, sub_code FROM banded GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 4096),
+          |kept AS (SELECT b.* FROM banded b JOIN ok USING (band, sub_code)),
+          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          |         FROM kept x JOIN kept y USING (band, sub_code) WHERE x.vec_id < y.vec_id),
+          |sc AS (SELECT c.a, c.b,
+          |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+          |                                CAST(eb.embedding AS DOUBLE[])) AS cos
+          |       FROM cand c
+          |       JOIN embeddings ea ON ea.vec_id = c.a
+          |       JOIN embeddings eb ON eb.vec_id = c.b)
+          |SELECT a, b, round(cos, 4) AS cos FROM sc
+          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+      // standing-LSH probe replay: index bands pruned to batch-touched
+      // buckets, combined-population cap, batch-corpus + intra-batch
+      // candidates, signature rescoring; newcomer = batch doc for
+      // cross pairs, greater id within the batch
+      "dedup_incremental_lsh" ->
+        """WITH ib AS (SELECT band, bucket, doc_id FROM '/tmp/graft_ilsh_oracle/bands/*.parquet'),
+          |isig AS (SELECT doc_id, sig FROM '/tmp/graft_ilsh_oracle/sigs/*.parquet'),
+          |bb AS (SELECT band, bucket, doc_id FROM '/tmp/graft_ilsh_oracle/batch_bands/*.parquet'),
+          |bsig AS (SELECT doc_id, sig FROM '/tmp/graft_ilsh_oracle/batch_sigs/*.parquet'),
+          |bkeys AS (SELECT DISTINCT band, bucket FROM bb),
+          |it AS (SELECT ib.* FROM ib JOIN bkeys USING (band, bucket)),
+          |hot AS (SELECT band, bucket FROM (
+          |    SELECT band, bucket FROM it UNION ALL SELECT band, bucket FROM bb)
+          |  GROUP BY 1, 2 HAVING count(*) > 256),
+          |iok AS (SELECT it.* FROM it LEFT JOIN hot h USING (band, bucket) WHERE h.band IS NULL),
+          |bok AS (SELECT bb.* FROM bb LEFT JOIN hot h USING (band, bucket) WHERE h.band IS NULL),
+          |crossp AS (SELECT DISTINCT i.doc_id AS a, b2.doc_id AS b
+          |           FROM iok i JOIN bok b2 USING (band, bucket)),
+          |intrap AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |           FROM bok x JOIN bok y USING (band, bucket) WHERE x.doc_id < y.doc_id),
+          |est AS (
+          |  SELECT c.a, c.b, c.b AS newcomer,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]
+          |           THEN 1 ELSE 0 END)) / 64.0 AS ej
+          |  FROM crossp c JOIN isig sa ON sa.doc_id = c.a JOIN bsig sb ON sb.doc_id = c.b
+          |  UNION ALL
+          |  SELECT c.a, c.b, c.b AS newcomer,
+          |    list_sum(list_transform(range(1, 65),
+          |      i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]
+          |           THEN 1 ELSE 0 END)) / 64.0 AS ej
+          |  FROM intrap c JOIN bsig sa ON sa.doc_id = c.a JOIN bsig sb ON sb.doc_id = c.b)
+          |SELECT least(a, b) AS a, greatest(a, b) AS b,
+          |       round(ej, 4) AS est_jaccard, newcomer
+          |FROM est WHERE ej >= 0.5 ORDER BY a, b""".stripMargin,
+      // standing-semantic probe replay: frozen-centroid batch
+      // assignment (dumped), touched-cell pruning, combined cap,
+      // cross + intra candidates, exact-cosine rescore
+      "dedup_incremental_semantic" ->
+        """WITH ic AS (SELECT cell, vec_id FROM '/tmp/graft_isem_oracle/cells/*.parquet'),
+          |bc AS (SELECT cell, vec_id FROM '/tmp/graft_isem_oracle/batch/*.parquet'),
+          |bkeys AS (SELECT DISTINCT cell FROM bc),
+          |it AS (SELECT ic.* FROM ic JOIN bkeys USING (cell)),
+          |hot AS (SELECT cell FROM (
+          |    SELECT cell FROM it UNION ALL SELECT cell FROM bc)
+          |  GROUP BY 1 HAVING count(*) > 4096),
+          |iok AS (SELECT it.* FROM it LEFT JOIN hot h USING (cell) WHERE h.cell IS NULL),
+          |bok AS (SELECT bc.* FROM bc LEFT JOIN hot h USING (cell) WHERE h.cell IS NULL),
+          |crossp AS (SELECT DISTINCT i.vec_id AS a, b2.vec_id AS b
+          |           FROM iok i JOIN bok b2 USING (cell)),
+          |intrap AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          |           FROM bok x JOIN bok y USING (cell) WHERE x.vec_id < y.vec_id),
+          |sc AS (
+          |  SELECT p.a, p.b, p.b AS newcomer,
+          |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+          |                           CAST(eb.embedding AS DOUBLE[])) AS cos
+          |  FROM (SELECT a, b FROM crossp UNION ALL SELECT a, b FROM intrap) p
+          |  JOIN embeddings ea ON ea.vec_id = p.a
+          |  JOIN embeddings eb ON eb.vec_id = p.b)
+          |SELECT least(a, b) AS a, greatest(a, b) AS b,
+          |       round(cos, 4) AS cos, newcomer
+          |FROM sc WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
       // plain-PQ replay from the dumped codebooks + codes: query
       // normalization, per-subspace ADC table, whole-corpus code
       // lookup sum (no cell restriction — that is what ivfpq adds),

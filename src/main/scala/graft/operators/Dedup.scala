@@ -270,7 +270,7 @@ object Dedup {
     * bands of `numHashes/bands` rows and hash each band. Docs sharing
     * any (band, bucket) are near-dup candidates.
     */
-  private def bandedSignatures(sigDf: DataFrame, numHashes: Int, bands: Int, idCol: String): DataFrame = {
+  private[graft] def bandedSignatures(sigDf: DataFrame, numHashes: Int, bands: Int, idCol: String): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands=$bands must divide numHashes=$numHashes")
     sigDf.select(
