@@ -101,6 +101,24 @@ object SparkEntry {
       }
     }
 
+  /** MinHash model dump (per-doc signatures + band assignments over
+    * the FULL documents table) shared by `dedup_minhash_lsh` and
+    * `curation_pipeline` — signatures are per-doc deterministic, so
+    * the curation oracle restricts the same dump to its exact-dedup
+    * survivor set instead of needing a second model.
+    */
+  private def dumpMinhashModel(s: SparkSession, dir: String): Unit =
+    dumpSimOracleOnce("minhash", dir) {
+      val sigs = Dedup
+        .minhashSignatures(Dedup.hashedShingles(Tables.documents(s, dir), 3), 64)
+        .localCheckpoint(eager = false)
+      sigs.write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/sigs")
+      Dedup
+        .bandedSignatures(sigs, 64, 16, "doc_id")
+        .select("doc_id", "band", "bucket")
+        .write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/bands")
+    }
+
   /** Hyperplane-LSH code dump shared by `sim_ann_lsh` and
     * `dedup_embedding_lsh` (both derive candidates from the SAME
     * numPlanes=16 code table; whichever runs first dumps it).
@@ -238,16 +256,7 @@ object SparkEntry {
     // rescoring from the exact model — the same dump stance that
     // graduated the ANN variants to hash-verified
     "dedup_minhash_lsh" -> q { (s, dir) =>
-      dumpSimOracleOnce("minhash", dir) {
-        val sigs = Dedup
-          .minhashSignatures(Dedup.hashedShingles(Tables.documents(s, dir), 3), 64)
-          .localCheckpoint(eager = false)
-        sigs.write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/sigs")
-        Dedup
-          .bandedSignatures(sigs, 64, 16, "doc_id")
-          .select("doc_id", "band", "bucket")
-          .write.mode("overwrite").parquet("/tmp/graft_minhash_oracle/bands")
-      }
+      dumpMinhashModel(s, dir)
       Dedup.minhashNearDups(Tables.documents(s, dir))
     },
     "dedup_components"  -> q(Dedup.nearDupComponents),
@@ -517,7 +526,10 @@ object SparkEntry {
         )
       DataOps.snapshotDiff(v1, v2)
     },
-    "curation_pipeline" -> q((s, dir) => CurationPipeline.curate(s, dir).orderBy("doc_id")),
+    "curation_pipeline" -> q { (s, dir) =>
+      dumpMinhashModel(s, dir) // the oracle replays stage 2 from this model
+      CurationPipeline.curate(s, dir).orderBy("doc_id")
+    },
     "sketch_kmv_parts" -> q((s, dir) => Sketches.kmvParts(s, dir)),
     "text_cms_counts"  -> q((s, dir) => Sketches.cmsWordCounts(s, dir)),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
@@ -1970,6 +1982,43 @@ object SparkEntry {
       "check_curation" ->
         """SELECT true AS non_empty, true AS ids_unique, true AS subset_of_input,
           |       true AS keeper_ok, true AS split_ok, true AS quality_ok""".stripMargin,
+      // full curation replay: exact dedup (md5 min-id keeper) →
+      // MinHash-LSH loser removal at 0.8 REPLAYED FROM THE SHARED
+      // MODEL DUMP restricted to the exact survivors (signatures are
+      // per-doc, so the subset's bands/caps derive from the same
+      // tables) → token/stopword quality gates → multiplicative-hash
+      // split. Every stage reuses an already-hash-proven fragment.
+      "curation_pipeline" -> {
+        val en = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
+        s"""WITH sigs AS (SELECT doc_id, sig FROM '/tmp/graft_minhash_oracle/sigs/*.parquet'),
+           |bandsall AS (SELECT doc_id, band, bucket FROM '/tmp/graft_minhash_oracle/bands/*.parquet'),
+           |exact AS (SELECT d.* FROM documents d
+           |          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+           |          USING (doc_id)),
+           |bands AS (SELECT b.* FROM bandsall b JOIN exact e USING (doc_id)),
+           |ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 256),
+           |kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |         FROM kept x JOIN kept y USING (band, bucket) WHERE x.doc_id < y.doc_id),
+           |losers AS (SELECT DISTINCT c.b AS doc_id
+           |           FROM cand c
+           |           JOIN sigs sa ON sa.doc_id = c.a
+           |           JOIN sigs sb ON sb.doc_id = c.b
+           |           WHERE list_sum(list_transform(range(1, 65),
+           |             i -> CASE WHEN sa.sig[CAST(i AS INTEGER)] = sb.sig[CAST(i AS INTEGER)]
+           |                  THEN 1 ELSE 0 END)) / 64.0 >= 0.8),
+           |dd AS (SELECT e.* FROM exact e LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL),
+           |tokstats AS (SELECT doc_id, len(tk) AS n_tokens,
+           |               len(list_filter(tk, x -> list_contains([$en], x))) AS n_stop
+           |             FROM (SELECT doc_id, $toks AS tk FROM dd)),
+           |quality AS (SELECT doc_id FROM tokstats
+           |            WHERE n_tokens >= 5 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.9)
+           |SELECT doc_id, text, lang, source,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+           |FROM (SELECT dd.*, (doc_id * 2654435761) % 100 AS b
+           |      FROM dd JOIN quality USING (doc_id))
+           |ORDER BY doc_id""".stripMargin
+      },
       "check_multimodal_embed" ->
         """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS bad_dim,
           |       CAST(0 AS BIGINT) AS bad_norm
