@@ -250,6 +250,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     ),
+    // exact prefix-filtered set-similarity join (AllPairs/PPJoin) over
+    // 3-gram shingle sets — the oracle replays it as the naive
+    // all-shared-shingle join because the algorithm is EXACT: same
+    // pairs, provably, with a candidate population pruned to the rare
+    // prefix shingles instead of every shared shingle
+    "dedup_setsim_join" -> q((s, dir) =>
+      Dedup.setSimJoinOnSets(
+        Dedup.shingles(Tables.documents(s, dir).filter(col("doc_id") < 1200), k = 3),
+        threshold = 0.6,
+        idCol = "doc_id",
+        tokCol = "sh"
+      )
+    ),
     // the near-dup families dump their deterministic frozen state
     // (signatures / band assignments / cell assignments) so the DuckDB
     // oracle replays banding, bucket caps, candidate pairing, and
@@ -1295,6 +1308,20 @@ object SparkEntry {
           |GROUP BY norm_hash ORDER BY keeper""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 1),
+           |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           |       FROM t WHERE len(tk) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |        GROUP BY x.doc_id, y.doc_id)
+           |SELECT a, b, jaccard FROM (
+           |  SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
+           |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+           |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+      "dedup_setsim_join" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 1200),
            |sh AS (SELECT DISTINCT doc_id,
            |         unnest(list_transform(range(1, len(tk) - 1),
            |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh

@@ -212,4 +212,151 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("embeddingNearDupLsh"), s"guard message should point to the scale path: ${ex.getMessage}")
   }
+
+  test("setSimJoin == naive exact token-Jaccard on the full corpus (prefix filter loses nothing)") {
+    val theta = 0.5
+    val got = Dedup
+      .setSimJoin(docs, theta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // ground truth: ALL pairs sharing any token, exact distinct-token Jaccard
+    val toks = docs
+      .select(
+        col("doc_id").as("id"),
+        explode(expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")).as("tok")
+      )
+      .distinct()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val want = toks
+      .select(col("id").as("a"), col("tok"))
+      .join(toks.select(col("id").as("b"), col("tok")), "tok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= theta)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+      .toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "corpus should contain at least one qualifying near-dup pair")
+  }
+
+  test("setSimJoin prefix filter prunes the candidate population and plans no cartesian") {
+    val toks = docs
+      .select(
+        col("doc_id").as("id"),
+        explode(expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")).as("tok")
+      )
+      .distinct()
+    // pruning power scales with θ (prefix length is n − ⌈θ·n⌉ + 1):
+    // measure at a high threshold, and require monotonicity vs a low one
+    val candHi = Dedup.setSimCandidates(toks, 0.8)._2.count()
+    val candLo = Dedup.setSimCandidates(toks, 0.5)._2.count()
+    val naiveN = toks
+      .select(col("id").as("a"), col("tok"))
+      .join(toks.select(col("id").as("b"), col("tok")), "tok")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .count()
+    // the driver corpus draws tokens near-uniformly from one small
+    // vocabulary — flat df is the prefix filter's WORST case, so the
+    // honest bound here is modest; the Zipf test below shows the
+    // regime real corpora live in
+    assert(candHi * 3 <= naiveN * 2, s"θ=0.8 prefix filter should cut ≥1.5×: candidates=$candHi naive=$naiveN")
+    assert(candHi <= candLo, s"higher θ must not widen the candidate set: θ0.8=$candHi θ0.5=$candLo")
+    val physical = Dedup.setSimJoin(docs, 0.5).queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), "setSimJoin must never plan a cartesian product")
+  }
+
+  test("setSimJoin on a Zipfian corpus: prefix filter cuts the candidate population ≥10×") {
+    import SparkSpec.spark.implicits._
+    // deterministic Zipf-ish corpus: token w_r included in doc d with
+    // P ≈ 1/r (df(w_r) ≈ N/r) — the frequency profile of natural text,
+    // where a universal stopword connects EVERY pair in the naive
+    // inverted index but never enters a prefix
+    val n = 400
+    // letters-only token names (the tokenizer splits on non-letters)
+    def wordOf(r: Int): String = "t" + r.toString.map(c => ('a' + (c - '0')).toChar)
+    val docsZ = (0 until n)
+      .map { d =>
+        val toks = (1 to 500).filter(r => ((d * 2654435761L + r * 40503L) % r) == 0).map(wordOf)
+        (d.toLong, toks.mkString(" "))
+      }
+      .toDF("doc_id", "text")
+    val toksZ = docsZ
+      .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val cand = Dedup.setSimCandidates(toksZ, 0.8)._2.count()
+    val naive = toksZ
+      .select(col("id").as("a"), col("tok"))
+      .join(toksZ.select(col("id").as("b"), col("tok")), "tok")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+      .count()
+    assert(naive > (n.toLong * (n - 1) / 2) * 9 / 10, s"w1 should connect nearly all pairs: naive=$naive")
+    assert(cand * 10 <= naive, s"Zipf corpus should prune ≥10×: candidates=$cand naive=$naive")
+    // and exactness is independent of the skew: verify against the naive join
+    val got = Dedup
+      .setSimJoin(docsZ, 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .toSet
+    val sizesZ = toksZ.groupBy("id").agg(count(lit(1)).as("nn"))
+    val want = toksZ
+      .select(col("id").as("a"), col("tok"))
+      .join(toksZ.select(col("id").as("b"), col("tok")), "tok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizesZ.select(col("id").as("a"), col("nn").as("na")), "a")
+      .join(sizesZ.select(col("id").as("b"), col("nn").as("nb")), "b")
+      .filter(col("common") / (col("na") + col("nb") - col("common")) >= 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
+  test("setSimJoinOnSets over shingles == ngramJaccardPairs (scale path ≡ quadratic oracle path)") {
+    val k     = 3
+    val theta = 0.6
+    val sub   = docs.filter(col("doc_id") < 300)
+    val viaPrefix = Dedup
+      .setSimJoinOnSets(Dedup.shingles(sub, k), theta, idCol = "doc_id", tokCol = "sh")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val viaInverted = Dedup
+      .ngramJaccardPairs(sub, k, theta)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(viaPrefix == viaInverted, "prefix-filtered setsim must equal the inverted-index jaccard bit-for-bit")
+  }
+
+  test("setSimJoin corner cases: identity pair at θ=1, boundary-threshold pair kept, singletons safe") {
+    import SparkSpec.spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),  // identical → J=1 with 1
+      (3L, "alpha beta"),        // J(3, 1)=2/3, J(3,4)=1/3
+      (4L, "beta delta"),        // J with 3 = 1/3 (boundary at θ=1/3)
+      (5L, "omega")              // singleton token, no partner
+    ).toDF("doc_id", "text")
+    val exact = Dedup.setSimJoin(tiny, 1.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), s"θ=1 must return exactly the identical pair, got $exact")
+    val boundary = Dedup
+      .setSimJoin(tiny, 1.0 / 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(boundary.contains((3L, 4L)), s"boundary pair J=1/3 must be KEPT at θ=1/3, got $boundary")
+    assert(!boundary.exists(p => p._1 == 5L || p._2 == 5L), "token-disjoint singleton must pair with nobody")
+  }
 }
