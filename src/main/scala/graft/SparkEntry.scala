@@ -61,6 +61,56 @@ object SparkEntry {
   /** Same memoization for the standing phrase-gram index. */
   private val phraseIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Memoized materialized-view builds (one per data dir, like the
+    * standing retrieval indexes). Two MVs stand over lineitem with
+    * DISJOINT measure cover, so each registered query can only be
+    * answered by its own MV — and integer-valued measures
+    * (l_quantity, l_linenumber) keep every re-aggregated sum
+    * bit-exact vs the oracle's direct sum.
+    */
+  private val mvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def mvRollupReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_mv_rollup", dir)}"
+    mvBuilt.synchronized {
+      if (!mvBuilt.contains(s"rollup:$dir")) {
+        graft.plans.MaterializedViews.buildMv(
+          s,
+          dirKeyed("li_rollup", dir),
+          s"$dir/lineitem.parquet",
+          dims = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("l_quantity"),
+          mvPath = path
+        )
+        mvBuilt += s"rollup:$dir"
+      }
+    }
+    path
+  }
+
+  private def mvIncrementalReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_mv_inc", dir)}"
+    mvBuilt.synchronized {
+      if (!mvBuilt.contains(s"inc:$dir")) {
+        val li = Tables.lineitem(s, dir)
+        graft.plans.MaterializedViews.buildMv(
+          s,
+          dirKeyed("li_inc", dir),
+          s"$dir/lineitem.parquet",
+          dims = Seq("l_returnflag", "l_linestatus"),
+          measures = Seq("l_linenumber"),
+          mvPath = path,
+          initial = Some(li.filter(col("l_orderkey") % 3 === 0))
+        )
+        graft.plans.MaterializedViews.appendDelta(dirKeyed("li_inc", dir), li.filter(col("l_orderkey") % 3 === 1))
+        graft.plans.MaterializedViews.appendDelta(dirKeyed("li_inc", dir), li.filter(col("l_orderkey") % 3 === 2))
+        graft.plans.MaterializedViews.compactMv(dirKeyed("li_inc", dir))
+        mvBuilt += s"inc:$dir"
+      }
+    }
+    path
+  }
+
   /** Index table names are keyed by the data dir: a fixed name plus a
     * per-dir memo would leave the memoized FIRST dir probing an index
     * holding the SECOND dir's corpus when one JVM runs two dirs.
@@ -211,6 +261,51 @@ object SparkEntry {
     "quantiles"             -> q(Relational.quantiles),
     "fuzzy_part_names"      -> q(Relational.fuzzyPartNames),
     "range_join_price_bands" -> q(Relational.rangeJoinPriceBands),
+    // aggregate navigation: the rollup query plans onto the standing
+    // MV (plan-asserted inside the fn — non-engagement is a loud
+    // failure, not a silent fallback), and the oracle recomputes the
+    // same answer from the raw lineitem rows, proving the rewrite
+    // value-preserving end-to-end
+    "mv_rollup_rewrite" -> q { (s, dir) =>
+      val mvPath = mvRollupReady(s, dir)
+      val out = Tables
+        .lineitem(s, dir)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          avg("l_quantity").as("avg_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty")
+        )
+        .orderBy("l_returnflag")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(mvPath), "MV rewrite did not engage for mv_rollup_rewrite")
+      require(!plan.contains("lineitem.parquet"), "mv_rollup_rewrite must not scan the base")
+      out
+    },
+    // the same MV maintained INCREMENTALLY (built from one third of
+    // the base, two thirds appended as deltas, then compacted) must
+    // answer identically to a from-scratch recompute over the base
+    "mv_incremental_rollup" -> q { (s, dir) =>
+      val mvPath = mvIncrementalReady(s, dir)
+      val out = Tables
+        .lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_linenumber").as("sum_ln"),
+          count(col("l_linenumber")).as("cnt_ln"),
+          avg("l_linenumber").as("avg_ln"),
+          min("l_linenumber").as("min_ln"),
+          max("l_linenumber").as("max_ln")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains(mvPath), "MV rewrite did not engage for mv_incremental_rollup")
+      require(!plan.contains("lineitem.parquet"), "mv_incremental_rollup must not scan the base")
+      out
+    },
     "q7_volume_shipping"    -> q(Relational.q7VolumeShipping),
     "q12_priority_shipping" -> q(Relational.q12PriorityShipping),
     "q14_promo_effect"      -> q(Relational.q14PromoEffect),
@@ -941,6 +1036,19 @@ object SparkEntry {
           |SELECT o_orderkey, o_custkey FROM orders JOIN ca ON o_custkey = ck
           |WHERE o_totalprice > cust_avg * 1.5
           |ORDER BY o_orderkey""".stripMargin,
+      "mv_rollup_rewrite" ->
+        """SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n_rows, sum(l_quantity) / count(l_quantity) AS avg_qty,
+          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+          |FROM lineitem WHERE l_returnflag <> 'N'
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "mv_incremental_rollup" ->
+        """SELECT l_returnflag, l_linestatus, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+          |  count(l_linenumber) AS cnt_ln,
+          |  CAST(sum(l_linenumber) AS DOUBLE) / count(l_linenumber) AS avg_ln,
+          |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+          |FROM lineitem
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "range_join_price_bands" ->
         """WITH bands(lo, hi, band) AS (VALUES
           |  (0.0, 100000.0, 'P1'), (100000.0, 200000.0, 'P2'),

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (built-in rules can't see custom nodes) + its physical strategy
     ext.injectOptimizerRule(_ => PushFilterThroughRangeJoin)
     ext.injectPlannerStrategy(_ => RangeJoinStrategy)
+    // aggregate navigation onto registered rollups (no-op until an MV
+    // is registered via MaterializedViews.buildMv)
+    ext.injectOptimizerRule(_ => MaterializedViews.MvRewriteRule)
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     )
