@@ -24,7 +24,8 @@ object Bench {
     "text_lm_score", "text_boilerplate", "text_freq_items", "vocab_ids",
     "text_dup_spans", "text_dedup_substrings", "text_contamination_bloom",
     "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",
-    "range_join_price_bands"
+    "range_join_price_bands",
+    "dedup_setsim_join", "mv_rollup_rewrite"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

@@ -153,8 +153,9 @@ object MaterializedViews {
   def compactMv(name: String): Unit = {
     val mv    = registry.getOrElse(name, sys.error(s"unknown MV $name"))
     val spark = mv.session
-    val folded = suspend {
-      val cur = spark.read.parquet(mv.mvPath)
+    suspend {
+      val cur       = spark.read.parquet(mv.mvPath)
+      val hasIngest = cur.columns.contains("__ingest")
       val aggCols = mv.measures.flatMap { m =>
         Seq(
           sum(col(s"sum_$m")).as(s"sum_$m"),
@@ -163,9 +164,87 @@ object MaterializedViews {
           sum(col(s"cnt_$m")).as(s"cnt_$m")
         )
       } :+ sum(col("cnt")).as("cnt")
-      cur.groupBy(mv.dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*).localCheckpoint(eager = true)
+      val folded =
+        cur.groupBy(mv.dims.map(col): _*).agg(aggCols.head, aggCols.tail: _*).localCheckpoint(eager = true)
+      // a streaming-maintained MV keeps its partitioned layout (folded
+      // rows land in __ingest=0) — mixing flat files into a partitioned
+      // root would break partition discovery
+      if (hasIngest)
+        folded.withColumn("__ingest", lit(0L)).write.partitionBy("__ingest").mode("overwrite").parquet(mv.mvPath)
+      else folded.write.mode("overwrite").parquet(mv.mvPath)
     }
-    suspend { folded.write.mode("overwrite").parquet(mv.mvPath) }
+  }
+
+  /** Continuous maintenance: keep the rollup fresh from a stream of
+    * base appends. Each micro-batch's partial aggregates land in their
+    * own `__ingest=<batchId+1>` partition via DYNAMIC partition
+    * overwrite, so a replayed batch (foreachBatch is at-least-once)
+    * overwrites its own partition instead of double-counting —
+    * batchId-keyed idempotence, the same stance as the engine's other
+    * streaming sinks. The build seeds `__ingest=0`; readers aggregate
+    * over dims and never look at `__ingest`, so the rewrite rule works
+    * unchanged over a streaming-maintained MV. Run [[compactMv]] only
+    * with the stream stopped (a replay into a compacted table would
+    * re-introduce folded rows — the standing-index compaction
+    * discipline).
+    */
+  def streamMaintain(
+      name: String,
+      stream: DataFrame,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val mv = registry.getOrElse(name, sys.error(s"unknown MV $name"))
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendIngestPartition(mv, batch.toDF(), id + 1)
+      }
+      .start()
+  }
+
+  private def appendIngestPartition(mv: MvDef, delta: DataFrame, ingestId: Long): Unit = suspend {
+    val spark = delta.sparkSession
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      partials(delta, mv.dims, mv.measures)
+        .withColumn("__ingest", lit(ingestId))
+        .write
+        .partitionBy("__ingest")
+        .mode("overwrite")
+        .parquet(mv.mvPath)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Build an MV destined for [[streamMaintain]]: identical rollup,
+    * but the initial partials live in the `__ingest=0` partition so
+    * later micro-batch partitions append beside them.
+    */
+  def buildStreamingMv(
+      spark: SparkSession,
+      name: String,
+      basePath: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      mvPath: String,
+      initial: Option[DataFrame] = None
+  ): MvDef = {
+    val mv = buildMv(spark, name, basePath, dims, measures, mvPath, initial)
+    // rewrite the flat build into the partitioned layout
+    suspend {
+      val flat = spark.read.parquet(mvPath).localCheckpoint(eager = true)
+      flat
+        .withColumn("__ingest", lit(0L))
+        .write
+        .partitionBy("__ingest")
+        .mode("overwrite")
+        .parquet(mvPath)
+    }
+    mv
   }
 
   def drop(name: String): Unit = registry = registry - name

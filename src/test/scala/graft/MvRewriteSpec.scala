@@ -130,6 +130,42 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("streaming maintenance: AvailableNow micro-batches keep the MV == full recompute; compaction preserves layout") {
+    withCleanRegistry {
+      val li     = spark.read.parquet(basePath)
+      val direct = rollupQuery.collect()
+      val root   = java.nio.file.Files.createTempDirectory("graft_mv_stream")
+      val stage  = root.resolve("stage").toString
+      val ckpt   = root.resolve("ckpt").toString
+      val mvP    = root.resolve("mv").toString
+      // base slice 0 seeds the MV; slices 1 and 2 arrive as stream files
+      li.filter(col("l_orderkey") % 3 === 1).coalesce(1).write.parquet(s"$stage/b1")
+      li.filter(col("l_orderkey") % 3 === 2).coalesce(1).write.parquet(s"$stage/b2")
+      MaterializedViews.buildStreamingMv(
+        spark, "li_stream", basePath,
+        dims = Seq("l_returnflag", "l_linestatus"), measures = Seq("l_quantity"), mvPath = mvP,
+        initial = Some(li.filter(col("l_orderkey") % 3 === 0))
+      )
+      val stream = spark.readStream
+        .schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/*")
+      val query = MaterializedViews.streamMaintain("li_stream", stream, ckpt)
+      try query.awaitTermination()
+      finally query.stop()
+      val probe = rollupQuery
+      val plan  = scannedFiles(probe)
+      assert(plan.contains(mvP), s"probe should ride the streaming-maintained MV:\n$plan")
+      assert(probe.collect().toSeq == direct.toSeq, "streamed MV must equal full recompute")
+      MaterializedViews.compactMv("li_stream")
+      assert(rollupQuery.collect().toSeq == direct.toSeq, "compaction must not change streamed answers")
+      val partitions = MaterializedViews.suspend(
+        spark.read.parquet(mvP).select("__ingest").distinct().count()
+      )
+      assert(partitions == 1L, s"compaction should fold to the __ingest=0 partition, got $partitions")
+    }
+  }
+
   test("null-measure semantics survive the rewrite: count(m) skips nulls, avg(m) of all-null group is null") {
     import SparkSpec.spark.implicits._
     val tinyBase = "/tmp/graft_mvtiny_base"
