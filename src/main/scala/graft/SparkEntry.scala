@@ -118,6 +118,54 @@ object SparkEntry {
   private def dirKeyed(base: String, dir: String): String =
     s"${base}_${java.lang.Integer.toHexString(dir.hashCode)}"
 
+  /** Memoized KMV sketch rollup over lineitem (distinct l_suppkey per
+    * l_returnflag) — built from one third of the base, two appended
+    * deltas, then compacted, so the oracle-checked read exercises the
+    * whole append/merge/compact contract. k=32768 keeps every gate
+    * scale in the exact sub-capacity regime (sf1 has ~10 k suppliers).
+    */
+  private val sketchMvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def sketchMvReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_sketch_mv", dir)}"
+    sketchMvBuilt.synchronized {
+      if (!sketchMvBuilt.contains(dir)) {
+        val li   = Tables.lineitem(s, dir)
+        val dims = Seq("l_returnflag")
+        Sketches.kmvRollupBuild(li.filter(col("l_orderkey") % 3 === 0), dims, "l_suppkey", 32768, path)
+        Sketches.kmvRollupAppend(li.filter(col("l_orderkey") % 3 === 1), dims, "l_suppkey", 32768, path)
+        Sketches.kmvRollupAppend(li.filter(col("l_orderkey") % 3 === 2), dims, "l_suppkey", 32768, path)
+        Sketches.kmvRollupCompact(s, path, dims, 32768)
+        sketchMvBuilt += dir
+      }
+    }
+    path
+  }
+
+  /** Memoized zone-mapped layout of `orders` (clustered by
+    * o_totalprice, stats manifest over o_totalprice) — the standing
+    * data-skipping layout `zonemap_scan` probes.
+    */
+  private val zoneMapBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def zoneMapReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_zonemap", dir)}"
+    zoneMapBuilt.synchronized {
+      if (!zoneMapBuilt.contains(dir)) {
+        graft.sources.ZoneMap.writeWithZoneMap(
+          s,
+          Tables.orders(s, dir),
+          path,
+          clusterCols = Seq("o_totalprice"),
+          statsCols = Seq("o_totalprice"),
+          files = 16
+        )
+        zoneMapBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Dump an IVF×PQ index's three tables as plain parquet under a
     * FIXED path so the DuckDB oracle can replay the probe's ADC
     * arithmetic against the exact frozen model (the centroids and
@@ -633,6 +681,77 @@ object SparkEntry {
           v1.filter(col("doc_id") % 53 === 0).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
         )
       DataOps.snapshotDiff(v1, v2)
+    },
+    // sketch-backed MV: distinct suppliers per return flag (and their
+    // exact union) served from the standing KMV rollup alone — built
+    // incrementally (third + two deltas + compaction); sub-capacity,
+    // the merged sketch degenerates to the exact distinct count, so
+    // DuckDB's COUNT(DISTINCT) hash-matches
+    "mv_sketch_distinct" -> q { (s, dir) =>
+      Sketches.kmvRollupDistinct(s, sketchMvReady(s, dir), Seq("l_returnflag"), 32768)
+    },
+    // file-level data skipping: probe the standing zone-mapped orders
+    // layout with a price band — the manifest must actually prune
+    // (required loudly), survivors are rescanned with the exact
+    // predicate, and DuckDB recomputes from the raw table. All output
+    // measures are exact (counts, min/max, integer sums) so the hash
+    // compare is bit-stable.
+    "zonemap_scan" -> q { (s, dir) =>
+      val path               = zoneMapReady(s, dir)
+      val band               = Seq(("o_totalprice", Some(100000.0): Option[Any], Some(150000.0): Option[Any]))
+      val (survivors, total) = graft.sources.ZoneMap.pruneFiles(s, path, band)
+      require(survivors.length < total, s"zone map pruned nothing (${survivors.length}/$total files)")
+      graft.sources.ZoneMap
+        .prunedRead(s, path, band)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          sum("o_orderkey").as("sum_key")
+        )
+        .orderBy("o_orderstatus")
+    },
+    // CDC apply (the write-side twin of dataset_diff): fold a change
+    // batch — updates for %5=1, deletes for %5=2, inserts for %5=3 —
+    // onto the documents snapshot; DuckDB derives the same batch and
+    // merges with anti-join + union
+    "merge_upsert" -> q { (s, dir) =>
+      val docs   = Tables.documents(s, dir)
+      val target = docs.select("doc_id", "text", "source")
+      val changes = docs
+        .filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"), col("source"), lit(false).as("__delete"))
+        .unionByName(
+          docs.filter(col("doc_id") % 5 === 2).select(col("doc_id"), col("text"), col("source"), lit(true).as("__delete"))
+        )
+        .unionByName(
+          docs
+            .filter(col("doc_id") % 5 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), lit("ingest2").as("source"), lit(false).as("__delete"))
+        )
+      Cdc.mergeUpsert(target, changes, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("digest"), col("source"))
+        .orderBy("doc_id")
+    },
+    // SCD2 version history: initial snapshot + two change batches
+    // applied sequentially (batch 1 carries deliberate no-op rows);
+    // DuckDB derives the identical history from the union of
+    // observations with consecutive-duplicate suppression
+    "scd2_history" -> q { (s, dir) =>
+      val docs  = Tables.documents(s, dir)
+      val attrs = Seq("lang", "n_chars")
+      val h0 = Cdc.scd2Init(docs.select("doc_id", "lang", "n_chars"), "doc_id", attrs, lit("2024-01-01"))
+      val b1 = docs
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), upper(col("lang")).as("lang"), col("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1).select("doc_id", "lang", "n_chars"))
+      val h1 = Cdc.scd2Apply(h0, b1, "doc_id", attrs, lit("2024-02-01"))
+      val b2 = docs
+        .filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), upper(col("lang")).as("lang"), (col("n_chars") + 10L).as("n_chars"))
+      Cdc.scd2Apply(h1, b2, "doc_id", attrs, lit("2024-03-01"))
+        .orderBy("doc_id", "valid_from")
     },
     "curation_pipeline" -> q { (s, dir) =>
       dumpMinhashModel(s, dir) // the oracle replays stage 2 from this model
@@ -1781,6 +1900,61 @@ object SparkEntry {
           |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      "mv_sketch_distinct" ->
+        """SELECT scope, CAST(n AS BIGINT) AS n_distinct FROM (
+          |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+          |         count(DISTINCT l_suppkey) AS n
+          |  FROM lineitem GROUP BY l_returnflag
+          |  UNION ALL
+          |  SELECT 'ALL' AS scope, count(DISTINCT l_suppkey) AS n FROM lineitem
+          |) ORDER BY scope""".stripMargin,
+      "zonemap_scan" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "merge_upsert" ->
+        """WITH changes AS (
+          |  SELECT doc_id, text || ' [rev2]' AS text, source, false AS del
+          |  FROM documents WHERE doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id, text, source, true AS del
+          |  FROM documents WHERE doc_id % 5 = 2
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text, 'ingest2' AS source, false AS del
+          |  FROM documents WHERE doc_id % 5 = 3),
+          |merged AS (
+          |  SELECT t.doc_id, t.text, t.source FROM documents t
+          |  WHERE t.doc_id NOT IN (SELECT doc_id FROM changes)
+          |  UNION ALL
+          |  SELECT doc_id, text, source FROM changes WHERE NOT del)
+          |SELECT doc_id, md5(text) AS digest, source
+          |FROM merged ORDER BY doc_id""".stripMargin,
+      "scd2_history" ->
+        """WITH obs AS (
+          |  SELECT doc_id, lang, n_chars, DATE '2024-01-01' AS eff FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, upper(lang), n_chars, DATE '2024-02-01'
+          |  FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id, lang, n_chars, DATE '2024-02-01'
+          |  FROM documents WHERE doc_id % 4 = 1
+          |  UNION ALL
+          |  SELECT doc_id, upper(lang), n_chars + 10, DATE '2024-03-01'
+          |  FROM documents WHERE doc_id % 6 = 0),
+          |d AS (
+          |  SELECT doc_id, lang, n_chars, eff,
+          |    lag(lang) OVER w AS pl, lag(n_chars) OVER w AS pn,
+          |    row_number() OVER w AS rn
+          |  FROM obs WINDOW w AS (PARTITION BY doc_id ORDER BY eff)),
+          |kept AS (
+          |  SELECT doc_id, lang, n_chars, eff FROM d
+          |  WHERE rn = 1 OR lang IS DISTINCT FROM pl OR n_chars IS DISTINCT FROM pn)
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+          |  eff AS valid_from,
+          |  lead(eff) OVER (PARTITION BY doc_id ORDER BY eff) AS valid_to
+          |FROM kept ORDER BY doc_id, valid_from""".stripMargin,
       "vocab_ids" ->
         s"""WITH c AS (SELECT term, count(*) AS cnt
            |           FROM (SELECT unnest($toks) AS term FROM documents)

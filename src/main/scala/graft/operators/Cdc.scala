@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Change-data-capture apply operators: the write-side twin of
+  * [[DataOps.snapshotDiff]]. A corpus at 100 TB is never rebuilt from
+  * scratch — it receives change batches (upserts + deletes) that must
+  * fold into the standing snapshot, and audited pipelines additionally
+  * keep the full SCD2 version history (who changed, when, what was
+  * current at any instant).
+  *
+  * Reference tie: the reference engine (SURVEY.md §1.1) has no notion
+  * of mutation — every run re-reads the whole input directory. These
+  * operators are the incremental generalization of that re-read, the
+  * same stance as the standing retrieval/dedup indexes: pay one
+  * key-partitioned join per batch instead of a full recompute.
+  *
+  * Scale notes: every operator here is a single equi-join + union on
+  * the id column — one shuffle per side, broadcastable when the change
+  * batch is small (the common case: daily deltas vs a 100 TB base),
+  * exchange-free when base and batch are bucketed on the id. No
+  * windows over the base, no driver-side state.
+  */
+object Cdc {
+
+  /** MERGE INTO semantics: apply a change batch onto a snapshot.
+    * Change rows carry the target schema plus a boolean `deleteCol`;
+    * an id present in `changes` replaces (or removes) the target row,
+    * any other target row survives untouched. With `seqCol` set, the
+    * batch may carry several changes per id and the highest sequence
+    * wins (ties broken by the delete flag, deletes last, so a
+    * same-sequence upsert+delete resolves deterministically to the
+    * delete).
+    *
+    * Result is the new snapshot — same schema as `target`. Applying
+    * the same batch twice is idempotent (spec-pinned).
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      deleteCol: String = "__delete",
+      seqCol: Option[String] = None
+  ): DataFrame = {
+    val latest = seqCol match {
+      case None => changes
+      case Some(sc) =>
+        // delete flag desc: true sorts first, so a same-sequence
+        // upsert+delete pair resolves to the delete
+        val w = Window.partitionBy(idCol).orderBy(col(sc).desc, col(deleteCol).desc)
+        changes
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", sc)
+    }
+    val survivors = target.join(latest.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserts   = latest.filter(!col(deleteCol)).drop(deleteCol)
+    survivors.unionByName(upserts.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Open an SCD2 history from an initial snapshot: every row becomes
+    * the first version, valid from `effDate`, open-ended
+    * (`valid_to IS NULL` marks the current version).
+    */
+  def scd2Init(snapshot: DataFrame, idCol: String, attrCols: Seq[String], effDate: Column): DataFrame =
+    snapshot.select(
+      (col(idCol) +: attrCols.map(col)) ++ Seq(
+        effDate.cast(DateType).as("valid_from"),
+        lit(null).cast(DateType).as("valid_to")
+      ): _*
+    )
+
+  /** Apply one change batch to an SCD2 history. A change row whose
+    * attributes differ (null-safely, per attribute — no digest, so
+    * NULL/absent can never collide) from the id's current version
+    * closes that version at `effDate` and opens a new one; an
+    * identical change row is a no-op; an unseen id opens its first
+    * version. Ids absent from the batch are untouched — the batch is
+    * a CHANGES feed, not a full snapshot, so absence means "no news",
+    * never "deleted".
+    *
+    * History invariants preserved (spec-pinned): per-id intervals are
+    * contiguous and non-overlapping, exactly one open version per id,
+    * and sequentially applied batches reproduce the one-shot
+    * derivation from the union of all observations.
+    */
+  def scd2Apply(history: DataFrame, changes: DataFrame, idCol: String, attrCols: Seq[String], effDate: Column): DataFrame = {
+    val closedHist = history.filter(col("valid_to").isNotNull)
+    val current    = history.filter(col("valid_to").isNull).withColumn("__pc", lit(1))
+    val batch = changes
+      .select(col(idCol) +: attrCols.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__pn", lit(1))
+    val j       = current.join(batch, Seq(idCol), "full")
+    val changed = attrCols.map(c => !(col(c) <=> col(s"__n_$c"))).reduce(_ || _)
+    val histCols = (col(idCol) +: attrCols.map(col)) ++ Seq(col("valid_from"), col("valid_to"))
+    // current version survives: no change row, or a no-op change row
+    val keep = j.filter(col("__pn").isNull || (col("__pc").isNotNull && !changed)).select(histCols: _*)
+    // current version closed by a differing change row
+    val closed = j
+      .filter(col("__pc").isNotNull && col("__pn").isNotNull && changed)
+      .select((col(idCol) +: attrCols.map(col)) ++ Seq(col("valid_from"), effDate.cast(DateType).as("valid_to")): _*)
+    // new version opened: differing change, or first sighting of the id
+    val opened = j
+      .filter(col("__pn").isNotNull && (col("__pc").isNull || changed))
+      .select(
+        (col(idCol) +: attrCols.map(c => col(s"__n_$c").as(c))) ++ Seq(
+          effDate.cast(DateType).as("valid_from"),
+          lit(null).cast(DateType).as("valid_to")
+        ): _*
+      )
+    closedHist.unionByName(keep).unionByName(closed).unionByName(opened)
+  }
+}

@@ -173,6 +173,88 @@ object Sketches {
     *     of the union estimate's scale, per the Beyer et al. error
     *     model (absolute error scales with D_union, not D_intersect).
     */
+  /** Standing KMV sketch rollup — the sketch-backed materialized view.
+    * An additive parquet table of per-dim-group sketch partials
+    * (MULTIPLE rows per group allowed, same contract as
+    * [[graft.plans.MaterializedViews]]): maintenance is a blind append
+    * of the delta's partials, readers re-MERGE (bottom-k of the union
+    * — the semilattice property makes the merged sketch EXACTLY the
+    * one-shot sketch, independent of batch boundaries and merge
+    * order), and compaction folds rows back to one per group without
+    * changing any answer. This is deliberately NOT wired into the MV
+    * rewrite rule: a sketch answers COUNT(DISTINCT) approximately at
+    * capacity, so substituting it for an exact aggregate must be an
+    * explicit caller choice, never a silent plan rewrite.
+    *
+    * At 100 TB: the daily distinct-count job becomes append-one-
+    * partial + merge-k-longs-per-group — the base is never rescanned,
+    * and cross-group unions (the 'ALL' row) come from the same arrays.
+    */
+  def kmvRollupBuild(df: DataFrame, dims: Seq[String], distinctCol: String, k: Int, path: String): Unit = {
+    graft.GraftFunctions.register(df.sparkSession)
+    df.groupBy(dims.map(col): _*)
+      .agg(expr(s"kmv_agg(xxhash64($distinctCol), $k)").as("sk"))
+      .write
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Blind-append a delta's sketch partials (additive-rows contract). */
+  def kmvRollupAppend(delta: DataFrame, dims: Seq[String], distinctCol: String, k: Int, path: String): Unit = {
+    graft.GraftFunctions.register(delta.sparkSession)
+    delta
+      .groupBy(dims.map(col): _*)
+      .agg(expr(s"kmv_agg(xxhash64($distinctCol), $k)").as("sk"))
+      .write
+      .mode("append")
+      .parquet(path)
+  }
+
+  /** Merged per-group sketches from the rollup: bottom-k of each
+    * group's accumulated partials. Stored values are sign-flipped
+    * hashes, so `array_sort`+`slice` IS the KMV merge.
+    */
+  def kmvRollupSketches(spark: SparkSession, path: String, dims: Seq[String], k: Int): DataFrame =
+    spark.read
+      .parquet(path)
+      .select(dims.map(col) :+ explode(col("sk")).as("h"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk"))
+
+  /** Distinct-count estimates served from the rollup alone (the base
+    * table is never touched): one row per group plus the merged 'ALL'
+    * row — per-group COUNT(DISTINCT) results cannot be added, but
+    * group sketches union exactly.
+    */
+  def kmvRollupDistinct(spark: SparkSession, path: String, dims: Seq[String], k: Int): DataFrame = {
+    val groups = kmvRollupSketches(spark, path, dims, k)
+    val per = groups.select(
+      concat_ws("|", dims.map(col): _*).as("scope"),
+      round(kmvEstimate(col("sk"), k), 0).cast("long").as("n_distinct")
+    )
+    val all = groups
+      .agg(collect_list("sk").as("sks"))
+      .select(
+        lit("ALL").as("scope"),
+        round(kmvEstimate(slice(array_sort(array_distinct(flatten(col("sks")))), 1, k), k), 0)
+          .cast("long")
+          .as("n_distinct")
+      )
+    per.unionByName(all).orderBy("scope")
+  }
+
+  /** Fold accumulated partial rows to one merged row per group —
+    * answers unchanged by the semilattice property; eager off-table
+    * checkpoint before the overwrite (the crash-safe discipline the
+    * other standing indexes use).
+    */
+  def kmvRollupCompact(spark: SparkSession, path: String, dims: Seq[String], k: Int): Unit =
+    kmvRollupSketches(spark, path, dims, k)
+      .localCheckpoint(eager = true)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   def kmvCheck(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     graft.GraftFunctions.register(spark)
     val bound  = 3.0 / math.sqrt((k - 2).toDouble)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+
+/** CDC apply operators: MERGE semantics and SCD2 history maintenance. */
+class CdcSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def target =
+    Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"), (4L, "d", "s2"))
+      .toDF("id", "text", "source")
+
+  private def changes =
+    Seq(
+      (2L, "b2", "s1", false), // update
+      (3L, "c", "s2", true),   // delete
+      (9L, "z", "s3", false)   // insert
+    ).toDF("id", "text", "source", "__delete")
+
+  test("mergeUpsert applies update/delete/insert; untouched rows survive") {
+    val out = Cdc.mergeUpsert(target, changes, "id").orderBy("id").collect().toSeq
+    assert(
+      out == Seq(
+        Row(1L, "a", "s1"),
+        Row(2L, "b2", "s1"),
+        Row(4L, "d", "s2"),
+        Row(9L, "z", "s3")
+      )
+    )
+  }
+
+  test("mergeUpsert is idempotent: re-applying the same batch changes nothing") {
+    val once  = Cdc.mergeUpsert(target, changes, "id")
+    val twice = Cdc.mergeUpsert(once, changes, "id")
+    assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
+  }
+
+  test("mergeUpsert with seqCol: highest sequence wins, deletes beat same-seq upserts") {
+    val multi = Seq(
+      (2L, "old", "s1", false, 1L),
+      (2L, "new", "s1", false, 5L), // latest for id 2
+      (4L, "resurrect", "s2", false, 3L),
+      (4L, "kill", "s2", true, 3L) // same seq: delete wins
+    ).toDF("id", "text", "source", "__delete", "seq")
+    val out = Cdc.mergeUpsert(target, multi, "id", seqCol = Some("seq")).orderBy("id").collect().toSeq
+    assert(out == Seq(Row(1L, "a", "s1"), Row(2L, "new", "s1"), Row(3L, "c", "s2")))
+  }
+
+  test("mergeUpsert plans a key equi-join, never a cartesian") {
+    val plan = Cdc.mergeUpsert(target, changes, "id").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- SCD2 ----
+
+  private val d1 = lit("2024-01-01")
+  private val d2 = lit("2024-02-01")
+  private val d3 = lit("2024-03-01")
+
+  private def history = {
+    val snap = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L)).toDF("id", "lang", "n")
+    Cdc.scd2Init(snap, "id", Seq("lang", "n"), d1)
+  }
+
+  test("scd2Apply: changed row closes + reopens, no-op row is ignored, new id opens") {
+    val b = Seq(
+      (1L, "en", 99L), // changed n
+      (2L, "de", 20L), // no-op
+      (7L, "it", 70L)  // new id
+    ).toDF("id", "lang", "n")
+    val h   = Cdc.scd2Apply(history, b, "id", Seq("lang", "n"), d2)
+    val out = h.orderBy("id", "valid_from").collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2), String.valueOf(r.get(3)), String.valueOf(r.get(4))))
+    assert(
+      out == Seq(
+        (1L, "en", 10L, "2024-01-01", "2024-02-01"),
+        (1L, "en", 99L, "2024-02-01", "null"),
+        (2L, "de", 20L, "2024-01-01", "null"),
+        (3L, "fr", 30L, "2024-01-01", "null"),
+        (7L, "it", 70L, "2024-02-01", "null")
+      )
+    )
+  }
+
+  test("scd2 invariants on real data: one open version per id, contiguous non-overlapping intervals") {
+    val h = SparkEntry.queries("scd2_history")(spark, sfDir).cache()
+    try {
+      val perId = h.groupBy("doc_id").agg(
+        sum(when(col("valid_to").isNull, 1).otherwise(0)).as("open"),
+        count(lit(1)).as("versions")
+      )
+      assert(perId.filter(col("open") =!= 1).isEmpty, "every id must have exactly one open version")
+      // contiguity: each version's valid_to equals the next version's valid_from
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("valid_from")
+      val gaps = h
+        .withColumn("next_from", lead("valid_from", 1).over(w))
+        .filter(col("next_from").isNotNull && !(col("valid_to") <=> col("next_from")))
+      assert(gaps.isEmpty, "intervals must be contiguous")
+      // at least one id has >1 version (the change batches did something)
+      assert(perId.filter(col("versions") > 1).count() > 0)
+    } finally h.unpersist()
+  }
+
+  test("scd2 sequential apply equals one-shot derivation from the observation union") {
+    val docs = Tables.documents(spark, sfDir)
+    val obs = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), to_date(d1).as("eff"))
+      .unionByName(
+        docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"), upper(col("lang")).as("lang"), col("n_chars"), to_date(d2).as("eff"))
+      )
+      .unionByName(
+        docs.filter(col("doc_id") % 4 === 1).select(col("doc_id"), col("lang"), col("n_chars"), to_date(d2).as("eff"))
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 6 === 0)
+          .select(col("doc_id"), upper(col("lang")).as("lang"), (col("n_chars") + 10L).as("n_chars"), to_date(d3).as("eff"))
+      )
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("eff")
+    val derived = obs
+      .withColumn("pl", lag("lang", 1).over(w))
+      .withColumn("pn", lag("n_chars", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || !(col("lang") <=> col("pl")) || !(col("n_chars") <=> col("pn")))
+      .withColumn("valid_to", lead("eff", 1).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("eff")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("eff").as("valid_from"), col("valid_to"))
+    val applied = SparkEntry.queries("scd2_history")(spark, sfDir)
+    assert(applied.exceptAll(derived).isEmpty && derived.exceptAll(applied).isEmpty)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataOps
+import graft.sources.ZoneMap
+
+/** File-level data skipping from the explicit min/max manifest. */
+class ZoneMapSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private val base = {
+    val p = "/tmp/graft_zonemap_spec/orders"
+    ZoneMap.writeWithZoneMap(spark, Tables.orders(spark, sfDir), p, Seq("o_totalprice"), Seq("o_totalprice"), files = 8)
+    p
+  }
+
+  test("pruned read equals the full-scan filter exactly") {
+    val band   = Seq(("o_totalprice", Some(100000.0): Option[Any], Some(150000.0): Option[Any]))
+    val pruned = ZoneMap.prunedRead(spark, base, band)
+    val full = Tables
+      .orders(spark, sfDir)
+      .filter(col("o_totalprice").between(100000.0, 150000.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("a narrow band prunes files, and every excluded file truly has no matching rows") {
+    val band               = Seq(("o_totalprice", Some(100000.0): Option[Any], Some(110000.0): Option[Any]))
+    val (survivors, total) = ZoneMap.pruneFiles(spark, base, band)
+    assert(survivors.length < total, s"expected pruning, got ${survivors.length}/$total")
+    assert(survivors.nonEmpty)
+    val all      = spark.read.parquet(s"$base/data").select(input_file_name().as("f")).distinct().as[String].collect().toSet
+    val excluded = all -- survivors.toSet
+    assert(excluded.nonEmpty)
+    val leaked = spark.read
+      .parquet(excluded.toSeq: _*)
+      .filter(col("o_totalprice").between(100000.0, 110000.0))
+      .count()
+    assert(leaked == 0, "pruning must be a necessary condition: excluded files contain no matches")
+  }
+
+  test("2-D rectangle over a z-ordered layout prunes on both dimensions") {
+    val p = "/tmp/graft_zonemap_spec/zorder"
+    val src = Tables
+      .orders(spark, sfDir)
+      .withColumn("__z", DataOps.zOrderValue("o_custkey", "o_orderkey"))
+    ZoneMap.writeWithZoneMap(spark, src, p, Seq("__z"), Seq("o_custkey", "o_orderkey"), files = 16)
+    // sf0.001 spans o_custkey 0..149, o_orderkey 0..1499 — the
+    // rectangle restricts BOTH dims to roughly a quarter
+    val rect = Seq(
+      ("o_custkey", Some(0L): Option[Any], Some(40L): Option[Any]),
+      ("o_orderkey", Some(0L): Option[Any], Some(400L): Option[Any])
+    )
+    val (survivors, total) = ZoneMap.pruneFiles(spark, p, rect)
+    assert(survivors.length < total, s"z-order rectangle should prune (${survivors.length}/$total)")
+    val pruned = ZoneMap.prunedRead(spark, p, rect).drop("__z")
+    val full = Tables
+      .orders(spark, sfDir)
+      .filter(col("o_custkey").between(0L, 40L) && col("o_orderkey").between(0L, 400L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("zero survivors short-circuits to an empty frame with the data schema") {
+    val band = Seq(("o_totalprice", Some(1.0e12): Option[Any], Some(2.0e12): Option[Any]))
+    val out  = ZoneMap.prunedRead(spark, base, band)
+    assert(out.isEmpty)
+    assert(out.columns.contains("o_orderstatus"))
+  }
+
+  test("all-NULL files are prunable for interval predicates; NULL rows never match") {
+    val p = "/tmp/graft_zonemap_spec/nulls"
+    val df = Seq[(Long, Option[Double])]((1L, None), (2L, None), (3L, Some(5.0)), (4L, Some(9.0)))
+      .toDF("id", "v")
+    // cluster by id so the two NULL-v rows land together in low files
+    ZoneMap.writeWithZoneMap(spark, df, p, Seq("id"), Seq("v"), files = 2)
+    val band          = Seq(("v", Some(0.0): Option[Any], Some(100.0): Option[Any]))
+    val (survivors, _) = ZoneMap.pruneFiles(spark, p, band)
+    val out            = ZoneMap.prunedRead(spark, p, band).select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(3L, 4L))
+    // the all-NULL file was dropped by the manifest alone
+    assert(survivors.length == 1)
+  }
+}
