@@ -682,6 +682,14 @@ object SparkEntry {
         )
       DataOps.snapshotDiff(v1, v2)
     },
+    // BPE tokenizer training: distributed word-frequency aggregation +
+    // driver-side merge learning over the bounded top-V table (the PQ
+    // codebook stance). Merge learning is an iterative argmax no
+    // portable SQL replays → rows-only, with check_bpe as the
+    // hash-green twin (round trip, vocab closure, compression over the
+    // full corpus token stream).
+    "bpe_train" -> q((s, dir) => Bpe.train(s, dir, 200).orderBy("rank")),
+    "check_bpe" -> q((s, dir) => Checks.bpeInvariants(s, dir)),
     // sketch-backed MV: distinct suppliers per return flag (and their
     // exact union) served from the standing KMV rollup alone — built
     // incrementally (third + two deltas + compaction); sub-capacity,
@@ -1900,6 +1908,9 @@ object SparkEntry {
           |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      "check_bpe" ->
+        """SELECT CAST(0 AS BIGINT) AS roundtrip_violations, true AS compressed,
+          |  true AS vocab_closed, true AS merges_ok""".stripMargin,
       "mv_sketch_distinct" ->
         """SELECT scope, CAST(n AS BIGINT) AS n_distinct FROM (
           |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,

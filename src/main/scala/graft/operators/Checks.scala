@@ -637,6 +637,42 @@ object Checks {
     * signatures are distinct within a doc. n_video_docs is the real
     * oracle tie (DuckDB counts doc_id % 3 = 2).
     */
+  /** BPE tokenizer invariants (the hash-green twin of the rows-only
+    * `bpe_train` — merge learning is an iterative argmax no portable
+    * SQL can replay, the PQ-codebook stance). Verified INSIDE Spark
+    * over the full corpus token stream:
+    *   - round trip: every token occurrence's BPE pieces concatenate
+    *     back to the surface word (losslessness);
+    *   - vocab closure: every multi-char piece the encoder emits is
+    *     the output of a learned merge;
+    *   - compression: the corpus encodes to strictly fewer pieces
+    *     than characters (the merges did real work);
+    *   - the learner produced within (0, numMerges] merges.
+    */
+  def bpeInvariants(spark: SparkSession, dir: String, numMerges: Int = 200): DataFrame = {
+    val merges  = Bpe.train(spark, dir, numMerges).localCheckpoint(eager = false)
+    val encoded = Bpe.encodeDocs(spark, Tables.documents(spark, dir), merges)
+    val mergeVocab = merges.select(concat(col("left"), col("right")).as("tok"))
+    val unknownPieces = encoded
+      .select(explode(col("tokens")).as("tok"))
+      .filter(length(col("tok")) > 1)
+      .distinct()
+      .join(mergeVocab, Seq("tok"), "left_anti")
+    val nMerges = merges.count()
+    encoded
+      .agg(
+        sum(when(concat_ws("", col("tokens")) =!= col("word"), 1L).otherwise(0L)).as("roundtrip_violations"),
+        sum(size(col("tokens"))).cast("long").as("n_pieces"),
+        sum(length(col("word"))).cast("long").as("n_chars")
+      )
+      .select(
+        col("roundtrip_violations"),
+        (col("n_pieces") < col("n_chars")).as("compressed"),
+        lit(unknownPieces.isEmpty).as("vocab_closed"),
+        lit(nMerges > 0 && nMerges <= numMerges).as("merges_ok")
+      )
+  }
+
   def frameSampleInvariants(spark: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.sampleFrames(spark, dir).localCheckpoint(eager = false)
     val perDoc = frames
