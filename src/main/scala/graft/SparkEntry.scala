@@ -142,6 +142,32 @@ object SparkEntry {
     path
   }
 
+  /** Memoized `graft-log` snapshot table of `documents`, committed in
+    * three appends (doc_id % 3 = 0, 1, 2) and then compacted — so the
+    * oracle-checked time-travel reads exercise manifest versioning
+    * THROUGH a post-hoc compaction (old versions must keep resolving
+    * to the original immutable files).
+    */
+  private val snapTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def snapTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_snap_tbl", dir)}"
+    snapTableBuilt.synchronized {
+      if (!snapTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val docs = Tables.documents(s, dir)
+        graft.sources.SnapshotTable.create(s, path, docs.filter(col("doc_id") % 3 === 0))
+        graft.sources.SnapshotTable.append(s, path, docs.filter(col("doc_id") % 3 === 1))
+        graft.sources.SnapshotTable.append(s, path, docs.filter(col("doc_id") % 3 === 2))
+        graft.sources.SnapshotTable.compact(s, path)
+        snapTableBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized zone-mapped layout of `orders` (clustered by
     * o_totalprice, stats manifest over o_totalprice) — the standing
     * data-skipping layout `zonemap_scan` probes.
@@ -681,6 +707,22 @@ object SparkEntry {
           v1.filter(col("doc_id") % 53 === 0).select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
         )
       DataOps.snapshotDiff(v1, v2)
+    },
+    // graft-log time travel: read versions 1..3 of the snapshot table
+    // (latest is 4, the compaction) — each historical version must
+    // reproduce its cumulative append state exactly, which DuckDB
+    // derives from the %3 split of the base table
+    "timetravel_read" -> q { (s, dir) =>
+      val path = snapTableReady(s, dir)
+      (1L to 3L)
+        .map { v =>
+          graft.sources.SnapshotTable
+            .read(s, path, Some(v))
+            .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+            .select(lit(v).as("version"), col("n_docs"), col("sum_ids"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("version")
     },
     // BPE tokenizer training: distributed word-frequency aggregation +
     // driver-side merge learning over the bounded top-V table (the PQ
@@ -1908,6 +1950,11 @@ object SparkEntry {
           |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      "timetravel_read" ->
+        """SELECT CAST(v.version AS BIGINT) AS version,
+          |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,
+          |  CAST((SELECT sum(doc_id) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS sum_ids
+          |FROM (VALUES (1), (2), (3)) v(version) ORDER BY version""".stripMargin,
       "check_bpe" ->
         """SELECT CAST(0 AS BIGINT) AS roundtrip_violations, true AS compressed,
           |  true AS vocab_closed, true AS merges_ok""".stripMargin,

@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `graft-log`: a minimal transaction-log table format — versioned
+  * manifests over immutable parquet data files, giving long-lived
+  * tables the three properties a 100 TB ingest path needs and a bare
+  * parquet directory cannot provide:
+  *
+  *   - **atomic commits**: a manifest is staged to a hidden temp name
+  *     and `rename`d into place; readers either see the complete new
+  *     version or the old one, never a half-written file list (the
+  *     same write-aside-then-swap discipline the standing indexes use,
+  *     generalized to every commit);
+  *   - **snapshot isolation / time travel**: data files are immutable
+  *     and append-only on disk; every version's manifest remains
+  *     readable, so `read(versionAsOf = n)` reproduces any historical
+  *     snapshot byte-for-byte — including across later compactions;
+  *   - **optimistic concurrency**: two writers racing to commit
+  *     version n+1 both stage, but `rename` onto an existing manifest
+  *     fails for exactly one of them; the loser re-reads the log and
+  *     retries (append) or aborts (overwrite), so lost updates are
+  *     impossible without any lock service.
+  *
+  * Layout: `path/_log/v<%012d>.txt` (one relative data-file path per
+  * line; `_`-prefixed so plain `spark.read.parquet(path)` never sees
+  * it) and `path/data/c-<uuid>/part-*.parquet` (one immutable
+  * directory per commit). The manifest format is deliberately plain
+  * text — no schema evolution story is claimed; writers must present
+  * the table's schema.
+  */
+object SnapshotTable {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(path: String, version: Long): Path =
+    new Path(s"$path/_log/v${"%012d".format(version)}.txt")
+
+  /** Latest committed version, 0 if the table does not exist. */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val f      = fs(spark, path)
+    val logDir = new Path(s"$path/_log")
+    if (!f.exists(logDir)) 0L
+    else
+      f.listStatus(logDir)
+        .iterator
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") => n.stripPrefix("v").stripSuffix(".txt").toLong }
+        .foldLeft(0L)(math.max)
+  }
+
+  private def readManifest(spark: SparkSession, path: String, version: Long): Seq[String] = {
+    val f  = fs(spark, path)
+    val in = f.open(manifestPath(path, version))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      .split("\n")
+      .iterator
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .toSeq
+    finally in.close()
+  }
+
+  /** Stage `df` as a new immutable commit directory; returns the
+    * relative file list.
+    */
+  private def stageData(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
+    val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$path/$commitDir")
+    val f = fs(spark, path)
+    FsListing
+      .listDataFiles(f, new Path(s"$path/$commitDir"))
+      .map(st => s"$commitDir/${st.getPath.getName}")
+  }
+
+  /** Atomically publish `files` as version `version`. Returns false on
+    * a lost race (the manifest already exists).
+    */
+  private def tryCommit(spark: SparkSession, path: String, version: Long, files: Seq[String]): Boolean = {
+    val f    = fs(spark, path)
+    val tmp  = new Path(s"$path/_log/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val dest = manifestPath(path, version)
+    f.mkdirs(new Path(s"$path/_log"))
+    if (f.exists(dest)) return false
+    val out = f.create(tmp, false)
+    try out.write(files.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val ok = f.rename(tmp, dest)
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+
+  /** Create the table (version 1) from `df`. Fails if it exists. */
+  def create(spark: SparkSession, path: String, df: DataFrame): Long = {
+    require(latestVersion(spark, path) == 0L, s"table already exists at $path")
+    val files = stageData(spark, path, df)
+    require(tryCommit(spark, path, 1L, files), s"concurrent create at $path")
+    1L
+  }
+
+  /** Append `df` as a new version: stage once, then commit with
+    * retry — on a lost race the file list is re-derived from the NEW
+    * latest version, so the append lands exactly once regardless of
+    * interleaving.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame, maxRetries: Int = 10): Long = {
+    val newFiles = stageData(spark, path, df)
+    var attempt  = 0
+    while (attempt < maxRetries) {
+      val base = latestVersion(spark, path)
+      require(base > 0, s"no table at $path (create first)")
+      val files = readManifest(spark, path, base) ++ newFiles
+      if (tryCommit(spark, path, base + 1, files)) return base + 1
+      attempt += 1
+    }
+    sys.error(s"append lost $maxRetries commit races at $path")
+  }
+
+  /** Replace the table contents (new version referencing only the new
+    * files; history stays readable). NO retry on a race — an
+    * overwrite that silently clobbers a concurrent commit would be a
+    * lost update. Pass `expectedBase` (the version the caller READ
+    * before deriving `df`) for full compare-and-swap semantics: the
+    * commit refuses if anyone has advanced the table since.
+    */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame, expectedBase: Option[Long] = None): Long = {
+    val newFiles = stageData(spark, path, df)
+    val base     = latestVersion(spark, path)
+    expectedBase.foreach(e =>
+      require(base == e, s"concurrent commit: $path advanced from version $e to $base — re-read and retry")
+    )
+    val v = base + 1
+    require(tryCommit(spark, path, v, newFiles), s"overwrite of $path lost a race at version $v — re-read and retry")
+    v
+  }
+
+  /** Read a snapshot: the latest version, or `versionAsOf`. Immutable
+    * data files + per-version manifests make every historical snapshot
+    * exactly reproducible.
+    */
+  def read(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(latestVersion(spark, path))
+    require(v > 0, s"no table at $path")
+    val files = readManifest(spark, path, v)
+    require(files.nonEmpty, s"version $v of $path is empty")
+    spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+  }
+
+  /** Fold the CURRENT file set into `targetFiles` compacted files and
+    * commit as a new version. Old versions keep referencing the old
+    * (still present) files — compaction never breaks time travel;
+    * reclaiming space is [[vacuum]]'s explicitly destructive job.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 4): Long = {
+    val cur = read(spark, path).coalesce(targetFiles)
+    // localCheckpoint: materialize BEFORE staging so the rewrite never
+    // reads files a concurrent vacuum might reclaim mid-job
+    overwrite(spark, path, cur.localCheckpoint(eager = true))
+  }
+
+  /** Delete data files referenced by NO version > `keepFrom` —
+    * explicitly destroys time travel older than that version.
+    */
+  def vacuum(spark: SparkSession, path: String, keepFrom: Long): Unit = {
+    val f      = fs(spark, path)
+    val latest = latestVersion(spark, path)
+    val live = (math.max(1L, keepFrom) to latest).flatMap { v =>
+      if (f.exists(manifestPath(path, v))) readManifest(spark, path, v) else Nil
+    }.toSet
+    val all = FsListing
+      .listDataFiles(f, new Path(s"$path/data"))
+      .map(st => st.getPath)
+    all.foreach { p =>
+      val rel = p.toUri.getPath.stripPrefix(new Path(path).toUri.getPath).stripPrefix("/")
+      if (!live.contains(rel)) f.delete(p, false)
+    }
+    // drop manifests below keepFrom so a time-travel read fails loudly
+    // instead of resolving to missing files
+    (1L until math.max(1L, keepFrom)).foreach(v => f.delete(manifestPath(path, v), false))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** graft-log: atomic commits, time travel, optimistic concurrency. */
+class SnapshotTableSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val p  = s"/tmp/graft_snap_spec/$tag"
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(p), true)
+    p
+  }
+
+  private def df(ids: Long*) = ids.toSeq.toDF("id")
+
+  test("create + appends: every version reproduces its cumulative state; plain parquet read never sees the log") {
+    val p = freshPath("basic")
+    SnapshotTable.create(spark, p, df(1, 2))
+    SnapshotTable.append(spark, p, df(3))
+    SnapshotTable.append(spark, p, df(4, 5))
+    assert(SnapshotTable.latestVersion(spark, p) == 3)
+    assert(SnapshotTable.read(spark, p, Some(1)).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, p, Some(2)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("compaction folds files but every historical version stays byte-reproducible") {
+    val p = freshPath("compact")
+    SnapshotTable.create(spark, p, df(1).repartition(4))
+    (2 to 6).foreach(i => SnapshotTable.append(spark, p, df(i.toLong).repartition(2)))
+    val v6Before = SnapshotTable.read(spark, p, Some(6)).as[Long].collect().sorted.toSeq
+    val v2Before = SnapshotTable.read(spark, p, Some(2)).as[Long].collect().sorted.toSeq
+    val fs          = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = graft.sources.FsListing.listDataFiles(fs, new Path(s"$p/data")).length
+    val v = SnapshotTable.compact(spark, p, targetFiles = 1)
+    assert(v == 7)
+    val compactedFiles = graft.sources.FsListing
+      .listDataFiles(fs, new Path(s"$p/data"))
+      .length
+    assert(SnapshotTable.read(spark, p).inputFiles.length < filesBefore)
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == v6Before)
+    assert(SnapshotTable.read(spark, p, Some(6)).as[Long].collect().sorted.toSeq == v6Before)
+    assert(SnapshotTable.read(spark, p, Some(2)).as[Long].collect().sorted.toSeq == v2Before)
+    assert(compactedFiles > filesBefore, "old files must survive compaction (time travel)")
+  }
+
+  test("optimistic concurrency: a lost append race retries onto the new version, exactly once") {
+    val p = freshPath("race")
+    SnapshotTable.create(spark, p, df(1))
+    // simulate a racing committer: pre-create the v2 manifest the
+    // append will try first
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val racer = SnapshotTable.read(spark, p) // v1 files
+    val v1Files = racer.inputFiles.map(f => f.split("/data/").last).map("data/" + _).toSeq
+    val out = fs.create(new Path(s"$p/_log/v${"%012d".format(2L)}.txt"), false)
+    out.write((v1Files.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    out.close()
+    val v = SnapshotTable.append(spark, p, df(9))
+    assert(v == 3, "append must detect the lost race and land on v3")
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == Seq(1L, 9L))
+    assert(SnapshotTable.read(spark, p, Some(2)).as[Long].collect().sorted.toSeq == Seq(1L))
+  }
+
+  test("overwrite replaces content going forward, loses no history, and refuses a raced commit") {
+    val p = freshPath("ow")
+    SnapshotTable.create(spark, p, df(1, 2))
+    SnapshotTable.overwrite(spark, p, df(7))
+    assert(SnapshotTable.read(spark, p).as[Long].collect().toSeq == Seq(7L))
+    assert(SnapshotTable.read(spark, p, Some(1)).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // CAS semantics: reader derived its overwrite from v2, a racer
+    // commits v3 in between — the stale overwrite must throw, not
+    // clobber
+    val fs  = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(s"$p/_log/v${"%012d".format(3L)}.txt"), false)
+    out.write("data/none.parquet\n".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] {
+      SnapshotTable.overwrite(spark, p, df(8), expectedBase = Some(2L))
+    }
+  }
+
+  test("vacuum reclaims only files unreferenced since keepFrom and kills older time travel loudly") {
+    val p = freshPath("vac")
+    SnapshotTable.create(spark, p, df(1))
+    SnapshotTable.append(spark, p, df(2))
+    SnapshotTable.compact(spark, p, targetFiles = 1) // v3 references only compacted files
+    val fs          = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val filesBefore = graft.sources.FsListing.listDataFiles(fs, new Path(s"$p/data")).length
+    SnapshotTable.vacuum(spark, p, keepFrom = 3)
+    val filesAfter = graft.sources.FsListing.listDataFiles(fs, new Path(s"$p/data")).length
+    assert(filesAfter < filesBefore)
+    // current read unaffected
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // old version gone loudly (manifest deleted)
+    intercept[Exception] { SnapshotTable.read(spark, p, Some(1)).collect() }
+  }
+
+  test("registered time-travel query matches a direct recompute") {
+    val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
+    val docs = Tables.documents(spark, sfDir)
+    val want = (1L to 3L).map { v =>
+      val slice = docs.filter(col("doc_id") % 3 < v)
+      (v, slice.count(), slice.agg(sum("doc_id")).head().getLong(0))
+    }
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) == want)
+  }
+}
