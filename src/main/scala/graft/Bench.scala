@@ -25,7 +25,9 @@ object Bench {
     "text_dup_spans", "text_dedup_substrings", "text_contamination_bloom",
     "events_tumbling_hourly", "events_sessionize", "asof_click_purchase",
     "range_join_price_bands",
-    "dedup_setsim_join", "mv_rollup_rewrite"
+    "dedup_setsim_join", "mv_rollup_rewrite",
+    "merge_upsert", "scd2_history", "zonemap_scan", "mv_sketch_distinct",
+    "timetravel_read", "bpe_train"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

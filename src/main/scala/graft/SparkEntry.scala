@@ -832,6 +832,7 @@ object SparkEntry {
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
     "check_quantization"       -> q(Checks.quantizationError),
+    "check_change_feed"        -> q(Checks.changeFeedInvariants),
     "check_salted_join"        -> q(Checks.saltedJoinParity),
     "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
     "q8_market_share"          -> q(Relational.q8MarketShare),
@@ -1950,6 +1951,9 @@ object SparkEntry {
           |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      "check_change_feed" ->
+        """SELECT true AS content_ok, true AS history_ok,
+          |  CAST(3 AS BIGINT) AS n_versions""".stripMargin,
       "timetravel_read" ->
         """SELECT CAST(v.version AS BIGINT) AS version,
           |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,

@@ -673,6 +673,49 @@ object Checks {
       )
   }
 
+  /** Continuous-CDC invariants: documents-derived change batches
+    * applied through [[graft.streaming.ChangeFeed.applyBatch]] (the
+    * foreachBatch body) into a graft-log table must (a) equal the
+    * plain sequential [[Cdc.mergeUpsert]] folds, (b) leave one
+    * committed version per batch, and (c) time-travel to the first
+    * batch boundary exactly.
+    */
+  def changeFeedInvariants(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import graft.streaming.ChangeFeed
+    val path = s"/tmp/${dirKeyed("graft_check_cf", dir)}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs
+      .filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" u1")).as("text"), col("source"), lit(false).as("__delete"))
+    val b2 = docs
+      .filter(col("doc_id") % 8 === 0)
+      .select(col("doc_id"), col("text"), col("source"), lit(true).as("__delete"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" u2")).as("text"), col("source"), lit(false).as("__delete"))
+      )
+    SnapshotTable.create(spark, path, base)
+    ChangeFeed.applyBatch(spark, path, b1, "doc_id")
+    ChangeFeed.applyBatch(spark, path, b2, "doc_id")
+    val expected1 = Cdc.mergeUpsert(base, b1, "doc_id")
+    val expected2 = Cdc.mergeUpsert(expected1, b2, "doc_id")
+    val got       = SnapshotTable.read(spark, path)
+    val gotV2     = SnapshotTable.read(spark, path, Some(2))
+    spark
+      .range(1)
+      .select(
+        lit(got.exceptAll(expected2).isEmpty && expected2.exceptAll(got).isEmpty).as("content_ok"),
+        lit(gotV2.exceptAll(expected1).isEmpty && expected1.exceptAll(gotV2).isEmpty).as("history_ok"),
+        lit(SnapshotTable.latestVersion(spark, path)).as("n_versions")
+      )
+  }
+
   def frameSampleInvariants(spark: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.sampleFrames(spark, dir).localCheckpoint(eager = false)
     val perDoc = frames
