@@ -184,7 +184,10 @@ object SparkEntry {
           path,
           clusterCols = Seq("o_totalprice"),
           statsCols = Seq("o_totalprice"),
-          files = 16
+          files = 16,
+          // o_custkey is UNCLUSTERED in this layout — its min/max
+          // ranges cover everything, so point lookups need the bloom
+          bloomCols = Seq("o_custkey")
         )
         zoneMapBuilt += dir
       }
@@ -761,6 +764,19 @@ object SparkEntry {
           sum("o_orderkey").as("sum_key")
         )
         .orderBy("o_orderstatus")
+    },
+    // bloom file skipping: point lookup of ONE customer's orders in
+    // the price-clustered layout, where min/max can't prune (custkey
+    // is unclustered) — per-file blooms must drop files (required
+    // loudly), exact equality re-applied; DuckDB recomputes from raw
+    "bloom_skip_scan" -> q { (s, dir) =>
+      val path               = zoneMapReady(s, dir)
+      val (survivors, total) = graft.sources.ZoneMap.pruneFilesPoint(s, path, "o_custkey", 42L)
+      require(survivors.length < total, s"bloom pruned nothing (${survivors.length}/$total files)")
+      graft.sources.ZoneMap
+        .prunedPointRead(s, path, "o_custkey", 42L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
     },
     // CDC apply (the write-side twin of dataset_diff): fold a change
     // batch — updates for %5=1, deletes for %5=2, inserts for %5=3 —
@@ -1976,6 +1992,9 @@ object SparkEntry {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "bloom_skip_scan" ->
+        """SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin,
       "merge_upsert" ->
         """WITH changes AS (
           |  SELECT doc_id, text || ' [rev2]' AS text, source, false AS del

@@ -38,15 +38,23 @@ object ZoneMap {
       path: String,
       clusterCols: Seq[String],
       statsCols: Seq[String],
-      files: Int = 16
+      files: Int = 16,
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 100000L,
+      bloomBits: Long = 800000L
   ): Unit = {
     require(clusterCols.nonEmpty && statsCols.nonEmpty)
+    graft.GraftFunctions.register(spark)
     df.repartitionByRange(files, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write
       .mode("overwrite")
       .parquet(s"$path/data")
-    val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      // per-file bloom over the column's xxhash64 — the point-predicate
+      // complement to min/max: an UNCLUSTERED column's ranges cover
+      // everything, but its values still live in few files
+      bloomCols.map(c => expr(s"graft_bloom_agg(xxhash64($c), ${bloomItems}L, ${bloomBits}L)").as(s"bloom_$c"))
     spark.read
       .parquet(s"$path/data")
       .groupBy(input_file_name().as("file"))
@@ -55,6 +63,43 @@ object ZoneMap {
       .write
       .mode("overwrite")
       .parquet(s"$path/zonemap")
+  }
+
+  /** xxhash64 of a literal under Spark's expression semantics (seed
+    * 42) — evaluated through the engine itself so the probe hash can
+    * never drift from the hash the bloom ingested.
+    */
+  private def xxhashOf(spark: SparkSession, value: Any): Long =
+    spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+
+  /** Surviving files for a point predicate `col = value`, by probing
+    * each file's bloom in the manifest (driver-side; the manifest is
+    * one tiny parquet). A file whose bloom is NULL (all-NULL column)
+    * can never match a point predicate and is pruned.
+    */
+  def pruneFilesPoint(spark: SparkSession, path: String, column: String, value: Any): (Seq[String], Long) = {
+    val h  = xxhashOf(spark, value)
+    val zm = spark.read.parquet(s"$path/zonemap").select("file", s"bloom_$column").collect()
+    val survivors = zm.toSeq.flatMap { r =>
+      Option(r.getAs[Array[Byte]](1)).flatMap { bytes =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        if (bf.mightContainLong(h)) Some(r.getString(0)) else None
+      }
+    }
+    (survivors, zm.length.toLong)
+  }
+
+  /** Point-lookup read: bloom-prune files, scan survivors, re-apply
+    * the exact equality (bloom skipping is a necessary condition with
+    * false positives, never false negatives).
+    */
+  def prunedPointRead(spark: SparkSession, path: String, column: String, value: Any): DataFrame = {
+    val (survivors, _) = pruneFilesPoint(spark, path, column, value)
+    if (survivors.isEmpty)
+      spark.read.parquet(s"$path/data").filter(lit(false))
+    else
+      spark.read.parquet(survivors: _*).filter(col(column) === lit(value))
   }
 
   /** Surviving data files for a conjunction of closed-interval

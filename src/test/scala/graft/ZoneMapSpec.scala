@@ -67,6 +67,32 @@ class ZoneMapSpec extends SparkSpec {
     assert(out.columns.contains("o_orderstatus"))
   }
 
+  test("bloom point lookup: no false negatives, real pruning, equality with the full scan") {
+    val p = "/tmp/graft_zonemap_spec/bloom"
+    ZoneMap.writeWithZoneMap(
+      spark,
+      Tables.orders(spark, sfDir),
+      p,
+      Seq("o_totalprice"),
+      Seq("o_totalprice"),
+      files = 8,
+      bloomCols = Seq("o_custkey")
+    )
+    val (survivors, total) = ZoneMap.pruneFilesPoint(spark, p, "o_custkey", 42L)
+    assert(survivors.length < total, s"expected bloom pruning (${survivors.length}/$total)")
+    val pruned = ZoneMap.prunedPointRead(spark, p, "o_custkey", 42L)
+    val full   = Tables.orders(spark, sfDir).filter(col("o_custkey") === 42L)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0, "custkey 42 must exist for the test to mean anything")
+  }
+
+  test("bloom point lookup of an absent value prunes every file") {
+    val p                  = "/tmp/graft_zonemap_spec/bloom"
+    val (survivors, total) = ZoneMap.pruneFilesPoint(spark, p, "o_custkey", 999999999L)
+    assert(total > 0 && survivors.isEmpty, s"absent key should bloom-prune all files, got ${survivors.length}")
+    assert(ZoneMap.prunedPointRead(spark, p, "o_custkey", 999999999L).isEmpty)
+  }
+
   test("all-NULL files are prunable for interval predicates; NULL rows never match") {
     val p = "/tmp/graft_zonemap_spec/nulls"
     val df = Seq[(Long, Option[Double])]((1L, None), (2L, None), (3L, Some(5.0)), (4L, Some(9.0)))
