@@ -711,6 +711,15 @@ object SparkEntry {
         )
       DataOps.snapshotDiff(v1, v2)
     },
+    // ANALYZE-style profile: one-pass per-column stats over lineitem
+    // (row/null/exact-distinct counts via Expand + partial agg);
+    // DuckDB recomputes each column's row from the raw table
+    "table_profile" -> q { (s, dir) =>
+      Profile.profile(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+      )
+    },
     // graft-log time travel: read versions 1..3 of the snapshot table
     // (latest is 4, the compaction) — each historical version must
     // reproduce its cumulative append state exactly, which DuckDB
@@ -1970,6 +1979,16 @@ object SparkEntry {
       "check_change_feed" ->
         """SELECT true AS content_ok, true AS history_ok,
           |  CAST(3 AS BIGINT) AS n_versions""".stripMargin,
+      "table_profile" -> {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+        cols
+          .map(c =>
+            s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+               |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem""".stripMargin
+          )
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+      },
       "timetravel_read" ->
         """SELECT CAST(v.version AS BIGINT) AS version,
           |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,

@@ -45,6 +45,60 @@ object ChangeFeed {
     SnapshotTable.overwrite(spark, tablePath, merged, expectedBase = Some(base))
   }
 
+  /** Apply ONE batch of SCD2 changes: rows carry an effective-date
+    * column; distinct effective dates within the batch are applied in
+    * ascending order (a multi-day backfill batch lands as if the days
+    * had arrived separately), then the new history commits with CAS.
+    * Replays are idempotent by content: re-applying identical changes
+    * trips the no-op change detection and reproduces the history.
+    */
+  def applyScd2Batch(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      idCol: String,
+      attrCols: Seq[String],
+      effDateCol: String
+  ): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = SnapshotTable.latestVersion(spark, tablePath)
+    val effs = batch
+      .select(col(effDateCol).cast("date"))
+      .distinct()
+      .collect()
+      .map(_.getDate(0))
+      .sortBy(_.getTime)
+    var hist = SnapshotTable.read(spark, tablePath)
+    effs.foreach { d =>
+      val slice = batch.filter(col(effDateCol).cast("date") === org.apache.spark.sql.functions.lit(d))
+      hist = Cdc.scd2Apply(hist, slice, idCol, attrCols, org.apache.spark.sql.functions.lit(d.toString))
+    }
+    SnapshotTable.overwrite(spark, tablePath, hist.localCheckpoint(eager = true), expectedBase = Some(base))
+  }
+
+  /** Continuous SCD2 maintenance: drain a change stream into a
+    * graft-log history table — every batch commits one ACID version
+    * of the full history, so `versionAsOf` reproduces the history as
+    * of any batch boundary.
+    */
+  def streamScd2(
+      spark: SparkSession,
+      changeStream: DataFrame,
+      tablePath: String,
+      idCol: String,
+      attrCols: Seq[String],
+      effDateCol: String,
+      checkpoint: String
+  ): StreamingQuery =
+    changeStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyScd2Batch(spark, tablePath, batch.toDF(), idCol, attrCols, effDateCol)
+        ()
+      }
+      .start()
+
   /** Drain a change-batch stream into the table with AvailableNow —
     * the restartable "apply what's new" job.
     */

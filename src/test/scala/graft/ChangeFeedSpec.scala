@@ -68,6 +68,44 @@ class ChangeFeedSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, table) == 3)
   }
 
+  test("streamed SCD2 batches reproduce the sequential scd2Apply history, multi-day batch applied in date order") {
+    val table = freshPath("scd2")
+    val init  = Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+    SnapshotTable.create(spark, table, Cdc.scd2Init(init, "id", Seq("lang"), lit("2024-01-01")))
+
+    // one batch carrying TWO effective dates out of order: must apply ascending
+    val b1 = Seq((1L, "fr", "2024-03-01"), (1L, "es", "2024-02-01"), (3L, "it", "2024-02-01"))
+      .toDF("id", "lang", "eff")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_cf2_in")
+    val ckpt      = java.nio.file.Files.createTempDirectory("graft_cf2_ck")
+    b1.coalesce(1).write.parquet(streamDir.resolve("b1").toString)
+    val stream = spark.readStream.schema(b1.schema).parquet(s"$streamDir/*")
+    val query  = graft.streaming.ChangeFeed.streamScd2(spark, stream, table, "id", Seq("lang"), "eff", ckpt.toString)
+    try query.awaitTermination()
+    finally query.stop()
+
+    var expected = Cdc.scd2Init(init, "id", Seq("lang"), lit("2024-01-01"))
+    expected = Cdc.scd2Apply(expected, Seq((1L, "es"), (3L, "it")).toDF("id", "lang"), "id", Seq("lang"), lit("2024-02-01"))
+    expected = Cdc.scd2Apply(expected, Seq((1L, "fr")).toDF("id", "lang"), "id", Seq("lang"), lit("2024-03-01"))
+    val got = SnapshotTable.read(spark, table)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // id 1 went en -> es -> fr: three versions, one open
+    val v1 = got.filter(col("id") === 1L)
+    assert(v1.count() == 3 && v1.filter(col("valid_to").isNull).count() == 1)
+  }
+
+  test("replaying an SCD2 batch is a content no-op (change detection suppresses duplicates)") {
+    val table = freshPath("scd2replay")
+    val init  = Seq((1L, "en")).toDF("id", "lang")
+    SnapshotTable.create(spark, table, Cdc.scd2Init(init, "id", Seq("lang"), lit("2024-01-01")))
+    val b = Seq((1L, "fr", "2024-02-01")).toDF("id", "lang", "eff")
+    graft.streaming.ChangeFeed.applyScd2Batch(spark, table, b, "id", Seq("lang"), "eff")
+    val first = SnapshotTable.read(spark, table).orderBy("id", "valid_from").collect().toSeq
+    graft.streaming.ChangeFeed.applyScd2Batch(spark, table, b, "id", Seq("lang"), "eff")
+    val second = SnapshotTable.read(spark, table).orderBy("id", "valid_from").collect().toSeq
+    assert(second == first)
+  }
+
   test("an out-of-band writer racing a batch is detected by the CAS commit") {
     val table = freshPath("race")
     SnapshotTable.create(spark, table, snap(1L -> "a"))

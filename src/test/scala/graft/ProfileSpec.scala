@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** One-pass table profiling. */
+class ProfileSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("profile counts rows, nulls, and exact ndv per column on planted data") {
+    val df = Seq(
+      (Some(1L), Some("a")),
+      (Some(1L), None),
+      (Some(2L), Some("b")),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val out = Profile.profile(df, Seq("k", "s")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("k", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+  }
+
+  test("profile matches independent per-column recomputes on real data") {
+    val li   = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_returnflag")
+    val out = Profile.profile(li, cols).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    cols.foreach { c =>
+      val n    = li.count()
+      val nn   = li.agg(count(col(c))).head().getLong(0)
+      val ndv  = li.agg(countDistinct(col(c))).head().getLong(0)
+      assert(out(c) == ((n, n - nn, ndv)), s"column $c")
+    }
+  }
+
+  test("profile is a single distributed pass: one Aggregate over an Expand, no per-column jobs") {
+    val plan = Profile
+      .profile(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey", "l_returnflag"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
