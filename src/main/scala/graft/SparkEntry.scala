@@ -189,6 +189,7 @@ object SparkEntry {
           // ranges cover everything, so point lookups need the bloom
           bloomCols = Seq("o_custkey")
         )
+        graft.plans.ZoneMapPruning.register(s, dirKeyed("zm_orders", dir), path, Seq("o_totalprice"))
         zoneMapBuilt += dir
       }
     }
@@ -786,6 +787,31 @@ object SparkEntry {
         .prunedPointRead(s, path, "o_custkey", 42L)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+    // transparent zone-map pruning: a PLAIN filtered scan of the data
+    // path — no pruning API in sight — must be rewritten by the
+    // registered ZoneMapPruneRule onto the surviving files (engagement
+    // asserted via the optimized plan's relation file count)
+    "zonemap_rule_scan" -> q { (s, dir) =>
+      val path = zoneMapReady(s, dir)
+      val out = s.read
+        .parquet(s"$path/data")
+        .filter(col("o_totalprice") >= 60000.0 && col("o_totalprice") <= 90000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          sum("o_orderkey").as("sum_key")
+        )
+        .orderBy("o_orderstatus")
+      val scanned = out.queryExecution.optimizedPlan
+        .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation].location.inputFiles.length
+        }
+        .sum
+      require(scanned < 16, s"zone-map rule did not engage: $scanned files in the optimized plan")
+      out
     },
     // CDC apply (the write-side twin of dataset_diff): fold a change
     // batch — updates for %5=1, deletes for %5=2, inserts for %5=3 —
@@ -2010,6 +2036,12 @@ object SparkEntry {
           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "zonemap_rule_scan" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_totalprice BETWEEN 60000 AND 90000
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "bloom_skip_scan" ->
         """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregate navigation onto registered rollups (no-op until an MV
     // is registered via MaterializedViews.buildMv)
     ext.injectOptimizerRule(_ => MaterializedViews.MvRewriteRule)
+    // transparent zone-map file skipping over registered layouts
+    // (no-op until ZoneMapPruning.register)
+    ext.injectOptimizerRule(_ => ZoneMapPruning.ZoneMapPruneRule)
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     )

@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias,
+  And,
+  AttributeReference,
+  EqualTo,
+  Expression,
+  GreaterThan,
+  GreaterThanOrEqual,
+  LessThan,
+  LessThanOrEqual,
+  Literal,
+  NamedExpression
+}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ZoneMap
+
+/** Transparent file skipping: a Catalyst [[Rule]] that recognizes
+  * range/point filters over a REGISTERED zone-mapped layout and swaps
+  * the relation for one over only the surviving files — the explicit
+  * [[ZoneMap.prunedRead]] API elevated to an automatic plan rewrite,
+  * the same design as [[MaterializedViews.MvRewriteRule]]: queries
+  * keep reading the plain data path; registration makes the manifest
+  * an optimizer asset.
+  *
+  * Matching: `Filter` directly over the registered scan (where
+  * Catalyst's own pushdown leaves it), conjuncts of
+  * `attr {=, <, <=, >, >=} literal` (either side) on NUMERIC or
+  * STRING stats columns. `<`/`>` widen to closed bounds — pruning
+  * only needs a necessary condition — and the original Filter stays
+  * on top of the rewritten scan, so unmatched conjuncts, residual
+  * exactness, and NULL semantics are untouched. Output attributes
+  * keep their exprIds via an aliasing Project, so the surrounding
+  * plan never notices. The rewritten relation's root paths are the
+  * survivor files, not the registered data root, so the rule cannot
+  * re-fire on its own output.
+  */
+object ZoneMapPruning {
+
+  final case class ZmDef(name: String, dataRoots: Set[String], path: String, statsCols: Set[String], session: SparkSession)
+
+  @volatile private[graft] var registry: Map[String, ZmDef] = Map.empty
+
+  /** Register a layout written by [[ZoneMap.writeWithZoneMap]] so the
+    * rule recognizes scans of `<path>/data`.
+    */
+  def register(spark: SparkSession, name: String, path: String, statsCols: Seq[String]): ZmDef = {
+    val roots = analyzed(spark.read.parquet(s"$path/data")) match {
+      case LogicalRelation(hf: HadoopFsRelation, _, _, _, _) => hf.location.rootPaths.map(_.toString).toSet
+      case other                                             => sys.error(s"$path/data did not analyze to a file scan: ${other.nodeName}")
+    }
+    val zm = ZmDef(name, roots, path, statsCols.toSet, spark)
+    registry = registry.updated(name, zm)
+    install(spark)
+    zm
+  }
+
+  def drop(name: String): Unit = registry = registry - name
+  def reset(): Unit            = registry = Map.empty
+
+  def install(spark: SparkSession): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(ZoneMapPruneRule)) {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ ZoneMapPruneRule
+    }
+  }
+
+  private def analyzed(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  object ZoneMapPruneRule extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else
+        plan.transformUp { case f @ Filter(cond, rel: LogicalRelation) =>
+          prune(f, cond, rel).getOrElse(f)
+        }
+
+    private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case other     => Seq(other)
+    }
+
+    private def litValue(l: Literal): Option[Any] = l.value match {
+      case null           => None
+      case u: UTF8String  => Some(u.toString)
+      case v              => Some(v)
+    }
+
+    /** (col, isLower, value) bounds from one conjunct, if extractable. */
+    private def bounds(e: Expression, stats: Set[String]): Seq[(String, Boolean, Any)] = {
+      def ok(a: AttributeReference) =
+        stats.contains(a.name) && (a.dataType.isInstanceOf[NumericType] || a.dataType == StringType)
+      e match {
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if ok(a) =>
+          litValue(l).map(v => (a.name, true, v)).toSeq
+        case GreaterThan(a: AttributeReference, l: Literal) if ok(a) =>
+          litValue(l).map(v => (a.name, true, v)).toSeq
+        case LessThanOrEqual(a: AttributeReference, l: Literal) if ok(a) =>
+          litValue(l).map(v => (a.name, false, v)).toSeq
+        case LessThan(a: AttributeReference, l: Literal) if ok(a) =>
+          litValue(l).map(v => (a.name, false, v)).toSeq
+        case EqualTo(a: AttributeReference, l: Literal) if ok(a) =>
+          litValue(l).toSeq.flatMap(v => Seq((a.name, true, v), (a.name, false, v)))
+        // flipped literal-first forms
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) if ok(a) =>
+          litValue(l).map(v => (a.name, false, v)).toSeq
+        case GreaterThan(l: Literal, a: AttributeReference) if ok(a) =>
+          litValue(l).map(v => (a.name, false, v)).toSeq
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if ok(a) =>
+          litValue(l).map(v => (a.name, true, v)).toSeq
+        case LessThan(l: Literal, a: AttributeReference) if ok(a) =>
+          litValue(l).map(v => (a.name, true, v)).toSeq
+        case EqualTo(l: Literal, a: AttributeReference) if ok(a) =>
+          litValue(l).toSeq.flatMap(v => Seq((a.name, true, v), (a.name, false, v)))
+        case _ => Nil
+      }
+    }
+
+    private def prune(f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
+      val roots = rel.relation match {
+        case hf: HadoopFsRelation => hf.location.rootPaths.map(_.toString).toSet
+        case _                    => return None
+      }
+      val zm = registry.values.find(_.dataRoots == roots).getOrElse(return None)
+      val bs = splitConjuncts(cond).flatMap(bounds(_, zm.statsCols))
+      if (bs.isEmpty) return None
+      // conservative interval per column: ANY lower bound and ANY upper
+      // bound are each necessary, so pass one of each (tightest would
+      // need type-aware max/min; a single bound per side already prunes)
+      val ranges: Seq[(String, Option[Any], Option[Any])] = bs
+        .groupBy(_._1)
+        .toSeq
+        .map { case (c, xs) =>
+          (c, xs.find(_._2).map(_._3), xs.find(!_._2).map(_._3))
+        }
+      val (survivors, total) = ZoneMap.pruneFiles(zm.session, zm.path, ranges)
+      if (survivors.length >= total) None
+      else if (survivors.isEmpty) Some(LocalRelation(rel.output))
+      else {
+        val newPlan = analyzed(zm.session.read.parquet(survivors: _*))
+        val byName  = newPlan.output.map(a => a.name -> a).toMap
+        val aliases: Seq[NamedExpression] = rel.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Some(Filter(cond, Project(aliases, newPlan)))
+      }
+    }
+  }
+}
