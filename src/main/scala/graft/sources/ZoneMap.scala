@@ -65,6 +65,54 @@ object ZoneMap {
       .parquet(s"$path/zonemap")
   }
 
+  /** Append a batch to a zone-mapped layout: the batch's files land
+    * beside the existing ones (clustered within the batch) and their
+    * stats rows APPEND to the manifest — the additive-rows contract
+    * every standing structure here uses, so ingest never rewrites the
+    * layout. Appended ranges may overlap old files' ranges; pruning
+    * stays correct (it is a necessary condition) and merely weakens
+    * until a periodic [[writeWithZoneMap]] re-cluster. The column set
+    * must match the build (stats derive from the manifest schema).
+    */
+  def appendWithZoneMap(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      statsCols: Seq[String],
+      files: Int = 4,
+      bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 100000L,
+      bloomBits: Long = 800000L
+  ): Unit = {
+    graft.GraftFunctions.register(spark)
+    val fs = new org.apache.hadoop.fs.Path(s"$path/data")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = FsListing
+      .listDataFiles(fs, new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath.toUri.getPath)
+      .toSet
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write
+      .mode("append")
+      .parquet(s"$path/data")
+    val newFiles = FsListing
+      .listDataFiles(fs, new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath.toUri.getPath)
+      .filterNot(before)
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c => expr(s"graft_bloom_agg(xxhash64($c), ${bloomItems}L, ${bloomBits}L)").as(s"bloom_$c"))
+    spark.read
+      .parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(s"$path/zonemap")
+  }
+
   /** xxhash64 of a literal under Spark's expression semantics (seed
     * 42) — evaluated through the engine itself so the probe hash can
     * never drift from the hash the bloom ingested.

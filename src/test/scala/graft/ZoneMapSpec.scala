@@ -93,6 +93,25 @@ class ZoneMapSpec extends SparkSpec {
     assert(ZoneMap.prunedPointRead(spark, p, "o_custkey", 999999999L).isEmpty)
   }
 
+  test("append maintains the manifest additively: equality holds, new files covered, pruning still works") {
+    val p      = "/tmp/graft_zonemap_spec/append"
+    val orders = Tables.orders(spark, sfDir)
+    ZoneMap.writeWithZoneMap(spark, orders.filter(col("o_orderkey") % 2 === 0), p, Seq("o_totalprice"), Seq("o_totalprice"), files = 8)
+    ZoneMap.appendWithZoneMap(spark, orders.filter(col("o_orderkey") % 2 === 1), p, Seq("o_totalprice"), Seq("o_totalprice"), files = 4)
+    // manifest covers every data file
+    val manifestFiles = spark.read.parquet(s"$p/zonemap").select("file").distinct().count()
+    val fs = new org.apache.hadoop.fs.Path(s"$p/data").getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = graft.sources.FsListing.listDataFiles(fs, new org.apache.hadoop.fs.Path(s"$p/data")).length
+    assert(manifestFiles == dataFiles && dataFiles == 12)
+    // equality vs direct filter over the whole table, and pruning still fires
+    val band   = Seq(("o_totalprice", Some(100000.0): Option[Any], Some(110000.0): Option[Any]))
+    val pruned = ZoneMap.prunedRead(spark, p, band)
+    val full   = orders.filter(col("o_totalprice").between(100000.0, 110000.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    val (survivors, total) = ZoneMap.pruneFiles(spark, p, band)
+    assert(survivors.length < total)
+  }
+
   test("all-NULL files are prunable for interval predicates; NULL rows never match") {
     val p = "/tmp/graft_zonemap_spec/nulls"
     val df = Seq[(Long, Option[Double])]((1L, None), (2L, None), (3L, Some(5.0)), (4L, Some(9.0)))
