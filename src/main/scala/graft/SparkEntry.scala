@@ -721,6 +721,21 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
       )
     },
+    // copy-on-write DELETE on the snapshot table: remove doc_id%7=0
+    // rows (rewriting only touched files), then aggregate the head —
+    // idempotent on re-run (a no-match delete commits nothing), and
+    // versions 1..3 for timetravel_read stay untouched
+    "delete_rows" -> q { (s, dir) =>
+      val path = snapTableReady(s, dir)
+      graft.sources.SnapshotTable.delete(s, path, col("doc_id") % 7 === 0)
+      graft.sources.SnapshotTable
+        .read(s, path)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"),
+          sum(length(col("text"))).as("sum_chars")
+        )
+    },
     // graft-log time travel: read versions 1..3 of the snapshot table
     // (latest is 4, the compaction) — each historical version must
     // reproduce its cumulative append state exactly, which DuckDB
@@ -2015,6 +2030,11 @@ object SparkEntry {
           )
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
       },
+      "delete_rows" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
       "timetravel_read" ->
         """SELECT CAST(v.version AS BIGINT) AS version,
           |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,

@@ -150,6 +150,48 @@ object SnapshotTable {
     spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
   }
 
+  /** Copy-on-write row DELETE: rows where `predicate` is TRUE (SQL
+    * DELETE semantics — NULL keeps the row) are removed by rewriting
+    * ONLY the files that contain matches; untouched files carry over
+    * into the new manifest by reference. A delete matching nothing
+    * commits nothing and returns the current version, so replays are
+    * free. History stays readable — the deleted rows remain visible
+    * to `versionAsOf` until [[vacuum]].
+    *
+    * At 100 TB the touched-file discovery is one pruned scan (compose
+    * with a zone-mapped layout to skip most files before even
+    * looking); the rewrite cost is proportional to the touched files,
+    * never the table.
+    */
+  def delete(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val base     = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val files    = readManifest(spark, path, base)
+    val absOf    = files.map(rel => s"$path/$rel" -> rel).toMap
+    val cur      = spark.read.parquet(absOf.keys.toSeq: _*)
+    val touchedAbs = cur
+      .filter(predicate)
+      .select(input_file_name())
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    if (touchedAbs.isEmpty) return base
+    // input_file_name returns URIs (file:/...); match by suffix on the
+    // known relative paths so the comparison is scheme-agnostic
+    val touchedRel = files.filter(rel => touchedAbs.exists(_.endsWith(rel))).toSet
+    val untouched  = files.filterNot(touchedRel)
+    val kept = spark.read
+      .parquet(touchedRel.map(rel => s"$path/$rel").toSeq: _*)
+      .filter(not(coalesce(predicate, lit(false))))
+      .localCheckpoint(eager = true)
+    val newFiles = stageData(spark, path, kept)
+    val v        = base + 1
+    require(tryCommit(spark, path, v, untouched ++ newFiles), s"delete on $path lost a race at version $v")
+    v
+  }
+
   /** Fold the CURRENT file set into `targetFiles` compacted files and
     * commit as a new version. Old versions keep referencing the old
     * (still present) files — compaction never breaks time travel;

@@ -99,6 +99,32 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception] { SnapshotTable.read(spark, p, Some(1)).collect() }
   }
 
+  test("copy-on-write delete rewrites only touched files; history keeps the deleted rows; no-match is a no-op") {
+    val p = freshPath("delete")
+    // 3 single-row files → deleting id=2 must rewrite exactly one file
+    SnapshotTable.create(spark, p, df(1))
+    SnapshotTable.append(spark, p, df(2))
+    SnapshotTable.append(spark, p, df(3))
+    val filesBefore = SnapshotTable.read(spark, p).inputFiles.toSet
+    val v = SnapshotTable.delete(spark, p, col("id") === 2L)
+    assert(v == 4)
+    val filesAfter = SnapshotTable.read(spark, p).inputFiles.toSet
+    assert((filesBefore & filesAfter).size == 2, "the two untouched files must carry over by reference")
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the deleted row is still visible to time travel
+    assert(SnapshotTable.read(spark, p, Some(3)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // no-match delete: same version back, no commit
+    assert(SnapshotTable.delete(spark, p, col("id") === 99L) == 4)
+    assert(SnapshotTable.latestVersion(spark, p) == 4)
+  }
+
+  test("delete uses SQL semantics: NULL predicate keeps the row") {
+    val p = freshPath("deletenull")
+    SnapshotTable.create(spark, p, Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None), (3L, Some(30L))).toDF("id", "v"))
+    SnapshotTable.delete(spark, p, col("v") > 20L) // NULL > 20 is NULL → keep id 2
+    assert(SnapshotTable.read(spark, p).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
