@@ -192,6 +192,59 @@ object SnapshotTable {
     v
   }
 
+  /** Copy-on-write UPDATE: rows where `predicate` is TRUE get each
+    * `set` column replaced by its expression (evaluated on the old
+    * row); NULL predicate leaves the row unchanged (SQL semantics).
+    * Same touched-file discipline as [[delete]]: only files containing
+    * matches are rewritten, the rest carry over by reference, and a
+    * no-match update commits nothing.
+    */
+  def update(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]
+  ): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    val base  = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val files = readManifest(spark, path, base)
+    val cur   = spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+    val touchedAbs = cur
+      .filter(predicate)
+      .select(input_file_name())
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    if (touchedAbs.isEmpty) return base
+    val touchedRel = files.filter(rel => touchedAbs.exists(_.endsWith(rel))).toSet
+    val untouched  = files.filterNot(touchedRel)
+    val hit        = coalesce(predicate, lit(false))
+    val rewritten = set
+      .foldLeft(spark.read.parquet(touchedRel.map(rel => s"$path/$rel").toSeq: _*)) { case (df, (c, e)) =>
+        df.withColumn(c, when(hit, e).otherwise(org.apache.spark.sql.functions.col(c)))
+      }
+      .localCheckpoint(eager = true)
+    val newFiles = stageData(spark, path, rewritten)
+    val v        = base + 1
+    require(tryCommit(spark, path, v, untouched ++ newFiles), s"update on $path lost a race at version $v")
+    v
+  }
+
+  /** The table as a STREAM of appends: every file a future commit adds
+    * under `data/` becomes part of a later micro-batch (Spark's file
+    * stream source tracks new files). Valid for append-only tables —
+    * overwrite/compact/delete/update rewrite rows into NEW files,
+    * which a file stream would re-emit as duplicates, so consumers of
+    * mutating tables should read snapshots instead.
+    */
+  def readStream(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val schema = read(spark, path).schema
+    spark.readStream.schema(schema).parquet(s"$path/data/*")
+  }
+
   /** Fold the CURRENT file set into `targetFiles` compacted files and
     * commit as a new version. Old versions keep referencing the old
     * (still present) files — compaction never breaks time travel;

@@ -125,6 +125,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, p).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("copy-on-write update rewrites only touched files and applies SET to matching rows only") {
+    val p = freshPath("update")
+    SnapshotTable.create(spark, p, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    SnapshotTable.append(spark, p, Seq((3L, 30L)).toDF("id", "v"))
+    val before = SnapshotTable.read(spark, p).inputFiles.toSet
+    val ver    = SnapshotTable.update(spark, p, col("id") === 3L, Map("v" -> (col("v") + 5L)))
+    assert(ver == 3)
+    val after = SnapshotTable.read(spark, p).inputFiles.toSet
+    assert((before & after).size >= 1, "the untouched create-file must carry over")
+    val rows = SnapshotTable.read(spark, p).orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L), (3L, 35L)))
+    // history has the pre-update value; no-match update is a no-op
+    assert(SnapshotTable.read(spark, p, Some(2)).filter(col("id") === 3L).head().getLong(1) == 30L)
+    assert(SnapshotTable.update(spark, p, col("id") === 99L, Map("v" -> lit(0L))) == 3)
+  }
+
+  test("readStream over an append-only table drains every committed append") {
+    val p = freshPath("stream")
+    SnapshotTable.create(spark, p, df(1, 2))
+    SnapshotTable.append(spark, p, df(3))
+    SnapshotTable.append(spark, p, df(4, 5))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_snapstream_out").resolve("rows")
+    val ckpt   = java.nio.file.Files.createTempDirectory("graft_snapstream_ck")
+    val q = SnapshotTable
+      .readStream(spark, p)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet")
+      .option("path", outDir.toString)
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val got = spark.read.parquet(outDir.toString).as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
