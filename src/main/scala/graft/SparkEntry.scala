@@ -899,6 +899,8 @@ object SparkEntry {
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
     "check_quantization"       -> q(Checks.quantizationError),
     "check_change_feed"        -> q(Checks.changeFeedInvariants),
+    "check_observed_metrics"   -> q(Checks.observedMetrics),
+    "not_in_nullaware"         -> q(Relational.notInNullAware),
     "check_salted_join"        -> q(Checks.saltedJoinParity),
     "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
     "q8_market_share"          -> q(Relational.q8MarketShare),
@@ -2017,6 +2019,16 @@ object SparkEntry {
           |      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
           |SELECT doc_id, change FROM j WHERE change IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+      "check_observed_metrics" -> "SELECT true AS count_ok, true AS sum_ok",
+      "not_in_nullaware" ->
+        """SELECT
+          |  CAST((SELECT count(*) FROM orders
+          |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+          |                           WHERE c_custkey >= 100)) AS BIGINT) AS n_without_null,
+          |  CAST((SELECT count(*) FROM orders
+          |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+          |                                       ELSE c_custkey END
+          |                           FROM customer)) AS BIGINT) AS n_with_null""".stripMargin,
       "check_change_feed" ->
         """SELECT true AS content_ok, true AS history_ok,
           |  CAST(3 AS BIGINT) AS n_versions""".stripMargin,

@@ -716,6 +716,33 @@ object Checks {
       )
   }
 
+  /** `Dataset.observe` metrics (the zero-cost pipeline-health hook:
+    * accumulator-backed aggregates collected DURING a real action, no
+    * second pass): the observed count/sum must equal a direct
+    * recompute. The action driving the observation is a noop-sink
+    * write of the observed frame itself.
+    */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val li  = Tables.lineitem(spark, dir)
+    val observed = li.observe(
+      obs,
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("long")).as("sq")
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    val direct = li
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+      .head()
+    val m = obs.get
+    spark
+      .range(1)
+      .select(
+        lit(m("n") == direct.getLong(0)).as("count_ok"),
+        lit(m("sq") == direct.getLong(1)).as("sum_ok")
+      )
+  }
+
   def frameSampleInvariants(spark: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.sampleFrames(spark, dir).localCheckpoint(eager = false)
     val perDoc = frames

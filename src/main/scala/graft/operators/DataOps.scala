@@ -343,6 +343,22 @@ object DataOps {
     )
   }
 
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i*n + j. Same layout contract as [[zOrderValue]]
+    * generalized — cluster by this value and a k-dim rectangle
+    * predicate touches few files under a zone map. `n * bits` must
+    * fit in the 63 value bits of a LONG.
+    */
+  def zOrderValueN(cols: Seq[String], bits: Int = 20): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one dimension")
+    require(bits >= 1 && n * bits <= 63, s"n*bits must be in [1,63], got ${n * bits}")
+    val terms = cols.zipWithIndex
+      .map { case (c, j) => s"shiftleft(shiftright(cast($c as long), i) & 1L, i * $n + $j)" }
+      .mkString(" | ")
+    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc | $terms)")
+  }
+
   /** Rewrite a table into a z-ordered layout on two dimensions:
     * range-partition by the Morton value (so each output file owns a
     * compact z-range) and sort within partitions (so row groups are

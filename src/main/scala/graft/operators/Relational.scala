@@ -943,6 +943,28 @@ object Relational {
     * key forms a real join group instead of being dropped — the
     * semantics plain `=` silently loses.
     */
+  /** NOT IN's three-valued-logic trap, pinned: with a NULL anywhere in
+    * the subquery result, `x NOT IN (...)` can never be TRUE (it is
+    * FALSE on a match, NULL otherwise), so the poisoned count is
+    * exactly 0 — Spark plans this as a null-aware anti join, and a
+    * plain LEFT ANTI rewrite would get it wrong. Both counts in one
+    * row so the oracle pins the cliff, not just one side.
+    */
+  def notInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("na_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("na_customer")
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM na_orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM na_customer
+        |                           WHERE c_custkey >= 100)) AS n_without_null,
+        |  (SELECT count(*) FROM na_orders
+        |   WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+        |                                       ELSE c_custkey END
+        |                           FROM na_customer)) AS n_with_null""".stripMargin
+    )
+  }
+
   def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
     val o    = Tables.orders(spark, dir)
     val left = o.select(nullif(col("o_orderstatus"), lit("O")).as("k"))

@@ -93,6 +93,37 @@ class ZoneMapSpec extends SparkSpec {
     assert(ZoneMap.prunedPointRead(spark, p, "o_custkey", 999999999L).isEmpty)
   }
 
+  test("zOrderValueN(2) is bit-identical to zOrderValue; a 3-D rectangle prunes under a 3-D z-order") {
+    // 2-D equivalence on real keys
+    val li = Tables.lineitem(spark, sfDir).limit(2000)
+    val mismatch = li
+      .select(
+        DataOps.zOrderValue("l_partkey", "l_suppkey", bits = 20).as("z2"),
+        DataOps.zOrderValueN(Seq("l_partkey", "l_suppkey"), bits = 20).as("zn")
+      )
+      .filter(col("z2") =!= col("zn"))
+      .count()
+    assert(mismatch == 0)
+    // 3-D layout + rectangle pruning
+    val p = "/tmp/graft_zonemap_spec/z3"
+    val src = Tables
+      .lineitem(spark, sfDir)
+      .withColumn("__z", DataOps.zOrderValueN(Seq("l_partkey", "l_suppkey", "l_orderkey"), bits = 16))
+    ZoneMap.writeWithZoneMap(spark, src, p, Seq("__z"), Seq("l_partkey", "l_suppkey", "l_orderkey"), files = 16)
+    val rect = Seq(
+      ("l_partkey", Some(0L): Option[Any], Some(60L): Option[Any]),
+      ("l_suppkey", Some(0L): Option[Any], Some(30L): Option[Any]),
+      ("l_orderkey", Some(0L): Option[Any], Some(500L): Option[Any])
+    )
+    val (survivors, total) = ZoneMap.pruneFiles(spark, p, rect)
+    assert(survivors.length < total, s"3-D rectangle should prune (${survivors.length}/$total)")
+    val pruned = ZoneMap.prunedRead(spark, p, rect).drop("__z")
+    val full = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_partkey").between(0L, 60L) && col("l_suppkey").between(0L, 30L) && col("l_orderkey").between(0L, 500L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("append maintains the manifest additively: equality holds, new files covered, pruning still works") {
     val p      = "/tmp/graft_zonemap_spec/append"
     val orders = Tables.orders(spark, sfDir)
