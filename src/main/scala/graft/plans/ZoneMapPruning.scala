@@ -125,14 +125,34 @@ object ZoneMapPruning {
       }
     }
 
+    /** Equality conjuncts on bloom-covered columns, for point pruning
+      * beyond what min/max can do on unclustered columns.
+      */
+    private def pointPredicates(e: Expression, bloomCols: Set[String]): Seq[(String, Any)] = e match {
+      case EqualTo(a: AttributeReference, l: Literal) if bloomCols.contains(a.name) =>
+        litValue(l).map(v => (a.name, v)).toSeq
+      case EqualTo(l: Literal, a: AttributeReference) if bloomCols.contains(a.name) =>
+        litValue(l).map(v => (a.name, v)).toSeq
+      case _ => Nil
+    }
+
     private def prune(f: Filter, cond: Expression, rel: LogicalRelation): Option[LogicalPlan] = {
       val roots = rel.relation match {
         case hf: HadoopFsRelation => hf.location.rootPaths.map(_.toString).toSet
         case _                    => return None
       }
-      val zm = registry.values.find(_.dataRoots == roots).getOrElse(return None)
-      val bs = splitConjuncts(cond).flatMap(bounds(_, zm.statsCols))
-      if (bs.isEmpty) return None
+      val zm        = registry.values.find(_.dataRoots == roots).getOrElse(return None)
+      val conjuncts = splitConjuncts(cond)
+      val bs        = conjuncts.flatMap(bounds(_, zm.statsCols))
+      // bloom columns are discovered from the manifest schema, so a
+      // layout built without blooms simply contributes no point pruning
+      val bloomCols = zm.session.read
+        .parquet(s"${zm.path}/zonemap")
+        .columns
+        .collect { case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
+        .toSet
+      val points = conjuncts.flatMap(pointPredicates(_, bloomCols))
+      if (bs.isEmpty && points.isEmpty) return None
       // conservative interval per column: ANY lower bound and ANY upper
       // bound are each necessary, so pass one of each (tightest would
       // need type-aware max/min; a single bound per side already prunes)
@@ -142,7 +162,17 @@ object ZoneMapPruning {
         .map { case (c, xs) =>
           (c, xs.find(_._2).map(_._3), xs.find(!_._2).map(_._3))
         }
-      val (survivors, total) = ZoneMap.pruneFiles(zm.session, zm.path, ranges)
+      val (rangeSurvivors, total) =
+        if (ranges.nonEmpty) ZoneMap.pruneFiles(zm.session, zm.path, ranges)
+        else {
+          val all = zm.session.read.parquet(s"${zm.path}/zonemap").select("file").collect().map(_.getString(0)).toSeq
+          (all, all.length.toLong)
+        }
+      // every point predicate is independently necessary: intersect
+      val survivors = points.foldLeft(rangeSurvivors) { case (acc, (c, v)) =>
+        val (pointSurv, _) = ZoneMap.pruneFilesPoint(zm.session, zm.path, c, v)
+        acc.filter(pointSurv.toSet)
+      }
       if (survivors.length >= total) None
       else if (survivors.isEmpty) Some(LocalRelation(rel.output))
       else {

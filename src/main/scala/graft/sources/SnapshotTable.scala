@@ -233,6 +233,29 @@ object SnapshotTable {
     v
   }
 
+  /** Incremental pull: the rows ADDED between two versions, computed
+    * from the manifest diff alone (files present in `toVersion` but
+    * not `fromVersion`) — the batch consumer's "what's new since my
+    * last sync" read, costing one tiny manifest compare plus a scan of
+    * only the new files. Exact for append-only histories; a rewrite
+    * commit (overwrite/compact/delete/update) in the range makes
+    * file-diff no longer mean row-diff, so those are refused loudly
+    * rather than answered wrong (detected as: toVersion dropped files
+    * that fromVersion had).
+    */
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = if (fromVersion == 0) Set.empty[String] else readManifest(spark, path, fromVersion).toSet
+    val to   = readManifest(spark, path, toVersion).toSet
+    require(
+      from.subsetOf(to),
+      s"versions $fromVersion..$toVersion of $path include a rewrite commit; file diff is not row diff — read snapshots instead"
+    )
+    val added = (to -- from).toSeq.sorted
+    if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(added.map(rel => s"$path/$rel"): _*)
+  }
+
   /** The table as a STREAM of appends: every file a future commit adds
     * under `data/` becomes part of a later micro-batch (Spark's file
     * stream source tracks new files). Valid for append-only tables —

@@ -162,6 +162,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("changesBetween pulls exactly the appended rows; rewrite commits in range are refused") {
+    val p = freshPath("changes")
+    SnapshotTable.create(spark, p, df(1, 2))
+    SnapshotTable.append(spark, p, df(3))
+    SnapshotTable.append(spark, p, df(4, 5))
+    assert(SnapshotTable.changesBetween(spark, p, 1, 3).as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(SnapshotTable.changesBetween(spark, p, 0, 1).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(SnapshotTable.changesBetween(spark, p, 2, 2).isEmpty)
+    SnapshotTable.delete(spark, p, col("id") === 2L) // v4 is a rewrite
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changesBetween(spark, p, 3, 4).collect()
+    }
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)

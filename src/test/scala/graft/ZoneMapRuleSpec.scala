@@ -62,6 +62,30 @@ class ZoneMapRuleSpec extends SparkSpec {
     assert(f.exceptAll(full).isEmpty && full.exceptAll(f).isEmpty)
   }
 
+  test("EqualTo on a bloom-covered column point-prunes through the rule; range+point intersect") {
+    val p = "/tmp/graft_zmrule_spec/bloomrule"
+    ZoneMap.writeWithZoneMap(
+      spark,
+      Tables.orders(spark, sfDir),
+      p,
+      Seq("o_totalprice"),
+      Seq("o_totalprice"),
+      files = 8,
+      bloomCols = Seq("o_custkey")
+    )
+    ZoneMapPruning.register(spark, "zmrule_bloom", p, Seq("o_totalprice"))
+    val data = spark.read.parquet(s"$p/data")
+    val f1   = data.filter(col("o_custkey") === 42L)
+    assert(scannedFiles(f1) < 8, s"bloom point pruning should engage, scanned ${scannedFiles(f1)}")
+    val full1 = Tables.orders(spark, sfDir).filter(col("o_custkey") === 42L)
+    assert(f1.exceptAll(full1).isEmpty && full1.exceptAll(f1).isEmpty)
+    // combined: range on the clustered col AND point on the bloom col
+    val f2 = data.filter(col("o_totalprice") >= 50000.0 && col("o_custkey") === 42L)
+    assert(scannedFiles(f2) <= scannedFiles(f1))
+    val full2 = Tables.orders(spark, sfDir).filter(col("o_totalprice") >= 50000.0 && col("o_custkey") === 42L)
+    assert(f2.exceptAll(full2).isEmpty && full2.exceptAll(f2).isEmpty)
+  }
+
   test("unregistered paths are never touched") {
     val other = "/tmp/graft_zmrule_spec/other"
     Tables.orders(spark, sfDir).write.mode("overwrite").parquet(other)
