@@ -27,7 +27,9 @@ object Bench {
     "range_join_price_bands",
     "dedup_setsim_join", "mv_rollup_rewrite",
     "merge_upsert", "scd2_history", "zonemap_scan", "mv_sketch_distinct",
-    "timetravel_read", "bpe_train"
+    "timetravel_read", "bpe_train",
+    "zonemap_rule_scan", "bloom_skip_scan", "delete_rows", "table_profile",
+    "key_skew_report"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

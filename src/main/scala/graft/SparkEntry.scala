@@ -712,6 +712,15 @@ object SparkEntry {
         )
       DataOps.snapshotDiff(v1, v2)
     },
+    // CEP-lite: per-user event-sequence regex matching (view→purchase
+    // conversions through click/error noise), deterministic symbol
+    // order, one shuffle
+    "events_pattern_match" -> q((s, dir) => EventAnalytics.eventPatternMatches(s, dir)),
+    // join-key skew report: the 20 hottest l_suppkey values with exact
+    // counts + table totals — the pre-flight for salting/AQE-skew
+    "key_skew_report" -> q { (s, dir) =>
+      Profile.keySkew(Tables.lineitem(s, dir), "l_suppkey", 20)
+    },
     // ANALYZE-style profile: one-pass per-column stats over lineitem
     // (row/null/exact-distinct counts via Expand + partial agg);
     // DuckDB recomputes each column's row from the raw table
@@ -2032,6 +2041,21 @@ object SparkEntry {
       "check_change_feed" ->
         """SELECT true AS content_ok, true AS history_ok,
           |  CAST(3 AS BIGINT) AS n_versions""".stripMargin,
+      "events_pattern_match" ->
+        """WITH s AS (
+          |  SELECT user_id,
+          |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+          |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches
+          |FROM s ORDER BY user_id""".stripMargin,
+      "key_skew_report" ->
+        """WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+          |           FROM lineitem GROUP BY l_suppkey),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
+          |SELECT key, cnt, n_keys, n_rows FROM c CROSS JOIN t
+          |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
       "table_profile" -> {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
         cols

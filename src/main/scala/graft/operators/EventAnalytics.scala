@@ -213,6 +213,34 @@ object EventAnalytics {
   }
 
   /** Per-user behavior profile: conditional aggregation (pivot-style). */
+  /** Sequence pattern detection (CEP-lite, the MATCH_RECOGNIZE shape):
+    * each user's event history becomes one ordered symbol string (first
+    * letter of the event type — the five types are letter-distinct),
+    * and a regex counts non-overlapping pattern occurrences. The
+    * default `v[ce]*p` is "a view that converts to a purchase through
+    * any clicks/errors". One shuffle (groupBy user); per-user state is
+    * the symbol string, bounded by the user's event count — the same
+    * bound any per-user CEP engine carries. Order inside the string is
+    * total ((ts, event_id)) so the answer is deterministic.
+    */
+  def eventPatternMatches(spark: SparkSession, dir: String, pattern: String = "v[ce]*p"): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        expr(
+          """array_join(
+            |  transform(array_sort(collect_list(struct(ts_ns, event_id, event_type))),
+            |            x -> substr(x.event_type, 1, 1)), '')""".stripMargin
+        ).as("seq")
+      )
+      .select(
+        col("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        expr(s"regexp_count(seq, '$pattern')").cast("long").as("n_matches")
+      )
+      .orderBy("user_id")
+
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables
       .events(spark, dir)

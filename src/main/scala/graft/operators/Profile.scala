@@ -21,6 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Join-key skew report: the k hottest keys with exact counts plus
+    * the table's total row and distinct-key counts (all integers —
+    * the skew ratio cnt·n_keys/n_rows is derivable exactly, no float
+    * in the artifact). This is the pre-flight check for the salting /
+    * AQE-skew recipes: a top key holding >>1/n_keys of the rows is
+    * the partition that stalls a 1000-executor join. Selection is
+    * orderBy+limit — TakeOrderedAndProject, k rows to the driver,
+    * never a global window.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    counts
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col(keyCol).as("key"), col("cnt"), col("n_keys"), col("n_rows"))
+      .orderBy(col("cnt").desc, col("key").asc)
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val n = count(lit(1)).as("__n")

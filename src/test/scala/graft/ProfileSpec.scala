@@ -31,6 +31,18 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("keySkew surfaces a planted hot key first, with exact totals and a TakeOrdered plan") {
+    val df = (Seq.fill(50)(7L) ++ (1L to 30L)).toDF("k")
+    val out = Profile.keySkew(df, "k", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head == ((7L, 51L, 30L, 80L))) // 50 planted + 1 from the range
+    // remaining top-5 are count-1 keys in ascending key order (tie-break)
+    assert(rows.tail.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(r => r._3 == 30L && r._4 == 80L))
+  }
+
   test("profile is a single distributed pass: one Aggregate over an Expand, no per-column jobs") {
     val plan = Profile
       .profile(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey", "l_returnflag"))
