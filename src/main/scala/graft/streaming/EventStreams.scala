@@ -101,7 +101,20 @@ object EventStreams {
     * state — the unbounded-state stream join is the other classic
     * streaming OOM.
     */
-  def clickPurchaseStreamJoin(events: DataFrame): DataFrame = {
+  def clickPurchaseStreamJoin(events: DataFrame): DataFrame =
+    clickPurchaseStreamJoinTyped(events, "inner")
+
+  /** Stream-stream interval join with a caller-chosen type. The OUTER
+    * variants are the semantically loaded ones: an unmatched left row
+    * can only be emitted once the join is CERTAIN no match will ever
+    * arrive — i.e. when the GLOBAL watermark (min across both sides)
+    * passes the row's interval-condition expiry — so null-padded rows
+    * trail the data by the watermark delay, and a test must advance
+    * BOTH sides' event time to flush them (StreamingSpec does exactly
+    * that). State stays bounded either way: rows expire from the join
+    * state at watermark + interval, matched or not.
+    */
+  def clickPurchaseStreamJoinTyped(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -116,7 +129,8 @@ object EventStreams {
         """user_id = p_user_id
           |AND purchase_ts <= click_ts
           |AND purchase_ts >= click_ts - INTERVAL 1 HOUR""".stripMargin
-      )
+      ),
+      joinType
     )
   }
 

@@ -143,6 +143,66 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("LEFT OUTER stream-stream join flushes unmatched clicks after the watermark passes, matching batch") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), streamDir.resolve("events.parquet"))
+    val joined = EventStreams.clickPurchaseStreamJoinTyped(
+      EventStreams.readEvents(spark, streamDir.toString), "left_outer")
+    val query = joined
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory").queryName("stream_join_outer").start()
+    try {
+      query.processAllAvailable()
+      // null-padded rows need the GLOBAL watermark past each click's
+      // expiry: push BOTH sides' event time forward twice (watermark
+      // advances at batch boundaries, flushes land a batch later)
+      // schema-adaptive synthetic rows: derive from the on-disk file so
+      // the ts encoding (nanos-long vs timestamp) always matches
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      def futureBatch(idBase: Long, days: Int): org.apache.spark.sql.DataFrame = {
+        val shift =
+          if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            expr(s"ts + ${days}L * 86400000000000")
+          else expr(s"ts + INTERVAL $days DAYS")
+        val one = raw.orderBy(col("ts").desc).limit(1)
+        def row(id: Long, user: Long, tpe: String) = one.select(
+          lit(id).as("event_id"),
+          shift.as("ts"),
+          lit(user).as("user_id"),
+          lit(tpe).as("event_type"),
+          col("value"),
+          col("props")
+        )
+        row(idBase, 999991L, "click").unionByName(row(idBase + 1, 999992L, "purchase"))
+      }
+      futureBatch(9000000L, 10).coalesce(1).write.mode("append").parquet(streamDir.toString)
+      query.processAllAvailable()
+      futureBatch(9000100L, 20).coalesce(1).write.mode("append").parquet(streamDir.toString)
+      query.processAllAvailable()
+
+      val streamed = spark.table("stream_join_outer")
+        .filter(col("click_id") < 9000000L)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      val e = Tables.events(spark, sfDir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      val batch = c.join(p,
+          expr("user_id = p_user_id AND purchase_ts <= click_ts AND purchase_ts >= click_ts - INTERVAL 1 HOUR"),
+          "left_outer")
+        .select("click_id", "purchase_id")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(streamed.exists(_._2 == -1L), "some unmatched clicks must have been flushed")
+      assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join == batch join") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich")
     java.nio.file.Files.copy(
