@@ -79,6 +79,18 @@ object SnapshotTable {
 
   /** Atomically publish `files` as version `version`. Returns false on
     * a lost race (the manifest already exists).
+    *
+    * The winner-selection primitive is scheme-dependent, because the
+    * obvious `exists→rename` is NOT atomic everywhere: POSIX rename(2)
+    * silently REPLACES an existing destination, so on `file:` two
+    * racing committers would both "succeed" and one commit would
+    * vanish (found by the real-concurrency stress test, not the
+    * simulated races). On local filesystems the claim is therefore a
+    * HARD LINK — `Files.createLink` is O_EXCL-atomic and makes the
+    * complete manifest appear under the final name in one syscall; on
+    * HDFS-like filesystems rename-without-replace is atomic and
+    * returns false on an existing destination, which is the contract
+    * the code relies on there.
     */
   private def tryCommit(spark: SparkSession, path: String, version: Long, files: Seq[String]): Boolean = {
     val f    = fs(spark, path)
@@ -89,9 +101,24 @@ object SnapshotTable {
     val out = f.create(tmp, false)
     try out.write(files.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val ok = f.rename(tmp, dest)
-    if (!ok) f.delete(tmp, false)
-    ok
+    if (f.getUri.getScheme == "file") {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath)
+          )
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      f.delete(tmp, false)
+      won
+    } else {
+      val ok = f.rename(tmp, dest)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
   }
 
   /** Create the table (version 1) from `df`. Fails if it exists. */

@@ -176,6 +176,19 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("REAL concurrent appenders: 8 threads race, every append lands exactly once") {
+    val p = freshPath("concurrent")
+    SnapshotTable.create(spark, p, df(0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appends = (1 to 8).map(i => Future(SnapshotTable.append(spark, p, df(i.toLong))))
+    val versions = Await.result(Future.sequence(appends), 120.seconds)
+    assert(versions.sorted == (2L to 9L), s"each commit must win a distinct version, got $versions")
+    assert(SnapshotTable.latestVersion(spark, p) == 9L)
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == (0L to 8L))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
