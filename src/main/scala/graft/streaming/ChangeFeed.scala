@@ -35,6 +35,10 @@ object ChangeFeed {
       deleteCol: String = "__delete",
       seqCol: Option[String] = None
   ): Long = {
+    // without a sequence column there is no rule for picking among
+    // several changes to one id — a dup-id batch would silently land
+    // BOTH rows in the snapshot, so refuse loudly instead
+    if (seqCol.isEmpty) requireUniqueIds(batch, idCol, "mergeUpsert batch (pass seqCol to allow multi-change batches)")
     val base    = SnapshotTable.latestVersion(spark, tablePath)
     val current = SnapshotTable.read(spark, tablePath)
     val merged = Cdc
@@ -71,6 +75,10 @@ object ChangeFeed {
     var hist = SnapshotTable.read(spark, tablePath)
     effs.foreach { d =>
       val slice = batch.filter(col(effDateCol).cast("date") === org.apache.spark.sql.functions.lit(d))
+      // two changes to one id AT THE SAME effective date have no
+      // defined order — the full-outer join inside scd2Apply would
+      // multiply rows; refuse loudly
+      requireUniqueIds(slice, idCol, s"SCD2 batch slice at $d")
       hist = Cdc.scd2Apply(hist, slice, idCol, attrCols, org.apache.spark.sql.functions.lit(d.toString))
     }
     SnapshotTable.overwrite(spark, tablePath, hist.localCheckpoint(eager = true), expectedBase = Some(base))
@@ -98,6 +106,13 @@ object ChangeFeed {
         ()
       }
       .start()
+
+  private def requireUniqueIds(df: DataFrame, idCol: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(5)
+    val bad  = dups.collect()
+    require(bad.isEmpty, s"$what carries multiple rows per id (e.g. ${bad.map(_.get(0)).mkString(", ")})")
+  }
 
   /** Drain a change-batch stream into the table with AvailableNow —
     * the restartable "apply what's new" job.

@@ -106,6 +106,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(second == first)
   }
 
+  test("dup-id batches are refused loudly instead of corrupting the table") {
+    val table = freshPath("dups")
+    SnapshotTable.create(spark, table, snap(1L -> "a"))
+    val dupMerge = batch((1L, "x", false), (1L, "y", false))
+    intercept[IllegalArgumentException] {
+      graft.streaming.ChangeFeed.applyBatch(spark, table, dupMerge, "id")
+    }
+    // with a seq column the same batch resolves deterministically
+    val seqd = Seq((1L, "x", false, 1L), (1L, "y", false, 2L)).toDF("id", "v", "__delete", "seq")
+    graft.streaming.ChangeFeed.applyBatch(spark, table, seqd, "id", seqCol = Some("seq"))
+    assert(SnapshotTable.read(spark, table).orderBy("id").collect().map(_.getString(1)).toSeq == Seq("y"))
+    // SCD2: two changes to one id at one effective date refused
+    val scd2Table = freshPath("dups2")
+    SnapshotTable.create(spark, scd2Table, Cdc.scd2Init(Seq((1L, "en")).toDF("id", "lang"), "id", Seq("lang"), lit("2024-01-01")))
+    val dupScd2 = Seq((1L, "fr", "2024-02-01"), (1L, "de", "2024-02-01")).toDF("id", "lang", "eff")
+    intercept[IllegalArgumentException] {
+      graft.streaming.ChangeFeed.applyScd2Batch(spark, scd2Table, dupScd2, "id", Seq("lang"), "eff")
+    }
+  }
+
   test("an out-of-band writer racing a batch is detected by the CAS commit") {
     val table = freshPath("race")
     SnapshotTable.create(spark, table, snap(1L -> "a"))
