@@ -69,17 +69,22 @@ class ZoneMapSpec extends SparkSpec {
 
   test("bloom point lookup: no false negatives, real pruning, equality with the full scan") {
     val p = "/tmp/graft_zonemap_spec/bloom"
+    // 16 files, ~10 rows per custkey: expected uncovered files ≈
+    // 16·(15/16)^10 ≈ 8, so "the key covers every file" (which would
+    // flake the pruning assertion) is vanishingly unlikely — at 8
+    // files it had a small but real probability
     ZoneMap.writeWithZoneMap(
       spark,
       Tables.orders(spark, sfDir),
       p,
       Seq("o_totalprice"),
       Seq("o_totalprice"),
-      files = 8,
+      files = 16,
       bloomCols = Seq("o_custkey")
     )
     val (survivors, total) = ZoneMap.pruneFilesPoint(spark, p, "o_custkey", 42L)
     assert(survivors.length < total, s"expected bloom pruning (${survivors.length}/$total)")
+    assert(total == 16)
     val pruned = ZoneMap.prunedPointRead(spark, p, "o_custkey", 42L)
     val full   = Tables.orders(spark, sfDir).filter(col("o_custkey") === 42L)
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
