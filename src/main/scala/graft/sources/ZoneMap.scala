@@ -121,21 +121,26 @@ object ZoneMap {
     spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
 
   /** Surviving files for a point predicate `col = value`, by probing
-    * each file's bloom in the manifest (driver-side; the manifest is
-    * one tiny parquet). A file whose bloom is NULL (all-NULL column)
-    * can never match a point predicate and is pruned.
+    * each file's bloom in the manifest. A file whose bloom is NULL
+    * (all-NULL column) can never match a point predicate and is
+    * pruned.
     */
   def pruneFilesPoint(spark: SparkSession, path: String, column: String, value: Any): (Seq[String], Long) = {
-    val h  = xxhashOf(spark, value)
-    val zm = spark.read.parquet(s"$path/zonemap").select("file", s"bloom_$column").collect()
-    val survivors = zm.toSeq.flatMap { r =>
-      Option(r.getAs[Array[Byte]](1)).flatMap { bytes =>
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        if (bf.mightContainLong(h)) Some(r.getString(0)) else None
-      }
+    val h = xxhashOf(spark, value)
+    val zm = spark.read.parquet(s"$path/zonemap")
+    // EXECUTOR-side probe: only survivor NAMES reach the driver. The
+    // 100 TB knob — 200 k files × ~100 KB of bloom is ~20 GB of filter
+    // state, fine to stream through executors, fatal to collect. (A
+    // UDF is honest here: the input is the manifest, never the data.)
+    val mightContain = udf { (bytes: Array[Byte]) =>
+      bytes != null &&
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h)
     }
-    (survivors, zm.length.toLong)
+    val total     = zm.count()
+    val survivors = zm.filter(mightContain(col(s"bloom_$column"))).select("file").collect().map(_.getString(0)).toSeq
+    (survivors, total)
   }
 
   /** Point-lookup read: bloom-prune files, scan survivors, re-apply
