@@ -29,7 +29,7 @@ object Bench {
     "merge_upsert", "scd2_history", "zonemap_scan", "mv_sketch_distinct",
     "timetravel_read", "bpe_train",
     "zonemap_rule_scan", "bloom_skip_scan", "delete_rows", "table_profile",
-    "key_skew_report"
+    "key_skew_report", "events_pattern_match"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

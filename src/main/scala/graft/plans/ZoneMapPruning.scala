@@ -98,7 +98,13 @@ object ZoneMapPruning {
     /** (col, isLower, value) bounds from one conjunct, if extractable. */
     private def bounds(e: Expression, stats: Set[String]): Seq[(String, Boolean, Any)] = {
       def ok(a: AttributeReference) =
-        stats.contains(a.name) && (a.dataType.isInstanceOf[NumericType] || a.dataType == StringType)
+        // DecimalType is excluded although numeric: its literal values
+        // are catalyst Decimals that `lit()` cannot re-wrap inside the
+        // probe, and throwing INSIDE an optimizer rule would break the
+        // query instead of just skipping the pruning
+        stats.contains(a.name) &&
+        ((a.dataType.isInstanceOf[NumericType] && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
+          a.dataType == StringType)
       e match {
         case GreaterThanOrEqual(a: AttributeReference, l: Literal) if ok(a) =>
           litValue(l).map(v => (a.name, true, v)).toSeq

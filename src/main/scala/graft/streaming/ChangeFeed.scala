@@ -66,12 +66,11 @@ object ChangeFeed {
   ): Long = {
     import org.apache.spark.sql.functions.col
     val base = SnapshotTable.latestVersion(spark, tablePath)
-    val effs = batch
-      .select(col(effDateCol).cast("date"))
-      .distinct()
-      .collect()
-      .map(_.getDate(0))
-      .sortBy(_.getTime)
+    val effRows = batch.select(col(effDateCol).cast("date")).distinct().collect()
+    // a NULL effective date has no position in the version timeline —
+    // applying it anywhere would be a guess, so refuse loudly
+    require(effRows.forall(!_.isNullAt(0)), s"SCD2 batch carries NULL $effDateCol values")
+    val effs = effRows.map(_.getDate(0)).sortBy(_.getTime)
     var hist = SnapshotTable.read(spark, tablePath)
     effs.foreach { d =>
       val slice = batch.filter(col(effDateCol).cast("date") === org.apache.spark.sql.functions.lit(d))
