@@ -299,6 +299,32 @@ object SparkEntry {
       graft.sources.Sources.writeAvro(TextJobs.wordCount(Tables.documents(s, dir)), out)
       graft.sources.Sources.avro(s, out).orderBy("word")
     },
+    // temporal logical types through the graft-avro connector: orders'
+    // timestamp + derived date round-trip container files as avro
+    // date / timestamp-micros logical types, then aggregate by year —
+    // the oracle recomputes from the raw table, so any encoding loss
+    // in either direction hash-fails
+    "avro_temporal_roundtrip" -> q { (s, dir) =>
+      val out = s"/tmp/graft_avro_tt/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ots"),
+          to_date(col("o_orderdate")).as("od")
+        )
+      graft.sources.Sources.writeAvro(src, out)
+      graft.sources.Sources
+        .avro(s, out)
+        .groupBy(year(col("od")).cast("long").as("yr"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("ots").as("first_ts"),
+          max("od").as("last_date"),
+          sum("o_orderkey").as("sum_key")
+        )
+        .orderBy("yr")
+    },
     "ref_ii_large" -> q((s, _) => TextJobs.invertedIndexDir(s, "/root/reference/input/large")),
     // ---- relational surface ----
     "q1_pricing_summary"    -> q(Relational.q1PricingSummary),
@@ -2093,6 +2119,13 @@ object SparkEntry {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "avro_temporal_roundtrip" ->
+        """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(min(o_orderdate) AS TIMESTAMP) AS first_ts,
+          |  CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_date,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
       "zonemap_rule_scan" ->
         """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -35,10 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   boolean/int/long/float/double/string/bytes ↔ the corresponding
   *   Catalyst primitive; `union(null, T)` ↔ nullable T; `array<T>` ↔
   *   ArrayType; `map<string, T>` ↔ MapType(String, T); nested
-  *   `record` ↔ StructType — recursively. Avro logical types
-  *   (decimal/date/timestamp), enums, fixed, and multi-branch unions
-  *   are intentionally out of scope and rejected with a clear error
-  *   rather than silently mis-read.
+  *   `record` ↔ StructType — recursively; logical `date` ↔ DateType
+  *   and `timestamp-micros` ↔ TimestampType (their avro physical
+  *   encodings — int days / long micros — ARE the Catalyst internal
+  *   encodings, so the mapping is lossless and conversion-free).
+  *   Decimal logical types, `timestamp-millis`/local timestamps,
+  *   enums, fixed, and multi-branch unions are intentionally out of
+  *   scope and rejected with a clear error rather than silently
+  *   mis-read.
   *
   * Layout/scale notes: one [[InputPartition]] per container file (the
   * natural split — blocks inside a file are sequential, parallelism
@@ -452,8 +456,19 @@ object AvroConv {
 
   def toSqlType(s: AvroSchema): DataType = s.getType match {
     case BOOLEAN => BooleanType
-    case INT     => IntegerType
-    case LONG    => LongType
+    // temporal logical types whose avro physical encoding IS the
+    // Catalyst internal encoding (days / micros since epoch) map
+    // losslessly; `timestamp-millis` is REJECTED rather than read as a
+    // bare long — a declared timestamp silently surfacing as numbers
+    // is exactly the quiet misread this connector refuses elsewhere
+    case INT if logicalName(s).contains("date") => DateType
+    case INT                                    => IntegerType
+    case LONG if logicalName(s).contains("timestamp-micros") => TimestampType
+    case LONG if logicalName(s).exists(n => n.startsWith("timestamp") || n.startsWith("local-timestamp")) =>
+      throw new IllegalArgumentException(
+        s"graft-avro: only timestamp-micros is supported among avro timestamp logical types, got $s"
+      )
+    case LONG => LongType
     case FLOAT   => FloatType
     case DOUBLE  => DoubleType
     case STRING  => StringType
@@ -470,6 +485,9 @@ object AvroConv {
       toSqlType(branches.head)
     case other => throw new IllegalArgumentException(s"graft-avro: unsupported avro type $other in $s")
   }
+
+  private def logicalName(s: AvroSchema): Option[String] =
+    Option(s.getLogicalType).map(_.getName)
 
   private def isNullable(s: AvroSchema): Boolean =
     s.getType == UNION && s.getTypes.asScala.exists(_.getType == NULL)
@@ -489,6 +507,9 @@ object AvroConv {
         case ShortType       => AvroSchema.create(INT)
         case ByteType        => AvroSchema.create(INT)
         case LongType        => AvroSchema.create(LONG)
+        case DateType        => org.apache.avro.LogicalTypes.date().addToSchema(AvroSchema.create(INT))
+        case TimestampType =>
+          org.apache.avro.LogicalTypes.timestampMicros().addToSchema(AvroSchema.create(LONG))
         case FloatType       => AvroSchema.create(FLOAT)
         case DoubleType      => AvroSchema.create(DOUBLE)
         case StringType      => AvroSchema.create(STRING)
@@ -498,7 +519,7 @@ object AvroConv {
         case s: StructType   => toAvroSchema(s, path)
         case other =>
           throw new IllegalArgumentException(
-            s"graft-avro: unsupported Catalyst type ${other.simpleString} (decimal/date/timestamp need logical types, out of scope)"
+            s"graft-avro: unsupported Catalyst type ${other.simpleString} (decimal/timestamp_ntz logical types out of scope)"
           )
       }
       if (nullable) AvroSchema.createUnion(AvroSchema.create(NULL), base) else base
@@ -521,7 +542,9 @@ object AvroConv {
           val bytes = new Array[Byte](bb.remaining())
           bb.duplicate().get(bytes)
           bytes
-        case IntegerType | LongType | FloatType | DoubleType | BooleanType => v
+        // date/timestamp ride their physical encoding: avro int days /
+        // long micros ARE the Catalyst internal values
+        case IntegerType | LongType | FloatType | DoubleType | BooleanType | DateType | TimestampType => v
         case ShortType => v.asInstanceOf[Int].toShort
         case ByteType  => v.asInstanceOf[Int].toByte
         case ArrayType(e, _) =>
@@ -551,7 +574,7 @@ object AvroConv {
       dt match {
         case StringType => v.toString // UTF8String → String
         case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-        case IntegerType | LongType | FloatType | DoubleType | BooleanType => v
+        case IntegerType | LongType | FloatType | DoubleType | BooleanType | DateType | TimestampType => v
         case ShortType => v.asInstanceOf[Short].toInt
         case ByteType  => v.asInstanceOf[Byte].toInt
         case ArrayType(e, _) =>

@@ -218,10 +218,56 @@ class AvroSourceSpec extends SparkSpec {
 
   test("unsupported types are rejected with a clear error, not silently mangled") {
     val dir = s"$base/reject"
-    val df  = spark.range(1).select(current_timestamp().as("ts"))
+    val df  = spark.range(1).select(lit(BigDecimal("1.25")).as("d"))
     val ex  = intercept[Exception](df.write.format("graft-avro").mode("overwrite").save(dir))
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("graft-avro")), s"unexpected failure: $ex")
+  }
+
+  test("date and timestamp-micros logical types round-trip losslessly, nulls included") {
+    val dir = s"$base/temporal"
+    val df = spark
+      .createDataFrame(Seq(
+        (1L, Some(java.sql.Date.valueOf("2024-02-29")), Some(java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789012"))),
+        (2L, None, None),
+        (3L, Some(java.sql.Date.valueOf("1969-07-20")), Some(java.sql.Timestamp.valueOf("1969-07-20 20:17:40.0")))
+      ))
+      .toDF("id", "d", "ts")
+    Sources.writeAvro(df, dir)
+    val back = Sources.avro(spark, dir)
+    assert(back.schema("d").dataType == DateType && back.schema("ts").dataType == TimestampType)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // the written container declares the logical types (not bare numbers)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val r = new org.apache.avro.file.DataFileReader(
+      f,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
+    )
+    val declared = r.getSchema.toString
+    r.close()
+    assert(declared.contains("\"logicalType\":\"date\"") && declared.contains("\"logicalType\":\"timestamp-micros\""))
+  }
+
+  test("timestamp-millis files are rejected loudly, never read as bare longs") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = s"$base/millis"
+    new java.io.File(dir).mkdirs()
+    val base64 = org.apache.avro.LogicalTypes
+      .timestampMillis()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG))
+    val schema = SchemaBuilder.record("row").fields().name("ts").`type`(base64).noDefault().endRecord()
+    val w      = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/part-0.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put("ts", 1700000000000L)
+    w.append(rec)
+    w.close()
+    val ex = intercept[Exception](Sources.avro(spark, dir).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("timestamp-micros")), s"unexpected failure: $ex")
   }
 }
