@@ -24,6 +24,26 @@ object SparkEntry {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { GraftSession.prepare(s); f(s, dir) }
 
+  /** The SCD2 demo history `scd2_history` and `scd2_asof` share:
+    * documents opened 2024-01-01, batch 1 (2024-02-01: upper-cased
+    * lang for %4=0, no-op rows for %4=1), batch 2 (2024-03-01:
+    * upper-cased lang + n_chars+10 for %6=0).
+    */
+  private def scd2DemoHistory(s: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(s, dir)
+    val attrs = Seq("lang", "n_chars")
+    val h0    = Cdc.scd2Init(docs.select("doc_id", "lang", "n_chars"), "doc_id", attrs, lit("2024-01-01"))
+    val b1 = docs
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), upper(col("lang")).as("lang"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") % 4 === 1).select("doc_id", "lang", "n_chars"))
+    val h1 = Cdc.scd2Apply(h0, b1, "doc_id", attrs, lit("2024-02-01"))
+    val b2 = docs
+      .filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), upper(col("lang")).as("lang"), (col("n_chars") + 10L).as("n_chars"))
+    Cdc.scd2Apply(h1, b2, "doc_id", attrs, lit("2024-03-01"))
+  }
+
   /** Mixture weights for `mixture_sampling`: every source weight is a
     * multiple of 0.25, so `frac(w) * 100` is exact in binary and the
     * Spark and DuckDB admission comparisons cannot diverge on a
@@ -889,20 +909,14 @@ object SparkEntry {
     // applied sequentially (batch 1 carries deliberate no-op rows);
     // DuckDB derives the identical history from the union of
     // observations with consecutive-duplicate suppression
-    "scd2_history" -> q { (s, dir) =>
-      val docs  = Tables.documents(s, dir)
-      val attrs = Seq("lang", "n_chars")
-      val h0 = Cdc.scd2Init(docs.select("doc_id", "lang", "n_chars"), "doc_id", attrs, lit("2024-01-01"))
-      val b1 = docs
-        .filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id"), upper(col("lang")).as("lang"), col("n_chars"))
-        .unionByName(docs.filter(col("doc_id") % 4 === 1).select("doc_id", "lang", "n_chars"))
-      val h1 = Cdc.scd2Apply(h0, b1, "doc_id", attrs, lit("2024-02-01"))
-      val b2 = docs
-        .filter(col("doc_id") % 6 === 0)
-        .select(col("doc_id"), upper(col("lang")).as("lang"), (col("n_chars") + 10L).as("n_chars"))
-      Cdc.scd2Apply(h1, b2, "doc_id", attrs, lit("2024-03-01"))
-        .orderBy("doc_id", "valid_from")
+    "scd2_history" -> q((s, dir) => scd2DemoHistory(s, dir).orderBy("doc_id", "valid_from")),
+    // the SCD2 read side: the snapshot as of an instant BETWEEN the
+    // two change batches must equal the batch-1 state — DuckDB
+    // recomputes it by applying batch 1's rules to the base directly
+    "scd2_asof" -> q { (s, dir) =>
+      Cdc
+        .scd2AsOf(scd2DemoHistory(s, dir), lit("2024-02-15"))
+        .orderBy("doc_id")
     },
     "curation_pipeline" -> q { (s, dir) =>
       dumpMinhashModel(s, dir) // the oracle replays stage 2 from this model
@@ -2176,6 +2190,11 @@ object SparkEntry {
           |  eff AS valid_from,
           |  lead(eff) OVER (PARTITION BY doc_id ORDER BY eff) AS valid_to
           |FROM kept ORDER BY doc_id, valid_from""".stripMargin,
+      "scd2_asof" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN upper(lang) ELSE lang END AS lang,
+          |  CAST(n_chars AS BIGINT) AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "vocab_ids" ->
         s"""WITH c AS (SELECT term, count(*) AS cnt
            |           FROM (SELECT unnest($toks) AS term FROM documents)

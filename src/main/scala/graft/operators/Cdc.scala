@@ -73,6 +73,16 @@ object Cdc {
       ): _*
     )
 
+  /** The SCD2 read side: reconstruct the snapshot as of `asOf` — the
+    * version whose interval covers the instant (`valid_from <= asOf <
+    * valid_to`, open end = current). One filter, no join: this is why
+    * SCD2 histories exist.
+    */
+  def scd2AsOf(history: DataFrame, asOf: Column): DataFrame =
+    history
+      .filter(col("valid_from") <= asOf.cast(DateType) && (col("valid_to").isNull || col("valid_to") > asOf.cast(DateType)))
+      .drop("valid_from", "valid_to")
+
   /** Apply one change batch to an SCD2 history. A change row whose
     * attributes differ (null-safely, per attribute — no digest, so
     * NULL/absent can never collide) from the id's current version

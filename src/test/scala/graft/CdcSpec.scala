@@ -104,6 +104,22 @@ class CdcSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("scd2AsOf reconstructs the covering-version snapshot at any instant") {
+    val b = Seq((1L, "en", 99L), (7L, "it", 70L)).toDF("id", "lang", "n")
+    val h = Cdc.scd2Apply(history, b, "id", Seq("lang", "n"), d2)
+    // before the batch: initial snapshot only
+    val at1 = Cdc.scd2AsOf(h, lit("2024-01-15")).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(at1.toSeq == Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "fr", 30L)))
+    // after the batch: updated id 1, new id 7
+    val at2 = Cdc.scd2AsOf(h, lit("2024-02-15")).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(at2.toSeq == Seq((1L, "en", 99L), (2L, "de", 20L), (3L, "fr", 30L), (7L, "it", 70L)))
+    // exactly at the effective instant: the NEW version covers (valid_from inclusive)
+    val atEff = Cdc.scd2AsOf(h, d2).filter(col("id") === 1L).head()
+    assert(atEff.getLong(2) == 99L)
+    // before the table existed: empty
+    assert(Cdc.scd2AsOf(h, lit("2023-12-31")).isEmpty)
+  }
+
   test("scd2 sequential apply equals one-shot derivation from the observation union") {
     val docs = Tables.documents(spark, sfDir)
     val obs = docs
