@@ -188,6 +188,29 @@ object SparkEntry {
     path
   }
 
+  /** Memoized incremental-profile rollup over lineitem (4 columns
+    * whose ndv stays in the KMV exact regime at every gate scale) —
+    * built from one third, two appended deltas, then compacted.
+    */
+  private val profRollupBuilt = scala.collection.mutable.Set.empty[String]
+
+  private val profRollupCols = Seq("l_suppkey", "l_returnflag", "l_linestatus", "l_linenumber")
+
+  private def profRollupReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_prof_rollup", dir)}"
+    profRollupBuilt.synchronized {
+      if (!profRollupBuilt.contains(dir)) {
+        val li = Tables.lineitem(s, dir)
+        Profile.profileRollupBuild(li.filter(col("l_orderkey") % 3 === 0), profRollupCols, 32768, path)
+        Profile.profileRollupAppend(li.filter(col("l_orderkey") % 3 === 1), profRollupCols, 32768, path)
+        Profile.profileRollupAppend(li.filter(col("l_orderkey") % 3 === 2), profRollupCols, 32768, path)
+        Profile.profileRollupCompact(s, path, 32768)
+        profRollupBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized zone-mapped layout of `orders` (clustered by
     * o_totalprice, stats manifest over o_totalprice) — the standing
     * data-skipping layout `zonemap_scan` probes.
@@ -766,6 +789,13 @@ object SparkEntry {
     // counts + table totals — the pre-flight for salting/AQE-skew
     "key_skew_report" -> q { (s, dir) =>
       Profile.keySkew(Tables.lineitem(s, dir), "l_suppkey", 20)
+    },
+    // incremental ANALYZE: per-column stats served from the standing
+    // additive rollup alone (counts sum, ndv re-merges KMV partials
+    // exactly sub-capacity) — built third + deltas + compaction, and
+    // DuckDB recomputes each column's row from the raw table
+    "profile_incremental" -> q { (s, dir) =>
+      Profile.profileRollupRead(s, profRollupReady(s, dir), 32768)
     },
     // ANALYZE-style profile: one-pass per-column stats over lineitem
     // (row/null/exact-distinct counts via Expand + partial agg);
@@ -2096,6 +2126,16 @@ object SparkEntry {
           |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
           |SELECT key, cnt, n_keys, n_rows FROM c CROSS JOIN t
           |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+      "profile_incremental" -> {
+        val cols = Seq("l_suppkey", "l_returnflag", "l_linestatus", "l_linenumber")
+        cols
+          .map(c =>
+            s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+               |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem""".stripMargin
+          )
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+      },
       "table_profile" -> {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
         cols

@@ -41,6 +41,71 @@ object Profile {
       .orderBy(col("cnt").desc, col("key").asc)
   }
 
+  /** Incremental profiling: the per-column stats maintained as an
+    * ADDITIVE standing table instead of recomputed — row/non-null
+    * counts are plain sums and the distinct count rides a KMV sketch
+    * partial (bottom-k of xxhash64, type-agnostic), so maintenance is
+    * a blind append of one row per column per batch and the reader
+    * re-merges exactly (the [[Sketches]] semilattice). Sub-capacity
+    * the ndv is exact; at capacity it degrades to the published
+    * bounded estimate, never a silent cap. This is the production
+    * ANALYZE shape: stats stay fresh per ingest batch at batch cost,
+    * the 100 TB base is never rescanned.
+    */
+  def profileRollupBuild(df: DataFrame, cols: Seq[String], k: Int, path: String): Unit =
+    partials(df, cols, k).write.mode("overwrite").parquet(path)
+
+  def profileRollupAppend(delta: DataFrame, cols: Seq[String], k: Int, path: String): Unit =
+    partials(delta, cols, k).write.mode("append").parquet(path)
+
+  private def partials(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c =>
+        Seq(count(col(c)).as(s"__nn_$c"), expr(s"kmv_agg(xxhash64($c), $k)").as(s"__sk_$c"))
+      )
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', __nn_$c, __sk_$c")
+      .mkString(s"stack(${cols.length}, ", ", ", ")")
+    wide.select(col("__n").as("n_rows"), expr(s"$stackExpr AS (col_name, n_non_null, sk)"))
+  }
+
+  /** Merged per-column stats from the rollup alone. */
+  def profileRollupRead(spark: org.apache.spark.sql.SparkSession, path: String, k: Int): DataFrame =
+    spark.read
+      .parquet(path)
+      .groupBy("col_name")
+      .agg(
+        sum("n_rows").as("n_rows"),
+        sum("n_non_null").as("nn"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk")
+      )
+      .select(
+        col("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_nulls"),
+        round(Sketches.kmvEstimate(col("sk"), k), 0).cast("long").as("ndv")
+      )
+      .orderBy("col_name")
+
+  /** Fold accumulated partial rows to one per column — answers
+    * unchanged (sums re-associate, sketch merge is the semilattice).
+    */
+  def profileRollupCompact(spark: org.apache.spark.sql.SparkSession, path: String, k: Int): Unit =
+    spark.read
+      .parquet(path)
+      .groupBy("col_name")
+      .agg(
+        sum("n_rows").cast("long").as("n_rows"),
+        sum("n_non_null").cast("long").as("n_non_null"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk")
+      )
+      .localCheckpoint(eager = true)
+      .write
+      .mode("overwrite")
+      .parquet(path)
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val n = count(lit(1)).as("__n")

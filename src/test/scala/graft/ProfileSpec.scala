@@ -43,6 +43,27 @@ class ProfileSpec extends SparkSpec {
     assert(rows.forall(r => r._3 == 30L && r._4 == 80L))
   }
 
+  test("incremental profile rollup: splits + compaction == one-shot build == exact recompute") {
+    val li   = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_suppkey", "l_returnflag")
+    val inc  = "/tmp/graft_prof_spec/inc"
+    Profile.profileRollupBuild(li.filter(col("l_orderkey") % 2 === 0), cols, 1024, inc)
+    Profile.profileRollupAppend(li.filter(col("l_orderkey") % 2 === 1), cols, 1024, inc)
+    val preCompact = Profile.profileRollupRead(spark, inc, 1024).collect().toSeq
+    Profile.profileRollupCompact(spark, inc, 1024)
+    val postCompact = Profile.profileRollupRead(spark, inc, 1024).collect().toSeq
+    assert(postCompact == preCompact)
+    assert(spark.read.parquet(inc).count() == cols.length)
+    val oneShot = "/tmp/graft_prof_spec/full"
+    Profile.profileRollupBuild(li, cols, 1024, oneShot)
+    assert(Profile.profileRollupRead(spark, oneShot, 1024).collect().toSeq == preCompact)
+    // sub-capacity: rollup ndv equals the exact profile
+    val exact = Profile.profile(li, cols).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    preCompact.foreach { r =>
+      assert(exact(r.getString(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))), r.getString(0))
+    }
+  }
+
   test("profile is a single distributed pass: one Aggregate over an Expand, no per-column jobs") {
     val plan = Profile
       .profile(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey", "l_returnflag"))
