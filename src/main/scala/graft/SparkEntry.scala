@@ -505,6 +505,17 @@ object SparkEntry {
         tokCol = "sh"
       )
     ),
+    // exact Ed-Join-style edit-distance join (rarest-first q-gram
+    // prefix filter + length filter + exact levenshtein verify) — the
+    // oracle replays it as the naive levenshtein join because the
+    // algorithm is EXACT; the bounded subset keeps the oracle's
+    // quadratic side constant across scale factors
+    "dedup_editdist_join" -> q((s, dir) =>
+      Dedup.editDistanceJoin(
+        Tables.customer(s, dir).filter(col("c_custkey") < 1000).select(col("c_custkey").as("id"), col("c_name").as("s")),
+        maxDist = 1
+      )
+    ),
     // the near-dup families dump their deterministic frozen state
     // (signatures / band assignments / cell assignments) so the DuckDB
     // oracle replays banding, bucket caps, candidate pairing, and
@@ -516,6 +527,12 @@ object SparkEntry {
     },
     "dedup_components"  -> q(Dedup.nearDupComponents),
     "dedup_components_star" -> q(Dedup.nearDupComponentsStar),
+    // ---- graph analytics (integer-mass link analysis) ----
+    // INTEGER mass + floor division make 5 power iterations bit-exact
+    // across engines (long sums are order-independent), so the oracle
+    // replays PageRank as unrolled SQL — no float summation drift
+    "graph_pagerank"  -> q(Graph.partSupplierPageRank),
+    "graph_bfs_depth" -> q(Graph.partSupplierBfs),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
         Dedup
@@ -1018,6 +1035,42 @@ object SparkEntry {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest($toks) AS word FROM documents)
          |GROUP BY word ORDER BY word""".stripMargin
+    // part↔supplier graph shared by the two graph-analytics oracles:
+    // namespaced integer nodes (part → 2k, supplier → 2k+1),
+    // symmetrized edges. Integer mass + floor division (// in DuckDB,
+    // div in Spark) make every iteration bit-exact cross-engine.
+    val graphEdgesSql =
+      """li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
+        |edges AS (SELECT p AS src, s AS dst FROM li UNION SELECT s AS src, p AS dst FROM li)""".stripMargin
+    val pageRankSql = {
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (SELECT n.node, CAST(150000 + COALESCE(t.m, 0) AS BIGINT) AS mass
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM((p.mass * 85) // (100 * d.outdeg)) AS BIGINT) AS m
+           |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) t ON t.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+         |$iters
+         |SELECT node, mass FROM pr5 ORDER BY node""".stripMargin
+    }
+    val bfsSql = {
+      val iters = (1 to 4).map { i =>
+        s"""d$i AS (SELECT node, CAST(MIN(depth) AS BIGINT) AS depth FROM (
+           |  SELECT node, depth FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, x.depth + 1 AS depth FROM edges e JOIN d${i - 1} x ON x.node = e.src) u
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |seeds AS (SELECT DISTINCT l_partkey * 2 AS node FROM lineitem WHERE l_suppkey = 1),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS depth FROM seeds),
+         |$iters
+         |SELECT node, depth FROM d4 ORDER BY node""".stripMargin
+    }
     val bm25Sql =
       s"""WITH q(query_id, term) AS (VALUES
          |  (0,'fast'),(0,'hash'),(0,'join'),
@@ -1759,6 +1812,14 @@ object SparkEntry {
            |  SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
            |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+      "graph_pagerank"  -> pageRankSql,
+      "graph_bfs_depth" -> bfsSql,
+      "dedup_editdist_join" ->
+        """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey < 1000)
+          |SELECT a, b, dist FROM (
+          |  SELECT x.id AS a, y.id AS b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+          |  FROM c x JOIN c y ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1)
+          |WHERE dist <= 1 ORDER BY a, b""".stripMargin,
       "dedup_components" ->
         s"""WITH RECURSIVE
            |t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),

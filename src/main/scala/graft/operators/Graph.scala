@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over edge relations — the link-analysis tier of the
+  * curation surface (web-crawl PageRank weighting and hub/authority
+  * style quality signals are standard corpus-selection inputs; the
+  * reference's closest shape is the inverted index's word→files edge
+  * relation, SURVEY.md reference services/reducer.go:172-186, here
+  * generalized to iterative message passing like
+  * [[Dedup.connectedComponents]]).
+  *
+  * All scores use INTEGER mass arithmetic (initial mass 1e6 per node,
+  * floor division on every split): long sums are order-independent and
+  * floor-div is bit-exact in every engine, so 5 iterations of power
+  * method replay EXACTLY in the DuckDB oracle as unrolled SQL — no
+  * float summation-order drift, ever. The integer ranks order nodes
+  * identically to float PageRank down to sub-ppm mass differences.
+  *
+  * Scale design: the edge relation is joined with out-degrees ONCE and
+  * lazily checkpointed (read every iteration); each iteration is one
+  * hash join (mass onto edges by src) + one aggregation shuffle
+  * (contributions by dst). On a real cluster, bucketing both the edge
+  * table and the mass table by node id makes the per-iteration join
+  * exchange-free — the iteration cost is then a single aggregation
+  * shuffle of (dst, contrib) longs, never the payload. Per-iteration
+  * lazy checkpoints keep the plan linear in iteration count.
+  */
+object Graph {
+
+  /** Damped PageRank with integer mass. Each node starts with
+    * `initMass`; per iteration every node keeps the base share
+    * floor(initMass·(den−num)/den) and receives
+    * floor(mass·num / (den·outdeg)) along each out-edge. Nodes with no
+    * out-edges (dangling) leak their damped share — the standard
+    * simplified treatment; pass a symmetrized edge set for the
+    * leak-free variant. Output: (node, mass) for every node, total
+    * order by node.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(eager = false)
+
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var mass     = nodes.withColumn("mass", lit(initMass))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(mass, col("src") === col("node"))
+        .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("in_mass"))
+      mass = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(baseMass) + coalesce(col("in_mass"), lit(0L))).as("mass"))
+        .localCheckpoint(eager = false)
+    }
+    mass.orderBy("node")
+  }
+
+  /** Multi-source BFS depth: minimum hop distance from any seed node,
+    * by iterative min-label relaxation (one join + one min-aggregation
+    * per hop — the [[Dedup.connectedComponents]] shuffle shape).
+    * Unreached nodes are absent from the output. Integer distances:
+    * bit-exact replay in unrolled oracle SQL.
+    */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct().withColumn("depth", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = e
+        .join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("depth") + 1L).as("depth"))
+      dist = dist
+        .unionByName(next)
+        .groupBy("node")
+        .agg(min("depth").as("depth"))
+        .localCheckpoint(eager = false)
+    }
+    dist.orderBy("node")
+  }
+
+  /** The part↔supplier co-purchase graph of the star schema: an edge
+    * wherever a supplier ships a part (lineitem), symmetrized so
+    * PageRank mass flows both ways and nothing dangles. Node ids are
+    * namespaced (part → 2k, supplier → 2k+1) to keep one integer key
+    * space.
+    */
+  def partSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_partkey") * 2L).as("p"),
+      (col("l_suppkey") * 2L + 1L).as("s")
+    )
+    li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+      .distinct()
+  }
+
+  /** `graph_pagerank` query body: 5 damped iterations over the
+    * part↔supplier graph.
+    */
+  def partSupplierPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(partSupplierEdges(spark, dir), iterations = 5)
+
+  /** `graph_bfs_depth` query body: hop distance from the parts shipped
+    * by supplier 1 (namespaced node 3) out to 4 hops in the
+    * part↔supplier graph.
+    */
+  def partSupplierBfs(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_suppkey") === 1L)
+      .select((col("l_partkey") * 2L).as("node"))
+      .distinct()
+    bfsDepths(partSupplierEdges(spark, dir), seeds, maxHops = 4)
+  }
+}

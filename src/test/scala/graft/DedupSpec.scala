@@ -359,4 +359,55 @@ class DedupSpec extends SparkSpec {
     assert(boundary.contains((3L, 4L)), s"boundary pair J=1/3 must be KEPT at θ=1/3, got $boundary")
     assert(!boundary.exists(p => p._1 == 5L || p._2 == 5L), "token-disjoint singleton must pair with nobody")
   }
+
+  // ------------------------------------------------- edit-distance join
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("editDistanceJoin == naive levenshtein join on real customer names (filters lose nothing)") {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"), col("c_name").as("s"))
+    for (d <- Seq(1, 2)) {
+      val fast  = pairSet(Dedup.editDistanceJoin(c, d))
+      val naive = pairSet(Dedup.editDistanceJoinNaive(c, d))
+      assert(fast == naive, s"d=$d: prefix-filtered join must equal the naive join exactly")
+      assert(naive.nonEmpty, s"d=$d: the corpus must actually exercise the join")
+    }
+  }
+
+  test("editDistanceJoin covers the short-string bucket and the short/long boundary") {
+    import SparkSpec.spark.implicits._
+    // q=3, d=2 → shortLen = 9: lengths straddle the pigeonhole boundary,
+    // including a short(8)/long(9) true pair only the dense bucket can find
+    val tiny = Seq(
+      (1L, "ab"), (2L, "b"), (3L, "abc"), (4L, "xyz"), (5L, ""),
+      (6L, "abcdefgh"), (7L, "abcdefghi"), (8L, "abcdefghixx"), (9L, "zzzzzzzzz")
+    ).toDF("id", "s")
+    val fast  = pairSet(Dedup.editDistanceJoin(tiny, 2))
+    val naive = pairSet(Dedup.editDistanceJoinNaive(tiny, 2))
+    assert(fast == naive)
+    assert(fast.contains((6L, 7L, 1L)), "short(8)/long(9) pair must be found via the dense bucket")
+    assert(fast.contains((1L, 2L, 1L)) && fast.contains((2L, 5L, 1L)), "empty/1-char strings join correctly")
+  }
+
+  test("editDistanceJoin == naive on a seeded random mixed-length corpus (completeness fuzz)") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val strs = (0L until 80L).map { i =>
+      val n = rnd.nextInt(13) // 0..12 straddles shortLen=9; tiny alphabet forces collisions
+      (i, (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(0, 1, 2, 3)) {
+      val fast  = pairSet(Dedup.editDistanceJoin(df, d))
+      val naive = pairSet(Dedup.editDistanceJoinNaive(df, d))
+      assert(fast == naive, s"d=$d mismatch: missing=${naive -- fast}, extra=${fast -- naive}")
+    }
+  }
+
+  test("editDistanceJoin plans no cartesian product on the long-string path") {
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val plan = Dedup.editDistanceJoin(c, 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"edit-distance join must never plan a cartesian:\n$plan")
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph operators vs an independent pure-Scala integer model. */
+class GraphSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+
+  /** Model twin: same integer arithmetic, plain collections. */
+  private def modelPageRank(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val out   = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var mass  = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) in(d) += mass(s) * 85L / (100L * out(s))
+      mass = nodes.map(n => n -> (150000L + in(n))).toMap
+    }
+    mass
+  }
+
+  private def modelBfs(edges: Set[(Long, Long)], seeds: Set[Long], hops: Int): Map[Long, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to hops) {
+      val next = edges.flatMap { case (s, d) => dist.get(s).map(v => d -> (v + 1L)) }
+      dist = (dist.toSeq ++ next.toSeq).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    dist
+  }
+
+  private val tinyEdges: Set[(Long, Long)] = Set(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), // cycle with a chord
+    (1L, 4L),                               // 4 is dangling (in-edge, no out-edge)
+    (5L, 1L)                                // 5 is a pure source (no in-edge)
+  )
+
+  test("pageRank == integer model on a tiny graph with dangling and source nodes") {
+    val df  = tinyEdges.toSeq.toDF("src", "dst")
+    val got = Graph.pageRank(df, iterations = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == modelPageRank(tinyEdges, 5))
+  }
+
+  test("pageRank == integer model on the real part-supplier graph") {
+    val edges = Graph.partSupplierEdges(spark, sfDir)
+    val es    = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got =
+      Graph.pageRank(edges, iterations = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = modelPageRank(es, 5)
+    assert(got.size == want.size)
+    assert(got == want)
+    // mass conservation: base share + damped inflow can never exceed the start total
+    assert(got.values.sum <= got.size * 1000000L)
+    assert(got.values.forall(_ >= 150000L))
+  }
+
+  test("pageRank is partition-count invariant (integer arithmetic has no ordering drift)") {
+    val edges = Graph.partSupplierEdges(spark, sfDir)
+    val a     = Graph.pageRank(edges.repartition(1), 3).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val b     = Graph.pageRank(edges.repartition(8), 3).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(a == b)
+  }
+
+  test("bfsDepths == model BFS; unreached nodes absent; seed depth 0") {
+    val df    = tinyEdges.toSeq.toDF("src", "dst")
+    val seeds = Seq(5L).toDF("node")
+    val got   = Graph.bfsDepths(df, seeds, maxHops = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want  = modelBfs(tinyEdges, Set(5L), 3)
+    assert(got == want)
+    assert(got(5L) == 0L && got(1L) == 1L && got(4L) == 2L)
+    // nothing points back to 5 except itself — and nothing reaches it
+    assert(!got.contains(99L))
+  }
+
+  test("partSupplierBfs: depths alternate bipartite sides and are capped by maxHops") {
+    val got = Graph.partSupplierBfs(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // part nodes are even, supplier nodes odd; seeds are parts at depth 0,
+    // so even depth ⇔ part node in a bipartite graph
+    got.foreach { case (node, depth) =>
+      assert((node % 2 == 0) == (depth % 2 == 0), s"node $node depth $depth breaks bipartite parity")
+    }
+    assert(got.values.max <= 4L)
+  }
+}
