@@ -781,6 +781,9 @@ object SparkEntry {
     "text_contamination_bloom" -> q((s, dir) => TextAnalysis.contaminationBloom(s, dir)),
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
     "text_lm_score"    -> q(TextAnalysis.lmScore),
+    // deflate ratio: deterministic in-JVM but no SQL engine exposes
+    // deflate → rows-only; check_compression_ratio is the oracle gate
+    "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "docs_source_cap"  -> q((s, dir) => DataOps.sourceCap(s, dir)),
     "budgeted_selection" -> q((s, dir) => DataOps.budgetedSelection(s, dir)),
@@ -994,6 +997,7 @@ object SparkEntry {
     "check_multimodal_embed"   -> q(Checks.multimodalEmbedInvariants),
     "check_frame_sample"       -> q(Checks.frameSampleInvariants),
     "check_quantization"       -> q(Checks.quantizationError),
+    "check_compression_ratio"  -> q(Checks.compressionInvariants),
     "check_change_feed"        -> q(Checks.changeFeedInvariants),
     "check_observed_metrics"   -> q(Checks.observedMetrics),
     "not_in_nullaware"         -> q(Relational.notInNullAware),
@@ -2681,6 +2685,11 @@ object SparkEntry {
       "check_quantization" ->
         """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS bad_quant
           |FROM embeddings""".stripMargin,
+      "check_compression_ratio" ->
+        """SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS bad_range,
+          |       CAST(0 AS BIGINT) AS doubled_not_smaller,
+          |       CAST(0 AS BIGINT) AS nondeterministic
+          |FROM documents""".stripMargin,
       "check_salted_join" ->
         """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey

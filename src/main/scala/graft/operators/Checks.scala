@@ -763,4 +763,32 @@ object Checks {
         sum(when(col("n_sigs") =!= col("n"), 1L).otherwise(0L)).as("sig_collisions")
       )
   }
+
+  /** Invariants of the deflate compression-ratio signal
+    * ([[TextAnalysis.compressionRatio]], rows-only at the oracle):
+    * every document scores in (0, 1.5]; self-concatenating a document
+    * must STRICTLY shrink its ratio (the second copy is one
+    * back-reference — the repetition-detection property the signal
+    * exists for); recomputation is bit-identical. All counts tie to
+    * the base table so the oracle can state them.
+    */
+  def compressionInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = TextAnalysis.compressionRatio(docs)
+    val doubled = TextAnalysis
+      .compressionRatio(docs.withColumn("text", concat(col("text"), lit(" "), col("text"))))
+      .select(col("doc_id"), col("ratio").as("ratio2"))
+    val rerun = TextAnalysis
+      .compressionRatio(docs)
+      .select(col("doc_id"), col("ratio").as("ratio_rerun"))
+    base
+      .join(doubled, "doc_id")
+      .join(rerun, "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ratio") <= 0.0 || col("ratio") > 1.5, 1L).otherwise(0L)).as("bad_range"),
+        sum(when(col("ratio2") >= col("ratio"), 1L).otherwise(0L)).as("doubled_not_smaller"),
+        sum(when(col("ratio") =!= col("ratio_rerun"), 1L).otherwise(0L)).as("nondeterministic")
+      )
+  }
 }

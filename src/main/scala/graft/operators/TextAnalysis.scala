@@ -1325,4 +1325,50 @@ object TextAnalysis {
       .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
     bm25Rank(postings, dl, consts, k, k1, b)
   }
+
+  // -------------------------------------------------- compression quality
+
+  /** Per-document deflate compression ratio — the classic corpus
+    * quality / repetitiveness signal (CCNet/Gopher-style pipelines:
+    * templated or highly repetitive text compresses far below natural
+    * prose, near-random noise compresses above it; both tails get
+    * filtered). One `Deflater` per PARTITION, reset per document — a
+    * narrow single-pass transform that pipelines inside the scan
+    * stage at 100 TB (the imperative-codec case `mapPartitions`
+    * exists for, like [[Multimodal.extractMeta]]).
+    *
+    * Deterministic within a JVM/zlib build, but no SQL engine exposes
+    * deflate, so the registry entry is rows-only;
+    * `check_compression_ratio` pins the invariants the signal rests
+    * on (range, repetition-shrinks-ratio, determinism) as an
+    * oracle-green query. Empty documents get ratio 1.0 by convention
+    * (deflate of nothing is pure overhead, not signal).
+    */
+  def compressionRatio(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      level: Int = 6
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(level, true)
+        val buf  = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(bytes)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          val ratio = if (bytes.isEmpty) 1.0 else n.toDouble / bytes.length
+          (id, bytes.length.toLong, n, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio")
+      .orderBy(idCol)
+  }
 }

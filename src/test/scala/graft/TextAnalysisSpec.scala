@@ -409,4 +409,28 @@ class TextAnalysisSpec extends SparkSpec {
     val grams = spark.table("t_gram_cpt_gramdf")
     assert(grams.groupBy("g").count().filter(col("count") > 1).count() == 0, "multi-row grams remain")
   }
+
+  test("compressionRatio: repetition compresses below varied text, empty doc convention, UTF-8 byte counts") {
+    import SparkSpec.spark.implicits._
+    val rep    = "abc" * 100
+    val varied = (0 until 100).map(i => (i * 2654435761L).toHexString).mkString(" ").take(300)
+    val df = Seq((1L, rep), (2L, varied), (3L, ""), (4L, "héllo")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .compressionRatio(df)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._3 < got(2L)._3 / 2, s"repeated text must compress far below varied text: $got")
+    assert(got(3L) == (0L, got(3L)._2, 1.0), "empty doc: 0 bytes, ratio 1.0 by convention")
+    assert(got(4L)._1 == 6L, "n_bytes counts UTF-8 bytes, not chars")
+    assert(got.values.forall(v => v._3 > 0.0), "ratios are strictly positive")
+  }
+
+  test("compressionRatio invariants hold corpus-wide (the check_compression_ratio gate)") {
+    val row = graft.operators.Checks.compressionInvariants(spark, sfDir).collect().head
+    assert(row.getLong(0) > 0)
+    assert(row.getLong(1) == 0L, "ratio out of (0, 1.5]")
+    assert(row.getLong(2) == 0L, "a self-concatenated doc failed to compress below the original")
+    assert(row.getLong(3) == 0L, "recomputation was not bit-identical")
+  }
 }
