@@ -933,6 +933,30 @@ object SparkEntry {
       require(scanned < 16, s"zone-map rule did not engage: $scanned files in the optimized plan")
       out
     },
+    // metadata-only aggregation: a PLAIN global count/min/max over the
+    // data path answered from the standing manifest alone (ZoneMapAggRule)
+    // — engagement asserted: the optimized plan must read the zonemap
+    // manifest, not one data file; DuckDB recomputes from the raw table
+    "zonemap_metadata_agg" -> q { (s, dir) =>
+      val path = zoneMapReady(s, dir)
+      val out = s.read
+        .parquet(s"$path/data")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price")
+        )
+      val roots = out.queryExecution.optimizedPlan
+        .collect { case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation].location.rootPaths.map(_.toString)
+        }
+        .flatten
+      require(
+        roots.nonEmpty && roots.forall(_.contains("zonemap")),
+        s"metadata-agg rule did not engage; plan reads $roots"
+      )
+      out
+    },
     // CDC apply (the write-side twin of dataset_diff): fold a change
     // batch — updates for %5=1, deletes for %5=2, inserts for %5=3 —
     // onto the documents snapshot; DuckDB derives the same batch and
@@ -2232,6 +2256,10 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT 'ALL' AS scope, count(DISTINCT l_suppkey) AS n FROM lineitem
           |) ORDER BY scope""".stripMargin,
+      "zonemap_metadata_agg" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+          |FROM orders""".stripMargin,
       "zonemap_scan" ->
         """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{
   Literal,
   NamedExpression
 }
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{NumericType, StringType}
@@ -69,6 +70,9 @@ object ZoneMapPruning {
     val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!s.experimental.extraOptimizations.contains(ZoneMapPruneRule)) {
       s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ ZoneMapPruneRule
+    }
+    if (!s.experimental.extraOptimizations.contains(ZoneMapAggRule)) {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ ZoneMapAggRule
     }
   }
 
@@ -189,6 +193,94 @@ object ZoneMapPruning {
         }
         Some(Filter(cond, Project(aliases, newPlan)))
       }
+    }
+  }
+
+  /** Metadata-only aggregation: a GLOBAL (no GROUP BY) Aggregate of
+    * only `count(*)` / `min(statsCol)` / `max(statsCol)` over a
+    * registered zone-mapped scan is answered from the standing
+    * manifest alone — count(*) = Σ n_rows, min(c) = min(min_c),
+    * max(c) = max(max_c). The OptimizeMetadataOnlyQuery idea
+    * generalized to the explicit manifest: at 100 TB with millions of
+    * files even parquet aggregate pushdown still opens every footer;
+    * the manifest answer is ONE tiny scan, independent of data size.
+    *
+    * Strictly semantics-preserving by construction: count(*) counts
+    * all rows and so does n_rows; min/max ignore NULLs and so does
+    * the manifest (per-file min_c/max_c are NULL for all-NULL files,
+    * the outer min/max skips them); an empty layout yields count 0
+    * (coalesce over the empty sum) and NULL min/max. Anything else —
+    * grouping, DISTINCT, agg FILTER, count(col), other functions,
+    * expression inputs, a Filter below the aggregate — leaves the
+    * plan untouched: the rewrite is all-or-nothing, never partial.
+    */
+  object ZoneMapAggRule extends Rule[LogicalPlan] {
+
+    private sealed trait Spec
+    private case object CountAll              extends Spec
+    private final case class MinOf(c: String) extends Spec
+    private final case class MaxOf(c: String) extends Spec
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else
+        plan.transformUp { case agg @ Aggregate(Seq(), aggExprs, child, _) =>
+          rewrite(aggExprs, child).getOrElse(agg)
+        }
+
+    /** The registered relation under an optional attribute-only
+      * Project (where column pruning leaves the scan).
+      */
+    private def dataRel(p: LogicalPlan): Option[ZmDef] = {
+      val rel = p match {
+        case r: LogicalRelation                                                           => Some(r)
+        case Project(pl, r: LogicalRelation) if pl.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+        case _                                                                            => None
+      }
+      rel.flatMap { r =>
+        r.relation match {
+          case hf: HadoopFsRelation =>
+            val roots = hf.location.rootPaths.map(_.toString).toSet
+            registry.values.find(_.dataRoots == roots)
+          case _ => None
+        }
+      }
+    }
+
+    private def specOf(e: NamedExpression, stats: Set[String]): Option[Spec] = e match {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+        fn match {
+          case Count(Seq(Literal(_, _)))                                  => Some(CountAll)
+          case Min(a: AttributeReference) if stats.contains(a.name)       => Some(MinOf(a.name))
+          case Max(a: AttributeReference) if stats.contains(a.name)       => Some(MaxOf(a.name))
+          case _                                                          => None
+        }
+      case _ => None
+    }
+
+    private def rewrite(aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+      val zm    = dataRel(child).getOrElse(return None)
+      val specs = aggExprs.map(e => specOf(e, zm.statsCols).getOrElse(return None))
+      if (specs.isEmpty) return None
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max => fmax, min => fmin, sum}
+      val zdf      = zm.session.read.parquet(s"${zm.path}/zonemap")
+      val manifest = zdf.schema.fieldNames.toSet
+      val cols = specs.zipWithIndex.map {
+        case (CountAll, i) => coalesce(sum(col("n_rows")), lit(0L)).as(s"__agg_$i")
+        case (MinOf(c), i) =>
+          if (!manifest.contains(s"min_$c")) return None
+          fmin(col(s"min_$c")).as(s"__agg_$i")
+        case (MaxOf(c), i) =>
+          if (!manifest.contains(s"max_$c")) return None
+          fmax(col(s"max_$c")).as(s"__agg_$i")
+      }
+      val newPlan = analyzed(zdf.agg(cols.head, cols.tail: _*))
+      // the manifest answer must be type-identical to the data answer
+      if (newPlan.output.map(_.dataType) != aggExprs.map(_.dataType)) return None
+      val aliases: Seq[NamedExpression] = aggExprs.zip(newPlan.output).map { case (o, na) =>
+        Alias(na, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      Some(Project(aliases, newPlan))
     }
   }
 }

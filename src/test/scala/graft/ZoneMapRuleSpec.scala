@@ -95,4 +95,49 @@ class ZoneMapRuleSpec extends SparkSpec {
     val f = spark.read.parquet(other).filter(col("o_totalprice") > 150000.0)
     assert(scannedFiles(f) == n)
   }
+
+  // ------------------------------------------------ metadata-only aggregates
+
+  private def readsOnlyManifest(df: DataFrame): Boolean = {
+    val roots = df.queryExecution.optimizedPlan.collect { case r: LogicalRelation =>
+      r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)
+    }.flatten
+    roots.nonEmpty && roots.forall(_.contains("zonemap"))
+  }
+
+  test("global count/min/max is answered from the manifest alone and stays value-identical") {
+    val meta = plain.agg(
+      count(lit(1)).as("n"),
+      min("o_totalprice").as("mn"),
+      max("o_totalprice").as("mx")
+    )
+    assert(readsOnlyManifest(meta), s"metadata-agg rule should engage:\n${meta.queryExecution.optimizedPlan}")
+    val direct = Tables
+      .orders(spark, sfDir)
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect()
+      .head
+    val got = meta.collect().head
+    assert(got.getLong(0) == direct.getLong(0))
+    assert(got.getDouble(1) == direct.getDouble(1) && got.getDouble(2) == direct.getDouble(2))
+  }
+
+  test("metadata-agg rewrite is all-or-nothing: avg, count(col), filters, groupBy stay on data") {
+    // any non-rewritable aggregate in the list keeps the whole plan on the data scan
+    assert(!readsOnlyManifest(plain.agg(count(lit(1)).as("n"), avg("o_totalprice").as("a"))))
+    // count(col) has NULL-skipping semantics the manifest cannot answer
+    assert(!readsOnlyManifest(plain.agg(count(col("o_orderpriority")).as("n"))))
+    // a filter below the aggregate changes the population
+    assert(!readsOnlyManifest(plain.filter(col("o_totalprice") > 100000.0).agg(count(lit(1)).as("n"))))
+    // grouping needs per-group stats the manifest does not hold
+    assert(!readsOnlyManifest(plain.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
+    // min on a non-stats column has no manifest answer
+    assert(!readsOnlyManifest(plain.agg(min("o_custkey").as("mn"))))
+  }
+
+  test("metadata-agg on the filtered plan still computes correctly (rule declined, value parity)") {
+    val f = plain.filter(col("o_totalprice") > 100000.0).agg(count(lit(1)).as("n"))
+    val d = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 100000.0).agg(count(lit(1)).as("n"))
+    assert(f.collect().head.getLong(0) == d.collect().head.getLong(0))
+  }
 }
