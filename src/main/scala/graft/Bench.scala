@@ -29,7 +29,9 @@ object Bench {
     "merge_upsert", "scd2_history", "zonemap_scan", "mv_sketch_distinct",
     "timetravel_read", "bpe_train",
     "zonemap_rule_scan", "bloom_skip_scan", "delete_rows", "table_profile",
-    "key_skew_report", "events_pattern_match"
+    "key_skew_report", "events_pattern_match",
+    "dedup_editdist_join", "graph_pagerank", "text_compression_ratio",
+    "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

@@ -533,6 +533,7 @@ object SparkEntry {
     // replays PageRank as unrolled SQL — no float summation drift
     "graph_pagerank"  -> q(Graph.partSupplierPageRank),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
+    "graph_triangles" -> q(Graph.coOrderTriangles),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
         Dedup
@@ -741,6 +742,22 @@ object SparkEntry {
         }
       }
       TextAnalysis.qlIndexProbe(s, idx)
+    },
+    "retrieval_rrf_fusion" -> q { (s, dir) =>
+      // hybrid serving: BOTH scorers probe the same standing postings
+      // index, fused rank-only by RRF — integer ranks + a fixed
+      // two-term float expression, so the oracle replays the fusion
+      // over its own from-scratch rankings bit-exactly
+      val idx = dirKeyed("q_bm25_idx", dir)
+      bm25IndexBuilt.synchronized {
+        if (!bm25IndexBuilt.contains(dir)) {
+          val docs = Tables.documents(s, dir).select("doc_id", "text")
+          TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), idx)
+          TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 10 === 0), idx)
+          bm25IndexBuilt += dir
+        }
+      }
+      TextAnalysis.rrfFusion(TextAnalysis.bm25IndexProbe(s, idx), TextAnalysis.qlIndexProbe(s, idx))
     },
     "phrase_index_search" -> q { (s, dir) =>
       // standing per-length gram postings, built on 90% + one append
@@ -1842,6 +1859,30 @@ object SparkEntry {
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
       "graph_bfs_depth" -> bfsSql,
+      // id-oriented replay of the degree-oriented Spark plan: the
+      // orientation only changes join sizes, never the triangle set
+      "graph_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_orderkey < 10000),
+          |tedges AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |        FROM tedges e1 JOIN tedges e2 ON e2.a = e1.b
+          |        JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b)
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+          |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) u
+          |GROUP BY node ORDER BY node""".stripMargin,
+      "retrieval_rrf_fusion" ->
+        s"""WITH bmr AS ($bm25Sql),
+           |qlr AS ($qlSql),
+           |f AS (SELECT COALESCE(bmr.query_id, qlr.query_id) AS query_id,
+           |        COALESCE(bmr.doc_id, qlr.doc_id) AS doc_id,
+           |        COALESCE(CAST(1 AS DOUBLE) / (60 + bmr.rnk), 0) +
+           |        COALESCE(CAST(1 AS DOUBLE) / (60 + qlr.rnk), 0) AS rrf
+           |      FROM bmr FULL JOIN qlr ON bmr.query_id = qlr.query_id AND bmr.doc_id = qlr.doc_id)
+           |SELECT query_id, rnk, doc_id, rrf FROM (
+           |  SELECT query_id, doc_id, rrf,
+           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+           |  FROM f)
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
       "dedup_editdist_join" ->
         """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey < 1000)
           |SELECT a, b, dist FROM (

@@ -1326,6 +1326,40 @@ object TextAnalysis {
     bm25Rank(postings, dl, consts, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009 — the
+    * standard zero-tuning hybrid-retrieval combiner): fuse two
+    * per-query rankings by score 1/(c + rank_a) + 1/(c + rank_b)
+    * (absent from a list contributes 0). Rank-only — the two
+    * scorers' score scales never meet, which is the point — and
+    * bit-exact cross-engine: the ranks are integers and the fused
+    * score is one fixed-shape two-term float expression, no
+    * summation-order freedom. Inputs are (query_id, rnk, doc_id, …)
+    * rankings, e.g. [[bm25IndexProbe]] + [[qlIndexProbe]] — hybrid
+    * serving from ONE standing index. The fuse itself is one
+    * full-outer join on (query, doc) + one window: candidate-count
+    * work, nothing corpus-sized.
+    */
+  def rrfFusion(a: DataFrame, b: DataFrame, k: Int = 5, c: Int = 60): DataFrame = {
+    require(k >= 1 && c >= 1, s"need k >= 1 and c >= 1, got k=$k c=$c")
+    val ra = a.select(col("query_id"), col("doc_id"), col("rnk").as("rnk_a"))
+    val rb = b.select(col("query_id"), col("doc_id"), col("rnk").as("rnk_b"))
+    val fused = ra
+      .join(rb, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rnk_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rnk_b")), lit(0.0))
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("doc_id"), col("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
   // -------------------------------------------------- compression quality
 
   /** Per-document deflate compression ratio — the classic corpus

@@ -74,6 +74,52 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(99L))
   }
 
+  test("triangleCounts == model on K4-plus-pendant; degree orientation loses/duplicates nothing") {
+    // K4 on 1..4 (4 triangles, each node in 3) + pendant 5 (in none)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph
+      .triangleCounts(k4.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"K4 counts wrong: $got")
+    // duplicate + reversed edges must not inflate counts
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 2L), (2L, 1L))
+    val got2  = Graph.triangleCounts(noisy.toDF("src", "dst")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("triangleCounts on the real co-order graph == naive id-oriented replay") {
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000L)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li
+      .as("x")
+      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    val got = Graph.triangleCounts(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive twin: id-oriented 3-way join (the oracle's formulation)
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tri = e
+      .as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val want = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty, "the bounded co-order graph must actually contain triangles")
+  }
+
   test("partSupplierBfs: depths alternate bipartite sides and are capped by maxHops") {
     val got = Graph.partSupplierBfs(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty)

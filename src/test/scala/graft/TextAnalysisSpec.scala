@@ -410,6 +410,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grams.groupBy("g").count().filter(col("count") > 1).count() == 0, "multi-row grams remain")
   }
 
+  test("rrfFusion: hand-built rankings fuse by 1/(60+r) with deterministic tie-break") {
+    import SparkSpec.spark.implicits._
+    val a = Seq((0, 1L, 10L), (0, 2L, 11L), (0, 3L, 12L)).toDF("query_id", "rnk", "doc_id")
+    val b = Seq((0, 1L, 11L), (0, 2L, 13L)).toDF("query_id", "rnk", "doc_id")
+    val got = TextAnalysis
+      .rrfFusion(a, b, k = 4)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    // doc 11: 1/62 + 1/61 (both lists) beats doc 10: 1/61 (one list)
+    assert(got.head == ((11L, 1L, 1.0 / 62 + 1.0 / 61)), s"got ${got.head}")
+    assert(got(1) == ((10L, 2L, 1.0 / 61)))
+    assert(got(2) == ((13L, 3L, 1.0 / 62)))
+    assert(got(3) == ((12L, 4L, 1.0 / 63)))
+  }
+
+  test("rrfFusion over the standing-index probes: fused docs come from the input lists, ranks dense") {
+    val idx  = "t_rrf_idx"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    if (!spark.catalog.tableExists(s"${idx}_postings")) TextAnalysis.buildBm25Index(docs, idx)
+    val bm = TextAnalysis.bm25IndexProbe(spark, idx)
+    val ql = TextAnalysis.qlIndexProbe(spark, idx)
+    val fused = TextAnalysis.rrfFusion(bm, ql).collect()
+    val inputs = (bm.collect() ++ ql.collect()).map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(fused.nonEmpty)
+    fused.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq, "ranks must be dense from 1")
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, "rrf must be non-increasing in rank")
+    }
+    assert(fused.forall(r => inputs.contains((r.getInt(0), r.getLong(2)))), "fused doc not in any input list")
+  }
+
   test("compressionRatio: repetition compresses below varied text, empty doc convention, UTF-8 byte counts") {
     import SparkSpec.spark.implicits._
     val rep    = "abc" * 100
