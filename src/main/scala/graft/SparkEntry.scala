@@ -505,6 +505,18 @@ object SparkEntry {
         tokCol = "sh"
       )
     ),
+    // exact asymmetric containment (|A∩B|/|A| ≥ θ over 3-gram shingle
+    // sets) — the quoted-inside-a-longer-doc case Jaccard misses; the
+    // oracle replays the naive inverted-index form because the prefix
+    // filter is EXACT
+    "dedup_containment_join" -> q((s, dir) =>
+      Dedup.containmentJoin(
+        Dedup.shingles(Tables.documents(s, dir).filter(col("doc_id") < 1200), k = 3),
+        threshold = 0.8,
+        idCol = "doc_id",
+        tokCol = "sh"
+      )
+    ),
     // exact Ed-Join-style edit-distance join (rarest-first q-gram
     // prefix filter + length filter + exact levenshtein verify) — the
     // oracle replays it as the naive levenshtein join because the
@@ -1883,6 +1895,20 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
            |  FROM f)
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+      "dedup_containment_join" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 1200),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - 1),
+           |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           |       FROM t WHERE len(tk) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+           |        GROUP BY x.doc_id, y.doc_id)
+           |SELECT a, b, containment FROM (
+           |  SELECT a, b, c / CAST(sa.n_sh AS DOUBLE) AS containment
+           |  FROM com JOIN sizes sa ON sa.doc_id = a)
+           |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
       "dedup_editdist_join" ->
         """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer WHERE c_custkey < 1000)
           |SELECT a, b, dist FROM (

@@ -913,6 +913,62 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  // ----------------------------------------------------- containment join
+
+  /** Exact ASYMMETRIC containment join: directed pairs (a, b) with
+    * C(a→b) = |A ∩ B| / |A| ≥ θ over any (id, tok) element relation —
+    * the near-dup case Jaccard misses by construction (a short
+    * document quoted inside a much longer one scores near-zero
+    * Jaccard but containment ≈ 1; crawl pipelines drop the contained
+    * copy). Same prefix-filter machinery as [[setSimJoinOnSets]],
+    * adapted to the one-sided bound: if |A∩B| ≥ θ·|A| then at most
+    * |A| − ⌈θ·|A|⌉ of A's tokens are outside B, so A's rarest-first
+    * prefix of length |A| − ⌈θ·|A|⌉ + 1 must contain a token OF B
+    * (any token — B's size gives no symmetric bound, so the candidate
+    * join probes A-prefix tokens against the FULL inverted index).
+    * Rarest-first ordering keeps the probed postings small: hot
+    * tokens are ordered out of A's prefix, so the candidate
+    * population rides the rare-token document frequencies, never the
+    * hot-token ones. Exact verify recounts |A∩B|; the int/int
+    * quotient is bit-exact cross-engine. FP slack (1e-9) only ever
+    * LENGTHENS a prefix — it can cost candidates, never a true pair.
+    */
+  def containmentJoin(
+      elements: DataFrame,
+      threshold: Double,
+      idCol: String = "id",
+      tokCol: String = "tok"
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val toks = elements
+      .select(col(idCol).as("id"), col(tokCol).as("tok"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val byDoc = Window.partitionBy("id").orderBy(col("tok_df"), col("tok"))
+    val prefix = toks
+      .join(dfreq, "tok")
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("id").as("a"), col("n").as("na"), col("tok"))
+    val cand = prefix
+      .join(toks.select(col("id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "na", "b")
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy("a", "b", "na")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+      .orderBy("a", "b")
+  }
+
   // ---------------------------------------------------- edit-distance join
 
   /** Exact edit-distance similarity join: all id pairs (a < b) whose

@@ -360,6 +360,57 @@ class DedupSpec extends SparkSpec {
     assert(!boundary.exists(p => p._1 == 5L || p._2 == 5L), "token-disjoint singleton must pair with nobody")
   }
 
+  // -------------------------------------------------- containment join
+
+  private def naiveContainment(elements: org.apache.spark.sql.DataFrame, th: Double) = {
+    val t  = elements.select(col("doc_id").as("id"), col("sh").as("tok")).distinct()
+    val sz = t.groupBy("id").agg(count(lit(1)).as("n"))
+    t.select(col("id").as("a"), col("tok"))
+      .join(t.select(col("id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c"))
+      .join(sz.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .withColumn("containment", col("c") / col("na"))
+      .filter(col("containment") >= th)
+      .select("a", "b", "containment")
+  }
+
+  test("containmentJoin == naive inverted-index containment on the corpus (prefix filter loses nothing)") {
+    val sub = Dedup.shingles(docs.filter(col("doc_id") < 600), k = 3)
+    for (th <- Seq(0.6, 0.8)) {
+      val fast = Dedup
+        .containmentJoin(sub, th, idCol = "doc_id", tokCol = "sh")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val naive = naiveContainment(sub, th).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == naive, s"θ=$th: missing=${naive -- fast}, extra=${fast -- naive}")
+      assert(naive.nonEmpty, s"θ=$th: corpus must exercise containment")
+    }
+  }
+
+  test("containmentJoin is directional: a strict token subset scores 1.0 one way, |A|/|B| the other") {
+    import SparkSpec.spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // B: 6 tokens
+      (2L, "alpha beta gamma"),                    // A ⊂ B: C(2→1)=1.0, C(1→2)=0.5
+      (3L, "omega psi")                            // disjoint
+    ).flatMap { case (id, text) => text.split(" ").map(t => (id, t)) }.toDF("doc_id", "sh")
+    val got = Dedup
+      .containmentJoin(tiny, 0.9, idCol = "doc_id", tokCol = "sh")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((2L, 1L, 1.0)), s"only the contained direction may pass θ=0.9, got $got")
+    val loose = Dedup
+      .containmentJoin(tiny, 0.5, idCol = "doc_id", tokCol = "sh")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(loose == Set((2L, 1L, 1.0), (1L, 2L, 0.5)), s"θ=0.5 keeps the boundary reverse direction, got $loose")
+  }
+
   // ------------------------------------------------- edit-distance join
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
