@@ -31,7 +31,8 @@ object Bench {
     "zonemap_rule_scan", "bloom_skip_scan", "delete_rows", "table_profile",
     "key_skew_report", "events_pattern_match",
     "dedup_editdist_join", "graph_pagerank", "text_compression_ratio",
-    "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion"
+    "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion",
+    "dedup_containment_join", "sessions_overlap_join"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

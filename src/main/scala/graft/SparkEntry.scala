@@ -482,6 +482,9 @@ object SparkEntry {
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
+    // interval-overlap join (binned equi-join scale path + exact
+    // verify): concurrent sessions of different users
+    "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
@@ -1785,6 +1788,26 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "sessions_overlap_join" ->
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE user_id < 50),
+          |m AS (SELECT user_id, t,
+          |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+          |               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+          |                  > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          |      FROM e),
+          |s AS (SELECT user_id, t,
+          |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+          |                       ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM m),
+          |sess AS (SELECT user_id, min(t) AS s_start, max(t) AS s_end
+          |         FROM s GROUP BY user_id, sid)
+          |SELECT a.user_id AS user_a, a.s_start AS start_a,
+          |       b.user_id AS user_b, b.s_start AS start_b,
+          |       CAST(epoch_us(least(a.s_end, b.s_end))
+          |            - epoch_us(greatest(a.s_start, b.s_start)) AS BIGINT) AS overlap_us
+          |FROM sess a JOIN sess b
+          |  ON a.user_id < b.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+          |ORDER BY user_a, start_a, user_b, start_b""".stripMargin,
       "events_funnel" ->
         """WITH f AS (SELECT user_id,
           |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,

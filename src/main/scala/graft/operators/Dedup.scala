@@ -1046,6 +1046,10 @@ object Dedup {
       .filter(col("rk") <= maxDist * q + 1)
       .select("id", "len", "gram")
       .distinct()
+      // referenced twice by the self-join below — materialize the tiny
+      // prefix relation once instead of recomputing the gram+freq+window
+      // pipeline (and its shuffles) for each side
+      .localCheckpoint(eager = false)
 
     val longCand = prefix
       .as("x")

@@ -120,6 +120,59 @@ object EventAnalytics {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Session INTERVALS (actual event extent, [min ts, max ts]) via the
+    * lag/break/prefix-sum formulation — the interval-relation input
+    * for [[concurrentSessions]]. Gap semantics match [[sessionize]]
+    * (a strict >30 min silence breaks the session); integer micros
+    * comparisons keep the break decision bit-exact cross-engine.
+    */
+  def sessionIntervals(spark: SparkSession, dir: String, maxUser: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables
+      .events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select("user_id", "ts")
+      .withColumn(
+        "brk",
+        when(
+          lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+      .select("user_id", "s_start", "s_end")
+  }
+
+  /** Concurrent sessions of DIFFERENT users: the interval-overlap join
+    * over [[sessionIntervals]] — "who was active at the same time" —
+    * through the binned equi-join scale path
+    * ([[Relational.intervalOverlapJoin]]), never a nested loop.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionIntervals(spark, dir).localCheckpoint(eager = false)
+    Relational
+      .intervalOverlapJoin(
+        sess,
+        sess,
+        startCol = "s_start",
+        endCol = "s_end",
+        binSeconds = 3600L,
+        extraCond = col("l.user_id") < col("r.user_id")
+      )
+      .select(
+        col("l.user_id").as("user_a"),
+        col("l.s_start").as("start_a"),
+        col("r.user_id").as("user_b"),
+        col("r.s_start").as("start_b"),
+        col("overlap_us")
+      )
+      .orderBy("user_a", "start_a", "user_b", "start_b")
+  }
+
   /** Gap-filled daily series: a generated date spine left-joined to
     * per-day aggregates so silent days appear as explicit zeros — the
     * standard densification step before any time-series modeling. The

@@ -62,17 +62,22 @@ object Graph {
       .localCheckpoint(eager = false)
 
     val baseMass = initMass * (dampDen - dampNum) / dampDen
-    var mass     = nodes.withColumn("mass", lit(initMass))
+    // nodes with no in-edge hold exactly baseMass from iteration 1 on,
+    // and that set is STATIC (it depends only on the edge relation) —
+    // union the constant rows instead of left-joining all nodes every
+    // iteration: one shuffle less per iteration
+    val noInflow = nodes
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .withColumn("mass", lit(baseMass))
+      .localCheckpoint(eager = false)
+    var mass = nodes.withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(mass, col("src") === col("node"))
         .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
         .groupBy("node")
-        .agg(sum("c").as("in_mass"))
-      mass = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(baseMass) + coalesce(col("in_mass"), lit(0L))).as("mass"))
-        .localCheckpoint(eager = false)
+        .agg((lit(baseMass) + sum("c")).as("mass"))
+      mass = contrib.unionByName(noInflow).localCheckpoint(eager = false)
     }
     mass.orderBy("node")
   }

@@ -1043,4 +1043,61 @@ object Relational {
       .select("o_orderkey", "o_custkey")
       .orderBy("o_orderkey")
   }
+
+  /** Exact interval-overlap join — pairs of rows whose [start, end]
+    * intervals intersect (closed endpoints: l.start ≤ r.end AND
+    * r.start ≤ l.end). The naive form is a cross join with an
+    * inequality predicate — the classic non-equi-join trap Spark plans
+    * as a nested loop. This is the scale path: every interval emits
+    * the time BINS it covers (epoch-seconds div `binSeconds`), the
+    * candidate join is an EQUI-join on the bin (overlapping intervals
+    * share the bin of any common instant — a necessary condition), a
+    * distinct collapses multi-bin pairs, and the exact predicate
+    * re-verifies on the original values. Candidate volume rides
+    * concurrency per bin, never |L|×|R|; `binSeconds` trades explode
+    * width (long intervals emit more bins) against bin density (hot
+    * bins pair more candidates) — set it near the typical interval
+    * length. Inputs keep arbitrary payload columns; output is one row
+    * per overlapping pair as two structs `l` and `r` plus the exact
+    * overlap length in integer MICROseconds (`overlap_us` — float-free
+    * and cross-engine exact). `extraCond` (over `l.*`/`r.*`) prunes inside
+    * the candidate join — e.g. "different user", or `l.id < r.id` for
+    * a self-join — before the distinct. Rows with end < start are
+    * dropped (an inverted interval covers no instant).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      startCol: String = "start",
+      endCol: String = "end",
+      binSeconds: Long = 3600L,
+      extraCond: org.apache.spark.sql.Column = lit(true)
+  ): DataFrame = {
+    require(binSeconds >= 1, s"binSeconds must be >= 1, got $binSeconds")
+    def binned(df: DataFrame, side: String) =
+      df.filter(col(endCol) >= col(startCol))
+        .select(
+          struct(df.columns.map(col): _*).as(side),
+          explode(
+            sequence(
+              floor(col(startCol).cast("long") / binSeconds).cast("long"),
+              floor(col(endCol).cast("long") / binSeconds).cast("long")
+            )
+          ).as("__bin")
+        )
+    val cand = binned(left, "l")
+      .join(binned(right, "r"), Seq("__bin"))
+      .filter(extraCond)
+      .select("l", "r")
+      .distinct()
+    cand
+      .filter(
+        col(s"l.$startCol") <= col(s"r.$endCol") && col(s"r.$startCol") <= col(s"l.$endCol")
+      )
+      .withColumn(
+        "overlap_us",
+        unix_micros(least(col(s"l.$endCol"), col(s"r.$endCol"))) -
+          unix_micros(greatest(col(s"l.$startCol"), col(s"r.$startCol")))
+      )
+  }
 }

@@ -116,4 +116,64 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"no imperative-aggregate plan:\n$plan")
     assert(!plan.contains("Window"), s"fell back to a window plan:\n$plan")
   }
+
+  // ------------------------------------------------ interval-overlap join
+
+  test("intervalOverlapJoin == naive nested-loop overlap on real session intervals") {
+    import graft.operators.EventAnalytics
+    val sess = EventAnalytics.sessionIntervals(spark, sfDir, maxUser = 200L)
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getStruct(0).getLong(0), r.getStruct(0).get(1).toString,
+      r.getStruct(1).getLong(0), r.getStruct(1).get(1).toString, r.getLong(2)
+    )
+    val fast = Relational
+      .intervalOverlapJoin(sess, sess, "s_start", "s_end", binSeconds = 3600L,
+        extraCond = col("l.user_id") < col("r.user_id"))
+      .collect().map(key).toSet
+    val naive = sess.as("a")
+      .crossJoin(sess.as("b"))
+      .filter(col("a.user_id") < col("b.user_id") &&
+        col("a.s_start") <= col("b.s_end") && col("b.s_start") <= col("a.s_end"))
+      .select(
+        struct(col("a.user_id"), col("a.s_start"), col("a.s_end")).as("l"),
+        struct(col("b.user_id"), col("b.s_start"), col("b.s_end")).as("r"),
+        (unix_micros(least(col("a.s_end"), col("b.s_end"))) -
+          unix_micros(greatest(col("a.s_start"), col("b.s_start")))).as("overlap_us")
+      )
+      .collect().map(key).toSet
+    assert(fast == naive, s"missing=${naive -- fast}, extra=${fast -- naive}")
+    assert(naive.nonEmpty, "corpus must exercise the overlap join")
+  }
+
+  test("intervalOverlapJoin corner cases: touching endpoints join, disjoint do not, bins do not duplicate") {
+    import SparkSpec.spark.implicits._
+    val mk = (id: Long, s: String, e: String) => (id, java.sql.Timestamp.valueOf(s), java.sql.Timestamp.valueOf(e))
+    val left = Seq(
+      mk(1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),  // spans 3 hour-bins
+      mk(2L, "2024-01-01 13:00:00", "2024-01-01 13:10:00")
+    ).toDF("id", "start", "end")
+    val right = Seq(
+      mk(10L, "2024-01-01 12:00:00", "2024-01-01 12:30:00"), // touches 1's end exactly
+      mk(11L, "2024-01-01 10:30:00", "2024-01-01 11:30:00"), // nested in 1 (shares 2 bins)
+      mk(12L, "2024-01-01 14:00:00", "2024-01-01 15:00:00")  // disjoint from both
+    ).toDF("id", "start", "end")
+    val got = Relational
+      .intervalOverlapJoin(left, right)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("overlap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 10L, 0L), (1L, 11L, 3600L * 1000000L)), s"got $got")
+  }
+
+  test("intervalOverlapJoin plans an equi-join on the bin, not a nested loop") {
+    import graft.operators.EventAnalytics
+    val sess = EventAnalytics.sessionIntervals(spark, sfDir)
+    val plan = Relational
+      .intervalOverlapJoin(sess, sess, "s_start", "s_end",
+        extraCond = col("l.user_id") < col("r.user_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must be the binned equi-join:\n$plan")
+  }
 }
