@@ -1011,6 +1011,30 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("digest"), col("source"))
         .orderBy("doc_id")
     },
+    // additive schema evolution through the same merge: the batch
+    // carries a column the target never had (rev); survivors read it
+    // as NULL, upserted/inserted rows carry their value — DuckDB
+    // replays with an explicit NULL column on the survivor leg
+    "merge_upsert_evolve" -> q { (s, dir) =>
+      val docs   = Tables.documents(s, dir)
+      val target = docs.select("doc_id", "text", "source")
+      val changes = docs
+        .filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"), col("source"),
+          lit("r2").as("rev"), lit(false).as("__delete"))
+        .unionByName(
+          docs.filter(col("doc_id") % 5 === 2)
+            .select(col("doc_id"), col("text"), col("source"), lit(null).cast("string").as("rev"), lit(true).as("__delete"))
+        )
+        .unionByName(
+          docs.filter(col("doc_id") % 5 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), lit("ingest2").as("source"),
+              lit("new").as("rev"), lit(false).as("__delete"))
+        )
+      Cdc.mergeUpsertEvolving(target, changes, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("digest"), col("source"), col("rev"))
+        .orderBy("doc_id")
+    },
     // SCD2 version history: initial snapshot + two change batches
     // applied sequentially (batch 1 carries deliberate no-op rows);
     // DuckDB derives the identical history from the union of
@@ -2388,6 +2412,23 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id, text, source FROM changes WHERE NOT del)
           |SELECT doc_id, md5(text) AS digest, source
+          |FROM merged ORDER BY doc_id""".stripMargin,
+      "merge_upsert_evolve" ->
+        """WITH changes AS (
+          |  SELECT doc_id, text || ' [rev2]' AS text, source, 'r2' AS rev, false AS del
+          |  FROM documents WHERE doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id, text, source, CAST(NULL AS VARCHAR) AS rev, true AS del
+          |  FROM documents WHERE doc_id % 5 = 2
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text, 'ingest2' AS source, 'new' AS rev, false AS del
+          |  FROM documents WHERE doc_id % 5 = 3),
+          |merged AS (
+          |  SELECT t.doc_id, t.text, t.source, CAST(NULL AS VARCHAR) AS rev FROM documents t
+          |  WHERE t.doc_id NOT IN (SELECT doc_id FROM changes)
+          |  UNION ALL
+          |  SELECT doc_id, text, source, rev FROM changes WHERE NOT del)
+          |SELECT doc_id, md5(text) AS digest, source, rev
           |FROM merged ORDER BY doc_id""".stripMargin,
       "scd2_history" ->
         """WITH obs AS (

@@ -61,6 +61,36 @@ object Cdc {
     survivors.unionByName(upserts.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** [[mergeUpsert]] with ADDITIVE schema evolution: the batch may
+    * carry columns the target has never seen — the merged snapshot
+    * gains them, with NULL backfill on every surviving pre-evolution
+    * row (the lake-format evolution contract: old files stay valid,
+    * readers see the widened schema). Strictly additive by design:
+    * a batch MISSING a target column is rejected loudly — silently
+    * null-filling an existing column on upserted rows would corrupt
+    * data, the opposite of evolution. Column matching is by name
+    * (case-sensitive), order-independent.
+    */
+  def mergeUpsertEvolving(
+      target: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      deleteCol: String = "__delete",
+      seqCol: Option[String] = None
+  ): DataFrame = {
+    val changeCols = changes.columns.toSet -- Set(deleteCol) -- seqCol.toSet
+    val missing    = target.columns.toSet -- changeCols
+    require(
+      missing.isEmpty,
+      s"schema evolution is additive-only: batch is missing target columns ${missing.mkString(", ")}"
+    )
+    val newCols = (changeCols -- target.columns.toSet).toSeq.sorted
+    val widenedTarget = newCols.foldLeft(target) { case (df, c) =>
+      df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
+    mergeUpsert(widenedTarget, changes, idCol, deleteCol, seqCol)
+  }
+
   /** Open an SCD2 history from an initial snapshot: every row becomes
     * the first version, valid from `effDate`, open-ended
     * (`valid_to IS NULL` marks the current version).

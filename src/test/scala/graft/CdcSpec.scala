@@ -146,4 +146,42 @@ class CdcSpec extends SparkSpec {
     val applied = SparkEntry.queries("scd2_history")(spark, sfDir)
     assert(applied.exceptAll(derived).isEmpty && derived.exceptAll(applied).isEmpty)
   }
+
+  // ------------------------------------------------- schema evolution
+
+  test("mergeUpsertEvolving: new batch column appears NULL on survivors, populated on upserts, idempotent") {
+    import SparkSpec.spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val batch = Seq(
+      (2L, "b2", Some("r2"), false), // update carrying the new column
+      (3L, "c", None, true),         // delete
+      (4L, "d", Some("new"), false)  // insert
+    ).toDF("id", "v", "rev", "__delete")
+    val merged = Cdc.mergeUpsertEvolving(target, batch, "id")
+    val got    = merged.collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b2", Some("r2")), (4L, "d", Some("new"))))
+    assert(merged.columns.toSeq == Seq("id", "v", "rev"), "evolved schema = target columns + new columns")
+    // idempotent: applying the same batch to the evolved snapshot changes nothing
+    val again = Cdc.mergeUpsertEvolving(merged, batch.withColumnRenamed("v", "v"), "id")
+    assert(again.exceptAll(merged).isEmpty && merged.exceptAll(again).isEmpty)
+  }
+
+  test("mergeUpsertEvolving rejects a batch missing a target column (additive-only, loud)") {
+    import SparkSpec.spark.implicits._
+    val target = Seq((1L, "a", 5L)).toDF("id", "v", "n")
+    val bad    = Seq((1L, "a2", false)).toDF("id", "v", "__delete") // drops column n
+    val e      = intercept[IllegalArgumentException](Cdc.mergeUpsertEvolving(target, bad, "id"))
+    assert(e.getMessage.contains("additive-only") && e.getMessage.contains("n"))
+  }
+
+  test("mergeUpsertEvolving without new columns == mergeUpsert exactly") {
+    val docs   = Tables.documents(spark, sfDir)
+    val target = docs.select("doc_id", "text", "source")
+    val changes = docs
+      .filter(col("doc_id") % 7 === 1)
+      .select(col("doc_id"), col("text"), col("source"), lit(false).as("__delete"))
+    val a = Cdc.mergeUpsert(target, changes, "doc_id")
+    val b = Cdc.mergeUpsertEvolving(target, changes, "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
