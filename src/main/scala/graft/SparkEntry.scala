@@ -485,6 +485,7 @@ object SparkEntry {
     // interval-overlap join (binned equi-join scale path + exact
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
+    "events_tumbling_distinct" -> q(EventAnalytics.tumblingDistinctUsers),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
@@ -1058,6 +1059,7 @@ object SparkEntry {
     "check_hll_error"          -> q(Checks.hllError),
     "check_kmv"                -> q((s, dir) => Sketches.kmvCheck(s, dir)),
     "check_cms"                -> q((s, dir) => Sketches.cmsCheck(s, dir)),
+    "check_join_size_estimate" -> q((s, dir) => Sketches.cmsJoinSizeCheck(s, dir)),
     "check_freq_items"         -> q(Checks.freqItemsGuarantee),
     "check_approx_quantiles"   -> q(Checks.approxQuantileError),
     "check_lsh_recall"         -> q(Checks.lshRecall),
@@ -1812,6 +1814,11 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "events_tumbling_distinct" ->
+        """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM events GROUP BY ws ORDER BY ws""".stripMargin,
       "sessions_overlap_join" ->
         """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE user_id < 50),
           |m AS (SELECT user_id, t,
@@ -2535,6 +2542,10 @@ object SparkEntry {
       "check_cms" ->
         """SELECT CAST(0 AS BIGINT) AS under_violations, true AS bound_ok,
           |       true AS merge_invariant""".stripMargin,
+      "check_join_size_estimate" ->
+        """SELECT CAST(count(*) AS BIGINT) AS exact_join_size,
+          |       true AS no_undercount, true AS bound_ok
+          |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
       "docs_source_cap" ->
         """SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars FROM (
           |  SELECT source, doc_id, n_chars,

@@ -86,6 +86,20 @@ object EventAnalytics {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
       .orderBy("ws", "event_type")
 
+  /** Distinct users per tumbling hour — distinct aggregation composed
+    * with event-time windows (the DAU/WAU shape). Exact
+    * count(DISTINCT) here; at stream scale the same query swaps in
+    * `approx_count_distinct` (HLL partials merge through windows the
+    * way exact distinct cannot).
+    */
+  def tumblingDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("n_users"), col("n_events"))
+      .orderBy("ws")
+
   /** Sliding 15-minute windows advancing every 5 minutes. */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame =
     Tables

@@ -156,6 +156,44 @@ object Sketches {
       .select(col("under_violations"), col("bound_ok"), col("merge_invariant"))
   }
 
+  /** CMS inner-product JOIN-SIZE estimate (Cormode–Muthukrishnan 2005
+    * §4.2): |A ⋈ B| on a key equals Σ_k cntA(k)·cntB(k), and the
+    * per-depth-row dot product of two CMS grids over-counts exactly by
+    * non-negative collision cross-terms — so min over rows NEVER
+    * under-estimates, deterministically, and over-shoots by more than
+    * e·|A|·|B|/width with probability ≤ e^(−depth). This is the
+    * cardinality-estimation primitive a planner wants BEFORE running a
+    * join: two single-pass sketches (depth·width longs each, merged
+    * commutatively from any partitioning) replace executing the join.
+    * Emitted as a check row — the estimate's guarantees measured
+    * against the executed join, DuckDB stating the exact size and the
+    * two expected-true flags.
+    */
+  def cmsJoinSizeCheck(spark: SparkSession, dir: String, depth: Int = 4, width: Int = 8192): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val a   = Tables.orders(spark, dir).select(col("o_custkey").as("key"))
+    val b   = Tables.customer(spark, dir).select(col("c_custkey").as("key"))
+    val skA = a.agg(expr(s"cms_agg(xxhash64(key), $depth, $width)").as("ca"), count(lit(1)).as("na"))
+    val skB = b.agg(expr(s"cms_agg(xxhash64(key), $depth, $width)").as("cb"), count(lit(1)).as("nb"))
+    val exact = a.join(b, "key").agg(count(lit(1)).as("exact_join_size"))
+    val estExpr =
+      s"""array_min(transform(sequence(0, ${depth - 1}), d ->
+         |  aggregate(zip_with(slice(ca, d * $width + 1, $width),
+         |                     slice(cb, d * $width + 1, $width),
+         |                     (x, y) -> x * y),
+         |            cast(0 as long), (acc, v) -> acc + v)))""".stripMargin
+    exact
+      .crossJoin(broadcast(skA))
+      .crossJoin(broadcast(skB))
+      .withColumn("est", expr(estExpr))
+      .select(
+        col("exact_join_size"),
+        (col("est") >= col("exact_join_size")).as("no_undercount"),
+        (col("est") - col("exact_join_size") <=
+          lit(math.E) * col("na") * col("nb") / width).as("bound_ok")
+      )
+  }
+
   /** KMV guarantee check, run in the sub-capacity regime where the
     * sketch actually estimates (k=256 against thousands of distinct
     * orderkeys / custkeys). Verifies, with DuckDB stating the

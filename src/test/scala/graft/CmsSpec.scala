@@ -65,4 +65,16 @@ class CmsSpec extends SparkSpec {
     assert(row.getBoolean(1), "bound_ok false")
     assert(row.getBoolean(2), "merge_invariant false")
   }
+
+  test("join-size estimate never undercounts, even collision-saturated; bound holds at working width") {
+    // width 64 vs ~1500 distinct keys: nearly every counter is shared —
+    // the hard no-undercount guarantee must survive saturation
+    for (w <- Seq(64, 1024, 8192)) {
+      val row = Sketches.cmsJoinSizeCheck(spark, sfDir, depth = 4, width = w).collect()(0)
+      assert(row.getBoolean(1), s"width=$w: estimate undercut the exact join size")
+    }
+    val row = Sketches.cmsJoinSizeCheck(spark, sfDir).collect()(0)
+    assert(row.getLong(0) > 0L)
+    assert(row.getBoolean(2), "estimate exceeded the e*|A|*|B|/width bound at working width")
+  }
 }
