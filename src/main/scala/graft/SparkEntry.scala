@@ -188,6 +188,32 @@ object SparkEntry {
     path
   }
 
+  private val logStatsBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Memoized stats-enabled graft-log table over orders, two commits
+    * (even orderkeys, then odd), each pre-clustered by o_totalprice so
+    * the per-commit stats sidecars carry tight disjoint ranges — the
+    * governed-table data-skipping demo (`timetravel_pruned_read`).
+    */
+  private def logStatsReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_log_stats", dir)}"
+    logStatsBuilt.synchronized {
+      if (!logStatsBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        graft.sources.SnapshotTable.enableStats(s, path, Seq("o_totalprice"))
+        def clustered(df: org.apache.spark.sql.DataFrame) =
+          df.repartitionByRange(8, col("o_totalprice")).sortWithinPartitions("o_totalprice")
+        val orders = Tables.orders(s, dir)
+        graft.sources.SnapshotTable.create(s, path, clustered(orders.filter(col("o_orderkey") % 2 === 0)))
+        graft.sources.SnapshotTable.append(s, path, clustered(orders.filter(col("o_orderkey") % 2 === 1)))
+        logStatsBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized incremental-profile rollup over lineitem (4 columns
     * whose ndv stays in the KMV exact regime at every gate scale) —
     * built from one third, two appended deltas, then compacted.
@@ -886,6 +912,31 @@ object SparkEntry {
             .read(s, path, Some(v))
             .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
             .select(lit(v).as("version"), col("n_docs"), col("sum_ids"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("version")
+    },
+    // governed-table data skipping: file stats recorded AT COMMIT TIME
+    // prune a price band BOTH at the latest version and through time
+    // travel to v1 — pruning REQUIRED loudly at both versions, exact
+    // predicate re-applied, DuckDB recomputes from the raw table
+    "timetravel_pruned_read" -> q { (s, dir) =>
+      val path = logStatsReady(s, dir)
+      val band = (Some(100000.0): Option[Any], Some(150000.0): Option[Any])
+      Seq(1L, 2L)
+        .map { v =>
+          val (surv, total) =
+            graft.sources.SnapshotTable.pruneVersionFiles(s, path, "o_totalprice", band._1, band._2, Some(v))
+          require(surv.length < total, s"stats pruned nothing at version $v (${surv.length}/$total)")
+          graft.sources.SnapshotTable
+            .prunedRead(s, path, "o_totalprice", band._1, band._2, Some(v))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              min("o_totalprice").as("min_price"),
+              max("o_totalprice").as("max_price"),
+              sum("o_orderkey").as("sum_key")
+            )
+            .select(lit(v).as("version"), col("n_orders"), col("min_price"), col("max_price"), col("sum_key"))
         }
         .reduce(_ unionByName _)
         .orderBy("version")
@@ -2361,6 +2412,17 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "timetravel_pruned_read" ->
+        """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_orders,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders
+          |WHERE o_totalprice BETWEEN 100000 AND 150000 AND o_orderkey % 2 = 0
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+          |  min(o_totalprice), max(o_totalprice), CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+          |ORDER BY version""".stripMargin,
       "timetravel_read" ->
         """SELECT CAST(v.version AS BIGINT) AS version,
           |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,

@@ -66,15 +66,119 @@ object SnapshotTable {
   }
 
   /** Stage `df` as a new immutable commit directory; returns the
-    * relative file list.
+    * relative file list. If the table has stats enabled
+    * ([[enableStats]]), a per-file min/max/count sidecar for the
+    * staged files is written BEFORE any commit attempt — data files
+    * are immutable and stats are keyed by file, so sidecars are
+    * race-free without being part of the commit point (a manifest can
+    * only reference files whose stats already exist; orphaned
+    * sidecars from aborted commits are inert).
     */
   private def stageData(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
     val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$commitDir")
     val f = fs(spark, path)
-    FsListing
+    val rels = FsListing
       .listDataFiles(f, new Path(s"$path/$commitDir"))
       .map(st => s"$commitDir/${st.getPath.getName}")
+    val statsCols = statsConfig(spark, path)
+    if (statsCols.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val staged = spark.read.parquet(s"$path/$commitDir")
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).as("n_rows") +:
+          statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      staged
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("file", concat(lit(s"$commitDir/"), element_at(split(col("__f"), "/"), -1)))
+        .drop("__f")
+        .coalesce(1)
+        .write
+        .parquet(s"$path/_stats/parts/${commitDir.stripPrefix("data/")}")
+    }
+    rels
+  }
+
+  // ----------------------------------------------------- per-file statistics
+
+  private def statsConfig(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/_stats/config.txt")
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+  }
+
+  /** Opt the table into per-file min/max/count statistics on
+    * `statsCols`: every commit staged AFTER this call carries a stats
+    * sidecar, and [[prunedRead]] uses it to skip range-disjoint files
+    * — zone-map data skipping integrated with the transaction log, so
+    * pruning composes with snapshot isolation and time travel (the
+    * stats are per-FILE and files are immutable, so any version's
+    * file list prunes with the same sidecars). Files committed before
+    * enablement simply have no stats row and are read conservatively.
+    */
+  def enableStats(spark: SparkSession, path: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "enableStats needs at least one column")
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/_stats"))
+    val out = f.create(new Path(s"$path/_stats/config.txt"), true)
+    try out.write(statsCols.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Survivor files of version `versionAsOf` (default latest) for the
+    * interval predicate `column ∈ [lo, hi]`: a file is skipped only
+    * when its recorded stats PROVE disjointness (all-NULL files can
+    * never satisfy an interval and are skipped too); files with no
+    * stats row are kept conservatively. Returns (survivors, total).
+    */
+  def pruneVersionFiles(
+      spark: SparkSession,
+      path: String,
+      statCol: String,
+      lo: Option[Any],
+      hi: Option[Any],
+      versionAsOf: Option[Long] = None
+  ): (Seq[String], Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v     = versionAsOf.getOrElse(latestVersion(spark, path))
+    require(v > 0, s"no table at $path")
+    val files = readManifest(spark, path, v)
+    val f     = fs(spark, path)
+    val parts = new Path(s"$path/_stats/parts")
+    if (!f.exists(parts) || f.listStatus(parts).isEmpty) return (files, files.length.toLong)
+    val st = spark.read.parquet(s"$path/_stats/parts/*")
+    if (!st.columns.contains(s"min_$statCol")) return (files, files.length.toLong)
+    val intersects = col(s"min_$statCol").isNotNull &&
+      lo.map(x => col(s"max_$statCol") >= lit(x)).getOrElse(lit(true)) &&
+      hi.map(x => col(s"min_$statCol") <= lit(x)).getOrElse(lit(true))
+    val skippable = st.filter(!intersects).select("file").collect().map(_.getString(0)).toSet
+    (files.filterNot(skippable), files.length.toLong)
+  }
+
+  /** Stats-pruned snapshot read, optionally time-traveled: scan only
+    * the surviving files of that version and re-apply the EXACT
+    * interval predicate (pruning is a necessary condition only).
+    */
+  def prunedRead(
+      spark: SparkSession,
+      path: String,
+      statCol: String,
+      lo: Option[Any],
+      hi: Option[Any],
+      versionAsOf: Option[Long] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (survivors, _) = pruneVersionFiles(spark, path, statCol, lo, hi, versionAsOf)
+    val exact = lo.map(x => col(statCol) >= lit(x)).getOrElse(lit(true)) &&
+      hi.map(x => col(statCol) <= lit(x)).getOrElse(lit(true))
+    if (survivors.isEmpty) read(spark, path, versionAsOf).filter(lit(false))
+    else spark.read.parquet(survivors.map(rel => s"$path/$rel"): _*).filter(exact)
   }
 
   /** Atomically publish `files` as version `version`. Returns false on

@@ -189,6 +189,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == (0L to 8L))
   }
 
+  // ------------------------------------------------ commit-time file stats
+
+  test("stats-pruned reads skip files yet stay value-identical, at latest AND through time travel") {
+    val p = freshPath("stats")
+    SnapshotTable.enableStats(spark, p, Seq("o_totalprice"))
+    val orders = Tables.orders(spark, sfDir)
+    def clustered(d: org.apache.spark.sql.DataFrame) =
+      d.repartitionByRange(8, col("o_totalprice")).sortWithinPartitions("o_totalprice")
+    SnapshotTable.create(spark, p, clustered(orders.filter(col("o_orderkey") % 2 === 0)))
+    SnapshotTable.append(spark, p, clustered(orders.filter(col("o_orderkey") % 2 === 1)))
+    for (v <- Seq(1L, 2L)) {
+      val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p, "o_totalprice", Some(100000.0), Some(150000.0), Some(v))
+      assert(surv.length < total.toInt, s"v$v: stats must prune (${surv.length}/$total)")
+      val pruned = SnapshotTable.prunedRead(spark, p, "o_totalprice", Some(100000.0), Some(150000.0), Some(v))
+      val full = SnapshotTable.read(spark, p, Some(v)).filter(col("o_totalprice").between(100000.0, 150000.0))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty, s"v$v: pruned != full")
+    }
+  }
+
+  test("stats survive copy-on-write delete and compaction; pre-enablement files read conservatively") {
+    val p = freshPath("statsmut")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    SnapshotTable.create(spark, p, df(1L to 100L: _*).repartitionByRange(4, col("id")))
+    // CoW delete rewrites touched files — their replacements get fresh stats
+    SnapshotTable.delete(spark, p, col("id") <= 10L)
+    val pruned = SnapshotTable.prunedRead(spark, p, "id", Some(50L), Some(60L))
+    assert(pruned.as[Long].collect().sorted.toSeq == (50L to 60L))
+    SnapshotTable.compact(spark, p, targetFiles = 2)
+    val pruned2 = SnapshotTable.prunedRead(spark, p, "id", Some(50L), Some(60L))
+    assert(pruned2.as[Long].collect().sorted.toSeq == (50L to 60L))
+    // a table with NO stats enabled prunes nothing but reads correctly
+    val p2 = freshPath("nostats")
+    SnapshotTable.create(spark, p2, df(1L to 20L: _*))
+    val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p2, "id", Some(5L), Some(6L))
+    assert(surv.length == total.toInt, "no stats -> conservative keep-all")
+    assert(SnapshotTable.prunedRead(spark, p2, "id", Some(5L), Some(6L)).as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
