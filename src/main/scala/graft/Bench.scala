@@ -32,7 +32,7 @@ object Bench {
     "key_skew_report", "events_pattern_match",
     "dedup_editdist_join", "graph_pagerank", "text_compression_ratio",
     "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion",
-    "dedup_containment_join", "sessions_overlap_join"
+    "dedup_containment_join", "sessions_overlap_join", "timetravel_pruned_read"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's

@@ -916,6 +916,10 @@ object SparkEntry {
         .reduce(_ unionByName _)
         .orderBy("version")
     },
+    // declarative data-quality gate: every rule family over the real
+    // tables in one report; per-table row rules fold into ONE
+    // aggregation pass — DuckDB restates each rule as SQL counts
+    "data_quality_report" -> q(Quality.starSchemaReport),
     // governed-table data skipping: file stats recorded AT COMMIT TIME
     // prune a price band BOTH at the latest version and through time
     // travel to v1 — pruning REQUIRED loudly at both versions, exact
@@ -2412,6 +2416,37 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "data_quality_report" ->
+        """WITH r AS (
+          |  SELECT 'orders' AS table_name, 'not_null(o_orderkey)' AS rule, count(*) AS n_rows,
+          |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS violations FROM orders
+          |  UNION ALL SELECT 'orders', 'non_negative(o_totalprice)', count(*),
+          |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 THEN 1 ELSE 0 END) FROM orders
+          |  UNION ALL SELECT 'orders', 'accepted_values(o_orderstatus)', count(*),
+          |    sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) FROM orders
+          |  UNION ALL SELECT 'lineitem', 'not_null(l_orderkey)', count(*),
+          |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+          |  UNION ALL SELECT 'lineitem', 'in_range(l_discount)', count(*),
+          |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) FROM lineitem
+          |  UNION ALL SELECT 'lineitem', 'in_range(l_quantity)', count(*),
+          |    sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) FROM lineitem
+          |  UNION ALL SELECT 'documents', 'not_null(text)', count(*),
+          |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM documents
+          |  UNION ALL SELECT 'documents', 'in_range(n_chars)', count(*),
+          |    sum(CASE WHEN n_chars IS NULL OR n_chars < 64.0 OR n_chars > 512.0 THEN 1 ELSE 0 END) FROM documents
+          |  UNION ALL SELECT 'documents', 'accepted_values(lang)', count(*),
+          |    sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END) FROM documents
+          |  UNION ALL SELECT 'orders', 'unique(o_orderkey)', count(*),
+          |    count(*) - count(DISTINCT o_orderkey) FROM orders
+          |  UNION ALL SELECT 'documents', 'unique(doc_id)', count(*),
+          |    count(*) - count(DISTINCT doc_id) FROM documents
+          |  UNION ALL SELECT 'lineitem', 'ref_integrity(l_orderkey)', count(*),
+          |    sum(CASE WHEN l_orderkey IS NULL
+          |             OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          |             THEN 1 ELSE 0 END) FROM lineitem)
+          |SELECT table_name, rule, CAST(n_rows AS BIGINT) AS n_rows,
+          |  CAST(violations AS BIGINT) AS violations
+          |FROM r ORDER BY table_name, rule""".stripMargin,
       "timetravel_pruned_read" ->
         """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_orders,
           |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declarative data-quality constraints (the Deequ-lite tier): a rule
+  * set is evaluated into one violations report — the admission gate an
+  * ingest pipeline runs BEFORE data reaches training or serving.
+  *
+  * Scale design: all single-table rules for one table fold into ONE
+  * aggregation pass over it (conditional sums — no per-rule scans);
+  * uniqueness is one groupBy on the key; referential integrity is one
+  * left-anti join, broadcastable when the parent's key set is
+  * dimension-sized. Nothing is row-materialized to the driver — the
+  * report is rule-count rows. Every metric is an exact integer count,
+  * so reports hash-replay in any engine.
+  */
+object Quality {
+
+  /** One constraint: a name plus an expression that is TRUE where the
+    * row VIOLATES the rule (NULL counts as a violation only if the
+    * expression says so — callers state NULL semantics explicitly).
+    */
+  final case class Rule(name: String, violation: Column)
+
+  /** Not-NULL constraint. */
+  def notNull(c: String): Rule = Rule(s"not_null($c)", col(c).isNull)
+
+  /** Closed-range constraint (NULL violates — absent measures are not
+    * silently in-range).
+    */
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"in_range($c)", col(c).isNull || col(c) < lo || col(c) > hi)
+
+  /** Accepted-values constraint (NULL violates). */
+  def acceptedValues(c: String, values: Seq[String]): Rule =
+    Rule(s"accepted_values($c)", col(c).isNull || !col(c).isin(values: _*))
+
+  /** Non-negative measure. */
+  def nonNegative(c: String): Rule = Rule(s"non_negative($c)", col(c).isNull || col(c) < 0)
+
+  /** Evaluate row-level rules in ONE pass: a report row per rule with
+    * the table's row count and the exact violation count.
+    */
+  def rowRules(df: DataFrame, table: String, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(s"__v_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    rules.zipWithIndex
+      .map { case (r, i) =>
+        one.select(
+          lit(table).as("table_name"),
+          lit(r.name).as("rule"),
+          col("__n").as("n_rows"),
+          col(s"__v_$i").as("violations")
+        )
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Key-uniqueness report row: duplicate-key count (rows beyond the
+    * first per key) via one groupBy on the key columns.
+    */
+  def uniqueKey(df: DataFrame, table: String, keyCols: Seq[String]): DataFrame = {
+    val dups = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows")
+      )
+    dups.select(
+      lit(table).as("table_name"),
+      lit(s"unique(${keyCols.mkString(",")})").as("rule"),
+      col("n_rows"),
+      col("violations")
+    )
+  }
+
+  /** Referential-integrity report row: child rows whose key has no
+    * parent (one left-anti join; NULL child keys violate — an orphan
+    * and an unknown parent are both admission failures).
+    */
+  def referentialIntegrity(
+      child: DataFrame,
+      childTable: String,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): DataFrame = {
+    val orphans = child
+      .join(broadcast(parent.select(col(parentKey).as(childKey)).distinct()), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val n = child.agg(count(lit(1)).as("n_rows"))
+    n.crossJoin(orphans)
+      .select(
+        lit(childTable).as("table_name"),
+        lit(s"ref_integrity($childKey)").as("rule"),
+        col("n_rows"),
+        col("violations")
+      )
+  }
+
+  /** The star schema's admission report — every rule family over the
+    * real tables, one deterministic report (`data_quality_report`).
+    * The orders/lineitem rules pass by construction; the deliberately
+    * strict document rules (ASCII-range n_chars band, closed language
+    * list) report real non-zero violation counts, because a quality
+    * gate that can only say "pass" proves nothing.
+    */
+  def starSchemaReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val docs     = Tables.documents(spark, dir)
+    val parts: Seq[DataFrame] = Seq(
+      rowRules(
+        orders,
+        "orders",
+        Seq(
+          notNull("o_orderkey"),
+          nonNegative("o_totalprice"),
+          acceptedValues("o_orderstatus", Seq("F", "O", "P"))
+        )
+      ),
+      rowRules(
+        lineitem,
+        "lineitem",
+        Seq(
+          notNull("l_orderkey"),
+          inRange("l_discount", 0.0, 0.1),
+          inRange("l_quantity", 1.0, 50.0)
+        )
+      ),
+      rowRules(
+        docs,
+        "documents",
+        Seq(
+          notNull("text"),
+          inRange("n_chars", 64.0, 512.0),              // strict band: violations expected
+          acceptedValues("lang", Seq("en", "de", "fr")) // es excluded on purpose
+        )
+      ),
+      uniqueKey(orders, "orders", Seq("o_orderkey")),
+      uniqueKey(docs, "documents", Seq("doc_id")),
+      referentialIntegrity(lineitem, "lineitem", "l_orderkey", orders, "o_orderkey")
+    )
+    parts.reduce(_ unionByName _).orderBy("table_name", "rule")
+  }
+}
