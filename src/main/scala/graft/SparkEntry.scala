@@ -512,6 +512,9 @@ object SparkEntry {
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
     "events_tumbling_distinct" -> q(EventAnalytics.tumblingDistinctUsers),
+    // DISTINCT window aggregate (absent from Spark's window surface)
+    // expressed exactly as size(collect_set() OVER w)
+    "window_cumulative_distinct" -> q((s, dir) => EventAnalytics.cumulativeDistinctTypes(s, dir)),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
@@ -1869,6 +1872,13 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "window_cumulative_distinct" ->
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          |  CAST(count(DISTINCT event_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+          |FROM events WHERE user_id < 20
+          |ORDER BY user_id, ts, event_id""".stripMargin,
       "events_tumbling_distinct" ->
         """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

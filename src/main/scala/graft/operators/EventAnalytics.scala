@@ -86,6 +86,31 @@ object EventAnalytics {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
       .orderBy("ws", "event_type")
 
+  /** Cumulative DISTINCT event types per user over time — the
+    * new-behavior-discovery curve. Spark has no DISTINCT window
+    * aggregate; `size(collect_set() OVER w)` expresses it exactly
+    * (the set dedups inside the running frame) and stays bounded by
+    * the type vocabulary, not the frame length. Total (ts, event_id)
+    * order keeps the running counts deterministic cross-engine.
+    */
+  def cumulativeDistinctTypes(spark: SparkSession, dir: String, maxUser: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .filter(col("user_id") < maxUser)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long").as("cum_types")
+      )
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Distinct users per tumbling hour — distinct aggregation composed
     * with event-time windows (the DAU/WAU shape). Exact
     * count(DISTINCT) here; at stream scale the same query swaps in
