@@ -923,6 +923,42 @@ object SparkEntry {
     // tables in one report; per-table row rules fold into ONE
     // aggregation pass — DuckDB restates each rule as SQL counts
     "data_quality_report" -> q(Quality.starSchemaReport),
+    // the STREAMING admission gate, oracle-gated end to end: run the
+    // AvailableNow gate over the documents table, then report routing
+    // counts (DuckDB restates them from the rules) plus a misroute
+    // count that must be zero
+    "check_quality_gate" -> q { (s, dir) =>
+      val base  = s"/tmp/${dirKeyed("graft_qgate", dir)}"
+      val fsys  = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs  = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      docs.write.parquet(s"$base/in")
+      val rules = Seq(Quality.inRange("n_chars", 64.0, 512.0), Quality.acceptedValues("lang", Seq("en", "de", "fr")))
+      Quality
+        .streamGate(
+          s.readStream.schema(docs.schema).parquet(s"$base/in"),
+          rules,
+          s"$base/accept",
+          s"$base/quarantine",
+          s"$base/ckpt"
+        )
+        .awaitTermination()
+      val accepted   = s.read.parquet(s"$base/accept")
+      val quarantine = s.read.parquet(s"$base/quarantine")
+      val badIds     = Quality.tagViolations(docs, rules).filter(size(col("failed_rules")) > 0).select("doc_id")
+      val misrouted =
+        accepted.select("doc_id").join(badIds, Seq("doc_id"), "left_semi").count() +
+          quarantine.filter(size(col("failed_rules")) === 0).count()
+      accepted
+        .agg(count(lit(1)).as("n_accepted"))
+        .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
+        .select(
+          (col("n_accepted") + col("n_quarantined")).as("n_docs"),
+          col("n_accepted"),
+          col("n_quarantined"),
+          lit(misrouted).as("misrouted")
+        )
+    },
     // governed-table data skipping: file stats recorded AT COMMIT TIME
     // prune a price band BOTH at the latest version and through time
     // travel to v1 — pruning REQUIRED loudly at both versions, exact
@@ -2426,6 +2462,13 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "check_quality_gate" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+          |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+          |  CAST(0 AS BIGINT) AS misrouted
+          |FROM (SELECT (n_chars BETWEEN 64 AND 512) AND lang IN ('en','de','fr') AS ok
+          |      FROM documents)""".stripMargin,
       "data_quality_report" ->
         """WITH r AS (
           |  SELECT 'orders' AS table_name, 'not_null(o_orderkey)' AS rule, count(*) AS n_rows,

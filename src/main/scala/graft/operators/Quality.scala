@@ -106,6 +106,51 @@ object Quality {
       )
   }
 
+  /** Tag each row with the names of the rules it violates (empty array
+    * = clean). The shared core of the batch and streaming gates.
+    */
+  def tagViolations(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.withColumn(
+      "failed_rules",
+      array_compact(array(rules.map(r => when(r.violation, lit(r.name)).otherwise(lit(null))): _*))
+    )
+
+  /** Streaming admission gate: every micro-batch is split by the rule
+    * set — rows violating ANY rule land in quarantine carrying the
+    * failed-rule names, clean rows in the accepted sink (the
+    * `json_quarantine` routing generalized from parse errors to
+    * declarative constraints). foreachBatch + AvailableNow, the
+    * engine's standard incremental-ingest shape; rule evaluation is
+    * the same single-pass projection the batch report uses, so the
+    * gate adds one narrow map over the ingest stream.
+    */
+  def streamGate(
+      stream: DataFrame,
+      rules: Seq[Rule],
+      acceptPath: String,
+      quarantinePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tagged = tagViolations(batch, rules).localCheckpoint(eager = true)
+        tagged
+          .filter(size(col("failed_rules")) > 0)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(quarantinePath)
+        tagged
+          .filter(size(col("failed_rules")) === 0)
+          .drop("failed_rules")
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(acceptPath)
+        ()
+      }
+      .start()
+
   /** The star schema's admission report — every rule family over the
     * real tables, one deterministic report (`data_quality_report`).
     * The orders/lineitem rules pass by construction; the deliberately

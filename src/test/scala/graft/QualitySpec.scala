@@ -45,6 +45,32 @@ class QualitySpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3)) == ((4L, 2L)), "unknown parent and NULL key are both orphans")
   }
 
+  test("streaming gate routes rows exactly as the batch tagger; accepted + quarantine partition the stream") {
+    val base = java.nio.file.Files.createTempDirectory("q_gate").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    docs.write.parquet(s"$base/in")
+    val rules = Seq(Quality.inRange("n_chars", 64.0, 512.0), Quality.acceptedValues("lang", Seq("en", "de", "fr")))
+    val q = Quality.streamGate(
+      spark.readStream.schema(docs.schema).parquet(s"$base/in"),
+      rules,
+      s"$base/accept",
+      s"$base/quarantine",
+      s"$base/ckpt"
+    )
+    q.awaitTermination()
+    val accepted   = spark.read.parquet(s"$base/accept")
+    val quarantine = spark.read.parquet(s"$base/quarantine")
+    val wantBad    = Quality.tagViolations(docs, rules).filter(size(col("failed_rules")) > 0)
+    assert(accepted.count() + quarantine.count() == docs.count(), "gate must partition the stream")
+    assert(quarantine.count() == wantBad.count() && quarantine.count() > 0)
+    // per-row failed-rule lists match the batch evaluation exactly
+    val got  = quarantine.select(col("doc_id"), col("failed_rules")).collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = wantBad.select(col("doc_id"), col("failed_rules")).collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got == want)
+    val acceptedIds = accepted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds.intersect(want.keySet).isEmpty, "no violating row may be accepted")
+  }
+
   test("star-schema report: clean rules zero, strict document rules report real violations") {
     val rows = Quality
       .starSchemaReport(spark, sfDir)
