@@ -515,6 +515,9 @@ object SparkEntry {
     // DISTINCT window aggregate (absent from Spark's window surface)
     // expressed exactly as size(collect_set() OVER w)
     "window_cumulative_distinct" -> q((s, dir) => EventAnalytics.cumulativeDistinctTypes(s, dir)),
+    // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
+    // — no float, no boundary flips
+    "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
@@ -1908,6 +1911,16 @@ object SparkEntry {
           |  round(sum(value), 4) AS session_value
           |FROM s GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin,
+      "events_daily_anomaly" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+          |             CAST(sum(x * x) AS BIGINT) AS ss FROM daily)
+          |SELECT day, x AS n_events,
+          |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
+          |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
       "window_cumulative_distinct" ->
         """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
           |  CAST(count(DISTINCT event_type) OVER (

@@ -86,6 +86,36 @@ object EventAnalytics {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
       .orderBy("ws", "event_type")
 
+  /** Daily event-count anomalies — the pipeline-health alarm ("did
+    * ingest double or halve today?") — flagged WITHOUT any float: the
+    * z-score test |x−μ| > 2σ over integer daily counts is cleared of
+    * denominators into (n·x − S)²·(n−1) > 4·n·(n·Σx² − S²), pure
+    * 64-bit integer algebra on both engines, so the boundary can
+    * never flip on a summation-order ulp the way a float z-score
+    * comparison can. One aggregation for the daily series, one for
+    * the corpus moments (a broadcast single row).
+    */
+  def dailyCountAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val moments = daily.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("s"),
+      sum(col("x") * col("x")).as("ss")
+    )
+    daily
+      .crossJoin(broadcast(moments))
+      .withColumn(
+        "is_anomaly",
+        (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) * (col("n") - 1L) >
+          lit(4L) * col("n") * (col("n") * col("ss") - col("s") * col("s"))
+      )
+      .select(col("day"), col("x").as("n_events"), col("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Cumulative DISTINCT event types per user over time — the
     * new-behavior-discovery curve. Spark has no DISTINCT window
     * aggregate; `size(collect_set() OVER w)` expresses it exactly

