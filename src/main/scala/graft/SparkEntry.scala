@@ -651,6 +651,19 @@ object SparkEntry {
       dumpLshCodes(s, dir)
       Similarity.annLshTopK(s, dir)
     },
+    // nearest-class-centroid (Rocchio) confusion report: predictions
+    // dumped once (driver-fit bit-stable centroids), oracle rebinds
+    // them to the real table per vec_id and restates the counts
+    "sim_centroid_classify" -> q { (s, dir) =>
+      dumpSimOracleOnce("centroid", dir) {
+        Similarity
+          .centroidPredictions(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label")))
+          .write
+          .mode("overwrite")
+          .parquet("/tmp/graft_centroid_oracle/preds")
+      }
+      Similarity.centroidClassify(s, dir)
+    },
     "sim_ivf_topk" -> q { (s, dir) =>
       dumpSimOracleOnce("ivf", dir) {
         val (assigned, centDf) =
@@ -2774,6 +2787,11 @@ object SparkEntry {
       // IVF replay from the dumped frozen quantizer: nProbe=4 cell
       // probe against the dumped centroids, candidate restriction via
       // the dumped assignments, exact-cosine rescore, top-5
+      "sim_centroid_classify" ->
+        """SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+          |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          |FROM embeddings e JOIN '/tmp/graft_centroid_oracle/preds/*.parquet' p USING (vec_id)
+          |GROUP BY e.label ORDER BY e.label""".stripMargin,
       "sim_ivf_topk" ->
         """WITH cent AS (SELECT cell, centroid FROM '/tmp/graft_ivf_oracle/topk/centroids/*.parquet'),
           |asg AS (SELECT vec_id, cell FROM '/tmp/graft_ivf_oracle/topk/assigned/*.parquet'),

@@ -70,6 +70,14 @@ object Graph {
       .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
       .withColumn("mass", lit(baseMass))
       .localCheckpoint(eager = false)
+    // NO checkpoint on the evolving mass relation: the plan stays
+    // linear in iteration count (each iteration consumes the previous
+    // once), and keeping the lineage visible lets AQE see that the
+    // per-iteration mass table is node-count-sized — on graphs whose
+    // node table fits the broadcast threshold the edge join then runs
+    // broadcast, shuffling only (dst, contrib) longs. The static
+    // relations (edges+degrees, no-inflow rows) ARE checkpointed —
+    // they are read every iteration.
     var mass = nodes.withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
       val contrib = withDeg
@@ -77,7 +85,7 @@ object Graph {
         .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
         .groupBy("node")
         .agg((lit(baseMass) + sum("c")).as("mass"))
-      mass = contrib.unionByName(noInflow).localCheckpoint(eager = false)
+      mass = contrib.unionByName(noInflow)
     }
     mass.orderBy("node")
   }

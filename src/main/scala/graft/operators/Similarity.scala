@@ -986,4 +986,77 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cand"), round(col("cos"), 4).as("cos"))
       .orderBy("qid", "rnk")
   }
+
+  // ------------------------------------------------ centroid classification
+
+  /** Nearest-class-centroid predictions (the Rocchio classifier — the
+    * label-cleaning / weak-labeling primitive: vectors whose nearest
+    * class mean disagrees with their label are the mislabeled-data
+    * candidates). Centroids are fit DRIVER-SIDE from a bounded
+    * deterministic per-label sample in fixed vec_id order (the
+    * PQ-codebook stance: distributed float summation is
+    * merge-order-nondeterministic at the ulp, a driver fold in fixed
+    * order is bit-stable and the cap makes it legal at any corpus
+    * size); classification is one narrow codegen'd pass against the
+    * centroid literal, ties broken toward the smaller label.
+    */
+  def centroidPredictions(e: DataFrame, samplePerLabel: Int = 256): DataFrame = {
+    require(samplePerLabel >= 1)
+    val w = Window
+      .partitionBy("label")
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+    val sampled = e
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= samplePerLabel)
+      .select("label", "vec_id", "embedding")
+      .orderBy("label", "vec_id")
+      .collect()
+    require(sampled.nonEmpty, "no labeled vectors to fit centroids")
+    val cents: Seq[(Int, Seq[Double])] = sampled
+      .groupBy(_.getInt(0))
+      .toSeq
+      .sortBy(_._1)
+      .map { case (label, rows) =>
+        val vecs = rows.sortBy(_.getLong(1)).map(_.getSeq[Float](2))
+        val dim  = vecs.head.length
+        val acc  = new Array[Double](dim)
+        vecs.foreach { v =>
+          var i = 0
+          while (i < dim) { acc(i) += v(i); i += 1 }
+        }
+        label -> acc.map(_ / vecs.length).toSeq
+      }
+    val labels  = cents.map(_._1)
+    val centLit = typedlit(cents.map(_._2))
+    val d2s = transform(
+      centLit,
+      ct =>
+        aggregate(
+          zip_with(col("embedding"), ct, (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0d),
+          (acc, x) => acc + x
+        )
+    )
+    e.withColumn("__d2s", d2s)
+      .withColumn(
+        "pred",
+        element_at(typedlit(labels), (array_position(col("__d2s"), array_min(col("__d2s")))).cast("int"))
+      )
+      .select(col("vec_id"), col("label"), col("pred"))
+  }
+
+  /** Per-label confusion report of [[centroidPredictions]] over the
+    * embeddings table: (label, n_vecs, n_correct) — accuracy and the
+    * mislabeled-candidate mass per class in integer counts.
+    */
+  def centroidClassify(spark: SparkSession, dir: String, samplePerLabel: Int = 256): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label"))
+    centroidPredictions(e, samplePerLabel)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct")
+      )
+      .orderBy("label")
+  }
 }

@@ -274,4 +274,56 @@ class SimilaritySpec extends SparkSpec {
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.15, s"ANN mean recall@5 degraded to $meanRecall")
   }
+
+  test("centroid classifier == pure-Scala model twin; accuracy well above chance; partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"), col("label"))
+    val got = graft.operators.Similarity
+      .centroidPredictions(e)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    // independent model: same bounded sample rule, plain collections
+    val all = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    // xxhash64 isn't replicated in plain Scala; the sample rule only
+    // needs the SAME selection both sides, so Spark picks the ids
+    val sampleIds = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("label").orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      e.withColumn("rk", row_number().over(w)).filter(col("rk") <= 256).select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val cents = all
+      .filter(v => sampleIds.contains(v._1))
+      .groupBy(_._3)
+      .toSeq
+      .sortBy(_._1)
+      .map { case (l, vs) =>
+        val sorted = vs.sortBy(_._1)
+        val dim    = sorted.head._2.length
+        val acc    = new Array[Double](dim)
+        sorted.foreach { case (_, vec, _) => var i = 0; while (i < dim) { acc(i) += vec(i); i += 1 } }
+        l -> acc.map(_ / sorted.length)
+      }
+    val want = all.map { case (id, vec, label) =>
+      val pred = cents
+        .map { case (l, c) =>
+          var d2 = 0.0; var i = 0
+          while (i < vec.length) { val d = vec(i).toDouble - c(i); d2 += d * d; i += 1 }
+          (d2, l)
+        }
+        .min
+        ._2
+      id -> (label, pred)
+    }.toMap
+    assert(got == want, "Spark predictions must equal the model twin bit-for-bit")
+    val acc = got.values.count { case (l, p) => l == p }.toDouble / got.size
+    val nLabels = all.map(_._3).distinct.length
+    assert(acc > 2.0 / nLabels, s"accuracy $acc not above 2x chance for $nLabels labels")
+    val again = graft.operators.Similarity
+      .centroidPredictions(e.repartition(7))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(again == got, "partitioning must not change driver-fit centroids or predictions")
+  }
 }
