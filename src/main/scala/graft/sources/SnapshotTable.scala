@@ -430,5 +430,15 @@ object SnapshotTable {
     // drop manifests below keepFrom so a time-travel read fails loudly
     // instead of resolving to missing files
     (1L until math.max(1L, keepFrom)).foreach(v => f.delete(manifestPath(path, v), false))
+    // reclaim stats sidecars of commits whose data files are all gone —
+    // dead rows never surface in pruning (survivors start from the
+    // manifest), but a long-lived table should not hoard them
+    val parts = new Path(s"$path/_stats/parts")
+    if (f.exists(parts)) {
+      val liveCommits = live.map(_.split('/').take(2).mkString("/")) // data/c-<id>
+      f.listStatus(parts).foreach { st =>
+        if (!liveCommits.contains(s"data/${st.getPath.getName}")) f.delete(st.getPath, true)
+      }
+    }
   }
 }

@@ -227,6 +227,20 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.prunedRead(spark, p2, "id", Some(5L), Some(6L)).as[Long].collect().sorted.toSeq == Seq(5L, 6L))
   }
 
+  test("vacuum reclaims stats sidecars of dead commits; live pruning is untouched") {
+    val p = freshPath("statsvac")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    SnapshotTable.create(spark, p, df(1L to 50L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.overwrite(spark, p, df(100L to 150L: _*).repartitionByRange(4, col("id")))
+    val fs    = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = new Path(s"$p/_stats/parts")
+    assert(fs.listStatus(parts).length == 2, "both commits carry sidecars before vacuum")
+    SnapshotTable.vacuum(spark, p, keepFrom = 2L)
+    assert(fs.listStatus(parts).length == 1, "vacuum must reclaim the dead commit's sidecar")
+    val pruned = SnapshotTable.prunedRead(spark, p, "id", Some(110L), Some(120L))
+    assert(pruned.as[Long].collect().sorted.toSeq == (110L to 120L))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
