@@ -804,6 +804,11 @@ object SparkEntry {
       }
       TextAnalysis.qlIndexProbe(s, idx)
     },
+    // snippet extraction: best 10-token query-term window of each
+    // query's top BM25 document — integer-exact (positions, distinct
+    // hit counts, earliest-tie argmax), so the full highlighting step
+    // hash-replays including the snippet strings
+    "retrieval_snippets" -> q((s, dir) => TextAnalysis.snippets(s, dir)),
     "retrieval_rrf_fusion" -> q { (s, dir) =>
       // hybrid serving: BOTH scorers probe the same standing postings
       // index, fused rank-only by RRF — integer ranks + a fixed
@@ -2063,6 +2068,37 @@ object SparkEntry {
           |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
           |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) u
           |GROUP BY node ORDER BY node""".stripMargin,
+      "retrieval_snippets" ->
+        s"""WITH bmr AS ($bm25Sql),
+           |top1 AS (SELECT query_id, doc_id FROM bmr WHERE rnk = 1),
+           |qq(query_id, term) AS (VALUES
+           |  (0,'fast'),(0,'hash'),(0,'join'),
+           |  (1,'stream'),(1,'window'),(1,'agg'),
+           |  (2,'customer'),(2,'order'),(2,'table'),
+           |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
+           |  (4,'vector'),(4,'merge'),(4,'batch')),
+           |t AS (SELECT doc_id, $toks AS tk FROM documents
+           |      WHERE doc_id IN (SELECT doc_id FROM top1)),
+           |tokp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+           |         FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+           |hits AS (SELECT t1.query_id, tp.doc_id, tp.tok, tp.pos
+           |         FROM tokp tp JOIN top1 t1 ON t1.doc_id = tp.doc_id
+           |         JOIN qq ON qq.query_id = t1.query_id AND qq.term = tp.tok),
+           |scored AS (SELECT h1.query_id, h1.doc_id, h1.pos AS spos,
+           |             count(DISTINCT h2.tok) AS n_terms
+           |           FROM hits h1 JOIN hits h2
+           |             ON h2.query_id = h1.query_id AND h2.doc_id = h1.doc_id
+           |            AND h2.pos BETWEEN h1.pos AND h1.pos + 9
+           |           GROUP BY 1, 2, 3),
+           |best AS (SELECT query_id, doc_id, spos, n_terms,
+           |           row_number() OVER (PARTITION BY query_id, doc_id
+           |                              ORDER BY n_terms DESC, spos) AS rn
+           |         FROM scored)
+           |SELECT b.query_id, b.doc_id, CAST(b.spos AS BIGINT) AS snippet_start,
+           |  CAST(b.n_terms AS BIGINT) AS n_terms,
+           |  array_to_string(list_slice(t.tk, b.spos, b.spos + 9), ' ') AS snippet
+           |FROM best b JOIN t ON t.doc_id = b.doc_id
+           |WHERE b.rn = 1 ORDER BY b.query_id""".stripMargin,
       "retrieval_rrf_fusion" ->
         s"""WITH bmr AS ($bm25Sql),
            |qlr AS ($qlSql),

@@ -1360,6 +1360,69 @@ object TextAnalysis {
       .orderBy("query_id", "rnk")
   }
 
+  /** Search-result SNIPPETS: for each query's best document, the
+    * `window`-token span covering the most DISTINCT query terms (ties
+    * → earliest span) — the highlighting step of a search stack,
+    * integer-exact end to end (hit positions, distinct counts,
+    * argmax by (count desc, pos asc)), so it hash-replays.
+    *
+    * Scale shape: only the top documents are ever tokenized with
+    * positions (a broadcast semi-join prunes the corpus scan to ≤
+    * |queries| docs), and the window scoring is a per-(query, doc)
+    * hit-position band self-join — hits per doc are query-term
+    * occurrences, a few dozen rows, so the quadratic-looking band
+    * join is constant-bounded per result row.
+    */
+  def snippets(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      window: Int = 10
+  ): DataFrame = {
+    import spark.implicits._
+    require(window >= 1)
+    val top1 = bm25TopK(spark, dir, queries, k = 1)
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(eager = false)
+    val qterms = queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "tok")
+    val docToks = Tables
+      .documents(spark, dir)
+      .join(broadcast(top1.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr(s"${toks("text")}").as("tks"))
+      .localCheckpoint(eager = false)
+    val hits = docToks
+      .select(col("doc_id"), posexplode(col("tks")).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1)
+      .join(broadcast(top1), Seq("doc_id"))
+      .join(broadcast(qterms), Seq("query_id", "tok"))
+      .select(col("query_id"), col("doc_id"), col("tok"), col("pos"))
+      .localCheckpoint(eager = false)
+    val h1 = hits.select(col("query_id"), col("doc_id"), col("pos").as("start"))
+    val h2 = hits.select(col("query_id"), col("doc_id"), col("tok").as("t2"), col("pos").as("p2"))
+    val scored = h1
+      .join(h2, Seq("query_id", "doc_id"))
+      .filter(col("p2") >= col("start") && col("p2") <= col("start") + (window - 1))
+      .groupBy("query_id", "doc_id", "start")
+      .agg(countDistinct(col("t2")).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "doc_id")
+      .orderBy(col("n_terms").desc, col("start"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(docToks, Seq("doc_id"))
+      .select(
+        col("query_id"),
+        col("doc_id"),
+        col("start").cast("long").as("snippet_start"),
+        col("n_terms"),
+        concat_ws(" ", slice(col("tks"), col("start"), lit(window))).as("snippet")
+      )
+      .orderBy("query_id")
+  }
+
   // -------------------------------------------------- compression quality
 
   /** Per-document deflate compression ratio — the classic corpus

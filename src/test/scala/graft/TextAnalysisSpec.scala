@@ -410,6 +410,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grams.groupBy("g").count().filter(col("count") > 1).count() == 0, "multi-row grams remain")
   }
 
+  test("snippets: windows bounded, best window really covers the reported distinct terms, deterministic") {
+    val qs  = TextAnalysis.defaultBm25Queries.toMap
+    val got = TextAnalysis.snippets(spark, sfDir).collect()
+    assert(got.length == qs.size, "one snippet per query (each query's top-1 doc)")
+    got.foreach { r =>
+      val (qid, start, nTerms, snip) = (r.getInt(0), r.getLong(2), r.getLong(3), r.getString(4))
+      val tokens = snip.split(" ").toSeq
+      assert(tokens.length <= 10 && start >= 1)
+      assert(nTerms >= 1 && nTerms <= qs(qid).distinct.length)
+      val inWindow = tokens.toSet.intersect(qs(qid).toSet).size
+      assert(inWindow == nTerms, s"query $qid: reported $nTerms distinct terms, snippet carries $inWindow")
+    }
+    val again = TextAnalysis.snippets(spark, sfDir).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("rrfFusion: hand-built rankings fuse by 1/(60+r) with deterministic tie-break") {
     import SparkSpec.spark.implicits._
     val a = Seq((0, 1L, 10L), (0, 2L, 11L), (0, 3L, 12L)).toDF("query_id", "rnk", "doc_id")
