@@ -190,6 +190,38 @@ object SparkEntry {
 
   private val logStatsBuilt = scala.collection.mutable.Set.empty[String]
 
+  private val governedBuilt = scala.collection.mutable.Set.empty[String]
+
+  /** Memoized capstone table for `governed_ingest`: documents pass the
+    * quality gate, survivors land in a stats-enabled graft-log table
+    * in two commits, clustered by n_chars so the commit-time sidecars
+    * prune reads — the round's admission + governance + skipping
+    * features composed into one ingest path.
+    */
+  private def governedReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_governed", dir)}"
+    governedBuilt.synchronized {
+      if (!governedBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true)
+        graft.sources.SnapshotTable.enableStats(s, path, Seq("n_chars"))
+        val rules =
+          Seq(Quality.inRange("n_chars", 64.0, 512.0), Quality.acceptedValues("lang", Seq("en", "de", "fr")))
+        val admitted = Quality
+          .tagViolations(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), rules)
+          .filter(size(col("failed_rules")) === 0)
+          .drop("failed_rules")
+        def clustered(df: org.apache.spark.sql.DataFrame) =
+          df.repartitionByRange(8, col("n_chars")).sortWithinPartitions("n_chars")
+        graft.sources.SnapshotTable.create(s, path, clustered(admitted.filter(col("doc_id") % 2 === 0)))
+        graft.sources.SnapshotTable.append(s, path, clustered(admitted.filter(col("doc_id") % 2 === 1)))
+        governedBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized stats-enabled graft-log table over orders, two commits
     * (even orderkeys, then odd), each pre-clustered by o_totalprice so
     * the per-commit stats sidecars carry tight disjoint ranges — the
@@ -944,6 +976,20 @@ object SparkEntry {
     // tables in one report; per-table row rules fold into ONE
     // aggregation pass — DuckDB restates each rule as SQL counts
     "data_quality_report" -> q(Quality.starSchemaReport),
+    // capstone composition: quality-gated admission → stats-enabled
+    // graft-log commits (clustered) → sidecar-PRUNED read (required
+    // loudly) → per-language rollup; DuckDB restates the whole path
+    // as gate ∧ band filters over the raw table
+    "governed_ingest" -> q { (s, dir) =>
+      val path           = governedReady(s, dir)
+      val (surv, total)  = graft.sources.SnapshotTable.pruneVersionFiles(s, path, "n_chars", Some(100L), Some(300L))
+      require(surv.length < total, s"governed table pruned nothing (${surv.length}/$total)")
+      graft.sources.SnapshotTable
+        .prunedRead(s, path, "n_chars", Some(100L), Some(300L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
     // the STREAMING admission gate, oracle-gated end to end: run the
     // AvailableNow gate over the documents table, then report routing
     // counts (DuckDB restates them from the rules) plus a misroute
@@ -2524,6 +2570,13 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "governed_ingest" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE n_chars BETWEEN 64 AND 512 AND lang IN ('en','de','fr')
+          |  AND n_chars BETWEEN 100 AND 300
+          |GROUP BY lang ORDER BY lang""".stripMargin,
       "check_quality_gate" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
