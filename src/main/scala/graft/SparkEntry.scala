@@ -683,6 +683,10 @@ object SparkEntry {
       dumpLshCodes(s, dir)
       Similarity.annLshTopK(s, dir)
     },
+    // k-NN majority-vote label-noise shortlist: everything after the
+    // cosine is integer with pinned tie-breaks, so the flagged rows
+    // hash-replay from the naive DuckDB k-NN
+    "sim_knn_label_noise" -> q((s, dir) => Similarity.knnLabelDisagreement(s, dir)),
     // nearest-class-centroid (Rocchio) confusion report: predictions
     // dumped once (driver-fit bit-stable centroids), oracle rebinds
     // them to the real table per vec_id and restates the counts
@@ -2876,6 +2880,22 @@ object SparkEntry {
       // IVF replay from the dumped frozen quantizer: nProbe=4 cell
       // probe against the dumped centroids, candidate restriction via
       // the dumped assignments, exact-cosine rescore, top-5
+      "sim_knn_label_noise" ->
+        """WITH nn AS (
+          |  SELECT qid, qlabel, clabel,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+          |  FROM (SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cand, c.label AS clabel,
+          |          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                                 CAST(c.embedding AS DOUBLE[])) AS cos
+          |        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |        WHERE q.vec_id % 4 = 0)),
+          |votes AS (SELECT qid, qlabel, clabel, count(*) AS v
+          |          FROM nn WHERE rnk <= 5 GROUP BY 1, 2, 3),
+          |top AS (SELECT qid, qlabel, clabel, v,
+          |          row_number() OVER (PARTITION BY qid ORDER BY v DESC, clabel) AS rv
+          |        FROM votes)
+          |SELECT qid AS vec_id, qlabel AS label, clabel AS knn_label, CAST(v AS BIGINT) AS votes
+          |FROM top WHERE rv = 1 AND clabel <> qlabel ORDER BY vec_id""".stripMargin,
       "sim_centroid_classify" ->
         """SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
           |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct

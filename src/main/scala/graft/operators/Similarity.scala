@@ -987,6 +987,49 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  // --------------------------------------------------- k-NN label noise
+
+  /** k-NN label disagreement (the Confident-Learning-lite shortlist):
+    * vectors whose k nearest neighbors' MAJORITY label differs from
+    * their own — the classic mislabeled-data detector. The checked
+    * slice runs against the full corpus via the broadcast brute-force
+    * pass ([[bruteForceTopK]]'s shape); at index scale the neighbor
+    * set comes from the standing IVF×PQ probe instead — same vote,
+    * cheaper neighbors. Everything after the cosine is integer:
+    * neighbor rank ties break by candidate id, majority ties toward
+    * the smaller label, so the shortlist hash-replays.
+    */
+  def knnLabelDisagreementOn(e: DataFrame, k: Int = 5, queryFilter: String = "vec_id % 4 = 0"): DataFrame = {
+    require(k >= 1)
+    graft.GraftFunctions.register(e.sparkSession)
+    val q = e
+      .filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    val nn = e
+      .select(col("vec_id").as("cand"), col("embedding").as("ce"), col("label").as("clabel"))
+      .join(broadcast(q), col("qid") =!= col("cand"))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val votes = nn.groupBy("qid", "qlabel", "clabel").agg(count(lit(1)).as("v"))
+    val wv    = Window.partitionBy("qid").orderBy(col("v").desc, col("clabel"))
+    votes
+      .withColumn("rv", row_number().over(wv))
+      .filter(col("rv") === 1 && col("clabel") =!= col("qlabel"))
+      .select(
+        col("qid").as("vec_id"),
+        col("qlabel").as("label"),
+        col("clabel").as("knn_label"),
+        col("v").as("votes")
+      )
+      .orderBy("vec_id")
+  }
+
+  /** [[knnLabelDisagreementOn]] over the embeddings table. */
+  def knnLabelDisagreement(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnLabelDisagreementOn(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), col("label")), k)
+
   // ------------------------------------------------ centroid classification
 
   /** Nearest-class-centroid predictions (the Rocchio classifier — the

@@ -275,6 +275,26 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.15, s"ANN mean recall@5 degraded to $meanRecall")
   }
 
+  test("knn label-noise shortlist flags the planted mislabel and spares clean clusters") {
+    import SparkSpec.spark.implicits._
+    // two tight clusters on orthogonal axes, per-id jitter kills ties;
+    // id 4 sits in cluster A but carries cluster B's label
+    def vec(axis: Int, id: Long): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = 1f
+      v(3) = 0.001f * id
+      v
+    }
+    val rows = (1L to 5L).map(i => (i, vec(0, i), if (i == 4L) 1 else 0)) ++
+      (6L to 10L).map(i => (i, vec(1, i), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val flagged = graft.operators.Similarity
+      .knnLabelDisagreementOn(e, k = 3, queryFilter = "vec_id >= 0")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(flagged.toSeq == Seq((4L, 1, 0)), s"only the planted mislabel may be flagged, got ${flagged.toSeq}")
+  }
+
   test("centroid classifier == pure-Scala model twin; accuracy well above chance; partition-invariant") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"), col("label"))
