@@ -69,4 +69,37 @@ class PlanEvidenceSpec extends SparkSpec {
       )
     }
   }
+
+  test("ANALYZE-collected catalog stats propagate into the optimized plan under CBO") {
+    import org.apache.spark.sql.functions._
+    val tbl = "pe_cbo_orders"
+    Tables
+      .orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write
+      .mode("overwrite")
+      .saveAsTable(tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_custkey, o_totalprice")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val plan   = spark.table(tbl).filter(col("o_totalprice") > 0.0).queryExecution.optimizedPlan
+      val stats  = plan.stats
+      val nRows  = Tables.orders(spark, sfDir).count()
+      assert(stats.rowCount.isDefined, s"CBO must see a row count, stats=$stats")
+      // the filter keeps everything (prices are positive): the CBO
+      // estimate from column stats should be near the true count, not
+      // a size-in-bytes guess
+      val est = stats.rowCount.get.toLong
+      assert(est > 0 && est <= 2 * nRows, s"row-count estimate $est vs true $nRows")
+      // attribute-level stats made it through: distinct counts exist
+      assert(stats.attributeStats.nonEmpty, "column stats must propagate into plan stats")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }
