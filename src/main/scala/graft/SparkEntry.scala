@@ -840,6 +840,10 @@ object SparkEntry {
       }
       TextAnalysis.qlIndexProbe(s, idx)
     },
+    // RM3 pseudo-relevance feedback: expansion-term selection is
+    // integer (total tf, lexicographic ties) and both ranking passes
+    // round scores before ranking, so the full feedback loop replays
+    "retrieval_rm3_topk" -> q((s, dir) => TextAnalysis.rm3TopK(s, dir)),
     // snippet extraction: best 10-token query-term window of each
     // query's top BM25 document — integer-exact (positions, distinct
     // hit counts, earliest-tie argmax), so the full highlighting step
@@ -2118,6 +2122,54 @@ object SparkEntry {
           |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
           |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) u
           |GROUP BY node ORDER BY node""".stripMargin,
+      "retrieval_rm3_topk" ->
+        s"""WITH q(query_id, term) AS (VALUES
+           |  (0,'fast'),(0,'hash'),(0,'join'),
+           |  (1,'stream'),(1,'window'),(1,'agg'),
+           |  (2,'customer'),(2,'order'),(2,'table'),
+           |  (3,'slow'),(3,'scan'),(3,'filter'),(3,'spark'),
+           |  (4,'vector'),(4,'merge'),(4,'batch')),
+           |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           |consts AS (SELECT
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+           |  (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+           |    / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+           |post1 AS (SELECT q.query_id, q.term, tf.doc_id, tf.tf FROM q JOIN tf USING (term)),
+           |dfq1 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM post1 GROUP BY 1),
+           |sc1 AS (SELECT p.query_id, p.doc_id,
+           |          round(sum(ln(1 + (c.n - dfq1.df + 0.5) / (dfq1.df + 0.5))
+           |            * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+           |        FROM post1 p JOIN dfq1 USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c
+           |        GROUP BY 1, 2),
+           |r1 AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+           |       FROM sc1),
+           |top3 AS (SELECT query_id, doc_id FROM r1 WHERE rn <= 3),
+           |cand AS (SELECT t.query_id, f.term, CAST(sum(f.tf) AS BIGINT) AS w
+           |         FROM top3 t JOIN tf f ON f.doc_id = t.doc_id
+           |         LEFT JOIN q ON q.query_id = t.query_id AND q.term = f.term
+           |         WHERE q.term IS NULL
+           |         GROUP BY 1, 2),
+           |expn AS (SELECT query_id, term FROM (
+           |           SELECT query_id, term,
+           |             row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS rw
+           |           FROM cand)
+           |         WHERE rw <= 2),
+           |qx AS (SELECT query_id, term FROM q UNION SELECT query_id, term FROM expn),
+           |post2 AS (SELECT qx.query_id, qx.term, tf.doc_id, tf.tf FROM qx JOIN tf USING (term)),
+           |dfq2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM post2 GROUP BY 1),
+           |sc2 AS (SELECT p.query_id, p.doc_id,
+           |          round(sum(ln(1 + (c.n - dfq2.df + 0.5) / (dfq2.df + 0.5))
+           |            * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))), 4) AS score
+           |        FROM post2 p JOIN dfq2 USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c
+           |        GROUP BY 1, 2),
+           |r2 AS (SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+           |       FROM sc2)
+           |SELECT query_id, CAST(rn AS BIGINT) AS rnk, doc_id, score
+           |FROM r2 WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin,
       "retrieval_snippets" ->
         s"""WITH bmr AS ($bm25Sql),
            |top1 AS (SELECT query_id, doc_id FROM bmr WHERE rnk = 1),

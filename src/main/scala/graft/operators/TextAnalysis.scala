@@ -1360,6 +1360,60 @@ object TextAnalysis {
       .orderBy("query_id", "rnk")
   }
 
+  /** RM3-style pseudo-relevance-feedback expansion (Lavrenko &
+    * Croft's relevance models, the Anserini RM3 default shape): run
+    * the query, take its `kDocs` best documents, promote the `mExp`
+    * heaviest non-query terms of those documents (total tf, ties to
+    * the lexicographically smaller term — integer-deterministic) into
+    * the query, and rank again. The expansion table is
+    * queries×mExp-sized, collected to the driver so the second pass
+    * keeps the literal-pruned probe shape the one-shot rankers use.
+    */
+  def rm3ExpandedQueries(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      kDocs: Int = 3,
+      mExp: Int = 2
+  ): Seq[(Int, Seq[String])] = {
+    import spark.implicits._
+    require(kDocs >= 1 && mExp >= 0)
+    val top = bm25TopK(spark, dir, queries, k = kDocs).select(col("query_id"), col("doc_id"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val tf = tokenRows(spark, dir)
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("w").desc, col("tok"))
+    val expansion = tf
+      .join(broadcast(top), Seq("doc_id"))
+      .join(broadcast(qterms), Seq("query_id", "tok"), "left_anti")
+      .groupBy("query_id", "tok")
+      .agg(sum("tf").as("w"))
+      .withColumn("rw", row_number().over(w))
+      .filter(col("rw") <= mExp)
+      .select("query_id", "tok", "rw")
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+    queries.map { case (qid, ts) => qid -> (ts ++ expansion.getOrElse(qid, Nil)) }
+  }
+
+  /** BM25 over the RM3-expanded queries — the full feedback loop. */
+  def rm3TopK(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, Seq[String])] = defaultBm25Queries,
+      kDocs: Int = 3,
+      mExp: Int = 2,
+      k: Int = 5
+  ): DataFrame =
+    bm25TopK(spark, dir, rm3ExpandedQueries(spark, dir, queries, kDocs, mExp), k = k)
+
   /** Search-result SNIPPETS: for each query's best document, the
     * `window`-token span covering the most DISTINCT query terms (ties
     * → earliest span) — the highlighting step of a search stack,

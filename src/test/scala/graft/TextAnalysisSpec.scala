@@ -410,6 +410,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(grams.groupBy("g").count().filter(col("count") > 1).count() == 0, "multi-row grams remain")
   }
 
+  test("rm3 expansion adds <= mExp new non-query terms per query and actually moves a ranking") {
+    val base     = TextAnalysis.defaultBm25Queries
+    val expanded = TextAnalysis.rm3ExpandedQueries(spark, sfDir)
+    assert(expanded.map(_._1) == base.map(_._1))
+    expanded.zip(base).foreach { case ((_, ex), (qid, orig)) =>
+      assert(ex.take(orig.length) == orig, s"query $qid: originals must stay, in order")
+      val added = ex.drop(orig.length)
+      assert(added.length <= 2 && added.distinct.length == added.length)
+      assert(added.forall(t => !orig.contains(t)), s"query $qid: expansion re-added an original term")
+    }
+    val baseLen = base.toMap
+    assert(expanded.exists { case (qid, ex) => ex.length > baseLen(qid).length }, "at least one query must expand")
+    val plain = TextAnalysis.bm25TopK(spark, sfDir).collect().map(_.toString).toSeq
+    val rm3   = TextAnalysis.rm3TopK(spark, sfDir).collect().map(_.toString).toSeq
+    assert(rm3 != plain, "feedback must change at least one ranking on this corpus")
+    val again = TextAnalysis.rm3TopK(spark, sfDir).collect().map(_.toString).toSeq
+    assert(rm3 == again, "rm3 must be deterministic")
+  }
+
   test("snippets: windows bounded, best window really covers the reported distinct terms, deterministic") {
     val qs  = TextAnalysis.defaultBm25Queries.toMap
     val got = TextAnalysis.snippets(spark, sfDir).collect()
