@@ -32,7 +32,9 @@ object Bench {
     "key_skew_report", "events_pattern_match",
     "dedup_editdist_join", "graph_pagerank", "text_compression_ratio",
     "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion",
-    "dedup_containment_join", "sessions_overlap_join", "timetravel_pruned_read"
+    "dedup_containment_join", "sessions_overlap_join", "timetravel_pruned_read",
+    "retrieval_rm3_topk", "retrieval_snippets", "sim_centroid_classify",
+    "sim_knn_label_noise", "governed_ingest"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's
