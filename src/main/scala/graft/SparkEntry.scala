@@ -614,6 +614,7 @@ object SparkEntry {
     "graph_pagerank"  -> q(Graph.partSupplierPageRank),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
     "graph_triangles" -> q(Graph.coOrderTriangles),
+    "graph_ppr"       -> q(Graph.supplierAffinity),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
         Dedup
@@ -1311,6 +1312,25 @@ object SparkEntry {
          |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
          |$iters
          |SELECT node, mass FROM pr5 ORDER BY node""".stripMargin
+    }
+    val pprSql = {
+      val iters = (1 to 4).map { i =>
+        s"""pr$i AS (SELECT node, CAST(inm + seedb AS BIGINT) AS mass FROM (
+           |  SELECT COALESCE(t.node, s.node) AS node, COALESCE(t.m, 0) AS inm,
+           |    CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS seedb
+           |  FROM (SELECT e.dst AS node, CAST(SUM((p.mass * 85) // (100 * d.outdeg)) AS BIGINT) AS m
+           |        FROM edges e JOIN pr${i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+           |        GROUP BY e.dst) t
+           |  FULL JOIN seeds s ON s.node = t.node) u
+           |  WHERE inm + seedb > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |seeds AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges) n WHERE node = 3),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM seeds),
+         |$iters
+         |SELECT node, mass FROM pr4 ORDER BY node""".stripMargin
     }
     val bfsSql = {
       val iters = (1 to 4).map { i =>
@@ -2111,6 +2131,7 @@ object SparkEntry {
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
       "graph_bfs_depth" -> bfsSql,
+      "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
       // orientation only changes join sizes, never the triangle set
       "graph_triangles" ->

@@ -90,6 +90,66 @@ object Graph {
     mass.orderBy("node")
   }
 
+  /** PERSONALIZED PageRank: the restart mass lands only on `seeds`
+    * (each seed holds the base share every iteration; non-seeds keep
+    * only damped inflow) — related-entity scoring around a query set,
+    * the recommendation/affinity variant of [[pageRank]]. Same
+    * integer-mass discipline: bit-exact replay as unrolled SQL. Seeds
+    * start with `initMass`, non-seeds with 0, so after any number of
+    * iterations all mass traces back to the seed set.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val seedNodes = nodes
+      .join(seeds.select(col("node").cast("long").as("node")).distinct(), Seq("node"), "left_semi")
+      .localCheckpoint(eager = false)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(eager = false)
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var mass     = seedNodes.withColumn("mass", lit(initMass))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(mass, col("src") === col("node"))
+        .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("in_mass"))
+      mass = contrib
+        .join(seedNodes.withColumn("__seed", lit(1L)), Seq("node"), "full_outer")
+        .select(
+          col("node"),
+          (coalesce(col("in_mass"), lit(0L)) +
+            when(col("__seed").isNotNull, lit(baseMass)).otherwise(lit(0L))).as("mass")
+        )
+        .filter(col("mass") > 0L)
+    }
+    mass.orderBy("node")
+  }
+
+  /** `graph_ppr` query body: affinity around supplier 1's namespaced
+    * node, 4 damped iterations over the part↔supplier graph — only
+    * nodes reachable from the seed hold mass.
+    */
+  def supplierAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    personalizedPageRank(partSupplierEdges(spark, dir), Seq(3L).toDF("node"), iterations = 4)
+  }
+
   /** Multi-source BFS depth: minimum hop distance from any seed node,
     * by iterative min-label relaxation (one join + one min-aggregation
     * per hop — the [[Dedup.connectedComponents]] shuffle shape).

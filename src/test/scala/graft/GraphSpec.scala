@@ -74,6 +74,43 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(99L))
   }
 
+  private def modelPpr(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val out  = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var mass = seeds.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges; m <- mass.get(s)) in(d) += m * 85L / (100L * out(s))
+      mass = (in.keySet ++ seeds).map(n => n -> (in(n) + (if (seeds(n)) 150000L else 0L))).filter(_._2 > 0).toMap
+    }
+    mass
+  }
+
+  test("personalized PageRank == integer model; mass only on seed-reachable nodes") {
+    val df    = tinyEdges.toSeq.toDF("src", "dst")
+    val seeds = Seq(5L).toDF("node")
+    val got = Graph
+      .personalizedPageRank(df, seeds, iterations = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == modelPpr(tinyEdges, Set(5L), 4))
+    // node 5 has no in-edge: its mass is exactly the seed base share
+    assert(got(5L) == 150000L)
+    // everything holding mass is reachable from the seed
+    assert(got.keySet.subsetOf(Set(5L, 1L, 2L, 3L, 4L)))
+  }
+
+  test("supplierAffinity on the real graph == integer model from the seed") {
+    val es = Graph.partSupplierEdges(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Graph
+      .supplierAffinity(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == modelPpr(es, Set(3L), 4))
+    assert(got.nonEmpty && got.contains(3L))
+  }
+
   test("triangleCounts == model on K4-plus-pendant; degree orientation loses/duplicates nothing") {
     // K4 on 1..4 (4 triangles, each node in 3) + pendant 5 (in none)
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
