@@ -34,7 +34,8 @@ object Bench {
     "zonemap_metadata_agg", "graph_triangles", "retrieval_rrf_fusion",
     "dedup_containment_join", "sessions_overlap_join", "timetravel_pruned_read",
     "retrieval_rm3_topk", "retrieval_snippets", "sim_centroid_classify",
-    "sim_knn_label_noise", "governed_ingest"
+    "sim_knn_label_noise", "governed_ingest", "graph_ppr",
+    "window_cumulative_distinct"
   )
   def main(args: Array[String]): Unit = {
     // never overwrite the Verify-time oracle dumps (SparkEntry's
