@@ -131,6 +131,39 @@ object SnapshotTable {
     finally out.close()
   }
 
+  /** Fold the accumulated per-commit stats sidecars into ONE — the
+    * standing-index compaction discipline applied to the stats
+    * surface: a long-lived table otherwise reads one tiny sidecar
+    * directory per historical commit on every pruned read. Crash-safe
+    * by write-order: the combined sidecar (restricted to files still
+    * referenced by any live manifest) is written BEFORE the old
+    * directories are removed, and duplicate rows for the same file
+    * are harmless to readers (identical values, set-union semantics),
+    * so any interruption leaves a correct, merely-uncompacted state.
+    */
+  def compactStats(spark: SparkSession, path: String): Unit = {
+    val f     = fs(spark, path)
+    val parts = new Path(s"$path/_stats/parts")
+    if (!f.exists(parts)) return
+    val existing = f.listStatus(parts).map(_.getPath)
+    if (existing.length <= 1) return
+    val latest = latestVersion(spark, path)
+    val live = (1L to latest).flatMap { v =>
+      if (f.exists(manifestPath(path, v))) readManifest(spark, path, v) else Nil
+    }.toSet
+    import org.apache.spark.sql.functions.col
+    val combined = spark.read
+      .parquet(existing.map(_.toString).toIndexedSeq: _*)
+      .filter(col("file").isin(live.toSeq: _*))
+      .dropDuplicates("file")
+      .localCheckpoint(eager = true) // materialize fully BEFORE deleting sources
+    combined
+      .coalesce(1)
+      .write
+      .parquet(s"$path/_stats/parts/compact-${java.util.UUID.randomUUID().toString.take(12)}")
+    existing.foreach(p => f.delete(p, true))
+  }
+
   /** Survivor files of version `versionAsOf` (default latest) for the
     * interval predicate `column ∈ [lo, hi]`: a file is skipped only
     * when its recorded stats PROVE disjointness (all-NULL files can

@@ -227,6 +227,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.prunedRead(spark, p2, "id", Some(5L), Some(6L)).as[Long].collect().sorted.toSeq == Seq(5L, 6L))
   }
 
+  test("compactStats folds sidecars to one dir; pruning answers byte-identical before and after") {
+    val p = freshPath("statscpt")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    SnapshotTable.create(spark, p, df(1L to 40L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.append(spark, p, df(41L to 80L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.append(spark, p, df(81L to 120L: _*).repartitionByRange(4, col("id")))
+    val fs    = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = new Path(s"$p/_stats/parts")
+    assert(fs.listStatus(parts).length == 3)
+    def probe(v: Option[Long]) = {
+      val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p, "id", Some(50L), Some(70L), v)
+      (surv.toSet, total, SnapshotTable.prunedRead(spark, p, "id", Some(50L), Some(70L), v).as[Long].collect().sorted.toSeq)
+    }
+    val before  = (probe(None), probe(Some(1L)))
+    SnapshotTable.compactStats(spark, p)
+    assert(fs.listStatus(parts).length == 1, "sidecars must fold to one directory")
+    assert((probe(None), probe(Some(1L))) == before, "compaction changed pruning answers")
+    assert(before._1._1.size < before._1._2, "the probe must actually prune files")
+    // idempotent: a second compaction of one dir is a no-op
+    SnapshotTable.compactStats(spark, p)
+    assert(fs.listStatus(parts).length == 1)
+  }
+
   test("vacuum reclaims stats sidecars of dead commits; live pruning is untouched") {
     val p = freshPath("statsvac")
     SnapshotTable.enableStats(spark, p, Seq("id"))
