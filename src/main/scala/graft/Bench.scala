@@ -5,7 +5,38 @@ import org.apache.spark.sql.SparkSession
   * the full plan (all columns, all operators) executes — `.count()`
   * would let Catalyst prune the projections being measured. */
 object Bench {
-  /** Heavier / representative subset; trivial scans add noise, not signal. */
+
+  /** The headline set is PINNED in `BENCH_MANIFEST.txt` (checked in,
+    * one name per line) so every bench artifact states exactly which
+    * query set its total covers — the JSON line carries the manifest's
+    * sha-256 and a `shared_with_prev` subtotal against the previous
+    * history entry, so round-over-round deltas never silently compare
+    * different sets. The baked-in list below is only the fallback when
+    * the manifest file is absent (e.g. running from a bare classpath).
+    */
+  def manifestQueries(): (Seq[String], String) = {
+    val path = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_MANIFEST",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_MANIFEST.txt").toString
+    )
+    val p = java.nio.file.Paths.get(path)
+    val names =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .readAllLines(p)
+          .asScala
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .toSeq
+      } else headline
+    val digest = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(names.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (names, digest.map("%02x".format(_)).mkString)
+  }
+
+  /** Fallback headline subset; the manifest file supersedes this. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q10_returned_items",
@@ -94,7 +125,30 @@ object Bench {
     // never as a fake number.
     def jsonEscape(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").replace("\r", " ").take(160)
-    val timed: Seq[(String, Either[String, Double])] = headline.flatMap { name =>
+    val (manifest, manifestSha) = manifestQueries()
+    // previous round's per-query map (last history entry) BEFORE this
+    // run appends — the like-for-like comparison base
+    val hist = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_HISTORY",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_HISTORY.jsonl").toString
+    )
+    val prev: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get(hist)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val lines = java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
+          if (lines.isEmpty) Map.empty
+          else {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val q  = om.readTree(lines.last).get("queries")
+            if (q == null) Map.empty
+            else q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val timed: Seq[(String, Either[String, Double])] = manifest.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         var err: Option[String] = None
         val times = (1 to reps).flatMap { _ =>
@@ -119,15 +173,26 @@ object Bench {
     val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // like-for-like subtotal over the queries BOTH this run and the
+    // previous history entry measured — the number to compare across
+    // rounds when the manifest grows
+    val resultMap = results.toMap
+    val sharedKeys = resultMap.keySet & prev.keySet
+    val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
+    val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // the full line as a standalone machine-readable artifact — the
+    // driver's round file only keeps a truncated stdout tail
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LATEST.json"),
+        line + "\n"
+      )
+    catch { case scala.util.control.NonFatal(_) => () }
     // per-query history for cross-round regression detection (±1s
     // single-run noise on this host makes one-off comparisons useless)
-    val hist = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_HISTORY",
-      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_HISTORY.jsonl").toString
-    )
     try {
       val stamped = s"""{"ts":"${java.time.Instant.now()}",${line.drop(1)}""" + "\n"
       java.nio.file.Files.writeString(

@@ -153,4 +153,60 @@ object Cdc {
       )
     closedHist.unionByName(keep).unionByName(closed).unionByName(opened)
   }
+
+  /** Apply a MULTI-date change batch to an SCD2 history in ONE pass —
+    * the backfill shape. Semantically identical to folding
+    * [[scd2Apply]] once per distinct effective date in ascending order
+    * (spec-pinned equivalence), but where the loop pays one full-outer
+    * join over the ENTIRE history per date, this pays:
+    *
+    *   - one broadcast anti/semi join to split the current snapshot
+    *     into untouched ids (carried over by reference, never
+    *     shuffled — the 100 TB base) and touched ids (bounded by the
+    *     batch's id set);
+    *   - one window over touched-ids' seed rows + the batch, ordered
+    *     (seed, then changes by effective date): a row OPENS a version
+    *     iff it is the first observation of its id or differs
+    *     null-safely from the previous observation — the lag-compare
+    *     is exactly the loop's state compare, because a no-op row's
+    *     attributes equal the state by definition;
+    *   - one lead() to close each opened version at the next opening.
+    *
+    * An N-date backfill batch therefore costs the same as a 1-date
+    * batch: two broadcast joins plus a window over batch-sized data.
+    */
+  def scd2ApplyBatch(
+      history: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      attrCols: Seq[String],
+      effDateCol: String
+  ): DataFrame = {
+    val closedHist = history.filter(col("valid_to").isNotNull)
+    val current    = history.filter(col("valid_to").isNull)
+    val histCols   = (col(idCol) +: attrCols.map(col)) ++ Seq(col("valid_from"), col("valid_to"))
+    val ids        = changes.select(col(idCol)).distinct()
+    val untouched  = current.join(broadcast(ids), Seq(idCol), "left_anti").select(histCols: _*)
+    val seed = current
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .select((col(idCol) +: attrCols.map(col)) :+ col("valid_from"): _*)
+      .withColumn("__src", lit(0))
+    val obs = changes
+      .select((col(idCol) +: attrCols.map(col)) :+ col(effDateCol).cast(DateType).as("valid_from"): _*)
+      .withColumn("__src", lit(1))
+    val w = Window.partitionBy(idCol).orderBy(col("__src"), col("valid_from"))
+    // `!(a <=> lag(a))` is never NULL, so the first-row OR cannot be
+    // poisoned; lag over a constant marker detects the first row
+    // without confusing "no previous row" with "previous attr is NULL"
+    val changedVsPrev = attrCols.map(c => !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    val opens         = lag(lit(1), 1).over(w).isNull || changedVsPrev
+    val openings = seed
+      .unionByName(obs)
+      .withColumn("__open", opens)
+      .filter(col("__open"))
+    val versions = openings
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(histCols: _*)
+    closedHist.unionByName(untouched).unionByName(versions)
+  }
 }

@@ -1043,18 +1043,29 @@ object Similarity {
     * size); classification is one narrow codegen'd pass against the
     * centroid literal, ties broken toward the smaller label.
     */
-  def centroidPredictions(e: DataFrame, samplePerLabel: Int = 256): DataFrame = {
+  def centroidPredictions(e: DataFrame, samplePerLabel: Int = 256, maxFitRows: Int = 1 << 18): DataFrame = {
     require(samplePerLabel >= 1)
     val w = Window
       .partitionBy("label")
       .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+    // the per-label cap bounds the collect only if label cardinality is
+    // bounded — a continuous/high-cardinality label column would pull
+    // samplePerLabel × |labels| rows to the driver. limit(max+1) makes
+    // an over-budget fit fail loudly with O(maxFitRows) transferred,
+    // never OOM (the same loud-failure stance as the k-means samplers).
     val sampled = e
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= samplePerLabel)
       .select("label", "vec_id", "embedding")
       .orderBy("label", "vec_id")
+      .limit(maxFitRows + 1)
       .collect()
     require(sampled.nonEmpty, "no labeled vectors to fit centroids")
+    require(
+      sampled.length <= maxFitRows,
+      s"centroid fit sample exceeds $maxFitRows rows — label cardinality × samplePerLabel " +
+        s"is too large for a driver-side fit; lower samplePerLabel or reduce label cardinality"
+    )
     val cents: Seq[(Int, Seq[Double])] = sampled
       .groupBy(_.getInt(0))
       .toSeq

@@ -1507,7 +1507,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val defl = new java.util.zip.Deflater(level, true)
-        val buf  = new Array[Byte](1 << 16)
+        // release the native zlib buffer at task end — finalization is
+        // too late in a long-lived executor running many partitions
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
+        val buf = new Array[Byte](1 << 16)
         rows.map { case (id, text) =>
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           defl.reset()

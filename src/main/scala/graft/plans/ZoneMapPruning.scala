@@ -250,7 +250,8 @@ object ZoneMapPruning {
     private def specOf(e: NamedExpression, stats: Set[String]): Option[Spec] = e match {
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         fn match {
-          case Count(Seq(Literal(_, _)))                                  => Some(CountAll)
+          // non-null literal only: count(NULL) must answer 0, not n_rows
+          case Count(Seq(Literal(v, _))) if v != null                     => Some(CountAll)
           case Min(a: AttributeReference) if stats.contains(a.name)       => Some(MinOf(a.name))
           case Max(a: AttributeReference) if stats.contains(a.name)       => Some(MaxOf(a.name))
           case _                                                          => None

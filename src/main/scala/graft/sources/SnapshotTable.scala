@@ -92,6 +92,11 @@ object SnapshotTable {
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .withColumn("file", concat(lit(s"$commitDir/"), element_at(split(col("__f"), "/"), -1)))
+        // which columns THIS sidecar actually recorded — readers must
+        // not confuse "column not recorded here" (merged-schema NULL
+        // after the stats column set changed) with "file is all-NULL
+        // in this column" (safe to skip for any interval predicate)
+        .withColumn("stat_cols", lit(statsCols.mkString(",")))
         .drop("__f")
         .coalesce(1)
         .write
@@ -152,7 +157,11 @@ object SnapshotTable {
       if (f.exists(manifestPath(path, v))) readManifest(spark, path, v) else Nil
     }.toSet
     import org.apache.spark.sql.functions.col
+    // mergeSchema: sidecars written under different enableStats column
+    // sets must union their columns, not silently drop the ones absent
+    // from whichever file Spark happens to sample for the schema
     val combined = spark.read
+      .option("mergeSchema", "true")
       .parquet(existing.map(_.toString).toIndexedSeq: _*)
       .filter(col("file").isin(live.toSeq: _*))
       .dropDuplicates("file")
@@ -178,19 +187,31 @@ object SnapshotTable {
       hi: Option[Any],
       versionAsOf: Option[Long] = None
   ): (Seq[String], Long) = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{array_contains, col, lit, split}
     val v     = versionAsOf.getOrElse(latestVersion(spark, path))
     require(v > 0, s"no table at $path")
     val files = readManifest(spark, path, v)
     val f     = fs(spark, path)
     val parts = new Path(s"$path/_stats/parts")
     if (!f.exists(parts) || f.listStatus(parts).isEmpty) return (files, files.length.toLong)
-    val st = spark.read.parquet(s"$path/_stats/parts/*")
+    // mergeSchema: sidecars written under different enableStats column
+    // sets otherwise surface a missing min_<col> as NULL whenever Spark
+    // samples a schema-bearing file — indistinguishable from a genuine
+    // all-NULL file and silently pruning files that DO contain matches
+    val st = spark.read.option("mergeSchema", "true").parquet(s"$path/_stats/parts/*")
     if (!st.columns.contains(s"min_$statCol")) return (files, files.length.toLong)
-    val intersects = col(s"min_$statCol").isNotNull &&
-      lo.map(x => col(s"max_$statCol") >= lit(x)).getOrElse(lit(true)) &&
-      hi.map(x => col(s"min_$statCol") <= lit(x)).getOrElse(lit(true))
-    val skippable = st.filter(!intersects).select("file").collect().map(_.getString(0)).toSet
+    // a NULL min proves "every row of this file is NULL in statCol"
+    // ONLY when this sidecar row actually recorded statCol; legacy rows
+    // without the stat_cols marker are kept conservatively
+    val recorded =
+      if (st.columns.contains("stat_cols"))
+        col("stat_cols").isNotNull && array_contains(split(col("stat_cols"), ","), lit(statCol))
+      else lit(false)
+    val disjoint = col(s"min_$statCol").isNotNull &&
+      (lo.map(x => col(s"max_$statCol") < lit(x)).getOrElse(lit(false)) ||
+        hi.map(x => col(s"min_$statCol") > lit(x)).getOrElse(lit(false)))
+    val allNullFile = col(s"min_$statCol").isNull && recorded
+    val skippable   = st.filter(disjoint || allNullFile).select("file").collect().map(_.getString(0)).toSet
     (files.filterNot(skippable), files.length.toLong)
   }
 
@@ -465,12 +486,18 @@ object SnapshotTable {
     (1L until math.max(1L, keepFrom)).foreach(v => f.delete(manifestPath(path, v), false))
     // reclaim stats sidecars of commits whose data files are all gone —
     // dead rows never surface in pruning (survivors start from the
-    // manifest), but a long-lived table should not hoard them
+    // manifest), but a long-lived table should not hoard them. Only
+    // per-commit sidecars (named after their data/c-<id> directory) are
+    // reclaimed by name; `compact-<id>` sidecars from [[compactStats]]
+    // hold the stats of MANY live commits and must never be deleted
+    // here — their dead rows are inert and the next compactStats drops
+    // them.
     val parts = new Path(s"$path/_stats/parts")
     if (f.exists(parts)) {
       val liveCommits = live.map(_.split('/').take(2).mkString("/")) // data/c-<id>
       f.listStatus(parts).foreach { st =>
-        if (!liveCommits.contains(s"data/${st.getPath.getName}")) f.delete(st.getPath, true)
+        val name = st.getPath.getName
+        if (name.startsWith("c-") && !liveCommits.contains(s"data/$name")) f.delete(st.getPath, true)
       }
     }
   }

@@ -50,11 +50,12 @@ object ChangeFeed {
   }
 
   /** Apply ONE batch of SCD2 changes: rows carry an effective-date
-    * column; distinct effective dates within the batch are applied in
-    * ascending order (a multi-day backfill batch lands as if the days
-    * had arrived separately), then the new history commits with CAS.
-    * Replays are idempotent by content: re-applying identical changes
-    * trips the no-op change detection and reproduces the history.
+    * column; a multi-day backfill batch lands as if the days had
+    * arrived separately ([[Cdc.scd2ApplyBatch]] — ONE windowed pass
+    * over seed + changes, not one history join per distinct date),
+    * then the new history commits ONE version with CAS. Replays are
+    * idempotent by content: re-applying identical changes trips the
+    * no-op change detection and reproduces the history.
     */
   def applyScd2Batch(
       spark: SparkSession,
@@ -64,22 +65,24 @@ object ChangeFeed {
       attrCols: Seq[String],
       effDateCol: String
   ): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     val base = SnapshotTable.latestVersion(spark, tablePath)
-    val effRows = batch.select(col(effDateCol).cast("date")).distinct().collect()
     // a NULL effective date has no position in the version timeline —
     // applying it anywhere would be a guess, so refuse loudly
-    require(effRows.forall(!_.isNullAt(0)), s"SCD2 batch carries NULL $effDateCol values")
-    val effs = effRows.map(_.getDate(0)).sortBy(_.getTime)
-    var hist = SnapshotTable.read(spark, tablePath)
-    effs.foreach { d =>
-      val slice = batch.filter(col(effDateCol).cast("date") === org.apache.spark.sql.functions.lit(d))
-      // two changes to one id AT THE SAME effective date have no
-      // defined order — the full-outer join inside scd2Apply would
-      // multiply rows; refuse loudly
-      requireUniqueIds(slice, idCol, s"SCD2 batch slice at $d")
-      hist = Cdc.scd2Apply(hist, slice, idCol, attrCols, org.apache.spark.sql.functions.lit(d.toString))
-    }
+    require(
+      batch.filter(col(effDateCol).cast("date").isNull).limit(1).isEmpty,
+      s"SCD2 batch carries NULL $effDateCol values"
+    )
+    // two changes to one id AT THE SAME effective date have no defined
+    // order; refuse loudly (one groupBy over the batch, not per-date)
+    val dups = batch
+      .groupBy(col(idCol), col(effDateCol).cast("date"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .limit(5)
+      .collect()
+    require(dups.isEmpty, s"SCD2 batch carries multiple rows per (id, $effDateCol) (e.g. ${dups.map(_.get(0)).mkString(", ")})")
+    val hist = Cdc.scd2ApplyBatch(SnapshotTable.read(spark, tablePath), batch, idCol, attrCols, effDateCol)
     SnapshotTable.overwrite(spark, tablePath, hist.localCheckpoint(eager = true), expectedBase = Some(base))
   }
 

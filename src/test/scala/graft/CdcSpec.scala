@@ -147,6 +147,62 @@ class CdcSpec extends SparkSpec {
     assert(applied.exceptAll(derived).isEmpty && derived.exceptAll(applied).isEmpty)
   }
 
+  test("scd2ApplyBatch == per-date scd2Apply folds: multi-date, null attrs, no-ops, new ids, untouched ids") {
+    val hist = Cdc.scd2Init(
+      Seq((1L, Some("en"), 10L), (2L, None, 20L), (5L, Some("de"), 50L)).toDF("id", "lang", "n"),
+      "id",
+      Seq("lang", "n"),
+      lit("2024-01-01")
+    )
+    // three effective dates, out of order in the batch; includes a
+    // NULL-attr transition, a pure no-op row, a brand-new id with two
+    // versions, and an untouched id (5)
+    val batch = Seq(
+      (1L, Some("fr"), 10L, "2024-03-01"),
+      (1L, Some("en"), 10L, "2024-02-01"), // no-op vs seed
+      (2L, Some("es"), 20L, "2024-02-01"), // NULL -> es
+      (2L, None, 20L, "2024-03-01"),       // es -> NULL
+      (7L, Some("it"), 70L, "2024-02-01"), // new id opens
+      (7L, Some("it"), 71L, "2024-04-01")  // new id changes again
+    ).toDF("id", "lang", "n", "eff")
+    val got = Cdc.scd2ApplyBatch(hist, batch, "id", Seq("lang", "n"), "eff")
+    var want = hist
+    Seq("2024-02-01", "2024-03-01", "2024-04-01").foreach { d =>
+      val slice = batch.filter(col("eff") === d).drop("eff")
+      want = Cdc.scd2Apply(want, slice, "id", Seq("lang", "n"), lit(d))
+    }
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty, "windowed batch apply must equal the date loop")
+    // invariants hold directly too: one open version per id, contiguity
+    val open = got.filter(col("valid_to").isNull).groupBy("id").count().filter(col("count") =!= 1)
+    assert(open.isEmpty)
+  }
+
+  test("a multi-date SCD2 backfill batch commits exactly ONE new table version") {
+    import graft.sources.SnapshotTable
+    val table = "/tmp/graft_cdc_spec/backfill"
+    val fs    = new org.apache.hadoop.fs.Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(table), true)
+    SnapshotTable.create(
+      spark,
+      table,
+      Cdc.scd2Init(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), "id", Seq("lang"), lit("2024-01-01"))
+    )
+    val backfill = Seq(
+      (1L, "es", "2024-02-01"),
+      (1L, "fr", "2024-03-01"),
+      (1L, "pt", "2024-04-01"),
+      (2L, "nl", "2024-02-15")
+    ).toDF("id", "lang", "eff")
+    val v = graft.streaming.ChangeFeed.applyScd2Batch(spark, table, backfill, "id", Seq("lang"), "eff")
+    assert(v == 2L, s"a 4-date backfill must land as one version, got v$v")
+    assert(SnapshotTable.latestVersion(spark, table) == 2L)
+    val h = SnapshotTable.read(spark, table)
+    assert(h.filter(col("id") === 1L).count() == 4L) // en, es, fr, pt
+    assert(
+      Cdc.scd2AsOf(h, lit("2024-03-10")).orderBy("id").collect().map(_.getString(1)).toSeq == Seq("fr", "nl")
+    )
+  }
+
   // ------------------------------------------------- schema evolution
 
   test("mergeUpsertEvolving: new batch column appears NULL on survivors, populated on upserts, idempotent") {

@@ -346,4 +346,17 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     assert(again == got, "partitioning must not change driver-fit centroids or predictions")
   }
+
+  test("centroid fit refuses a high-cardinality label column loudly instead of collecting it") {
+    import org.apache.spark.sql.functions._
+    // every row its own label: the per-label cap no longer bounds the
+    // driver collect, so the fit-budget guard must throw
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("vec_id").cast("int").as("label"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.centroidPredictions(e, samplePerLabel = 4, maxFitRows = 64).collect()
+    }
+    assert(ex.getMessage.contains("exceeds"), s"guard must name the budget, got: ${ex.getMessage}")
+  }
 }

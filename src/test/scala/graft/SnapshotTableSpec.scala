@@ -264,6 +264,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(pruned.as[Long].collect().sorted.toSeq == (110L to 120L))
   }
 
+  test("vacuum AFTER compactStats keeps the compacted sidecar: pruning still prunes") {
+    val p = freshPath("statscptvac")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    SnapshotTable.create(spark, p, df(1L to 40L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.append(spark, p, df(41L to 80L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.compactStats(spark, p)
+    val fs    = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = new Path(s"$p/_stats/parts")
+    assert(fs.listStatus(parts).length == 1)
+    // the regression: a vacuum that reclaims NOTHING must not delete
+    // the compact-<id> sidecar that now holds ALL live stats
+    SnapshotTable.vacuum(spark, p, keepFrom = 1L)
+    assert(fs.listStatus(parts).length == 1, "vacuum deleted the compacted sidecar")
+    val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p, "id", Some(50L), Some(60L))
+    assert(surv.length < total.toInt, "pruning degraded to full scan after vacuum")
+    assert(
+      SnapshotTable.prunedRead(spark, p, "id", Some(50L), Some(60L)).as[Long].collect().sorted.toSeq
+        == (50L to 60L)
+    )
+    // and a vacuum that DOES reclaim (overwrite kills v1/v2 files) still
+    // keeps the compacted sidecar while reclaiming the dead commit dirs
+    SnapshotTable.overwrite(spark, p, df(200L to 240L: _*).repartitionByRange(4, col("id")))
+    SnapshotTable.vacuum(spark, p, keepFrom = 3L)
+    val (s2, t2) = SnapshotTable.pruneVersionFiles(spark, p, "id", Some(210L), Some(220L))
+    assert(s2.length < t2.toInt, "post-reclaim pruning must use the new commit's sidecar")
+    assert(
+      SnapshotTable.prunedRead(spark, p, "id", Some(210L), Some(220L)).as[Long].collect().sorted.toSeq
+        == (210L to 220L)
+    )
+  }
+
+  test("changing the stats column set never wrongly prunes files whose sidecars predate the change") {
+    val p = freshPath("statsevolve")
+    SnapshotTable.enableStats(spark, p, Seq("a"))
+    val d1 = Seq((1L, 100L), (2L, 200L)).toDF("a", "b")
+    SnapshotTable.create(spark, p, d1.repartition(1))
+    // switch the recorded column set: later sidecars carry min_b, the
+    // v1 sidecar does not — its merged-schema NULL must read as
+    // "unrecorded", not "all-NULL file"
+    SnapshotTable.enableStats(spark, p, Seq("b"))
+    SnapshotTable.append(spark, p, Seq((3L, 300L), (4L, 400L)).toDF("a", "b").repartition(1))
+    val pruned = SnapshotTable.prunedRead(spark, p, "b", Some(150L), Some(350L))
+    assert(
+      pruned.select("a").as[Long].collect().sorted.toSeq == Seq(2L, 3L),
+      "file without min_b stats must be kept conservatively"
+    )
+    // the mirror case on the ORIGINAL column: new sidecars lack min_a
+    val prunedA = SnapshotTable.prunedRead(spark, p, "a", Some(2L), Some(3L))
+    assert(prunedA.select("a").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // a genuinely all-NULL recorded file IS still skipped
+    val p2 = freshPath("statsnull")
+    SnapshotTable.enableStats(spark, p2, Seq("v"))
+    SnapshotTable.create(spark, p2, Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("id", "v").repartition(1))
+    SnapshotTable.append(spark, p2, Seq[(Long, Option[Long])]((3L, Some(30L))).toDF("id", "v").repartition(1))
+    val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p2, "v", Some(10L), Some(40L))
+    assert(total == 2L && surv.length == 1, "the all-NULL file must be skipped, the matching file kept")
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)

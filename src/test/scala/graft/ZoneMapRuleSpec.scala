@@ -133,6 +133,10 @@ class ZoneMapRuleSpec extends SparkSpec {
     assert(!readsOnlyManifest(plain.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
     // min on a non-stats column has no manifest answer
     assert(!readsOnlyManifest(plain.agg(min("o_custkey").as("mn"))))
+    // count of a NULL literal must answer 0, not the manifest row total
+    val cn = plain.agg(count(lit(null)).as("n"))
+    assert(!readsOnlyManifest(cn))
+    assert(cn.collect().head.getLong(0) == 0L)
   }
 
   test("metadata-agg on the filtered plan still computes correctly (rule declined, value parity)") {
