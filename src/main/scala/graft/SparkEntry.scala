@@ -1263,7 +1263,14 @@ object SparkEntry {
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
     "multimodal_embed" -> q((s, dir) =>
-      Multimodal.embedMedia(s, dir).selectExpr("vec_id", "round(cosine_sim(embedding, embedding), 4) AS self_cos").orderBy("vec_id")
+      // dumped exploded (vec_id, dim_idx, cnt) so the histogram CONTENT
+      // hash-checks against DuckDB's replay of the same md5-bucketed
+      // token counts — integer measures only, the float cast is exact
+      Multimodal
+        .embedMedia(s, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id"), org.apache.spark.sql.functions.posexplode(org.apache.spark.sql.functions.col("embedding")))
+        .selectExpr("vec_id", "cast(pos as int) as dim_idx", "cast(col as bigint) as cnt")
+        .orderBy("vec_id", "dim_idx")
     )
   )
 
@@ -2868,6 +2875,19 @@ object SparkEntry {
       "check_hll_error" ->
         """SELECT l_returnflag, true AS parts_ok, true AS orders_ok
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      // ε-bounded approx entries: DuckDB recomputes the EXACT measures
+      // and states the within-error verdicts — the sketch values stay
+      // engine-side, their correctness leaves only through the bound
+      "approx_distinct_agg" ->
+        """SELECT l_returnflag,
+          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+          |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+          |       true AS parts_ok, true AS orders_ok
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "approx_quantiles" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |       true AS p50_ok, true AS p90_ok, true AS p99_ok
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "sketch_kmv_parts" ->
         """SELECT * FROM (
           |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,
@@ -3207,9 +3227,10 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       },
       "check_multimodal_embed" ->
-        """SELECT count(*) AS n_vecs, CAST(0 AS BIGINT) AS bad_dim,
-          |       CAST(0 AS BIGINT) AS bad_norm
-          |FROM documents""".stripMargin,
+        s"""SELECT (SELECT count(*) FROM documents) AS n_vecs,
+           |       CAST(0 AS BIGINT) AS bad_dim,
+           |       CAST((SELECT count(*)
+           |             FROM (SELECT unnest($toks) AS t FROM documents)) AS BIGINT) AS total_tokens""".stripMargin,
       "check_frame_sample" ->
         """SELECT count(*) AS n_video_docs, CAST(0 AS BIGINT) AS bad_start,
           |       CAST(0 AS BIGINT) AS gaps, CAST(0 AS BIGINT) AS off_stride,
@@ -3274,6 +3295,29 @@ object SparkEntry {
           |  hex(encode(substr(text, 1, 8))) AS hex_prefix,
           |  CAST(doc_id % 3 AS INTEGER) AS modality
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // the embedder is a token-count histogram with md5-bucketed
+      // assignment — replayed exactly: same tokenization as wc, bucket
+      // from the first 8 md5 hex digits (nibble-by-nibble arithmetic,
+      // the frame-sampler trick), grid left-join for the zero buckets
+      "multimodal_embed" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toks) AS t FROM documents
+           |), bk AS (
+           |  SELECT doc_id,
+           |    CAST(list_sum(list_transform(range(0, 8), i ->
+           |      (CAST(instr('0123456789abcdef', substr(md5(t), CAST(i + 1 AS INTEGER), 1)) AS BIGINT) - 1)
+           |        * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER))
+           |    )) AS BIGINT) % 64 AS j
+           |  FROM tok
+           |), cnt AS (
+           |  SELECT doc_id, j, count(*) AS c FROM bk GROUP BY 1, 2
+           |), grid AS (
+           |  SELECT doc_id, unnest(range(0, 64)) AS j FROM documents
+           |)
+           |SELECT grid.doc_id AS vec_id, CAST(grid.j AS INTEGER) AS dim_idx,
+           |       CAST(coalesce(c, 0) AS BIGINT) AS cnt
+           |FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.j = cnt.j
+           |ORDER BY vec_id, dim_idx""".stripMargin,
       // the frame sampler's 60-bit hash is hex-digit arithmetic over
       // md5 — replayed here digit by digit (instr gives the nibble,
       // << its place value); integer ops only, so both engines agree

@@ -83,43 +83,38 @@ object Multimodal {
       }
   }
 
-  /** STUB media embedder: payload bytes → deterministic unit-norm
-    * Array[Float] (a real deployment swaps in a vision/audio encoder;
-    * batch shape, schema, and downstream indexability are the
-    * contract). Output plugs straight into [[Similarity]]'s ANN
-    * operators — the full decode → featurize → index path.
+  /** Media embedder: payload bytes → content-defined feature vector —
+    * a hashed token-count histogram over the decoded payload (`dim`
+    * buckets, bucket = first 8 hex digits of md5(token) mod dim).
+    * DETERMINISTIC and SQL-replayABLE, the [[sampleFrames]] stance:
+    * md5 hex-digit arithmetic and integer counts are bit-identical in
+    * any engine, so `multimodal_embed` is a hash-checked oracle query
+    * rather than a labeled stub, and every float in the vector is an
+    * exact small integer (no normalization, no float
+    * nondeterminism anywhere in the pipeline — cosine downstream
+    * normalizes where it matters). A real deployment swaps in a
+    * learned encoder; the contract this pins is payload in, fixed-dim
+    * `Array[Float]` out, directly indexable by [[Similarity]]'s ANN
+    * tier (decode → featurize → index, end-to-end).
+    *
+    * Runs as ONE narrow codegen'd projection — md5 once per token,
+    * then `dim` integer equality counts; no shuffle, no UDF.
     */
-  def embedMedia(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
-    import spark.implicits._
+  def embedMedia(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
     mediaTable(spark, dir)
-      .select("doc_id", "payload")
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition "model load" would happen here
-        rows.map { case (id, payload) =>
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < payload.length) { h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-          val v = new Array[Float](dim)
-          var d = 0
-          var z = h
-          var norm = 0.0
-          while (d < dim) {
-            z += 0x9e3779b97f4a7c15L
-            var m = z
-            m = (m ^ (m >>> 30)) * 0xbf58476d1ce4e5b9L
-            m = (m ^ (m >>> 27)) * 0x94d049bb133111ebL
-            m = m ^ (m >>> 31)
-            v(d) = ((m >>> 11) * (2.0 / (1L << 53)) - 1.0).toFloat
-            norm += v(d) * v(d)
-            d += 1
-          }
-          val inv = (1.0 / math.sqrt(norm)).toFloat
-          (id, v.map(_ * inv))
-        }
-      }
-      .toDF("vec_id", "embedding")
-  }
+      .select(col("doc_id").as("vec_id"), expr("coalesce(decode(payload, 'UTF-8'), '')").as("t"))
+      .select(
+        col("vec_id"),
+        expr(
+          s"transform(filter(split(t, '[^\\\\p{L}]+'), x -> x <> ''), " +
+            s"x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) % $dim)"
+        ).as("bks")
+      )
+      .select(
+        col("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(size(filter(bks, b -> b = cast(j as bigint))) as float))")
+          .as("embedding")
+      )
 
   /** Deterministic frame sampling for "video" rows: every `stride`-th
     * frame index up to a fake frame count derived from the payload —

@@ -24,19 +24,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("stub embedder feeds the ANN index path end-to-end") {
-    val emb = Multimodal.embedMedia(spark, sfDir).cache()
+  test("histogram embedder: exact token mass, deterministic, ANN path end-to-end") {
+    import org.apache.spark.sql.functions._
+    val emb   = Multimodal.embedMedia(spark, sfDir).cache()
     val first = emb.orderBy("vec_id").head()
     assert(first.getSeq[Float](1).length == 64)
-    // unit-norm
-    val norm = first.getSeq[Float](1).map(x => x.toDouble * x).sum
-    assert(math.abs(norm - 1.0) < 1e-5)
+    // histogram mass == the doc's token count (content tie, not shape)
+    val docTokens = Tables
+      .documents(spark, sfDir)
+      .orderBy("doc_id")
+      .select(expr("size(filter(split(text, '[^\\\\p{L}]+'), t -> t <> ''))"))
+      .head()
+      .getInt(0)
+    assert(first.getSeq[Float](1).map(_.toLong).sum == docTokens.toLong)
     // deterministic
     val again = Multimodal.embedMedia(spark, sfDir).orderBy("vec_id").head()
     assert(first.getSeq[Float](1) == again.getSeq[Float](1))
-    // indexable by the hyperplane coder (decode -> featurize -> index)
-    val coded = graft.operators.Similarity.hyperplaneCodes(emb, 16)
+    // ANN tier end-to-end over the media embeddings: hyperplane-LSH
+    // bucket the corpus, then rerank ONLY the query's bucket by exact
+    // cosine — self-retrieval must come back at rank 1 with cos ≈ 1
+    graft.GraftFunctions.register(spark)
+    val coded = graft.operators.Similarity
+      .hyperplaneCodes(emb, 16)
+      .select("vec_id", "lsh_code")
+      .cache()
     assert(coded.select("lsh_code").distinct().count() > 1)
+    val probe = coded.join(emb, "vec_id").orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("lsh_code").as("qcode"), col("embedding").as("qe"))
+    val top = coded
+      .join(emb, "vec_id")
+      .join(broadcast(probe), col("lsh_code") === col("qcode"))
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "cos")
+      .head()
+    assert(top.getLong(0) == probe.head().getLong(0), "self-retrieval through the LSH bucket must rank first")
+    assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
   }
 
   test("frame sampling only emits for video rows, stride respected") {
