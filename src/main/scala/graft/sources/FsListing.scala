@@ -12,23 +12,31 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   */
 object FsListing {
 
+  /** Manual recursion rather than `fs.listFiles(dir, true)`: hidden
+    * directories are PRUNED before descending (the recursive iterator
+    * walks into `_temporary/` and materializes located statuses for
+    * in-flight task attempts — which vanish mid-listing when a racing
+    * writer commits, blowing up the whole walk), and a directory that
+    * disappears between its parent's listing and its own is skipped —
+    * a lister racing live writers (vacuum, compaction sizing) must see
+    * a consistent view of the COMMITTED files, not throw on the
+    * uncommitted churn.
+    */
   def listDataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
-    val root = fs.makeQualified(dir).toUri.getPath
-    def hidden(f: Path): Boolean = {
-      var cur = f
-      while (cur != null && cur.toUri.getPath != root) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
-    }
-    val it  = fs.listFiles(dir, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && !hidden(st.getPath)) buf += st
+    def walk(d: Path): Unit = {
+      val entries =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+      entries.foreach { st =>
+        val n = st.getPath.getName
+        if (!(n.startsWith("_") || n.startsWith("."))) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.isFile) buf += st
+        }
+      }
     }
+    walk(dir)
     buf.toSeq
   }
 }

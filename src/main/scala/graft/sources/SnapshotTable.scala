@@ -250,7 +250,7 @@ object SnapshotTable {
     * returns false on an existing destination, which is the contract
     * the code relies on there.
     */
-  private def tryCommit(spark: SparkSession, path: String, version: Long, files: Seq[String]): Boolean = {
+  private[graft] def tryCommit(spark: SparkSession, path: String, version: Long, files: Seq[String]): Boolean = {
     val f    = fs(spark, path)
     val tmp  = new Path(s"$path/_log/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     val dest = manifestPath(path, version)
@@ -467,19 +467,28 @@ object SnapshotTable {
 
   /** Delete data files referenced by NO version > `keepFrom` —
     * explicitly destroys time travel older than that version.
+    *
+    * `minAgeMs` is the concurrent-writer safety margin (the lake-format
+    * retention rule): a committer STAGES its data files before its
+    * manifest exists, so a vacuum racing an in-flight commit would see
+    * those files as unreferenced and delete them out from under the
+    * commit. Files younger than `minAgeMs` are therefore never
+    * reclaimed — set it above the longest plausible staging-to-commit
+    * window when writers may be live (a production default would be
+    * hours); 0 keeps the single-writer immediate-reclaim behavior.
     */
-  def vacuum(spark: SparkSession, path: String, keepFrom: Long): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepFrom: Long, minAgeMs: Long = 0L): Unit = {
     val f      = fs(spark, path)
     val latest = latestVersion(spark, path)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val live = (math.max(1L, keepFrom) to latest).flatMap { v =>
       if (f.exists(manifestPath(path, v))) readManifest(spark, path, v) else Nil
     }.toSet
-    val all = FsListing
-      .listDataFiles(f, new Path(s"$path/data"))
-      .map(st => st.getPath)
-    all.foreach { p =>
+    val all = FsListing.listDataFiles(f, new Path(s"$path/data"))
+    all.foreach { st =>
+      val p   = st.getPath
       val rel = p.toUri.getPath.stripPrefix(new Path(path).toUri.getPath).stripPrefix("/")
-      if (!live.contains(rel)) f.delete(p, false)
+      if (!live.contains(rel) && st.getModificationTime <= cutoff) f.delete(p, false)
     }
     // drop manifests below keepFrom so a time-travel read fails loudly
     // instead of resolving to missing files
@@ -497,7 +506,10 @@ object SnapshotTable {
       val liveCommits = live.map(_.split('/').take(2).mkString("/")) // data/c-<id>
       f.listStatus(parts).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("c-") && !liveCommits.contains(s"data/$name")) f.delete(st.getPath, true)
+        // same minAge guard: an in-flight commit writes its sidecar
+        // before its manifest exists
+        if (name.startsWith("c-") && !liveCommits.contains(s"data/$name") && st.getModificationTime <= cutoff)
+          f.delete(st.getPath, true)
       }
     }
   }

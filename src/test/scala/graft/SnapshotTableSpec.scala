@@ -189,6 +189,72 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == (0L to 8L))
   }
 
+  test("FORCED rename collision: 8 barriered committers race ONE version, exactly one hard-link wins") {
+    val p = freshPath("linkrace")
+    SnapshotTable.create(spark, p, df(1))
+    val v1Files = SnapshotTable.read(spark, p).inputFiles.map(f => "data/" + f.split("/data/").last).toSeq
+    // a CyclicBarrier releases all threads together AFTER each passed
+    // the staging phase — every thread reaches the link() attempt with
+    // the destination still absent, so the winner is decided by the
+    // atomic createLink itself, not by the earlier exists() fast-path
+    val n       = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (1 to n).map { i =>
+      Future {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        SnapshotTable.tryCommit(spark, p, 2L, v1Files :+ s"marker-$i")
+      }
+    }
+    val results = Await.result(Future.sequence(attempts), 60.seconds)
+    assert(results.count(identity) == 1, s"exactly one committer may win, got $results")
+    // the surviving manifest is the COMPLETE winner's list — no torn
+    // writes, no mixing of losers' content
+    val winner  = results.indexOf(true) + 1
+    val fs      = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val in      = fs.open(new Path(s"$p/_log/v${"%012d".format(2L)}.txt"))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content.trim.split("\n").last == s"marker-$winner")
+  }
+
+  test("vacuum racing live appenders never deletes in-flight staged files (retention guard)") {
+    val p = freshPath("vacrace")
+    SnapshotTable.create(spark, p, df(0))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    // a vacuum loop with a retention margin runs WHILE appenders commit:
+    // staged-but-uncommitted files are younger than the margin, so the
+    // racing vacuum must leave every commit intact
+    // keepFrom=1 keeps every manifest readable for the racing appenders;
+    // the files at risk are exactly the staged-but-uncommitted ones,
+    // which only the minAge retention protects
+    val vac = Future {
+      while (!stop) {
+        SnapshotTable.vacuum(spark, p, keepFrom = 1L, minAgeMs = 60000L)
+        Thread.sleep(5)
+      }
+    }
+    val appends = (1 to 6).map(i => Future(SnapshotTable.append(spark, p, df(i.toLong))))
+    val versions = Await.result(Future.sequence(appends), 120.seconds)
+    stop = true
+    Await.result(vac, 30.seconds)
+    assert(versions.sorted == (2L to 7L))
+    // every referenced file still exists: the full snapshot reads back
+    assert(SnapshotTable.read(spark, p).as[Long].collect().sorted.toSeq == (0L to 6L))
+    // and a zero-retention vacuum AFTER quiescence still reclaims
+    SnapshotTable.overwrite(spark, p, df(99))
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val before = graft.sources.FsListing.listDataFiles(fs, new Path(s"$p/data")).length
+    SnapshotTable.vacuum(spark, p, keepFrom = SnapshotTable.latestVersion(spark, p))
+    val after = graft.sources.FsListing.listDataFiles(fs, new Path(s"$p/data")).length
+    assert(after < before, "quiescent zero-retention vacuum must reclaim dead files")
+    assert(SnapshotTable.read(spark, p).as[Long].collect().toSeq == Seq(99L))
+  }
+
   // ------------------------------------------------ commit-time file stats
 
   test("stats-pruned reads skip files yet stay value-identical, at latest AND through time travel") {
