@@ -269,6 +269,31 @@ object SparkEntry {
     path
   }
 
+  /** Memoized zone-mapped layout of `documents` metadata clustered by
+    * the STRING column `lang` — zone maps are ordering-based, not
+    * numeric, so string min/max prune exactly like numeric ranges;
+    * `zonemap_string_scan` proves it.
+    */
+  private val zoneMapStrBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def zoneMapStrReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_zonemap_str", dir)}"
+    zoneMapStrBuilt.synchronized {
+      if (!zoneMapStrBuilt.contains(dir)) {
+        graft.sources.ZoneMap.writeWithZoneMap(
+          s,
+          Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+          path,
+          clusterCols = Seq("lang"),
+          statsCols = Seq("lang"),
+          files = 8
+        )
+        zoneMapStrBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized zone-mapped layout of `orders` (clustered by
     * o_totalprice, stats manifest over o_totalprice) — the standing
     * data-skipping layout `zonemap_scan` probes.
@@ -1098,6 +1123,40 @@ object SparkEntry {
         )
         .orderBy("o_orderstatus")
     },
+    // zone maps over a STRING column: min/max are ordering-based, so a
+    // lang-clustered layout prunes 'de'..'en' interval scans exactly
+    // like numeric ranges; pruning required loudly, exact re-applied
+    "zonemap_string_scan" -> q { (s, dir) =>
+      val path               = zoneMapStrReady(s, dir)
+      val band               = Seq(("lang", Some("de"): Option[Any], Some("en"): Option[Any]))
+      val (survivors, total) = graft.sources.ZoneMap.pruneFiles(s, path, band)
+      require(survivors.length < total, s"string zone map pruned nothing (${survivors.length}/$total files)")
+      graft.sources.ZoneMap
+        .prunedRead(s, path, band)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc")
+        )
+        .orderBy("lang")
+    },
+    // portable bucketed table checksum: md5-derived 40-bit row digests
+    // summed per hash bucket — order/partition/engine-independent, so
+    // DuckDB computing the same buckets IS the replication comparator
+    "table_checksum" -> q { (s, dir) =>
+      DataOps.tableChecksum(
+        Tables
+          .orders(s, dir)
+          .withColumn("o_date", col("o_orderdate").cast("date").cast("string")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_date"),
+        buckets = 64
+      )
+    },
+    // canonical selection over near-dup clusters: longest member wins,
+    // integer tie-break — the keep-list a curation pipeline emits
+    "dedup_canonical_pick" -> q(Dedup.nearDupCanonicalPick),
     // bloom file skipping: point lookup of ONE customer's orders in
     // the price-clustered layout, where min/max can't prune (custkey
     // is unclustered) — per-file blooms must drop files (required
@@ -1287,6 +1346,30 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] = {
     val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+    // shared by dedup_components / dedup_canonical_pick: exact n-gram
+    // Jaccard pairs at 0.6 over doc_id < 300, closed into components
+    // by a recursive min-label reachability
+    val ccWith =
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(tk) - 1),
+         |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+         |       FROM t WHERE len(tk) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |        GROUP BY x.doc_id, y.doc_id),
+         |pairs AS (SELECT a, b FROM (
+         |            SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
+         |            FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+         |          WHERE jaccard >= 0.6),
+         |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS n FROM edges),
+         |reach(n, r) AS (SELECT n, n AS r FROM nodes
+         |                UNION
+         |                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n),
+         |comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n)""".stripMargin
     val top3Sql =
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -2263,26 +2346,22 @@ object SparkEntry {
           |  FROM c x JOIN c y ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1)
           |WHERE dist <= 1 ORDER BY a, b""".stripMargin,
       "dedup_components" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
-           |sh AS (SELECT DISTINCT doc_id,
-           |         unnest(list_transform(range(1, len(tk) - 1),
-           |                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-           |       FROM t WHERE len(tk) >= 3),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |com AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-           |        FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-           |        GROUP BY x.doc_id, y.doc_id),
-           |pairs AS (SELECT a, b FROM (
-           |            SELECT a, b, c / CAST(sa.n_sh + sb.n_sh - c AS DOUBLE) AS jaccard
-           |            FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
-           |          WHERE jaccard >= 0.6),
-           |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
-           |nodes AS (SELECT DISTINCT s AS n FROM edges),
-           |reach(n, r) AS (SELECT n, n AS r FROM nodes
-           |                UNION
-           |                SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.n)
-           |SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+        s"""$ccWith
+           |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+      // canonical pick shares the component derivation; the pick is an
+      // integer argmin (length desc, doc_id asc) via row_number
+      "dedup_canonical_pick" ->
+        s"""$ccWith,
+           |m AS (SELECT c.component, c.doc_id, d.n_chars
+           |      FROM comp c JOIN documents d USING (doc_id)),
+           |r AS (SELECT component, doc_id, n_chars,
+           |        row_number() OVER (PARTITION BY component
+           |                           ORDER BY n_chars DESC, doc_id) AS rk
+           |      FROM m)
+           |SELECT component, max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM r GROUP BY component ORDER BY component""".stripMargin,
       "dedup_embedding_cosine" ->
         """SELECT a, b, round(cos, 4) AS cos FROM (
           |  SELECT x.vec_id AS a, y.vec_id AS b,
@@ -2736,6 +2815,30 @@ object SparkEntry {
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "zonemap_string_scan" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM documents WHERE lang BETWEEN 'de' AND 'en'
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      // 40-bit md5-prefix row digests (nibble arithmetic, the
+      // frame-sampler trick) summed per hash bucket: identical
+      // canonical strings -> identical integers in both engines
+      "table_checksum" ->
+        """WITH h AS (
+          |  SELECT CAST(list_sum(list_transform(range(0, 10), i ->
+          |    (CAST(instr('0123456789abcdef', substr(md5(
+          |       CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+          |       o_orderstatus || '|' || o_orderpriority || '|' ||
+          |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+          |     ), CAST(i + 1 AS INTEGER), 1)) AS BIGINT) - 1)
+          |      * (CAST(1 AS BIGINT) << CAST(4 * (9 - i) AS INTEGER))
+          |  )) AS BIGINT) AS h40
+          |  FROM orders
+          |)
+          |SELECT h40 % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+          |       CAST(sum(h40) AS BIGINT) AS checksum
+          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
       "avro_temporal_roundtrip" ->
         """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
           |  CAST(count(*) AS BIGINT) AS n,

@@ -445,4 +445,30 @@ object DataOps {
     val saltedSmall = small.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** PORTABLE bucketed table checksum — the replication / migration
+    * comparator: does this table hold exactly these rows in THAT other
+    * engine or cluster, answered by exchanging `buckets` tiny rows
+    * instead of the table. Per row: md5 over a '|'-joined canonical
+    * string of the named columns, first 10 hex digits as a 40-bit
+    * integer; per bucket (hash-partitioned on the same digest, so
+    * bucketing itself is portable): row count and SUM of the 40-bit
+    * values — addition commutes, so the checksum is independent of
+    * row order, partitioning, and engine, and 2⁴⁰ × rows-per-bucket
+    * stays far from long overflow at any realistic scale (2⁵⁴ at a
+    * billion rows over 64 buckets). Columns must stringify identically
+    * across engines — integers, strings, dates; never floats (binary
+    * doubles format differently engine to engine).
+    *
+    * One narrow projection + one aggregation: scan-bound at 100 TB,
+    * which is the floor for any full-content comparison.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(cols.nonEmpty && buckets >= 1)
+    val canon = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    df.select(conv(substring(md5(canon), 1, 10), 16, 10).cast("long").as("h40"))
+      .groupBy(pmod(col("h40"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h40")).as("checksum"))
+      .orderBy("bucket")
+  }
 }

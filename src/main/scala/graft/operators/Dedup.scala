@@ -1085,6 +1085,40 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Canonical-document selection over near-dup clusters — the step a
+    * curation pipeline runs AFTER clustering: each cluster keeps ONE
+    * representative (here: the longest document, ties to the smallest
+    * doc_id — an integer criterion, so the pick replays exactly in any
+    * engine) and reports what the cluster held. One struct-min
+    * aggregation per cluster, no window: `min` over
+    * `(-n_chars, doc_id)` IS the argmin under (length desc, id asc),
+    * so the whole operator is a single shuffle on the component id —
+    * and components are near-dup clusters, vanishingly small next to
+    * the corpus at any scale.
+    */
+  def canonicalPick(docs: DataFrame, components: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(components, Seq("doc_id"))
+      .groupBy("component")
+      .agg(
+        min(struct((-col("n_chars")).as("neg_len"), col("doc_id").as("d")))
+          .getField("d")
+          .as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        sum("n_chars").as("total_chars")
+      )
+      .orderBy("component")
+
+  /** [[canonicalPick]] over the n-gram-Jaccard near-dup components of
+    * the documents table ([[nearDupComponents]]' cluster set).
+    */
+  def nearDupCanonicalPick(spark: SparkSession, dir: String): DataFrame =
+    canonicalPick(
+      Tables.documents(spark, dir).filter(col("doc_id") < 300),
+      nearDupComponents(spark, dir)
+    )
+
   /** Naive quadratic twin of [[editDistanceJoin]] — the oracle path,
     * bounded-subset only (the length filter is the only pruning).
     */

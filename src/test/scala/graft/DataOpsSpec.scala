@@ -214,6 +214,27 @@ class DataOpsSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of envelope")
   }
 
+  test("tableChecksum: order/partition-invariant, and a one-row change flips a bucket") {
+    import SparkSpec.spark.implicits._
+    val base = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val cols = Seq("doc_id", "lang", "source")
+    val a = DataOps.tableChecksum(base, cols).collect().toSeq
+    // same rows, different physical order and partitioning -> identical
+    val b = DataOps
+      .tableChecksum(base.repartition(13).sortWithinPartitions(col("lang").desc), cols)
+      .collect()
+      .toSeq
+    assert(a == b, "checksum must be independent of row order and partitioning")
+    // one mutated row flips at least one bucket's checksum, never the
+    // total row count
+    val mutated = base.withColumn("lang", when(col("doc_id") === 0L, lit("xx")).otherwise(col("lang")))
+    val c = DataOps.tableChecksum(mutated, cols).collect().toSeq
+    assert(c != a, "a single-row change must be visible")
+    assert(c.map(_.getLong(1)).sum == a.map(_.getLong(1)).sum)
+  }
+
   test("weightedSample: selection matches an independent A-ES restatement; heavy docs overrepresented") {
     val k = 25
     val got = DataOps.weightedSample(spark, sfDir, k).collect()

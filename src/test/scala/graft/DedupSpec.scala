@@ -456,6 +456,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("canonicalPick keeps the longest member per cluster (id tie-break), counts the rest") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster A: 2 wins the length tie over 3
+      (7L, 50L), (8L, 60L)                // cluster B: 8 wins on length
+    ).toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)).toDF("doc_id", "component")
+    val got = Dedup
+      .canonicalPick(docs, comps)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 3L, 700L), (7L, 8L, 2L, 110L)))
+    // on real clusters: the canonical is always a member holding the
+    // cluster's max length, and clusters have >= 2 members by
+    // construction (components only contain paired docs)
+    val real = SparkEntry.queries("dedup_canonical_pick")(spark, sfDir)
+    val members = Tables
+      .documents(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .join(Dedup.nearDupComponents(spark, sfDir), Seq("doc_id"))
+    val joined = real
+      .join(members, real("canonical_id") === members("doc_id") && real("component") === members("component"))
+    assert(joined.count() == real.count(), "every canonical_id must be a member of its own cluster")
+    assert(real.filter(col("n_members") < 2).isEmpty)
+  }
+
   test("editDistanceJoin plans no cartesian product on the long-string path") {
     val c = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"), col("c_name").as("s"))
     val plan = Dedup.editDistanceJoin(c, 1).queryExecution.executedPlan.toString

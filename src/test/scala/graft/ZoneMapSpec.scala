@@ -161,4 +161,29 @@ class ZoneMapSpec extends SparkSpec {
     // the all-NULL file was dropped by the manifest alone
     assert(survivors.length == 1)
   }
+
+  test("string zone maps prune lexicographic intervals and stay value-identical") {
+    val p = "/tmp/graft_zonemap_spec/docs_str"
+    ZoneMap.writeWithZoneMap(
+      spark,
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars"),
+      p,
+      clusterCols = Seq("lang"),
+      statsCols = Seq("lang"),
+      files = 8
+    )
+    val band               = Seq(("lang", Some("de"): Option[Any], Some("en"): Option[Any]))
+    val (survivors, total) = ZoneMap.pruneFiles(spark, p, band)
+    assert(survivors.length < total.toInt, s"string ranges must prune (${survivors.length}/$total)")
+    val pruned = ZoneMap.prunedRead(spark, p, band).select("doc_id").as[Long].collect().sorted.toSeq
+    val full = Tables
+      .documents(spark, sfDir)
+      .filter(col("lang") >= "de" && col("lang") <= "en")
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    assert(pruned == full)
+  }
 }
