@@ -557,6 +557,9 @@ object SparkEntry {
     "agg_extras"            -> q(Relational.aggExtras),
     "topk_agg_per_customer" -> q(Relational.topkAggPerCustomer),
     "asof_click_purchase"   -> q(AsOfJoin.clickToPurchase),
+    "asof_forward_purchase" -> q(AsOfJoin.clickToNextPurchase),
+    "mode_agg"              -> q(Relational.modeAgg),
+    "equidepth_histogram"   -> q((s, dir) => Relational.equidepthHistogram(s, dir)),
     // ---- events: JSON + event-time windows ----
     "json_extract"          -> q(EventAnalytics.jsonExtract),
     "json_variant"          -> q(EventAnalytics.jsonVariant),
@@ -1322,14 +1325,10 @@ object SparkEntry {
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
     "multimodal_embed" -> q((s, dir) =>
-      // dumped exploded (vec_id, dim_idx, cnt) so the histogram CONTENT
+      // exploded (vec_id, dim_idx, cnt): the histogram CONTENT
       // hash-checks against DuckDB's replay of the same md5-bucketed
-      // token counts — integer measures only, the float cast is exact
-      Multimodal
-        .embedMedia(s, dir)
-        .select(org.apache.spark.sql.functions.col("vec_id"), org.apache.spark.sql.functions.posexplode(org.apache.spark.sql.functions.col("embedding")))
-        .selectExpr("vec_id", "cast(pos as int) as dim_idx", "cast(col as bigint) as cnt")
-        .orderBy("vec_id", "dim_idx")
+      // token counts — integer measures only
+      Multimodal.embedMediaRows(s, dir)
     )
   )
 
@@ -2009,6 +2008,34 @@ object SparkEntry {
           |       p.value AS purchase_value
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t <= c.t
           |ORDER BY click_id""".stripMargin,
+      // forward as-of: DuckDB's ASOF with the inequality flipped picks
+      // the EARLIEST right at-or-after — the same native-twin oracle
+      "asof_forward_purchase" ->
+        """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+          |           WHERE event_type = 'click'),
+          |     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+          |           WHERE event_type = 'purchase')
+          |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+          |       p.value AS purchase_value
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.t >= c.t
+          |ORDER BY click_id""".stripMargin,
+      "mode_agg" ->
+        """SELECT o_orderstatus, mode_priority, mode_count FROM (
+          |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+          |         CAST(count(*) AS BIGINT) AS mode_count,
+          |         row_number() OVER (PARTITION BY o_orderstatus
+          |                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+          |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+          |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+      "equidepth_histogram" ->
+        """SELECT o_orderstatus, CAST(bucket AS INTEGER) AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+          |FROM (SELECT o_orderstatus, o_totalprice,
+          |        ntile(8) OVER (PARTITION BY o_orderstatus
+          |                       ORDER BY o_totalprice, o_orderkey) AS bucket
+          |      FROM orders)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "stats_agg" ->
         """SELECT l_returnflag,
           |  round(stddev_samp(l_quantity), 4) AS sd_qty,

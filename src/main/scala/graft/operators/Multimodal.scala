@@ -83,37 +83,58 @@ object Multimodal {
       }
   }
 
-  /** Media embedder: payload bytes → content-defined feature vector —
-    * a hashed token-count histogram over the decoded payload (`dim`
-    * buckets, bucket = first 8 hex digits of md5(token) mod dim).
+  /** Media embedder, exploded form: payload bytes → content-defined
+    * feature HISTOGRAM as (vec_id, dim_idx, cnt) rows — a hashed
+    * token-count histogram over the decoded payload (`dim` buckets,
+    * bucket = first 8 hex digits of md5(token) mod dim).
     * DETERMINISTIC and SQL-replayABLE, the [[sampleFrames]] stance:
     * md5 hex-digit arithmetic and integer counts are bit-identical in
     * any engine, so `multimodal_embed` is a hash-checked oracle query
-    * rather than a labeled stub, and every float in the vector is an
-    * exact small integer (no normalization, no float
-    * nondeterminism anywhere in the pipeline — cosine downstream
-    * normalizes where it matters). A real deployment swaps in a
-    * learned encoder; the contract this pins is payload in, fixed-dim
-    * `Array[Float]` out, directly indexable by [[Similarity]]'s ANN
-    * tier (decode → featurize → index, end-to-end).
+    * rather than a labeled stub. A real deployment swaps in a learned
+    * encoder; the contract this pins is payload in, fixed-dim feature
+    * out, directly indexable by [[Similarity]]'s ANN tier.
     *
-    * Runs as ONE narrow codegen'd projection — md5 once per token,
-    * then `dim` integer equality counts; no shuffle, no UDF.
+    * Shape matters at scale: explode → hash → count is entirely
+    * codegen'd with map-side partial aggregation, and the shuffle
+    * boundary keeps the per-token md5 work parallel across scan
+    * partitions — the first formulation (a per-bucket `filter` inside
+    * `transform`) ran as INTERPRETED higher-order functions, O(dim ×
+    * tokens) lambda evals pinned to however few partitions the scan
+    * produced, and took minutes at sf1 where this takes seconds. The
+    * grid left-join restores all-zero rows for token-less documents.
+    */
+  def embedMediaRows(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val docs = mediaTable(spark, dir)
+      .select(col("doc_id").as("vec_id"), expr("coalesce(decode(payload, 'UTF-8'), '')").as("t"))
+    val counts = docs
+      .select(col("vec_id"), explode(expr("filter(split(t, '[^\\\\p{L}]+'), x -> x <> '')")).as("tok"))
+      .select(
+        col("vec_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).cast("int").as("dim_idx")
+      )
+      .groupBy("vec_id", "dim_idx")
+      .agg(count(lit(1)).as("cnt"))
+    docs
+      .select(col("vec_id"), explode(sequence(lit(0), lit(dim - 1))).as("dim_idx"))
+      .join(counts, Seq("vec_id", "dim_idx"), "left")
+      .select(col("vec_id"), col("dim_idx"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  /** [[embedMediaRows]] reassembled into the fixed-dim `Array[Float]`
+    * vector the ANN tier consumes — every value an exact small integer
+    * (no normalization, no float nondeterminism; cosine downstream
+    * normalizes where it matters). `array_sort` over (dim_idx, cnt)
+    * structs orders by dim_idx, so the vector layout is positional.
     */
   def embedMedia(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
-    mediaTable(spark, dir)
-      .select(col("doc_id").as("vec_id"), expr("coalesce(decode(payload, 'UTF-8'), '')").as("t"))
-      .select(
-        col("vec_id"),
-        expr(
-          s"transform(filter(split(t, '[^\\\\p{L}]+'), x -> x <> ''), " +
-            s"x -> cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) % $dim)"
-        ).as("bks")
-      )
-      .select(
-        col("vec_id"),
-        expr(s"transform(sequence(0, ${dim - 1}), j -> cast(size(filter(bks, b -> b = cast(j as bigint))) as float))")
-          .as("embedding")
+    embedMediaRows(spark, dir, dim)
+      .groupBy("vec_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim_idx"), col("cnt")))),
+          e => e.getField("cnt").cast("float")
+        ).as("embedding")
       )
 
   /** Deterministic frame sampling for "video" rows: every `stride`-th

@@ -722,6 +722,46 @@ object Relational {
       )
       .orderBy("o_orderstatus")
 
+  /** Deterministic MODE per group — most frequent value, ties to the
+    * smallest value, derived as count + struct-argmin rather than the
+    * built-in `mode()` (whose tie choice is engine-arbitrary and so
+    * can never hash-match an oracle). Two hash aggregations, both with
+    * map-side partials; no window.
+    */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val m = min(struct((-col("n")).as("neg"), col("o_orderpriority").as("p")))
+    Tables
+      .orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderstatus")
+      .agg(m.getField("p").as("mode_priority"), (-m.getField("neg")).as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Equi-DEPTH histogram via ntile: per group, `buckets` buckets of
+    * (near-)equal row count with their value bounds — the
+    * selectivity-estimation summary an equi-width histogram
+    * ([[histogramTotalprice]]) can't give on skewed data. The ntile
+    * ordering carries the key tiebreak so bucket assignment is total
+    * and replays exactly. Sort-based by construction (a per-group
+    * global rank IS a sort); the 100 TB form of the same summary is
+    * `approx_percentile` bounds — this operator is the exact tier.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn(
+        "bucket",
+        ntile(buckets).over(
+          Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+        )
+      )
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("o_orderstatus", "bucket")
+
   /** Generator with outer semantics: explode_outer keeps rows whose
     * array is empty (null element) — the row-preserving flatten.
     */

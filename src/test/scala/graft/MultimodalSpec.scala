@@ -40,6 +40,13 @@ class MultimodalSpec extends SparkSpec {
     // deterministic
     val again = Multimodal.embedMedia(spark, sfDir).orderBy("vec_id").head()
     assert(first.getSeq[Float](1) == again.getSeq[Float](1))
+    // the exploded (oracle) form and the vector form are the same data
+    val rows = Multimodal.embedMediaRows(spark, sfDir)
+    val reexploded = Multimodal
+      .embedMedia(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .selectExpr("vec_id", "cast(pos as int) as dim_idx", "cast(col as bigint) as cnt")
+    assert(rows.exceptAll(reexploded).isEmpty && reexploded.exceptAll(rows).isEmpty)
     // ANN tier end-to-end over the media embeddings: hyperplane-LSH
     // bucket the corpus, then rerank ONLY the query's bucket by exact
     // cosine — self-retrieval must come back at rank 1 with cos ≈ 1

@@ -65,6 +65,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("modeAgg picks the max-count value with smallest-value tie-break") {
+    val got = Relational.modeAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    counts.groupBy(_._1).foreach { case (status, rows) =>
+      val want = rows.map { case (_, p, n) => (-n, p) }.min
+      assert(got(status) == (want._2, -want._1), s"$status mode mismatch")
+    }
+  }
+
+  test("equidepthHistogram: near-equal bucket counts, exhaustive, monotone bounds") {
+    val rows = Relational.equidepthHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val totals = Tables.orders(spark, sfDir).groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (status, bs) =>
+      assert(bs.map(_._3).sum == totals(status), s"$status: buckets must partition the group")
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1, s"$status: equi-depth means counts within 1")
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$status: bucket bounds must be monotone")
+        case _           => ()
+      }
+      sorted.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+    }
+  }
+
   test("set ops partition: union == intersect + both excepts, disjointly") {
     val rows = Relational.setOps(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
     val u    = rows.filter(_._1 == "union").map(_._2).toSet
