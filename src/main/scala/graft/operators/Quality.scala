@@ -115,6 +115,69 @@ object Quality {
       array_compact(array(rules.map(r => when(r.violation, lit(r.name)).otherwise(lit(null))): _*))
     )
 
+  // --------------------------------------------- column-level governance
+
+  /** One masking policy for one column: `expr` is the disclosure-safe
+    * replacement, evaluated on the original row. All four rules are
+    * deterministic pure column expressions — codegen'd, pushdown-
+    * transparent (a filter on an UNmasked column still reaches the
+    * scan), and replayable in any engine, which is what makes a masked
+    * view auditable: the oracle can recompute every masked cell.
+    */
+  sealed trait Mask {
+    def column: String
+    def expr: Column
+  }
+
+  /** Irreversible pseudonymization: SHA-256 hex of the value. Equal
+    * values mask to equal tokens, so joins/groupBys on the masked
+    * column still work — the property plain redaction destroys.
+    */
+  final case class HashMask(column: String) extends Mask {
+    def expr: Column = when(col(column).isNull, lit(null)).otherwise(sha2(col(column).cast("string"), 256))
+  }
+
+  /** Partial disclosure: all but the last `keepLast` characters become
+    * `fill` (the phone/account-number shape). Strings shorter than
+    * `keepLast` pass through unchanged.
+    */
+  final case class PartialMask(column: String, keepLast: Int, fill: String = "*") extends Mask {
+    def expr: Column =
+      concat(
+        repeat(lit(fill), greatest(length(col(column)) - keepLast, lit(0))),
+        col(column).substr(greatest(length(col(column)) - keepLast + 1, lit(1)), lit(keepLast))
+      )
+  }
+
+  /** Full redaction to a fixed marker. */
+  final case class RedactMask(column: String, marker: String = "[REDACTED]") extends Mask {
+    def expr: Column = when(col(column).isNull, lit(null)).otherwise(lit(marker))
+  }
+
+  /** Numeric generalization: round down to a `width`-sized bucket —
+    * k-anonymity-style coarsening that keeps aggregates meaningful.
+    */
+  final case class BucketMask(column: String, width: Long) extends Mask {
+    def expr: Column = (floor(col(column) / width) * width).cast("bigint")
+  }
+
+  /** A governed view of `df`: rows failing `rowPolicy` disappear
+    * (row-level security), masked columns are replaced in place,
+    * `dropColumns` vanish entirely. Pure plan rewriting — no data is
+    * copied, the view composes with every downstream operator, and
+    * predicates on untouched columns keep pushing down to the scan.
+    */
+  def maskedView(
+      df: DataFrame,
+      masks: Seq[Mask],
+      rowPolicy: Option[Column] = None,
+      dropColumns: Seq[String] = Nil
+  ): DataFrame = {
+    val filtered = rowPolicy.map(df.filter).getOrElse(df)
+    val masked   = masks.foldLeft(filtered)((d, m) => d.withColumn(m.column, m.expr))
+    dropColumns.foldLeft(masked)(_ drop _)
+  }
+
   /** Streaming admission gate: every micro-batch is split by the rule
     * set — rows violating ANY rule land in quarantine carrying the
     * failed-rule names, clean rows in the accepted sink (the

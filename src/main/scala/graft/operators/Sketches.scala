@@ -95,6 +95,38 @@ object Sketches {
     groups.unionByName(all).orderBy("scope")
   }
 
+  /** Corpus-overlap report from KMV set algebra: distinct l_suppkey
+    * per half of lineitem, plus the union / intersection / Jaccard of
+    * the two sides — computed ENTIRELY on the sketches ([[kmvUnion]],
+    * [[kmvIntersectEstimate]]), never by re-scanning or joining the
+    * data. This is the dataset-versioning primitive at 100 TB: "how
+    * much does the new crawl overlap the old one" answered by merging
+    * two k-sized arrays that each side computed in its own single
+    * pass (and could have persisted months apart — sketches of
+    * immutable corpora never expire). Sub-capacity (the gate scales:
+    * suppkey ndv ≪ k) every number degenerates to the exact count, so
+    * DuckDB replays the whole report; `check_kmv` pins the saturated
+    * regime's error bound.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 32768): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val sides = Tables
+      .lineitem(spark, dir)
+      .select((col("l_orderkey") % 2 === 0).as("even"), col("l_suppkey"))
+      .groupBy("even")
+      .agg(expr(s"kmv_agg(xxhash64(l_suppkey), $k)").as("sk"))
+    val a = sides.filter(col("even")).select(col("sk").as("sk_a"))
+    val b = sides.filter(!col("even")).select(col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b))
+      .select(
+        round(kmvEstimate(col("sk_a"), k), 0).cast("long").as("n_even"),
+        round(kmvEstimate(col("sk_b"), k), 0).cast("long").as("n_odd"),
+        round(kmvEstimate(kmvUnion(col("sk_a"), col("sk_b"), k), k), 0).cast("long").as("n_union"),
+        round(kmvIntersectEstimate(col("sk_a"), col("sk_b"), k), 0).cast("long").as("n_overlap")
+      )
+      .withColumn("jaccard", round(col("n_overlap").cast("double") / col("n_union"), 4))
+  }
+
   /** Word counts replayed through a Count-Min sketch
     * ([[graft.functions.CmsAgg]]): one depth×width counter grid over
     * the token stream, probed per distinct term with the codegen'd

@@ -673,6 +673,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PMI collocations: the `topK` adjacent token pairs most over-
+    * represented relative to their parts' independent rates —
+    * pmi(x,y) = ln( P(x,y) / (P(x)·P(y)) ) with the joint from bigram
+    * counts and the marginals from unigram counts (Church & Hanks
+    * 1990, the standard collocation-extraction statistic for corpus
+    * phrase mining / tokenizer-merge candidates).
+    *
+    * Scale shape: bigram extraction is ARRAY-LOCAL per document (the
+    * token array zipped with its own tail — no self-join, no window,
+    * no extra shuffle; the naive pos/pos+1 self-join would shuffle the
+    * full token stream twice). Counting is two partially-aggregated
+    * groupBys; the count-threshold filter runs BEFORE the marginal
+    * joins, so the join input is the surviving bigrams, not the
+    * corpus; corpus totals enter as broadcast 1-row aggregates; the
+    * marginal joins are vocabulary-sized equi-joins left to AQE (the
+    * filtered bigram side is usually broadcastable, but its size is
+    * data-dependent — a hard broadcast pin here would be a 100 TB
+    * OOM, exactly the case AQE decides correctly at runtime). Final
+    * top-k is a TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String, minCount: Long = 5L, topK: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val toks = docs
+      .select(array_remove(split(col("text"), TextJobs.TokenSep), "").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val n1 = size(col("ts")) - 1
+    val big = toks
+      .select(
+        explode(
+          zip_with(
+            slice(col("ts"), lit(1), n1),
+            slice(col("ts"), lit(2), n1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uniRows = TextJobs.tokenized(docs, "text", "tok")
+    val uni     = uniRows.groupBy("tok").agg(count(lit(1)).as("c"))
+    val nUni    = uniRows.agg(count(lit(1)).as("n_uni"))
+    val bigCnt  = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val nBig    = big.agg(count(lit(1)).as("n_big"))
+    bigCnt
+      .filter(col("c_xy") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .withColumn(
+        "pmi",
+        round(
+          log(
+            (col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+              (col("n_big").cast("double") * col("c_x") * col("c_y"))
+          ),
+          4
+        )
+      )
+      .select("w1", "w2", "c_xy", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** The default retrieval query set for [[bm25TopK]] — short
     * multi-term queries over the corpus vocabulary, distinct terms
     * per query (standard BM25 ignores query-side term frequency for

@@ -31,8 +31,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory per commit). The manifest format is deliberately plain
   * text — no schema evolution story is claimed; writers must present
   * the table's schema.
+  *
+  * Two manifest line extensions (both introduced for the mutation
+  * tier, both invisible to older versions because every version's
+  * manifest is self-contained):
+  *
+  *   - `dv:<rel>` — a DELETION VECTOR in effect for this version: a
+  *     parquet file set under `_dv/` holding `(file, pos)` rows, where
+  *     `pos` is the parquet row index within the (immutable) data
+  *     file. [[deleteMor]]/[[updateMor]] commit these instead of
+  *     rewriting data files — merge-on-read, the write-amplification
+  *     escape hatch copy-on-write lacks: a delete of k rows writes
+  *     O(k) bytes, not O(touched files). Readers subtract DV rows
+  *     with one anti-join keyed on `(file, _metadata.row_index)`.
+  *   - an absolute path (leading `/` or a `scheme://`) — a file
+  *     referenced OUTSIDE the table directory, written by [[clone]]:
+  *     a shallow clone's v1 manifest points at the source table's
+  *     immutable files, so cloning 100 TB costs one manifest write
+  *     and zero data movement (vacuuming the SOURCE past the cloned
+  *     version breaks the clone, exactly as in the lake formats —
+  *     documented, detected loudly at read time by the missing file).
   */
 object SnapshotTable {
+
+  /** Resolve a manifest data line to a readable path: relative lines
+    * live under the table root; absolute lines (shallow clones) are
+    * used as-is.
+    */
+  private def fileRef(path: String, line: String): String =
+    if (line.startsWith("/") || line.contains("://")) line else s"$path/$line"
+
+  private def isDvLine(line: String): Boolean = line.startsWith("dv:")
+
+  /** Split manifest lines into (data files, deletion-vector refs). */
+  private def splitManifest(lines: Seq[String]): (Seq[String], Seq[String]) =
+    (lines.filterNot(isDvLine), lines.filter(isDvLine).map(_.stripPrefix("dv:")))
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -190,7 +223,7 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{array_contains, col, lit, split}
     val v     = versionAsOf.getOrElse(latestVersion(spark, path))
     require(v > 0, s"no table at $path")
-    val files = readManifest(spark, path, v)
+    val files = splitManifest(readManifest(spark, path, v))._1
     val f     = fs(spark, path)
     val parts = new Path(s"$path/_stats/parts")
     if (!f.exists(parts) || f.listStatus(parts).isEmpty) return (files, files.length.toLong)
@@ -231,8 +264,15 @@ object SnapshotTable {
     val (survivors, _) = pruneVersionFiles(spark, path, statCol, lo, hi, versionAsOf)
     val exact = lo.map(x => col(statCol) >= lit(x)).getOrElse(lit(true)) &&
       hi.map(x => col(statCol) <= lit(x)).getOrElse(lit(true))
-    if (survivors.isEmpty) read(spark, path, versionAsOf).filter(lit(false))
-    else spark.read.parquet(survivors.map(rel => s"$path/$rel"): _*).filter(exact)
+    if (survivors.isEmpty) return read(spark, path, versionAsOf).filter(lit(false))
+    // deletion vectors apply to pruned reads too: a DV row for a
+    // pruned-away file simply never matches the anti-join
+    val v   = versionAsOf.getOrElse(latestVersion(spark, path))
+    val dvs = splitManifest(readManifest(spark, path, v))._2
+    val scanned =
+      if (dvs.isEmpty) spark.read.parquet(survivors.map(fileRef(path, _)): _*)
+      else minusDv(spark, path, scanWithPos(spark, path, survivors), dvs).drop("__graft_file", "__graft_pos")
+    scanned.filter(exact)
   }
 
   /** Atomically publish `files` as version `version`. Returns false on
@@ -323,16 +363,166 @@ object SnapshotTable {
     v
   }
 
+  /** Scan `dataLines` with the two merge-on-read bookkeeping columns
+    * materialized from the parquet reader's metadata struct: `__file`
+    * (the scheme-agnostic `data/c-<id>/<part>` suffix — stable across
+    * table moves and shallow clones) and `__pos` (the row's index
+    * within its immutable file). Costs nothing when unused: both are
+    * per-row constants the reader already knows.
+    */
+  private def scanWithPos(spark: SparkSession, path: String, dataLines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    spark.read
+      .parquet(dataLines.map(fileRef(path, _)): _*)
+      .withColumn("__graft_file", regexp_extract(col("_metadata.file_path"), "data/c-[^/]+/[^/]+$", 0))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+  }
+
+  /** Subtract the deletion vectors `dvRels` from a [[scanWithPos]]
+    * scan: ONE anti-join on `(__file, __pos)`. The DV side is
+    * broadcast when its on-disk footprint is small (the common case —
+    * a DV holds only deleted positions), decided from file sizes
+    * alone so the plan choice costs zero jobs; a pathological
+    * many-deletes DV falls back to a shuffle join that partitions on
+    * the same key the scan naturally groups by.
+    */
+  private def minusDv(spark: SparkSession, path: String, scanned: DataFrame, dvRels: Seq[String]): DataFrame =
+    if (dvRels.isEmpty) scanned
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val f       = fs(spark, path)
+      val dvPaths = dvRels.map(fileRef(path, _))
+      val dvBytes = dvPaths.map(p => f.getContentSummary(new Path(p)).getLength).sum
+      val dv0 = spark.read
+        .parquet(dvPaths: _*)
+        .select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+      val dv = if (dvBytes <= (64L << 20)) broadcast(dv0) else dv0
+      scanned.join(dv, Seq("__graft_file", "__graft_pos"), "left_anti")
+    }
+
   /** Read a snapshot: the latest version, or `versionAsOf`. Immutable
     * data files + per-version manifests make every historical snapshot
-    * exactly reproducible.
+    * exactly reproducible. Deletion vectors committed by [[deleteMor]]
+    * / [[updateMor]] are subtracted here (merge-on-read).
     */
   def read(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): DataFrame = {
     val v = versionAsOf.getOrElse(latestVersion(spark, path))
     require(v > 0, s"no table at $path")
-    val files = readManifest(spark, path, v)
-    require(files.nonEmpty, s"version $v of $path is empty")
-    spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+    val (data, dvs) = splitManifest(readManifest(spark, path, v))
+    require(data.nonEmpty, s"version $v of $path is empty")
+    if (dvs.isEmpty) spark.read.parquet(data.map(fileRef(path, _)): _*)
+    else minusDv(spark, path, scanWithPos(spark, path, data), dvs).drop("__graft_file", "__graft_pos")
+  }
+
+  /** Merge-on-read row DELETE: rows where `predicate` is TRUE (SQL
+    * semantics — NULL keeps the row) are tombstoned by committing a
+    * deletion vector of their `(file, row_index)` positions; NO data
+    * file is rewritten. The copy-on-write [[delete]] pays O(size of
+    * every touched file) per delete — ruinous when deletes are small
+    * and scattered across a 100 TB table; this path pays O(deleted
+    * rows) write + one small anti-join at read, and [[compact]]
+    * materializes the tombstones away when read amplification
+    * accumulates. Positions are keyed by immutable files, so a DV
+    * composes safely with every later append; a delete matching
+    * nothing commits nothing. History stays readable: `versionAsOf`
+    * below the delete sees the rows until [[vacuum]].
+    */
+  def deleteMor(spark: SparkSession, path: String, predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val base = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val lines       = readManifest(spark, path, base)
+    val (data, dvs) = splitManifest(lines)
+    val hits = minusDv(spark, path, scanWithPos(spark, path, data), dvs)
+      .filter(predicate)
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      .localCheckpoint(eager = true)
+    if (hits.isEmpty) return base
+    val dvRel = s"_dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
+    hits.coalesce(1).write.parquet(s"$path/$dvRel")
+    val v = base + 1
+    require(tryCommit(spark, path, v, lines :+ s"dv:$dvRel"), s"deleteMor on $path lost a race at version $v")
+    v
+  }
+
+  /** Merge-on-read UPDATE: matched rows are tombstoned by a deletion
+    * vector AND re-appended with each `set` column replaced (evaluated
+    * on the old row) — one commit carries both, so readers atomically
+    * flip from old to new rows. Same cost profile as [[deleteMor]]:
+    * O(matched rows), never O(touched files). NULL predicate leaves
+    * the row unchanged; a no-match update commits nothing.
+    */
+  def updateMor(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]
+  ): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(set.nonEmpty, "updateMor needs at least one SET column")
+    val base = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val lines       = readManifest(spark, path, base)
+    val (data, dvs) = splitManifest(lines)
+    val matched = minusDv(spark, path, scanWithPos(spark, path, data), dvs)
+      .filter(coalesce(predicate, lit(false)))
+      .localCheckpoint(eager = true)
+    if (matched.isEmpty) return base
+    val dvRel = s"_dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
+    matched.select(col("__graft_file").as("file"), col("__graft_pos").as("pos")).coalesce(1).write.parquet(s"$path/$dvRel")
+    val rewritten = set.foldLeft(matched.drop("__graft_file", "__graft_pos")) { case (df, (c, e)) => df.withColumn(c, e) }
+    val newFiles  = stageData(spark, path, rewritten)
+    val v         = base + 1
+    require(
+      tryCommit(spark, path, v, data ++ newFiles ++ (dvs :+ dvRel).map("dv:" + _)),
+      s"updateMor on $path lost a race at version $v"
+    )
+    v
+  }
+
+  /** ROLLBACK: commit a NEW version whose manifest is a byte-copy of
+    * `version`'s — the table's latest state becomes the historical
+    * snapshot again without moving a byte of data, and the rolled-back
+    * versions remain readable (restore is itself just a commit, never
+    * a history rewrite). Refused loudly if [[vacuum]] has already
+    * reclaimed any file the target version references.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val latest = latestVersion(spark, path)
+    require(version >= 1 && version <= latest, s"no version $version at $path (latest is $latest)")
+    val f = fs(spark, path)
+    require(
+      f.exists(manifestPath(path, version)),
+      s"cannot restore $path to version $version: its manifest was vacuumed"
+    )
+    val lines = readManifest(spark, path, version)
+    val (data, dvs) = splitManifest(lines)
+    (data ++ dvs).map(fileRef(path, _)).foreach { p =>
+      require(f.exists(new Path(p)), s"cannot restore $path to version $version: $p was vacuumed")
+    }
+    val v = latest + 1
+    require(tryCommit(spark, path, v, lines), s"restore of $path lost a race at version $v")
+    v
+  }
+
+  /** Shallow (zero-copy) CLONE: create `dst` whose version-1 manifest
+    * references `src`'s immutable files by absolute path — cloning any
+    * table costs one manifest write regardless of data size, and the
+    * clone immediately diverges independently (its own appends,
+    * deletes, compactions land under `dst`). The clone shares fate
+    * with the source's files: vacuuming `src` past the cloned version
+    * breaks the clone (the lake-format contract); [[compact]] on the
+    * clone localizes it, cutting the dependency.
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String, versionAsOf: Option[Long] = None): Long = {
+    require(latestVersion(spark, dst) == 0L, s"table already exists at $dst")
+    val v = versionAsOf.getOrElse(latestVersion(spark, src))
+    require(v > 0, s"no table at $src")
+    val abs = readManifest(spark, src, v).map { l =>
+      if (isDvLine(l)) "dv:" + fileRef(src, l.stripPrefix("dv:")) else fileRef(src, l)
+    }
+    require(tryCommit(spark, dst, 1L, abs), s"concurrent create at $dst")
+    1L
   }
 
   /** Copy-on-write row DELETE: rows where `predicate` is TRUE (SQL
@@ -352,8 +542,12 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val base     = latestVersion(spark, path)
     require(base > 0, s"no table at $path")
-    val files    = readManifest(spark, path, base)
-    val absOf    = files.map(rel => s"$path/$rel" -> rel).toMap
+    val (files, dvLines) = splitManifest(readManifest(spark, path, base))
+    require(
+      dvLines.isEmpty,
+      s"copy-on-write delete on $path: table carries deletion vectors — compact() first, or stay merge-on-read with deleteMor"
+    )
+    val absOf    = files.map(rel => fileRef(path, rel) -> rel).toMap
     val cur      = spark.read.parquet(absOf.keys.toSeq: _*)
     val touchedAbs = cur
       .filter(predicate)
@@ -368,7 +562,7 @@ object SnapshotTable {
     val touchedRel = files.filter(rel => touchedAbs.exists(_.endsWith(rel))).toSet
     val untouched  = files.filterNot(touchedRel)
     val kept = spark.read
-      .parquet(touchedRel.map(rel => s"$path/$rel").toSeq: _*)
+      .parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)
       .filter(not(coalesce(predicate, lit(false))))
       .localCheckpoint(eager = true)
     val newFiles = stageData(spark, path, kept)
@@ -394,8 +588,12 @@ object SnapshotTable {
     require(set.nonEmpty, "update needs at least one SET column")
     val base  = latestVersion(spark, path)
     require(base > 0, s"no table at $path")
-    val files = readManifest(spark, path, base)
-    val cur   = spark.read.parquet(files.map(rel => s"$path/$rel"): _*)
+    val (files, dvLines) = splitManifest(readManifest(spark, path, base))
+    require(
+      dvLines.isEmpty,
+      s"copy-on-write update on $path: table carries deletion vectors — compact() first, or stay merge-on-read with updateMor"
+    )
+    val cur   = spark.read.parquet(files.map(fileRef(path, _)): _*)
     val touchedAbs = cur
       .filter(predicate)
       .select(input_file_name())
@@ -408,7 +606,7 @@ object SnapshotTable {
     val untouched  = files.filterNot(touchedRel)
     val hit        = coalesce(predicate, lit(false))
     val rewritten = set
-      .foldLeft(spark.read.parquet(touchedRel.map(rel => s"$path/$rel").toSeq: _*)) { case (df, (c, e)) =>
+      .foldLeft(spark.read.parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)) { case (df, (c, e)) =>
         df.withColumn(c, when(hit, e).otherwise(org.apache.spark.sql.functions.col(c)))
       }
       .localCheckpoint(eager = true)
@@ -430,15 +628,21 @@ object SnapshotTable {
     */
   def changesBetween(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
-    val from = if (fromVersion == 0) Set.empty[String] else readManifest(spark, path, fromVersion).toSet
-    val to   = readManifest(spark, path, toVersion).toSet
+    val (fromData, fromDv) =
+      if (fromVersion == 0) (Set.empty[String], Set.empty[String])
+      else { val (d, v) = splitManifest(readManifest(spark, path, fromVersion)); (d.toSet, v.toSet) }
+    val (toData, toDv) = { val (d, v) = splitManifest(readManifest(spark, path, toVersion)); (d.toSet, v.toSet) }
     require(
-      from.subsetOf(to),
+      fromDv == toDv,
+      s"versions $fromVersion..$toVersion of $path include a deletion-vector commit; file diff is not row diff — read snapshots instead"
+    )
+    require(
+      fromData.subsetOf(toData),
       s"versions $fromVersion..$toVersion of $path include a rewrite commit; file diff is not row diff — read snapshots instead"
     )
-    val added = (to -- from).toSeq.sorted
+    val added = (toData -- fromData).toSeq.sorted
     if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(added.map(rel => s"$path/$rel"): _*)
+    else spark.read.parquet(added.map(fileRef(path, _)): _*)
   }
 
   /** The table as a STREAM of appends: every file a future commit adds
@@ -449,6 +653,15 @@ object SnapshotTable {
     * mutating tables should read snapshots instead.
     */
   def readStream(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val (data, dvs) = splitManifest(readManifest(spark, path, latestVersion(spark, path)))
+    require(
+      dvs.isEmpty,
+      s"streaming read of $path: table carries deletion vectors a file stream cannot subtract — compact() first"
+    )
+    require(
+      data.forall(l => !l.startsWith("/") && !l.contains("://")),
+      s"streaming read of $path: shallow clone references files outside $path/data a file stream would never see — compact() first"
+    )
     val schema = read(spark, path).schema
     spark.readStream.schema(schema).parquet(s"$path/data/*")
   }
@@ -509,6 +722,17 @@ object SnapshotTable {
         // same minAge guard: an in-flight commit writes its sidecar
         // before its manifest exists
         if (name.startsWith("c-") && !liveCommits.contains(s"data/$name") && st.getModificationTime <= cutoff)
+          f.delete(st.getPath, true)
+      }
+    }
+    // reclaim deletion vectors referenced by NO kept manifest (same
+    // minAge guard: deleteMor/updateMor write the DV before the commit
+    // point, so an in-flight mutation's DV must never be swept)
+    val dvRoot = new Path(s"$path/_dv")
+    if (f.exists(dvRoot)) {
+      val liveDv = live.collect { case l if isDvLine(l) => l.stripPrefix("dv:") }
+      f.listStatus(dvRoot).foreach { st =>
+        if (!liveDv.contains(s"_dv/${st.getPath.getName}") && st.getModificationTime <= cutoff)
           f.delete(st.getPath, true)
       }
     }
