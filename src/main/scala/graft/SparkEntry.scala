@@ -188,6 +188,62 @@ object SparkEntry {
     path
   }
 
+  /** Memoized merge-on-read demo table over orders: v1 = full table
+    * in 4 files, v2 = [[graft.sources.SnapshotTable.deleteMor]] of
+    * o_orderkey%5=0 (a deletion-vector commit — no file rewritten),
+    * v3 = [[graft.sources.SnapshotTable.updateMor]] restating the
+    * priority of F-status %7=0 rows (tombstone + append in ONE
+    * commit), v4 = restore(v2) (manifest-only rollback). Queries read
+    * EXPLICIT versions, so they stay order-independent; DuckDB
+    * replays each version from the predicates alone.
+    */
+  private val morTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def morTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_mor_tbl", dir)}"
+    morTableBuilt.synchronized {
+      if (!morTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val orders = Tables
+          .orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.create(s, path, orders.repartition(4))
+        graft.sources.SnapshotTable.deleteMor(s, path, col("o_orderkey") % 5 === 0)
+        graft.sources.SnapshotTable.updateMor(
+          s,
+          path,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0,
+          Map("o_orderpriority" -> lit("0-RESTATED"))
+        )
+        graft.sources.SnapshotTable.restore(s, path, 2L)
+        morTableBuilt += dir
+      }
+    }
+    path
+  }
+
+  /** Memoized shallow clone of [[morTableReady]] at v3 — built in its
+    * own /tmp root, zero data copied.
+    */
+  private val morCloneBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def morCloneReady(s: SparkSession, dir: String): String = {
+    val src  = morTableReady(s, dir)
+    val path = s"/tmp/${dirKeyed("graft_mor_clone", dir)}"
+    morCloneBuilt.synchronized {
+      if (!morCloneBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        graft.sources.SnapshotTable.shallowClone(s, src, path, versionAsOf = Some(3L))
+        morCloneBuilt += dir
+      }
+    }
+    path
+  }
+
   private val logStatsBuilt = scala.collection.mutable.Set.empty[String]
 
   private val governedBuilt = scala.collection.mutable.Set.empty[String]
@@ -640,6 +696,10 @@ object SparkEntry {
     // across engines (long sums are order-independent), so the oracle
     // replays PageRank as unrolled SQL — no float summation drift
     "graph_pagerank"  -> q(Graph.partSupplierPageRank),
+    // HITS hubs/authorities over the directed supplier→part relation:
+    // integer mass with mass-conserving floor-div normalization per
+    // half-iteration — replays bit-exact as unrolled SQL like pagerank
+    "graph_hits"      -> q(Graph.supplierPartHits),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
     "graph_triangles" -> q(Graph.coOrderTriangles),
     "graph_ppr"       -> q(Graph.supplierAffinity),
@@ -833,6 +893,11 @@ object SparkEntry {
     "text_tokens"      -> q(TextAnalysis.tokenCounts),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     "text_tfidf_top"   -> q(TextAnalysis.tfIdfTopTerm),
+    // PMI collocations: top adjacent-pair associations; bigrams are
+    // array-local per document (no self-join), marginals join AFTER
+    // the count threshold, totals broadcast — DuckDB replays via
+    // generate_series over the same token lists
+    "text_pmi_collocations" -> q((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
     "text_bm25_topk"   -> q((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "text_phrase_search" -> q((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "text_ql_topk"     -> q((s, dir) => TextAnalysis.qlTopK(s, dir)),
@@ -932,6 +997,26 @@ object SparkEntry {
     },
     "text_contamination_bloom" -> q((s, dir) => TextAnalysis.contaminationBloom(s, dir)),
     "text_freq_items"  -> q((s, dir) => TextAnalysis.freqItems(s, dir)),
+    // EXACT top-k terms via the candidate-verify two-pass (MG sketch
+    // bounds the candidate set, broadcast semi-join recounts exactly,
+    // coverage proven from the N/m bound and REQUIRED loudly) — the
+    // oracle is the plain exact top-k, because the result is exact
+    "topk_exact_twopass" -> q((s, dir) => TextAnalysis.topKExactTwoPass(s, dir)),
+    // embedding-cluster summaries: k-means cells labeled with doc
+    // count + most distinctive term (cluster-level TF-IDF); the query
+    // dumps its (doc_id, cell) assignment and DuckDB recomputes every
+    // summary from it
+    "sim_cluster_topterms" -> q { (s, dir) =>
+      dumpSimOracleOnce("ctt", dir) {
+        val e           = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val (_, centDf) = Similarity.kmeansCells(e, 16)
+        Similarity
+          .assignCells(e, centDf, 1)
+          .select(col("vec_id").as("doc_id"), col("cell"))
+          .write.mode("overwrite").parquet("/tmp/graft_ctt_oracle/assigned")
+      }
+      Similarity.clusterTopTerms(s, dir)
+    },
     "text_lm_score"    -> q(TextAnalysis.lmScore),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
     // deflate → rows-only; check_compression_ratio is the oracle gate
@@ -993,6 +1078,59 @@ object SparkEntry {
           sum(length(col("text"))).as("sum_chars")
         )
     },
+    // merge-on-read DELETE: v2 tombstoned o_orderkey%5=0 via a
+    // deletion vector (no data file rewritten — MergeOnReadSpec pins
+    // that); reading v2 must subtract the tombstones, v1 must still
+    // see every row. DuckDB replays both versions from the predicate
+    "delete_rows_mor" -> q { (s, dir) =>
+      val path = morTableReady(s, dir)
+      Seq(1L, 2L)
+        .map { v =>
+          graft.sources.SnapshotTable
+            .read(s, path, Some(v))
+            .agg(
+              count(lit(1)).as("n_orders"),
+              sum("o_orderkey").as("sum_key"),
+              min("o_totalprice").as("min_price"),
+              max("o_totalprice").as("max_price")
+            )
+            .select(lit(v).as("version"), col("n_orders"), col("sum_key"), col("min_price"), col("max_price"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("version")
+    },
+    // merge-on-read UPDATE: v3 restated the priority of F-status
+    // %7=0 SURVIVING rows (the %5=0 tombstones must not resurrect)
+    // as one tombstone+append commit; per-priority totals replay in
+    // DuckDB as a CASE over the delete+update predicates
+    "update_rows_mor" -> q { (s, dir) =>
+      graft.sources.SnapshotTable
+        .read(s, morTableReady(s, dir), Some(3L))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderpriority")
+    },
+    // ROLLBACK: v4 = restore(v2) — a manifest-only commit whose read
+    // must equal v2 exactly (update undone, delete still in effect),
+    // with latestVersion proving restore committed exactly once
+    "restore_table" -> q { (s, dir) =>
+      val path = morTableReady(s, dir)
+      val latest = graft.sources.SnapshotTable.latestVersion(s, path)
+      graft.sources.SnapshotTable
+        .read(s, path, Some(4L))
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+        .select(lit(latest).as("latest_version"), col("n_orders"), col("sum_key"))
+    },
+    // zero-copy shallow clone at v3: reads the SOURCE's immutable
+    // files by absolute reference (MergeOnReadSpec pins that no data
+    // lands under the clone) and must reproduce v3's post-update state
+    "clone_table_read" -> q { (s, dir) =>
+      graft.sources.SnapshotTable
+        .read(s, morCloneReady(s, dir))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), countDistinct("o_orderpriority").as("n_priorities"))
+        .orderBy("o_orderstatus")
+    },
     // graft-log time travel: read versions 1..3 of the snapshot table
     // (latest is 4, the compaction) — each historical version must
     // reproduce its cumulative append state exactly, which DuckDB
@@ -1013,6 +1151,26 @@ object SparkEntry {
     // tables in one report; per-table row rules fold into ONE
     // aggregation pass — DuckDB restates each rule as SQL counts
     "data_quality_report" -> q(Quality.starSchemaReport),
+    // column-level governance: a masked VIEW of customer — row policy
+    // (two segments only, applied BEFORE masking so policy can use a
+    // column that then gets redacted), last-3 partial name, SHA-256
+    // pseudonymized nation key (equal keys still join), acctbal
+    // generalized to 1000-wide buckets — every cell deterministic,
+    // so DuckDB recomputes the entire view
+    "governed_masked_read" -> q { (s, dir) =>
+      Quality
+        .maskedView(
+          Tables.customer(s, dir),
+          masks = Seq(
+            Quality.PartialMask("c_name", keepLast = 3),
+            Quality.HashMask("c_nationkey"),
+            Quality.BucketMask("c_acctbal", width = 1000L),
+            Quality.RedactMask("c_mktsegment")
+          ),
+          rowPolicy = Some(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        )
+        .orderBy("c_custkey")
+    },
     // capstone composition: quality-gated admission → stats-enabled
     // graft-log commits (clustered) → sidecar-PRUNED read (required
     // loudly) → per-language rollup; DuckDB restates the whole path
@@ -1286,6 +1444,11 @@ object SparkEntry {
       CurationPipeline.curate(s, dir).orderBy("doc_id")
     },
     "sketch_kmv_parts" -> q((s, dir) => Sketches.kmvParts(s, dir)),
+    // KMV set algebra: corpus-overlap report (per-side ndv, union,
+    // intersection, Jaccard) computed on the sketches alone —
+    // sub-capacity here, so DuckDB replays every number exactly;
+    // check_kmv pins the saturated regime
+    "sketch_set_overlap" -> q((s, dir) => Sketches.kmvOverlap(s, dir)),
     "text_cms_counts"  -> q((s, dir) => Sketches.cmsWordCounts(s, dir)),
     // ---- oracle-adjacent hard checks for the rows-only operators ----
     "check_hll_error"          -> q(Checks.hllError),
@@ -1401,6 +1564,26 @@ object SparkEntry {
          |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
          |$iters
          |SELECT node, mass FROM pr5 ORDER BY node""".stripMargin
+    }
+    val hitsSql = {
+      // 3 alternating half-iterations, each normalized by its round's
+      // total via floor division — mirrors Graph.hits exactly
+      val iters = (1 to 3).map { i =>
+        s"""a${i}r AS (SELECT e.dst AS node, CAST(SUM(h.mass) AS BIGINT) AS raw
+           |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+           |a$i AS (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM a${i}r) AS BIGINT) AS mass
+           |  FROM a${i}r),
+           |h${i}r AS (SELECT e.src AS node, CAST(SUM(a.mass) AS BIGINT) AS raw
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |h$i AS (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM h${i}r) AS BIGINT) AS mass
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS mass FROM e),
+         |$iters
+         |SELECT 'hub' AS role, node, mass FROM h3
+         |UNION ALL SELECT 'auth' AS role, node, mass FROM a3
+         |ORDER BY role, node""".stripMargin
     }
     val pprSql = {
       val iters = (1 to 4).map { i =>
@@ -2247,6 +2430,7 @@ object SparkEntry {
            |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
+      "graph_hits"      -> hitsSql,
       "graph_bfs_depth" -> bfsSql,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
@@ -2760,6 +2944,79 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "delete_rows_mor" ->
+        """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+          |FROM orders
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(sum(o_orderkey) AS BIGINT), min(o_totalprice), max(o_totalprice)
+          |FROM orders WHERE o_orderkey % 5 <> 0
+          |ORDER BY version""".stripMargin,
+      "update_rows_mor" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM (SELECT CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+          |               THEN '0-RESTATED' ELSE o_orderpriority END AS o_orderpriority,
+          |             o_orderkey
+          |      FROM orders WHERE o_orderkey % 5 <> 0)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "restore_table" ->
+        """SELECT CAST(4 AS BIGINT) AS latest_version, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+      "clone_table_read" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+          |                        THEN '0-RESTATED' ELSE o_orderpriority END) AS BIGINT) AS n_priorities
+          |FROM orders WHERE o_orderkey % 5 <> 0
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "governed_masked_read" ->
+        """SELECT c_custkey,
+          |  repeat('*', greatest(len(c_name) - 3, 0)) || right(c_name, 3) AS c_name,
+          |  sha256(CAST(c_nationkey AS VARCHAR)) AS c_nationkey,
+          |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS c_acctbal,
+          |  '[REDACTED]' AS c_mktsegment
+          |FROM customer
+          |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          |ORDER BY c_custkey""".stripMargin,
+      "sketch_set_overlap" ->
+        """WITH a AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+          |     b AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_orderkey % 2 = 1),
+          |     m AS (SELECT
+          |       (SELECT count(*) FROM a) AS n_even,
+          |       (SELECT count(*) FROM b) AS n_odd,
+          |       (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS n_union,
+          |       (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_overlap)
+          |SELECT CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+          |  CAST(n_union AS BIGINT) AS n_union, CAST(n_overlap AS BIGINT) AS n_overlap,
+          |  round(CAST(n_overlap AS DOUBLE) / n_union, 4) AS jaccard
+          |FROM m""".stripMargin,
+      "text_pmi_collocations" ->
+        """WITH toks AS (
+          |  SELECT list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS ts
+          |  FROM documents
+          |),
+          |uni AS (SELECT unnest(ts) AS tok FROM toks),
+          |ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+          |tot AS (SELECT count(*) AS n_uni FROM uni),
+          |big AS (
+          |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+          |  FROM toks, unnest(range(1, len(ts))) AS g(i)
+          |),
+          |bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+          |btot AS (SELECT count(*) AS n_big FROM big)
+          |SELECT bcnt.w1, bcnt.w2, CAST(bcnt.c_xy AS BIGINT) AS c_xy,
+          |  round(ln((CAST(bcnt.c_xy AS DOUBLE) * tot.n_uni * tot.n_uni)
+          |           / (CAST(btot.n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+          |FROM bcnt
+          |JOIN ucnt u1 ON u1.tok = bcnt.w1
+          |JOIN ucnt u2 ON u2.tok = bcnt.w2
+          |CROSS JOIN tot CROSS JOIN btot
+          |WHERE bcnt.c_xy >= 5
+          |ORDER BY pmi DESC, w1, w2
+          |LIMIT 40""".stripMargin,
       "governed_ingest" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -3054,6 +3311,29 @@ object SparkEntry {
            |  FROM (SELECT unnest($toks) AS term FROM documents)
            |  GROUP BY term)
            |ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+      "topk_exact_twopass" ->
+        s"""SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM (
+           |  SELECT tok, count(*) AS cnt
+           |  FROM (SELECT unnest($toks) AS tok FROM documents)
+           |  GROUP BY tok)
+           |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+      "sim_cluster_topterms" ->
+        """WITH asg AS (SELECT doc_id, cell FROM '/tmp/graft_ctt_oracle/assigned/*.parquet'),
+          |toks AS (
+          |  SELECT a.cell,
+          |         unnest(list_filter(string_split_regex(d.text, '[^\p{L}]+'), x -> x <> '')) AS term
+          |  FROM documents d JOIN asg a USING (doc_id)
+          |),
+          |tf AS (SELECT cell, term, count(*) AS tf FROM toks GROUP BY cell, term),
+          |dfc AS (SELECT term, count(DISTINCT cell) AS dfc FROM tf GROUP BY term),
+          |sc AS (SELECT tf.cell, tf.term, round(tf.tf * ln(16.0 / dfc.dfc), 4) AS tfidf
+          |       FROM tf JOIN dfc USING (term)),
+          |top AS (SELECT cell, term, tfidf,
+          |          row_number() OVER (PARTITION BY cell ORDER BY tfidf DESC, term) AS rn
+          |        FROM sc),
+          |nd AS (SELECT cell, count(*) AS n_docs FROM asg GROUP BY cell)
+          |SELECT t.cell, CAST(nd.n_docs AS BIGINT) AS n_docs, t.term AS top_term, t.tfidf
+          |FROM top t JOIN nd USING (cell) WHERE rn = 1 ORDER BY t.cell""".stripMargin,
       "check_freq_items" ->
         """SELECT stream, CAST(0 AS BIGINT) AS missed_heavy,
           |  CAST(0 AS BIGINT) AS over_est, CAST(0 AS BIGINT) AS under_err

@@ -270,6 +270,62 @@ object Graph {
   def partSupplierPageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(partSupplierEdges(spark, dir), iterations = 5)
 
+  /** HITS (Kleinberg 1999) over a DIRECTED hub→authority edge
+    * relation, integer-mass edition: authority = normalized inflow of
+    * hub mass, hub = normalized inflow of authority mass, alternating
+    * `iterations` times. Normalization is the part float HITS does
+    * with an L2 norm — here it is mass-conserving floor division by
+    * the round's total (a broadcast 1-row aggregate), which keeps
+    * every value bounded by `scale`·degree (no overflow at any
+    * iteration count) and BIT-EXACT replayable as unrolled SQL, the
+    * same discipline as [[pageRank]]. Ordering agrees with float HITS
+    * to sub-ppm mass.
+    *
+    * Per iteration: two hash joins (mass onto edges) + two (node,
+    * contrib) aggregation shuffles + two 1-row totals — linear in
+    * edges, bucketing-friendly on node id like every iteration here.
+    */
+  def hits(edges: DataFrame, iterations: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def half(mass: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e
+        .join(mass, col(from) === col("node"))
+        .select(col(to).as("n2"), col("mass").as("m"))
+        .groupBy("n2")
+        .agg(sum("m").as("raw"))
+      val tot = raw.agg(sum("raw").as("tot"))
+      raw
+        .crossJoin(broadcast(tot))
+        .select(col("n2").as("node"), expr(s"(raw * ${scale}L) div tot").as("mass"))
+    }
+    var hub = e.select(col("src").as("node")).distinct().withColumn("mass", lit(scale))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = half(hub, "src", "dst")
+      hub = half(auth, "dst", "src")
+    }
+    hub
+      .select(lit("hub").as("role"), col("node"), col("mass"))
+      .unionByName(auth.select(lit("auth").as("role"), col("node"), col("mass")))
+      .orderBy("role", "node")
+  }
+
+  /** `graph_hits` query body: suppliers as hubs, parts as authorities
+    * over the directed supplier→part shipment relation (the natural
+    * bipartite HITS instance of this schema).
+    */
+  def supplierPartHits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_suppkey") * 2L + 1L).as("src"),
+      (col("l_partkey") * 2L).as("dst")
+    )
+    hits(li.distinct(), iterations = 3)
+  }
+
   /** `graph_bfs_depth` query body: hop distance from the parts shipped
     * by supplier 1 (namespaced node 3) out to 4 hops in the
     * part↔supplier graph.

@@ -232,6 +232,45 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Embedding-cluster corpus summaries: k-means cells over the
+    * embedding space, each labeled with its document count and its
+    * most distinctive term (cluster-level TF-IDF: the cluster is the
+    * "document", so idf punishes terms every cluster shares). This is
+    * the curation inspection loop at 100 TB — "what IS this blob of
+    * the corpus" answered per cluster without reading any document
+    * twice: one narrow assignment pass against broadcast centroids,
+    * one tokenize + (cell, term) aggregation, one term-keyed join for
+    * the idf, and a cells-sized top-1 aggregate (the same
+    * min-of-(−tfidf, term) struct trick as [[TextAnalysis
+    * .tfIdfTopTerm]] — partially aggregable, no window over the token
+    * stream).
+    *
+    * [[clusterSummaries]] is the assignment-driven half, shared with
+    * the oracle replay: the registered query dumps the (doc_id, cell)
+    * assignment and DuckDB recomputes every summary from it.
+    */
+  def clusterTopTerms(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val e           = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (_, centDf) = kmeansCells(e, nCells)
+    val asg         = assignCells(e, centDf, 1).select(col("vec_id").as("doc_id"), col("cell"))
+    clusterSummaries(spark, dir, asg, nCells)
+  }
+
+  private[graft] def clusterSummaries(spark: SparkSession, dir: String, asg: DataFrame, nCells: Int): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val toks = TextJobs.tokenized(docs, "text", "term").join(asg, "doc_id")
+    val tf   = toks.groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val dfc  = tf.groupBy("term").agg(countDistinct("cell").as("dfc"))
+    val top = tf
+      .join(dfc, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nCells.toDouble) / col("dfc")), 4))
+      .groupBy("cell")
+      .agg(min(struct((-col("tfidf")).as("neg"), col("term"))).as("top"))
+      .select(col("cell"), col("top.term").as("top_term"), (-col("top.neg") + lit(0.0)).as("tfidf"))
+    val nd = asg.groupBy("cell").agg(count(lit(1)).as("n_docs"))
+    top.join(nd, "cell").select("cell", "n_docs", "top_term", "tfidf").orderBy("cell")
+  }
+
   /** Multi-assignment against a centroid table: each vector joins its
     * `nAssign` nearest cells by cosine — the blocking-key producer
     * shared by [[semanticNearDups]] and the incremental index. One

@@ -641,6 +641,45 @@ object TextAnalysis {
       .limit(outK)
   }
 
+  /** EXACT global top-k terms WITHOUT a full-vocabulary shuffle: the
+    * candidate-verify two-pass. Pass 1 runs Misra–Gries (capacity m)
+    * as one mergeable aggregate — its guarantee: every item with true
+    * frequency > N/m survives in the sketch. Pass 2 recounts ONLY the
+    * candidates exactly (broadcast semi-join, so the groupBy's key
+    * space is ≤ m instead of the vocabulary) and takes the top k.
+    * The result is PROVABLY the exact top-k whenever the k-th
+    * recounted frequency exceeds N/m — checked here and enforced
+    * loudly, because a silently unproven "exact" answer is the sketch
+    * failure mode this operator exists to prevent. At 100 TB this is
+    * the difference between shuffling a billion-term vocabulary and
+    * shuffling ≤ m candidate counts.
+    */
+  def topKExactTwoPass(spark: SparkSession, dir: String, k: Int = 20, capacity: Int = 4096): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val toks = tokenRows(spark, dir)
+    // pass 1: one mergeable aggregate carries the sketch AND N
+    val p1 = toks.agg(expr(s"freq_items_agg(tok, $capacity)").as("fi"), count(lit(1)).as("n")).collect().head
+    val n  = p1.getLong(1)
+    val cand = p1.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)).toDF("tok")
+    // pass 2: exact recount restricted to the ≤ m candidates
+    val topK = toks
+      .join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+      .localCheckpoint(eager = true) // reused by the proof AND the result
+    // coverage proof: N/m < k-th count ⇒ no non-candidate can reach
+    // the top k (MG keeps every item with freq > N/m)
+    val kth = topK.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
+    require(
+      kth > n / capacity,
+      s"top-$k not provably exact: k-th count $kth ≤ N/m = ${n / capacity} — raise capacity"
+    )
+    topK
+  }
+
   /** TF-IDF: top term per document by tf·idf weight. The corpus size
     * enters as a broadcast 1-row aggregate (not a driver `.count()`),
     * so building the DataFrame stays lazy and the whole thing runs as

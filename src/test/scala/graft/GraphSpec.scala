@@ -167,4 +167,40 @@ class GraphSpec extends SparkSpec {
     }
     assert(got.values.max <= 4L)
   }
+
+  private def modelHits(edges: Set[(Long, Long)], iters: Int): Map[(String, Long), Long] = {
+    def half(mass: Map[Long, Long], in: Boolean): Map[Long, Long] = {
+      val raw = edges.toSeq
+        .flatMap { case (s, d) => mass.get(if (in) s else d).map((if (in) d else s) -> _) }
+        .groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).sum }
+      val tot = raw.values.sum
+      raw.map { case (n, m) => n -> (m * 1000000L) / tot }
+    }
+    var hub  = edges.map(_._1).map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) { auth = half(hub, in = true); hub = half(auth, in = false) }
+    hub.map { case (n, m) => ("hub", n) -> m } ++ auth.map { case (n, m) => ("auth", n) -> m }
+  }
+
+  test("hits == integer model on a tiny bipartite graph and on the real supplier-part relation") {
+    val tiny = Set((11L, 10L), (11L, 20L), (21L, 10L))
+    val got = Graph
+      .hits(tiny.toSeq.toDF("src", "dst"), iterations = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == modelHits(tiny, 3))
+    // the shared authority p1 must out-score p2; its co-hub s1 out-scores s2
+    assert(got(("auth", 10L)) > got(("auth", 20L)) && got(("hub", 11L)) > got(("hub", 21L)))
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .select((col("l_suppkey") * 2 + 1).cast("long").as("src"), (col("l_partkey") * 2).cast("long").as("dst"))
+      .distinct()
+    val es   = li.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val real = Graph.hits(li, 3).collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(real == modelHits(es, 3))
+    // normalization keeps each side's mass at most the scale total
+    assert(real.collect { case (("hub", _), m) => m }.sum <= 1000000L)
+  }
 }

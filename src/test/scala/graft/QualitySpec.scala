@@ -71,6 +71,41 @@ class QualitySpec extends SparkSpec {
     assert(acceptedIds.intersect(want.keySet).isEmpty, "no violating row may be accepted")
   }
 
+  test("masked view: row policy filters first, every mask rule behaves at its edges") {
+    import SparkSpec.spark.implicits._
+    val t = Seq(
+      (1L, "Customer#001", "BUILDING", 1234.56, 7),
+      (2L, "ab", "MACHINERY", -250.01, 7), // name shorter than keepLast
+      (3L, null.asInstanceOf[String], "BUILDING", 0.0, 9), // NULL through hash/partial
+      (4L, "Customer#004", "FURNITURE", 999.99, 7) // filtered by policy
+    ).toDF("id", "name", "seg", "bal", "nat")
+    val v = Quality
+      .maskedView(
+        t,
+        masks = Seq(
+          Quality.PartialMask("name", keepLast = 3),
+          Quality.HashMask("nat"),
+          Quality.BucketMask("bal", width = 1000L),
+          Quality.RedactMask("seg")
+        ),
+        rowPolicy = Some(col("seg").isin("BUILDING", "MACHINERY"))
+      )
+      .orderBy("id")
+      .collect()
+    assert(v.length == 3, "row policy must drop the FURNITURE row")
+    val r1 = v(0)
+    assert(r1.getString(1) == "*********001")
+    assert(r1.getString(2) == "[REDACTED]")
+    assert(r1.getLong(3) == 1000L)
+    // equal source values pseudonymize to equal tokens (joinability)
+    assert(r1.getString(4).length == 64 && r1.getString(4) == v(1).getString(4))
+    val r2 = v(1)
+    assert(r2.getString(1) == "ab", "short strings pass through PartialMask unchanged")
+    assert(r2.getLong(3) == -1000L, "bucket floors toward -inf")
+    val r3 = v(2)
+    assert(r3.getString(1) == null && r3.getString(4) != null)
+  }
+
   test("star-schema report: clean rules zero, strict document rules report real violations") {
     val rows = Quality
       .starSchemaReport(spark, sfDir)

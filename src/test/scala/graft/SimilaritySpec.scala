@@ -359,4 +359,14 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeds"), s"guard must name the budget, got: ${ex.getMessage}")
   }
+
+  test("clusterTopTerms: every doc in exactly one summarized cell, deterministic across runs") {
+    val s1 = graft.operators.Similarity.clusterTopTerms(spark, sfDir).collect()
+    assert(s1.nonEmpty && s1.length <= 16)
+    assert(s1.map(_.getLong(1)).sum == 500L, "n_docs must partition the corpus")
+    assert(s1.map(_.getInt(0)).distinct.length == s1.length, "one summary per cell")
+    assert(s1.forall(_.getDouble(3) >= 0.0), "tfidf is non-negative by construction (dfc <= nCells)")
+    val s2 = graft.operators.Similarity.clusterTopTerms(spark, sfDir).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq, "summaries must replay bit-identically")
+  }
 }

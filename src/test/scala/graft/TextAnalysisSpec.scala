@@ -500,4 +500,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getLong(2) == 0L, "a self-concatenated doc failed to compress below the original")
     assert(row.getLong(3) == 0L, "recomputation was not bit-identical")
   }
+
+  test("topKExactTwoPass == the full-shuffle exact top-k; tiny capacity fails the proof loudly") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val got = TextAnalysis.topKExactTwoPass(spark, sfDir, k = 20, capacity = 4096).collect()
+    val want = graft.operators.TextJobs
+      .tokenized(Tables.documents(spark, sfDir).select("text"), "text", "tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // capacity 2: N/m is huge, the k-th count can't clear it — the
+    // operator must refuse rather than return a silently unproven list
+    val ex = intercept[IllegalArgumentException](TextAnalysis.topKExactTwoPass(spark, sfDir, k = 20, capacity = 2))
+    assert(ex.getMessage.contains("not provably exact"))
+  }
+
+  test("pmiCollocations: ordered, thresholded, and the array-local bigram counts match a window recount") {
+    val rows = TextAnalysis.pmiCollocations(spark, sfDir, minCount = 5L, topK = 40).collect()
+    assert(rows.length == 40)
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "pmi must be non-increasing")
+    assert(rows.forall(_.getLong(2) >= 5L), "count threshold must hold")
+    // recount the top pair's bigram frequency via the independent
+    // lag-window formulation (shuffle-per-doc) — the zip-with-tail
+    // extraction must agree with it exactly
+    import org.apache.spark.sql.functions.{col, lead, monotonically_increasing_id}
+    val (w1, w2, cxy) = (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2))
+    val toks = graft.operators.TextJobs
+      .tokenized(Tables.documents(spark, sfDir).select("doc_id", "text"), "text", "tok")
+      .withColumn("ord", monotonically_increasing_id())
+    val recount = toks
+      .withColumn("nxt", lead("tok", 1).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("ord")))
+      .filter(col("tok") === w1 && col("nxt") === w2)
+      .count()
+    assert(recount == cxy, s"window recount $recount != array extraction $cxy for ($w1,$w2)")
+  }
 }
