@@ -628,6 +628,32 @@ object SparkEntry {
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
     "events_tumbling_distinct" -> q(EventAnalytics.tumblingDistinctUsers),
+    // STREAMING exact dedup, oracle-gated end to end: AvailableNow
+    // drain of dropDuplicates-keyed (user_id, event_type) — exactly
+    // one kept row per key regardless of micro-batching, so the kept
+    // key set IS the batch distinct and DuckDB replays it; the
+    // watermark-scoped state-bounded variant is spec-pinned
+    // (StreamingSpec) since its drop set is arrival-order-defined
+    "events_stream_dedup" -> q { (s, dir) =>
+      val base = s"/tmp/${dirKeyed("graft_sdedup", dir)}"
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      // file-stream sources read DIRECTORIES; stage the table into one
+      // (several files, so the drain really is multi-batch-capable)
+      Tables.events(s, dir).repartition(4).write.parquet(s"$base/in")
+      val stream = graft.streaming.EventStreams.readEvents(s, s"$base/in")
+      val deduped = graft.streaming.EventStreams
+        .streamingDedupExact(stream, Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      graft.streaming.EventStreams
+        .drainToParquet(deduped, s"$base/out", s"$base/ckpt")
+        .awaitTermination()
+      s.read
+        .parquet(s"$base/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    },
     // DISTINCT window aggregate (absent from Spark's window surface)
     // expressed exactly as size(collect_set() OVER w)
     "window_cumulative_distinct" -> q((s, dir) => EventAnalytics.cumulativeDistinctTypes(s, dir)),
@@ -2325,6 +2351,9 @@ object SparkEntry {
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
           |  CAST(count(*) AS BIGINT) AS n_events
           |FROM events GROUP BY ws ORDER BY ws""".stripMargin,
+      "events_stream_dedup" ->
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "sessions_overlap_join" ->
         """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE user_id < 50),
           |m AS (SELECT user_id, t,

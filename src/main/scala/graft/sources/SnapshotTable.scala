@@ -678,6 +678,24 @@ object SnapshotTable {
     overwrite(spark, path, cur.localCheckpoint(eager = true))
   }
 
+  /** Cluster-compact: like [[compact]], but range-partitioned and
+    * sorted on `clusterCols` — the OPTIMIZE-style rewrite that
+    * RESTORES data-skipping power to a mutated table. Appends, MOR
+    * deletes, and updates gradually interleave value ranges across
+    * files until the stats sidecars prune nothing; one clustered
+    * rewrite re-tightens every file's min/max (recorded at commit
+    * time by [[stageData]] when stats are enabled) and folds any
+    * deletion vectors away in the same commit.
+    */
+  def compactClustered(spark: SparkSession, path: String, clusterCols: Seq[String], targetFiles: Int = 8): Long = {
+    require(clusterCols.nonEmpty, "compactClustered needs at least one cluster column")
+    import org.apache.spark.sql.functions.col
+    val cur = read(spark, path)
+      .repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    overwrite(spark, path, cur.localCheckpoint(eager = true))
+  }
+
   /** Delete data files referenced by NO version > `keepFrom` —
     * explicitly destroys time travel older than that version.
     *

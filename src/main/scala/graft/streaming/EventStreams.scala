@@ -77,6 +77,18 @@ object EventStreams {
   def streamingDedup(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates(keys)
 
+  /** EXACT streaming dedup: no watermark, so no late row is ever
+    * dropped before reaching the state store and the kept key set
+    * equals the batch `DISTINCT keys` regardless of how the source
+    * splits into micro-batches (with a watermark, a key whose FIRST
+    * arrival is late gets discarded and the stream under-counts vs
+    * batch). The price is key-cardinality state — the right trade for
+    * bounded key domains or backfill drains; for unbounded streams use
+    * [[streamingDedup]]/[[streamingDedupWithinWatermark]].
+    */
+  def streamingDedupExact(events: DataFrame, keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.dropDuplicates(keys)
+
   /** Watermark-SCOPED dedup (`dropDuplicatesWithinWatermark`): the
     * state-bounded production form. Plain dropDuplicates keeps every
     * key until its event-time window passes relative to the GLOBAL

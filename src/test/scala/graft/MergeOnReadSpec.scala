@@ -191,6 +191,24 @@ class MergeOnReadSpec extends SparkSpec {
     assert(got == (1L to 20L).filter(_ % 10 != 0), "pruned read must not resurrect tombstoned rows")
   }
 
+  test("compactClustered re-tightens file ranges: pruning works again and DVs are folded away") {
+    val p = freshPath("cluster_compact")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    // two interleaved commits: every file spans the whole range, so
+    // stats can prove nothing disjoint
+    SnapshotTable.create(spark, p, (1L to 80L by 2).toDF("id").repartition(4))
+    SnapshotTable.append(spark, p, (2L to 80L by 2).toDF("id").repartition(4))
+    SnapshotTable.deleteMor(spark, p, col("id") % 10 === 0)
+    val (preSurv, preTotal) = SnapshotTable.pruneVersionFiles(spark, p, "id", Some(1L), Some(10L))
+    assert(preSurv.length == preTotal, "interleaved layout must defeat pruning (the problem being fixed)")
+    val v = SnapshotTable.compactClustered(spark, p, Seq("id"), targetFiles = 4)
+    assert(manifestLines(p, v).forall(l => !l.startsWith("dv:")), "cluster-compact folds DVs away")
+    val (surv, total) = SnapshotTable.pruneVersionFiles(spark, p, "id", Some(1L), Some(10L))
+    assert(surv.length < total, s"clustered layout must prune ($surv of $total)")
+    val got = SnapshotTable.prunedRead(spark, p, "id", Some(1L), Some(10L)).as[Long].collect().sorted.toSeq
+    assert(got == (1L to 10L).filterNot(_ % 10 == 0))
+  }
+
   test("streaming read of a DV-carrying table is refused rather than re-emitting dead rows") {
     val p = freshPath("dv_stream")
     SnapshotTable.create(spark, p, df(1, 2, 3))
