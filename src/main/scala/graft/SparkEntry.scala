@@ -1280,6 +1280,13 @@ object SparkEntry {
     // full corpus token stream).
     "bpe_train" -> q((s, dir) => Bpe.train(s, dir, 200).orderBy("rank")),
     "check_bpe" -> q((s, dir) => Checks.bpeInvariants(s, dir)),
+    // unigram-LM tokenizer (SentencePiece family, hard-EM): the
+    // second subword trainer. Viterbi re-estimation is the same
+    // no-portable-SQL class as BPE merge learning → rows-only with
+    // check_unigram as the hash-green twin (roundtrip, closure,
+    // compression over the full corpus token stream)
+    "unigram_train" -> q((s, dir) => UnigramLm.train(s, dir).orderBy("rank")),
+    "check_unigram" -> q((s, dir) => Checks.unigramInvariants(s, dir)),
     // sketch-backed MV: distinct suppliers per return flag (and their
     // exact union) served from the standing KMV rollup alone — built
     // incrementally (third + two deltas + compaction); sub-capacity,
@@ -3110,6 +3117,9 @@ object SparkEntry {
       "check_bpe" ->
         """SELECT CAST(0 AS BIGINT) AS roundtrip_violations, true AS compressed,
           |  true AS vocab_closed, true AS merges_ok""".stripMargin,
+      "check_unigram" ->
+        """SELECT CAST(0 AS BIGINT) AS roundtrip_violations, true AS compressed,
+          |  true AS vocab_closed, true AS chars_closed""".stripMargin,
       "mv_sketch_distinct" ->
         """SELECT scope, CAST(n AS BIGINT) AS n_distinct FROM (
           |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,

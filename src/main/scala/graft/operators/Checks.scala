@@ -641,6 +641,46 @@ object Checks {
     * signatures are distinct within a doc. n_video_docs is the real
     * oracle tie (DuckDB counts doc_id % 3 = 2).
     */
+  /** Unigram-LM tokenizer invariants (the hash-green twin of the
+    * rows-only `unigram_train` — hard-EM Viterbi re-estimation is the
+    * same no-portable-SQL class as BPE merge learning). Verified
+    * INSIDE Spark over the full corpus token stream:
+    *   - round trip: every occurrence's pieces concatenate back to
+    *     the surface word;
+    *   - vocab closure: every emitted piece is in the trained
+    *     vocabulary;
+    *   - compression: the corpus encodes to strictly fewer pieces
+    *     than characters (the learned multi-char pieces do real work);
+    *   - vocabulary bounded and char-closed (every corpus char
+    *     present as a piece).
+    */
+  def unigramInvariants(spark: SparkSession, dir: String, vocabSize: Int = 400): DataFrame = {
+    val vocab   = UnigramLm.train(spark, dir, vocabSize).localCheckpoint(eager = false)
+    val encoded = UnigramLm.encodeDocs(spark, Tables.documents(spark, dir), vocab)
+    val unknownPieces = encoded
+      .select(explode(col("pieces")).as("p"))
+      .distinct()
+      .join(vocab.select(col("piece").as("p")), Seq("p"), "left_anti")
+    val missingChars = TextJobs
+      .tokenized(Tables.documents(spark, dir).select("text"), "text", "word")
+      .select(explode(split(col("word"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .distinct()
+      .join(vocab.filter(length(col("piece")) === 1).select(col("piece").as("ch")), Seq("ch"), "left_anti")
+    encoded
+      .agg(
+        sum(when(concat_ws("", col("pieces")) =!= col("word"), 1L).otherwise(0L)).as("roundtrip_violations"),
+        sum(size(col("pieces"))).cast("long").as("n_pieces"),
+        sum(length(col("word"))).cast("long").as("n_chars")
+      )
+      .select(
+        col("roundtrip_violations"),
+        (col("n_pieces") < col("n_chars")).as("compressed"),
+        lit(unknownPieces.isEmpty).as("vocab_closed"),
+        lit(missingChars.isEmpty).as("chars_closed")
+      )
+  }
+
   /** BPE tokenizer invariants (the hash-green twin of the rows-only
     * `bpe_train` — merge learning is an iterative argmax no portable
     * SQL can replay, the PQ-codebook stance). Verified INSIDE Spark
