@@ -72,6 +72,9 @@ object SparkEntry {
   /** Same memoization for the substring-dedup gram index. */
   private val gramIndexBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Memoized staged input directory for `events_stream_dedup`. */
+  private val sdedupStaged = scala.collection.mutable.Set.empty[String]
+
   /** Same memoization for the BM25 postings index (build + one append
     * covering the full corpus, so the oracle-checked probe exercises
     * the append contract too).
@@ -637,19 +640,26 @@ object SparkEntry {
     "events_stream_dedup" -> q { (s, dir) =>
       val base = s"/tmp/${dirKeyed("graft_sdedup", dir)}"
       val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
-      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
       // file-stream sources read DIRECTORIES; stage the table into one
-      // (several files, so the drain really is multi-batch-capable)
-      Tables.events(s, dir).repartition(4).write.parquet(s"$base/in")
+      // (several files, so the drain really is multi-batch-capable) —
+      // memoized per dir; the stream state/sink stays fresh per run
+      sdedupStaged.synchronized {
+        if (!sdedupStaged.contains(dir)) {
+          fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+          Tables.events(s, dir).repartition(4).write.parquet(s"$base/in")
+          sdedupStaged += dir
+        }
+      }
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$base/run"), true)
       val stream = graft.streaming.EventStreams.readEvents(s, s"$base/in")
       val deduped = graft.streaming.EventStreams
         .streamingDedupExact(stream, Seq("user_id", "event_type"))
         .select("user_id", "event_type")
       graft.streaming.EventStreams
-        .drainToParquet(deduped, s"$base/out", s"$base/ckpt")
+        .drainToParquet(deduped, s"$base/run/out", s"$base/run/ckpt")
         .awaitTermination()
       s.read
-        .parquet(s"$base/out")
+        .parquet(s"$base/run/out")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")

@@ -292,11 +292,17 @@ object Graph {
       .distinct()
       .localCheckpoint(eager = false)
     def half(mass: DataFrame, from: String, to: String): DataFrame = {
+      // the raw inflow feeds BOTH the total and the normalization —
+      // without a checkpoint the shared subtree is duplicated in the
+      // plan and the duplication COMPOUNDS 2× per half-iteration
+      // (unlike pageRank, whose evolving mass is consumed once); the
+      // lazy checkpoint pins each half to one execution
       val raw = e
         .join(mass, col(from) === col("node"))
         .select(col(to).as("n2"), col("mass").as("m"))
         .groupBy("n2")
         .agg(sum("m").as("raw"))
+        .localCheckpoint(eager = false)
       val tot = raw.agg(sum("raw").as("tot"))
       raw
         .crossJoin(broadcast(tot))
