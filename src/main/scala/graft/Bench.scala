@@ -182,7 +182,29 @@ object Bench {
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
+    // The driver keeps only the last ~2000 chars of stdout and parses
+    // the final JSON line out of that tail — a full 100+-query map
+    // (~4.5 KB) overflows the window and the round artifact records
+    // `parsed: null`. So stdout gets a line guaranteed to fit: same
+    // metadata, `queries` trimmed to the slowest entries that fit a
+    // 1 700-char budget (4-decimal secs), plus how many were omitted
+    // and where the untruncated map lives. The full line still goes to
+    // BENCH_LATEST.json and BENCH_HISTORY.jsonl below.
+    val stdoutLine = {
+      val bySlowest = results.sortBy(-_._2)
+      val meta =
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir","queries_omitted":NNN,"queries":"""
+      val budget  = 1700 - meta.length
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used    = 2 // braces
+      bySlowest.foreach { case (k, v) =>
+        val e = "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4)
+        if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      }
+      meta.replace("\"queries_omitted\":NNN", s""""queries_omitted":${results.size - entries.size}""") +
+        entries.mkString("{", ",", "}") + "}"
+    }
+    println(stdoutLine)
     // the full line as a standalone machine-readable artifact — the
     // driver's round file only keeps a truncated stdout tail
     try

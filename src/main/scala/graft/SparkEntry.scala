@@ -165,6 +165,54 @@ object SparkEntry {
     path
   }
 
+  /** Memoized CHECK-constrained `graft-log` table over orders: base
+    * third committed, constraints declared, a POISONED batch (negated
+    * prices, an off-domain status) proven rejected atomically, then a
+    * clean batch committed. The oracle-checked read sees base ∪ clean
+    * — the rejected rows must have left no trace.
+    */
+  private val constrainedBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def constrainedReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_constrained", dir)}"
+    constrainedBuilt.synchronized {
+      if (!constrainedBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val orders =
+          Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.SnapshotTable.create(s, path, orders.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.SnapshotTable.setConstraints(
+          s,
+          path,
+          Seq("price_pos" -> "o_totalprice > 0", "status_domain" -> "o_orderstatus IN ('O','F','P')")
+        )
+        val poisoned = orders
+          .filter(col("o_orderkey") % 3 === 1)
+          .withColumn(
+            "o_totalprice",
+            when(col("o_orderkey") % 10 === 1, -col("o_totalprice")).otherwise(col("o_totalprice"))
+          )
+          .withColumn(
+            "o_orderstatus",
+            when(col("o_orderkey") % 10 === 4, lit("X")).otherwise(col("o_orderstatus"))
+          )
+        val rejected =
+          try { graft.sources.SnapshotTable.append(s, path, poisoned); false }
+          catch { case _: IllegalStateException => true }
+        require(rejected, s"poisoned batch was NOT rejected at $path")
+        require(
+          graft.sources.SnapshotTable.latestVersion(s, path) == 1L,
+          s"rejection committed a version at $path"
+        )
+        graft.sources.SnapshotTable.append(s, path, orders.filter(col("o_orderkey") % 3 === 1))
+        constrainedBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized `graft-log` snapshot table of `documents`, committed in
     * three appends (doc_id % 3 = 0, 1, 2) and then compacted — so the
     * oracle-checked time-travel reads exercise manifest versioning
@@ -612,6 +660,8 @@ object SparkEntry {
     "q20_part_promo"        -> q(Relational.q20PartPromo),
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
+    "skyline_parts"         -> q(Relational.skylineParts),
+    "docs_dsir_weights"     -> q(DataOps.dsirWeightsEn),
     "pack_sequences"        -> q((s, dir) => DataOps.packSequences(s, dir)),
     "agg_extras"            -> q(Relational.aggExtras),
     "topk_agg_per_customer" -> q(Relational.topkAggPerCustomer),
@@ -1261,6 +1311,19 @@ object SparkEntry {
     // prune a price band BOTH at the latest version and through time
     // travel to v1 — pruning REQUIRED loudly at both versions, exact
     // predicate re-applied, DuckDB recomputes from the raw table
+    // CHECK-constrained ingest: declared table invariants enforced at
+    // every commit — the builder proves a poisoned batch rejects
+    // atomically, and the oracle recomputes the surviving state (base
+    // ∪ clean batch) from the raw table: any leaked rejected row or
+    // lost clean row breaks the hash
+    "constrained_ingest" -> q { (s, dir) =>
+      val path = constrainedReady(s, dir)
+      graft.sources.SnapshotTable
+        .read(s, path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_keys"))
+        .orderBy("o_orderstatus")
+    },
     "timetravel_pruned_read" -> q { (s, dir) =>
       val path = logStatsReady(s, dir)
       val band = (Some(100000.0): Option[Any], Some(150000.0): Option[Any])
@@ -1530,6 +1593,16 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
+    // block-mean perceptual-hash near-dup over a bounded media cohort
+    // (doc_id < 2000 keeps the oracle's pair join constant-size at
+    // every gate scale); DuckDB replays hash AND pairs bit-exactly
+    "multimodal_phash_dup" -> q { (s, dir) =>
+      Multimodal
+        .perceptualNearDup(
+          Multimodal.perceptualHashes(Tables.documents(s, dir).filter(col("doc_id") < 2000))
+        )
+        .orderBy("a", "b")
+    },
     "multimodal_embed" -> q((s, dir) =>
       // exploded (vec_id, dim_idx, cnt): the histogram CONTENT
       // hash-checks against DuckDB's replay of the same md5-bucketed
@@ -2220,6 +2293,30 @@ object SparkEntry {
           |  bool_and(o_totalprice > 1000) AS all_above_1k,
           |  bool_or(o_totalprice > 500000) AS any_above_500k
           |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "constrained_ingest" ->
+        """SELECT o_orderstatus, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+          |FROM orders WHERE o_orderkey % 3 < 2
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "skyline_parts" ->
+        """SELECT p.p_partkey, p.p_retailprice, p.p_size
+          |FROM part p
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM part q
+          |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+          |ORDER BY p.p_retailprice, p.p_size, p.p_partkey""".stripMargin,
+      "docs_dsir_weights" ->
+        s"""WITH pdw AS (SELECT doc_id, lang = 'en' AS is_target, unnest($toks) AS w
+          |             FROM documents),
+          |c AS (SELECT doc_id, is_target, w, count(*) AS c FROM pdw
+          |      GROUP BY doc_id, is_target, w),
+          |r AS (SELECT w,
+          |        (sum(CASE WHEN is_target THEN c ELSE 0 END) * 1000000) // sum(c) AS r
+          |      FROM c GROUP BY w)
+          |SELECT c.doc_id, CAST(sum(c.c * r.r) AS BIGINT) AS dsir_score,
+          |       CAST(sum(c.c) AS BIGINT) AS n_tokens
+          |FROM c JOIN r USING (w) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
       "dataset_split" ->
         """SELECT doc_id,
           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
@@ -3780,6 +3877,26 @@ object SparkEntry {
       // the frame sampler's 60-bit hash is hex-digit arithmetic over
       // md5 — replayed here digit by digit (instr gives the nibble,
       // << its place value); integer ops only, so both engines agree
+      "multimodal_phash_dup" ->
+        """WITH d AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS L FROM documents
+          |           WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 2000),
+          |chars AS (SELECT doc_id, L, unnest(range(1, L + 1)) AS pos, t FROM d),
+          |hv AS (SELECT doc_id, ((pos-1) * 60) // L AS b,
+          |         (strpos('0123456789abcdef', substr(md5(substr(t, CAST(pos AS BIGINT), 1)),1,1))-1)*16
+          |         + (strpos('0123456789abcdef', substr(md5(substr(t, CAST(pos AS BIGINT), 1)),2,1))-1) AS v
+          |       FROM chars),
+          |blk AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM hv GROUP BY doc_id, b),
+          |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn
+          |        FROM blk GROUP BY doc_id),
+          |bits AS (SELECT blk.doc_id, b, CASE WHEN s * gn > gs * n THEN 1 ELSE 0 END AS bit
+          |         FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+          |ph AS (SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS phash
+          |       FROM bits GROUP BY doc_id)
+          |SELECT x.doc_id AS a, y.doc_id AS b,
+          |       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hd
+          |FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.phash, y.phash)) <= 12
+          |ORDER BY a, b""".stripMargin,
       // bit for bit
       "multimodal_frame_sample" ->
         """WITH h AS (

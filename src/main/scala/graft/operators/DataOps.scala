@@ -471,4 +471,61 @@ object DataOps {
       .agg(count(lit(1)).as("n_rows"), sum(col("h40")).as("checksum"))
       .orderBy("bucket")
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023) in
+    * fixed-point arithmetic: score each raw document by how target-like
+    * its unigram profile is, for importance-resampling a pretraining
+    * mix toward a target domain.
+    *
+    * The paper's feature weight is log p_target(w)/p_raw(w); a
+    * transcendental replays differently across engines, so this uses
+    * the integer ratio r_w = (targetCount_w * SCALE) div rawCount_w —
+    * monotone in the likelihood ratio, bit-exact everywhere
+    * ([[graft.Tables]] float discipline). A word unseen in the target
+    * corpus contributes 0 (hard zero instead of smoothing; documented
+    * contract). Score(doc) = Σ_w c_w(doc) * r_w, reported with the
+    * doc's token count so callers can length-normalize.
+    *
+    * Plan: one tokenize+explode pass → per-(doc, word) counts (shuffle
+    * on doc_id, word) → corpus and target counts from the SAME grouped
+    * frame (shuffle on word) → ratio join back on word → per-doc sum
+    * (shuffle on doc_id). Everything is hash-partitioned aggregation;
+    * vocabulary never collects to the driver and no stage is
+    * proportional to pairs. Overflow: c_w ≤ doc length, r_w ≤ SCALE ×
+    * target corpus size; at SCALE=10⁶ the per-doc sum stays < 2⁶³ for
+    * any corpus under ~10¹² target tokens per word — far past 100 TB.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val perDocWord = docs
+      .select(col("doc_id"), targetPred.as("is_target"), explode(expr(
+        "filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')"
+      )).as("w"))
+      .groupBy(col("doc_id"), col("is_target"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ratios = perDocWord
+      .groupBy("w")
+      .agg(
+        sum("c").as("raw_n"),
+        sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("target_n")
+      )
+      .select(col("w"), expr(s"(target_n * ${scale}L) DIV raw_n").as("r"))
+    perDocWord
+      .join(ratios, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("r")).as("dsir_score"), sum("c").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR weights over the documents table with English as the target
+    * domain — the raw corpus is everything, the target its `lang='en'`
+    * slice.
+    */
+  def dsirWeightsEn(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir), col("lang") === "en")
 }

@@ -180,4 +180,111 @@ object Multimodal {
         (col("doc_id") % 3).cast("int").as("modality")
       )
       .orderBy("doc_id")
+
+  /** Block-MEAN perceptual fingerprint of each media payload (the
+    * block-mean image-hash family: Yang/Gu/Niu, "Block Mean Value
+    * Based Image Perceptual Hashing", IIH-MSP 2006): cut the payload
+    * into `blocks` equal content slices, bit i = (mean value of slice
+    * i) > (global mean). A local edit perturbs a few block means and
+    * leaves the rest near-unchanged, so Hamming distance is a
+    * similarity proxy — unlike a slice-hash bit, which a single
+    * length change scrambles wholesale.
+    *
+    * The per-unit "pixel value" is a STUB in the [[sampleFrames]]
+    * tradition: md5 first byte of each character (a smooth,
+    * content-derived 0–255 value; no image codec in this container),
+    * PORTABLE so the DuckDB oracle replays the operator bit-exactly; a
+    * real deployment substitutes decoded pixel values per block and
+    * keeps the rest. The mean comparison is the integer
+    * cross-multiplication `blockSum * totalCount > totalSum *
+    * blockCount` — no float division anywhere.
+    *
+    * Plan: one explode to character grain (O(total payload size) rows,
+    * the floor for any content hash), partial→final aggregation to
+    * block grain, a tiny per-doc join, and a fold back to one long per
+    * doc. Shuffles on (doc, block) then doc — hash-partitioned all the
+    * way; `blocks` ≤ 60 keeps the fingerprint a non-negative BIGINT
+    * both engines shift identically.
+    */
+  def perceptualHashes(docs: DataFrame, blocks: Int = 60): DataFrame = {
+    require(blocks >= 1 && blocks <= 60, s"blocks must be in [1,60], got $blocks")
+    val hv = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").as("t"), length(col("text")).cast("long").as("L"))
+      .select(
+        col("doc_id"),
+        col("L"),
+        explode(expr("sequence(1L, L)")).as("pos"),
+        col("t")
+      )
+      .select(
+        col("doc_id"),
+        expr(s"((pos - 1) * $blocks) div L").as("b"),
+        expr("conv(substring(md5(substring(t, cast(pos as int), 1)), 1, 2), 16, 10)").cast("long").as("v")
+      )
+    val blk = hv.groupBy("doc_id", "b").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val tot = blk.groupBy("doc_id").agg(sum("s").as("gs"), sum("n").as("gn"))
+    blk
+      .join(tot, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        when(col("s") * col("gn") > col("gs") * col("n"), lit(1L)).otherwise(lit(0L)).as("bit"),
+        col("b")
+      )
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("phash"))
+  }
+
+  /** Perceptual-hash near-duplicate pairs at Hamming distance ≤
+    * `maxHd`: the SimHash pigeonhole discipline applied to the media
+    * fingerprint. The hash splits into `chunks` equal bit-chunks; any
+    * pair within `chunks - 1` distance agrees on some chunk, so
+    * candidates come from an equi-join on (chunk index, chunk value)
+    * via [[Dedup.bucketPairs]] and the exact `bit_count(xor)` verify
+    * runs only on candidates. Requires `maxHd < chunks`.
+    *
+    * Scale honesty: a block-mean hash separates near-dups around
+    * hd ≈ 0.1–0.25 × bits (this corpus: dup pairs at 7–14 of 60,
+    * noise floor ≥ 16), so complete recall needs ≥ maxHd+1 chunks of
+    * only ~4 bits — 16 distinct bucket values, which stops
+    * partitioning a corpus beyond ~10⁵ docs (every bucket goes hot;
+    * the `cap` guard keeps the job alive but sheds recall). This
+    * operator is therefore the BOUNDED-cohort tool (per-source or
+    * per-cluster batches); corpus-scale media dedup belongs to the
+    * embedding tiers ([[embedMedia]] → SemDeDup/ANN), whose blocking
+    * keys don't collapse with the threshold.
+    */
+  def perceptualNearDup(
+      hashes: DataFrame,
+      maxHd: Int = 12,
+      chunks: Int = 15,
+      bitsPerChunk: Int = 4,
+      bucketCap: Int = Int.MaxValue
+  ): DataFrame = {
+    require(maxHd < chunks, s"pigeonhole recall needs maxHd < chunks, got $maxHd >= $chunks")
+    val chunked = hashes.select(
+      col("doc_id"),
+      col("phash"),
+      posexplode(
+        expr(
+          s"transform(sequence(0, ${chunks - 1}), c -> shiftright(phash, c * $bitsPerChunk) & ${(1L << bitsPerChunk) - 1})"
+        )
+      ).as(Seq("chunk_idx", "chunk_val"))
+    )
+    Dedup
+      .bucketPairs(
+        chunked,
+        Seq("chunk_idx", "chunk_val"),
+        struct(col("doc_id").as("id"), col("phash").as("sig")),
+        bucketCap
+      )
+      .select(
+        col("a.id").as("a"),
+        col("b.id").as("b"),
+        // bigint on both engines (DuckDB's bit_count is TINYINT)
+        expr("cast(bit_count(a.sig ^ b.sig) as bigint)").as("hd")
+      )
+      .distinct()
+      .filter(col("hd") <= maxHd)
+  }
 }

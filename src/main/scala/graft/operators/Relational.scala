@@ -1168,4 +1168,61 @@ object Relational {
           unix_micros(greatest(col(s"l.$startCol"), col(s"r.$startCol")))
       )
   }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated on
+    * (minimize `minCol`, maximize `maxCol`). q dominates p iff
+    * q.min <= p.min ∧ q.max >= p.max with at least one strict — equal
+    * pairs do not dominate each other, so exact duplicates all survive.
+    *
+    * Shape (Börzsönyi et al., ICDE 2001, adapted to the sort-based 2-D
+    * special case): a row is dominated iff
+    *   (a) some row with strictly smaller `minCol` has `maxCol` >= mine, or
+    *   (b) some row with the same `minCol` has `maxCol` > mine.
+    * Both reduce to per-`minCol`-group maxima plus a strict-prefix
+    * running max — no pairwise join anywhere.
+    *
+    * Scale: the per-group aggregate shuffles on `minCol` (same shuffle
+    * both passes). The prefix-max window runs first PARTITIONED by a
+    * hash bucket of `minCol`-groups (parallel, bounded partitions);
+    * bucket-local survivors are a sound pre-filter (a globally
+    * undominated row is undominated in every subset), and the exact
+    * unpartitioned window then runs only over the pre-filtered
+    * candidate set — O(skyline × buckets) rows, thousands at 100 TB,
+    * never the data. No stage is quadratic or single-partition over
+    * the input.
+    */
+  def skyline(df: DataFrame, minCol: String, maxCol: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def pass(in: DataFrame, bucketed: Boolean): DataFrame = {
+      val withB =
+        if (bucketed) in.withColumn("__b", pmod(hash(col(minCol)), lit(buckets)))
+        else in.withColumn("__b", lit(0))
+      val grp = withB
+        .groupBy(col("__b"), col(minCol))
+        .agg(max(col(maxCol)).as("__gmax"))
+      val w = Window
+        .partitionBy("__b")
+        .orderBy(minCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = grp.withColumn("__pmax", max(col("__gmax")).over(w))
+      withB
+        .join(pref, Seq("__b", minCol))
+        .filter(
+          (col("__pmax").isNull || col("__pmax") < col(maxCol)) && !(col("__gmax") > col(maxCol))
+        )
+        .select(in.columns.map(col): _*) // join keys came first; restore caller order
+    }
+    pass(pass(df, bucketed = true), bucketed = false)
+  }
+
+  /** Skyline over `part`: cheapest-for-largest frontier on
+    * (p_retailprice min, p_size max). Comparison-only on the doubles —
+    * no float arithmetic, so the oracle hash-compare is exact.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame =
+    skyline(
+      Tables.part(spark, dir).select("p_partkey", "p_retailprice", "p_size"),
+      "p_retailprice",
+      "p_size"
+    ).orderBy("p_retailprice", "p_size", "p_partkey")
 }

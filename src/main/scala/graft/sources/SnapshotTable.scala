@@ -114,6 +114,23 @@ object SnapshotTable {
     val rels = FsListing
       .listDataFiles(f, new Path(s"$path/$commitDir"))
       .map(st => s"$commitDir/${st.getPath.getName}")
+    val checks = tableConstraints(spark, path)
+    if (checks.nonEmpty) {
+      // Enforce at the staging boundary so EVERY writer path (create /
+      // append / overwrite / MERGE / copy-on-write and merge-on-read
+      // mutations) upholds the invariant: no data file referenced by
+      // any manifest may contain a violating row. Validation reads the
+      // just-staged parquet (one columnar pass, all constraints in ONE
+      // aggregate — the Quality.scala discipline) instead of
+      // re-executing `df`'s plan; on violation the staged directory is
+      // deleted and the commit never happens, so rejection is atomic.
+      val counts = violationCounts(spark.read.parquet(s"$path/$commitDir"), checks)
+      if (counts.exists(_._2 > 0L)) {
+        f.delete(new Path(s"$path/$commitDir"), true)
+        val msg = counts.filter(_._2 > 0L).map { case (n, c) => s"$n ($c rows)" }.mkString(", ")
+        throw new IllegalStateException(s"constraint violation rejected commit to $path: $msg")
+      }
+    }
     val statsCols = statsConfig(spark, path)
     if (statsCols.nonEmpty) {
       import org.apache.spark.sql.functions._
@@ -167,6 +184,85 @@ object SnapshotTable {
     val out = f.create(new Path(s"$path/_stats/config.txt"), true)
     try out.write(statsCols.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  // ----------------------------------------------------- CHECK constraints
+
+  /** One aggregation pass counting, per named constraint, the rows that
+    * VIOLATE it. SQL-standard CHECK semantics: a row violates only when
+    * the predicate evaluates to FALSE — a NULL result passes (put an
+    * explicit `x IS NOT NULL` in the predicate to forbid nulls).
+    */
+  private def violationCounts(df: DataFrame, checks: Seq[(String, String)]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(expr(pred) <=> lit(false), 1L).otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.zipWithIndex.map { case ((name, _), i) => name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+  }
+
+  /** Declare named CHECK constraints (`name -> SQL predicate`) on the
+    * table. Existing contents are validated first — like ADD
+    * CONSTRAINT in ANSI SQL, declaring a constraint the current data
+    * violates fails and leaves the table unconstrained. From then on
+    * every staged commit is validated (see [[stageData]]) and a
+    * violating write is rejected atomically, whatever the writer path.
+    *
+    * Scale: enforcement is one columnar aggregate over the NEW files
+    * of each commit only — never a re-scan of the table — so a
+    * constrained append costs one extra pass over the appended data.
+    */
+  def setConstraints(spark: SparkSession, path: String, checks: Seq[(String, String)]): Unit = {
+    require(checks.nonEmpty, "setConstraints needs at least one (name, predicate)")
+    require(
+      checks.forall { case (n, p) => n.nonEmpty && !n.contains("\t") && p.nonEmpty && !p.contains("\n") },
+      "constraint names must be tab-free and predicates newline-free"
+    )
+    if (latestVersion(spark, path) > 0L) {
+      val bad = violationCounts(read(spark, path), checks).filter(_._2 > 0L)
+      require(
+        bad.isEmpty,
+        s"existing rows violate: ${bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", ")}"
+      )
+    }
+    val f = fs(spark, path)
+    f.mkdirs(new Path(s"$path/_constraints"))
+    val out = f.create(new Path(s"$path/_constraints/config.txt"), true)
+    try out.write(
+      checks.map { case (n, p) => s"$n\t$p" }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    )
+    finally out.close()
+  }
+
+  /** The table's declared CHECK constraints, empty when unconstrained. */
+  def tableConstraints(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/_constraints/config.txt")
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n")
+        .iterator
+        .map(_.trim)
+        .filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          require(i > 0, s"malformed constraint line in $p: $l")
+          (l.substring(0, i), l.substring(i + 1))
+        }
+        .toSeq
+      finally in.close()
+    }
+  }
+
+  /** Remove all CHECK constraints (already-committed data keeps
+    * satisfying them; future writes stop being validated).
+    */
+  def dropConstraints(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    f.delete(new Path(s"$path/_constraints"), true)
   }
 
   /** Fold the accumulated per-commit stats sidecars into ONE — the

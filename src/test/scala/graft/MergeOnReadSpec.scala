@@ -209,6 +209,15 @@ class MergeOnReadSpec extends SparkSpec {
     assert(got == (1L to 10L).filterNot(_ % 10 == 0))
   }
 
+  test("DV read plan: the tombstone subtraction is one broadcast anti-join, never a data-side shuffle") {
+    val p = freshPath("dv_plan")
+    SnapshotTable.create(spark, p, (1L to 1000L).toDF("id").repartition(2))
+    SnapshotTable.deleteMor(spark, p, col("id") % 100 === 0)
+    val plan = SnapshotTable.read(spark, p).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), s"want broadcast anti-join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "a small DV must never shuffle the data side")
+  }
+
   test("streaming read of a DV-carrying table is refused rather than re-emitting dead rows") {
     val p = freshPath("dv_stream")
     SnapshotTable.create(spark, p, df(1, 2, 3))
