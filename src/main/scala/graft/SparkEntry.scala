@@ -165,6 +165,45 @@ object SparkEntry {
     path
   }
 
+  /** Memoized incrementally-maintained JOIN view (orders ⋈ customer),
+    * both bases `graft-log` tables: built from one third of orders and
+    * half of customer, then grown by three delta commits with a
+    * [[graft.sources.JoinMv.maintain]] after each — the oracle-checked
+    * read sees exactly full-orders ⋈ full-customer, so any dropped,
+    * duplicated, or double-applied delta breaks the hash.
+    */
+  private val joinMvBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def joinMvReady(s: SparkSession, dir: String): String = {
+    val base = s"/tmp/${dirKeyed("graft_joinmv", dir)}"
+    joinMvBuilt.synchronized {
+      if (!joinMvBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(base), true) // stale run
+        val a = Tables
+          .orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
+        val b = Tables
+          .customer(s, dir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.sources.SnapshotTable.create(s, s"$base/a", a.filter(col("o_orderkey") % 3 === 0))
+        graft.sources.SnapshotTable.create(s, s"$base/b", b.filter(col("custkey") % 3 === 0))
+        graft.sources.JoinMv.build(s, s"$base/v", s"$base/a", s"$base/b", Seq("custkey"))
+        // both sides advance before ONE maintenance (the ΔA ⋈ ΔB leg)
+        graft.sources.SnapshotTable.append(s, s"$base/a", a.filter(col("o_orderkey") % 3 === 1))
+        graft.sources.SnapshotTable.append(s, s"$base/b", b.filter(col("custkey") % 3 === 1))
+        graft.sources.JoinMv.maintain(s, s"$base/v")
+        graft.sources.SnapshotTable.append(s, s"$base/b", b.filter(col("custkey") % 3 === 2))
+        graft.sources.JoinMv.maintain(s, s"$base/v")
+        graft.sources.SnapshotTable.append(s, s"$base/a", a.filter(col("o_orderkey") % 3 === 2))
+        graft.sources.JoinMv.maintain(s, s"$base/v")
+        joinMvBuilt += dir
+      }
+    }
+    s"$base/v"
+  }
+
   /** Memoized CHECK-constrained `graft-log` table over orders: base
     * third committed, constraints declared, a POISONED batch (negated
     * prices, an off-domain status) proven rejected atomically, then a
@@ -1311,6 +1350,17 @@ object SparkEntry {
     // prune a price band BOTH at the latest version and through time
     // travel to v1 — pruning REQUIRED loudly at both versions, exact
     // predicate re-applied, DuckDB recomputes from the raw table
+    // incrementally-maintained join view: delta-join maintenance with
+    // commit-atomic watermarks over two graft-log bases; DuckDB
+    // recomputes the full join — any lost/duplicated delta breaks it
+    "mv_join_incremental" -> q { (s, dir) =>
+      val path = joinMvReady(s, dir)
+      graft.sources.JoinMv
+        .read(s, path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_keys"))
+        .orderBy("c_mktsegment")
+    },
     // CHECK-constrained ingest: declared table invariants enforced at
     // every commit — the builder proves a poisoned batch rejects
     // atomically, and the oracle recomputes the surviving state (base
@@ -2293,6 +2343,11 @@ object SparkEntry {
           |  bool_and(o_totalprice > 1000) AS all_above_1k,
           |  bool_or(o_totalprice > 500000) AS any_above_500k
           |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "mv_join_incremental" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "constrained_ingest" ->
         """SELECT o_orderstatus, count(*) AS n_orders,
           |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys

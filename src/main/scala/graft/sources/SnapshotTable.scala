@@ -63,9 +63,57 @@ object SnapshotTable {
 
   private def isDvLine(line: String): Boolean = line.startsWith("dv:")
 
-  /** Split manifest lines into (data files, deletion-vector refs). */
+  /** `meta:` manifest lines carry per-commit application metadata
+    * (e.g. [[JoinMv]] maintenance watermarks) ATOMICALLY with the
+    * commit — the transaction-metadata pattern of log-structured table
+    * formats. They are commit-scoped: readers skip them, and every
+    * manifest-deriving writer strips the previous version's meta
+    * instead of copying it forward (RESTORE is the deliberate
+    * exception — a byte-copied manifest re-asserts the restored
+    * commit's metadata, which is exactly what a rewind means).
+    */
+  private def isMetaLine(line: String): Boolean = line.startsWith("meta:")
+
+  /** Split manifest lines into (data files, deletion-vector refs);
+    * meta lines belong to neither.
+    */
   private def splitManifest(lines: Seq[String]): (Seq[String], Seq[String]) =
-    (lines.filterNot(isDvLine), lines.filter(isDvLine).map(_.stripPrefix("dv:")))
+    (
+      lines.filterNot(l => isDvLine(l) || isMetaLine(l)),
+      lines.filter(isDvLine).map(_.stripPrefix("dv:"))
+    )
+
+  /** This commit's `meta:` payloads (prefix stripped), newest commit
+    * wins lookups — see [[latestMeta]].
+    */
+  def commitMeta(spark: SparkSession, path: String, version: Long): Seq[String] =
+    readManifest(spark, path, version).filter(isMetaLine).map(_.stripPrefix("meta:"))
+
+  /** Most recent commit ≤ `atOrBelow` (default: latest) carrying a
+    * meta payload with the given prefix, walking versions downward.
+    * Returns (version, payload). Loud None when no surviving manifest
+    * carries one — e.g. after a vacuum reclaimed every meta-carrying
+    * manifest — so consumers fail explicitly instead of acting on a
+    * stale default.
+    */
+  def latestMeta(
+      spark: SparkSession,
+      path: String,
+      prefix: String,
+      atOrBelow: Option[Long] = None
+  ): Option[(Long, String)] = {
+    val f    = fs(spark, path)
+    val top  = atOrBelow.getOrElse(latestVersion(spark, path))
+    var v    = top
+    while (v >= 1L) {
+      if (f.exists(manifestPath(path, v))) {
+        val hit = commitMeta(spark, path, v).find(_.startsWith(prefix))
+        if (hit.isDefined) return hit.map(v -> _)
+      }
+      v -= 1L
+    }
+    None
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -428,13 +476,22 @@ object SnapshotTable {
     * latest version, so the append lands exactly once regardless of
     * interleaving.
     */
-  def append(spark: SparkSession, path: String, df: DataFrame, maxRetries: Int = 10): Long = {
+  def append(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      maxRetries: Int = 10,
+      meta: Seq[String] = Nil
+  ): Long = {
+    require(meta.forall(m => m.nonEmpty && !m.contains("\n")), "meta payloads must be newline-free")
     val newFiles = stageData(spark, path, df)
     var attempt  = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, path)
       require(base > 0, s"no table at $path (create first)")
-      val files = readManifest(spark, path, base) ++ newFiles
+      // prior meta is commit-scoped — never copied forward
+      val files = readManifest(spark, path, base).filterNot(isMetaLine) ++
+        newFiles ++ meta.map("meta:" + _)
       if (tryCommit(spark, path, base + 1, files)) return base + 1
       attempt += 1
     }
@@ -537,7 +594,10 @@ object SnapshotTable {
     val dvRel = s"_dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
     hits.coalesce(1).write.parquet(s"$path/$dvRel")
     val v = base + 1
-    require(tryCommit(spark, path, v, lines :+ s"dv:$dvRel"), s"deleteMor on $path lost a race at version $v")
+    require(
+      tryCommit(spark, path, v, lines.filterNot(isMetaLine) :+ s"dv:$dvRel"),
+      s"deleteMor on $path lost a race at version $v"
+    )
     v
   }
 
@@ -614,7 +674,9 @@ object SnapshotTable {
     require(latestVersion(spark, dst) == 0L, s"table already exists at $dst")
     val v = versionAsOf.getOrElse(latestVersion(spark, src))
     require(v > 0, s"no table at $src")
-    val abs = readManifest(spark, src, v).map { l =>
+    // a clone is a new table: the source commit's meta (watermarks etc.)
+    // does not describe it and is dropped
+    val abs = readManifest(spark, src, v).filterNot(isMetaLine).map { l =>
       if (isDvLine(l)) "dv:" + fileRef(src, l.stripPrefix("dv:")) else fileRef(src, l)
     }
     require(tryCommit(spark, dst, 1L, abs), s"concurrent create at $dst")
