@@ -716,6 +716,7 @@ object SparkEntry {
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
+    "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     // interval-overlap join (binned equi-join scale path + exact
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
@@ -821,6 +822,10 @@ object SparkEntry {
     // across engines (long sums are order-independent), so the oracle
     // replays PageRank as unrolled SQL — no float summation drift
     "graph_pagerank"  -> q(Graph.partSupplierPageRank),
+    // deterministic sync label propagation: fixed rounds + min-label
+    // tie-breaks make it a pure function of the edge set — replays as
+    // unrolled SQL like pagerank
+    "graph_lpa"       -> q(Graph.partSupplierLpa),
     // HITS hubs/authorities over the directed supplier→part relation:
     // integer mass with mass-conserving floor-div normalization per
     // half-iteration — replays bit-exact as unrolled SQL like pagerank
@@ -1716,6 +1721,19 @@ object SparkEntry {
     val graphEdgesSql =
       """li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem),
         |edges AS (SELECT p AS src, s AS dst FROM li UNION SELECT s AS src, p AS dst FROM li)""".stripMargin
+    val lpaSql = {
+      val iters = (1 to 4).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.src GROUP BY e.dst, l.label),
+           |l$i AS (SELECT node, CAST(min(label) AS BIGINT) AS label FROM (
+           |    SELECT node, label, cnt, max(cnt) OVER (PARTITION BY node) AS mc FROM c$i)
+           |  WHERE cnt = mc GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM edges),
+         |$iters
+         |SELECT node, label FROM l4 ORDER BY node""".stripMargin
+    }
     val pageRankSql = {
       val iters = (1 to 5).map { i =>
         s"""pr$i AS (SELECT n.node, CAST(150000 + COALESCE(t.m, 0) AS BIGINT) AS mass
@@ -2575,6 +2593,26 @@ object SparkEntry {
           |SELECT spine.day AS day, coalesce(n, 0) AS n, coalesce(revenue, 0.0) AS revenue
           |FROM spine LEFT JOIN daily ON spine.day = daily.day
           |ORDER BY day""".stripMargin,
+      "events_attribution" ->
+        """WITH c AS (SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |t AS (SELECT event_id AS touch_id, user_id, CAST(ts AS TIMESTAMP) AS touch_ts,
+          |             event_type AS touch_type
+          |      FROM events WHERE event_type IN ('click', 'view')),
+          |p AS (SELECT conv_id, touch_id, touch_type,
+          |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts, touch_id) AS pos,
+          |        count(*) OVER (PARTITION BY conv_id) AS n
+          |      FROM c JOIN t ON c.user_id = t.user_id
+          |      WHERE touch_ts <= conv_ts AND touch_ts >= conv_ts - INTERVAL 6 HOUR),
+          |cr AS (SELECT touch_type, conv_id,
+          |         CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+          |              WHEN pos = 1 THEN 4000 + 2000 % (n - 2)
+          |              WHEN pos = n THEN 4000
+          |              ELSE 2000 // (n - 2) END AS credit_bp
+          |       FROM p)
+          |SELECT touch_type, CAST(sum(credit_bp) AS BIGINT) AS total_credit_bp,
+          |       count(*) AS n_touches, count(DISTINCT conv_id) AS n_conversions
+          |FROM cr GROUP BY touch_type ORDER BY touch_type""".stripMargin,
       "events_user_profile" ->
         """SELECT user_id, count(*) AS n_events,
           |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
@@ -2628,6 +2666,7 @@ object SparkEntry {
            |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
+      "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
       "graph_bfs_depth" -> bfsSql,
       "graph_ppr"       -> pprSql,

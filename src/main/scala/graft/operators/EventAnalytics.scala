@@ -377,4 +377,66 @@ object EventAnalytics {
         max(col("ts")).as("last_seen")
       )
       .orderBy("user_id")
+
+  /** U-shaped (position-based) multi-touch attribution: each purchase
+    * distributes 10 000 basis points of credit across the same user's
+    * click/view touchpoints in the preceding `lookbackHours`. One
+    * touch takes all 10 000; two split 5 000/5 000; three or more give
+    * first and last 4 000 each and the middles `2000 div (n-2)` each,
+    * the integer remainder going to the FIRST touch (deterministic,
+    * and all-integer — no float credit anywhere, so the oracle
+    * hash-compare is exact). Conversions with no touch in the window
+    * earn no row (inner join; the untouched-conversion count is
+    * derivable as purchases minus distinct credited conversions).
+    *
+    * Shape: one user-keyed equi-join with a time-band predicate (the
+    * band rides the hash join as a post-filter — at TPC-ish user
+    * cardinalities the per-user group is small and bounded by the
+    * lookback), one window per conversion to rank touches, one final
+    * aggregate. Shuffles on user_id then conversion id then
+    * touch_type; nothing quadratic beyond the bounded per-user
+    * click×purchase pairing every attribution model must enumerate.
+    */
+  def attributionUShaped(spark: SparkSession, dir: String, lookbackHours: Int = 6): DataFrame =
+    uShapedCredits(Tables.events(spark, dir), lookbackHours)
+      .groupBy("touch_type")
+      .agg(
+        sum("credit_bp").as("total_credit_bp"),
+        count(lit(1)).as("n_touches"),
+        countDistinct("conv_id").as("n_conversions")
+      )
+      .orderBy("touch_type")
+
+  /** Per-touch credit rows for [[attributionUShaped]] — exposed so the
+    * 10 000-bp-per-conversion invariant is testable at touch grain.
+    */
+  def uShapedCredits(ev: DataFrame, lookbackHours: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touch = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("touch_id"), col("user_id"), col("ts").as("touch_ts"), col("event_type").as("touch_type"))
+    val paired = conv
+      .join(touch, Seq("user_id"))
+      .filter(
+        col("touch_ts") <= col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackHours HOURS")
+      )
+    val w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    paired
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn(
+        "credit_bp",
+        expr(
+          """CASE WHEN n = 1 THEN 10000L
+            |     WHEN n = 2 THEN 5000L
+            |     WHEN pos = 1 THEN 4000L + 2000L % (n - 2)
+            |     WHEN pos = n THEN 4000L
+            |     ELSE 2000L div (n - 2) END""".stripMargin
+        )
+      )
+  }
 }

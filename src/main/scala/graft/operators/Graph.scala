@@ -344,4 +344,57 @@ object Graph {
       .distinct()
     bfsDepths(partSupplierEdges(spark, dir), seeds, maxHops = 4)
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan/
+    * Albert/Kumara, Phys. Rev. E 2007), determinized: labels start as
+    * node ids; each round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label; exactly
+    * `iterations` rounds. The async/random-order variants of the paper
+    * converge faster but are run-order dependent — a fixed round count
+    * with min-label tie-breaks makes the output a pure function of the
+    * edge set, so the DuckDB oracle replays it as unrolled SQL like
+    * [[pageRank]] (no floats anywhere to drift).
+    *
+    * Per round: one hash join (labels onto edges by src), one
+    * (node, label) counting aggregate, one per-node max, one min-label
+    * fold — all hash-partitioned on node id, bucketing-friendly,
+    * linear in edges; per-round lazy checkpoints keep the plan linear
+    * in round count.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one round")
+    val dir = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var lab = e.select(col("src").as("node")).distinct().withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      // alias both sides: in round 1 `lab` shares lineage with `e`
+      // (labels seeded from the edge set) and an unaliased self-join
+      // would be ambiguous
+      val counts = e
+        .alias("e")
+        .join(lab.alias("l"), col("e.src") === col("l.node"))
+        .select(col("e.dst").as("node"), col("l.label").as("label"))
+        .groupBy("node", "label")
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy("node").agg(max("cnt").as("mc"))
+      lab = counts
+        .join(best, Seq("node"))
+        .filter(col("cnt") === col("mc"))
+        .groupBy("node")
+        .agg(min("label").as("label"))
+        .localCheckpoint(eager = false)
+    }
+    lab.orderBy("node")
+  }
+
+  /** `graph_lpa` query body: 4 deterministic rounds over the
+    * part↔supplier graph.
+    */
+  def partSupplierLpa(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(partSupplierEdges(spark, dir), iterations = 4)
 }

@@ -203,4 +203,48 @@ class GraphSpec extends SparkSpec {
     // normalization keeps each side's mass at most the scale total
     assert(real.collect { case (("hub", _), m) => m }.sum <= 1000000L)
   }
+
+  /** Model twin of sync LPA: most frequent neighbor label, min-label
+    * ties, fixed rounds, symmetrized edges.
+    */
+  private def modelLpa(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und   = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap))
+    val nbrs  = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var label = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      label = nbrs.map { case (n, ns) =>
+        val counts = ns.map(label).groupBy(identity).map { case (l, v) => l -> v.size }
+        val mc     = counts.values.max
+        n -> counts.collect { case (l, c) if c == mc => l }.min
+      }
+    }
+    label
+  }
+
+  test("labelPropagation == model: two cliques with a bridge collapse to per-clique min labels") {
+    val clique = (base: Long) =>
+      (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (base + a, base + b)).toSet
+    val es     = clique(10L) ++ clique(20L) + ((13L, 20L)) // bridge
+    val got = Graph
+      .labelPropagation(es.toSeq.toDF("src", "dst"), iterations = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == modelLpa(es, 4))
+    // communities are the cliques: everyone in clique(10) shares one
+    // label, clique(20)'s non-bridge members share another
+    assert((10L to 13L).map(got).toSet.size == 1)
+    assert((21L to 23L).map(got).toSet.size == 1)
+  }
+
+  test("labelPropagation == model on a pseudo-random graph, partition invariant") {
+    val es = (1L to 300L).map { i =>
+      ((i * 2654435761L) % 40L, (i * 40503L) % 40L)
+    }.filter(e => e._1 != e._2).toSet
+    val df    = es.toSeq.toDF("src", "dst")
+    val model = modelLpa(es, 4)
+    val a     = Graph.labelPropagation(df, 4).as[(Long, Long)].collect().toMap
+    val b     = Graph.labelPropagation(df.repartition(17), 4).as[(Long, Long)].collect().toMap
+    assert(a == model && b == model)
+  }
 }
