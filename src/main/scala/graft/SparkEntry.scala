@@ -717,6 +717,8 @@ object SparkEntry {
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
+    "events_transitions"    -> q(EventAnalytics.eventTransitions),
+    "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
     // interval-overlap join (binned equi-join scale path + exact
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
@@ -2593,6 +2595,23 @@ object SparkEntry {
           |SELECT spine.day AS day, coalesce(n, 0) AS n, coalesce(revenue, 0.0) AS revenue
           |FROM spine LEFT JOIN daily ON spine.day = daily.day
           |ORDER BY day""".stripMargin,
+      "events_transitions" ->
+        """WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+          |           FROM events),
+          |p AS (SELECT event_type AS from_type,
+          |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+          |      FROM s)
+          |SELECT from_type, to_type, count(*) AS n_transitions
+          |FROM p WHERE to_type IS NOT NULL
+          |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+      "basket_pairs" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+          |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 2),
+          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item))
+          |SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_support
+          |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
+          |GROUP BY x.item, y.item HAVING count(*) >= 2
+          |ORDER BY item_a, item_b""".stripMargin,
       "events_attribution" ->
         """WITH c AS (SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
           |           FROM events WHERE event_type = 'purchase'),

@@ -407,6 +407,27 @@ object EventAnalytics {
       )
       .orderBy("touch_type")
 
+  /** First-order event-type transition counts (the empirical Markov
+    * chain over each user's event stream): for every consecutive pair
+    * in a user's time-ordered events, count (from_type → to_type).
+    * The per-user ordering key is (ts, event_id) — total, so the
+    * transition matrix is a pure function of the data. One window pass
+    * partitioned BY USER (parallel, no global sort) + one counting
+    * aggregate; integer counts only.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Per-touch credit rows for [[attributionUShaped]] — exposed so the
     * 10 000-bp-per-conversion invariant is testable at touch grain.
     */

@@ -1215,6 +1215,36 @@ object Relational {
     pass(pass(df, bucketed = true), bucketed = false)
   }
 
+  /** Market-basket pair mining (the candidate-pair core of Apriori,
+    * Agrawal/Srikant VLDB 1994, to the 2-itemset level): parts that
+    * co-occur in at least `minSupport` orders, with their co-occurrence
+    * counts. Frequent-item pruning FIRST (the Apriori property: a pair
+    * can only be frequent if both items are), so the within-basket
+    * pair explosion runs on the pruned basket — and the explosion
+    * itself is bounded by basket size (TPC-H ≤ 7 lines/order), never
+    * by catalog size. Shuffles: item-count agg, basket re-join,
+    * pair-count agg — all hash-partitioned; nothing pairwise across
+    * baskets. Pure integer counts.
+    */
+  def basketPairs(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val frequent = baskets
+      .groupBy("item")
+      .agg(count(lit(1)).as("item_support"))
+      .filter(col("item_support") >= minSupport)
+    val pruned = baskets.join(frequent.select("item"), Seq("item"))
+    pruned
+      .alias("x")
+      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minSupport)
+      .orderBy("item_a", "item_b")
+  }
+
   /** Skyline over `part`: cheapest-for-largest frontier on
     * (p_retailprice min, p_size max). Comparison-only on the doubles —
     * no float arithmetic, so the oracle hash-compare is exact.

