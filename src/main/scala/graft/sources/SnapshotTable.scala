@@ -854,6 +854,52 @@ object SnapshotTable {
     overwrite(spark, path, cur.localCheckpoint(eager = true))
   }
 
+  /** Bin-packing OPTIMIZE: rewrite ONLY the data files smaller than
+    * `minBytes` into `targetFiles` packed files, carrying every
+    * already-large file into the new manifest BY REFERENCE. This is
+    * the real small-file compaction policy of production table formats
+    * — after N streaming/CDC micro-commits a table holds N tiny files
+    * whose per-file overhead (open, footer, task) dominates, but
+    * rewriting the well-sized bulk (as [[compact]] does) would cost
+    * O(table); this costs O(small files) regardless of table size.
+    * Tables carrying deletion vectors are refused (a DV tombstones
+    * (file, row) positions — rewriting a subset of files would
+    * re-index rows out from under it); [[compact]] materializes DVs
+    * away first. No-op (current version, no commit) when fewer than
+    * two small files exist.
+    */
+  def compactSmall(
+      spark: SparkSession,
+      path: String,
+      minBytes: Long = 8L << 20,
+      targetFiles: Int = 1
+  ): Long = {
+    val base = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val (files, dvLines) = splitManifest(readManifest(spark, path, base))
+    require(
+      dvLines.isEmpty,
+      s"compactSmall on $path: table carries deletion vectors — compact() materializes them first"
+    )
+    val f = fs(spark, path)
+    val (small, large) =
+      files.partition(rel => f.getFileStatus(new Path(fileRef(path, rel))).getLen < minBytes)
+    if (small.length < 2) return base
+    val packed = spark.read
+      .parquet(small.map(fileRef(path, _)): _*)
+      .coalesce(targetFiles)
+      // materialize before commit so the rewrite never reads files a
+      // concurrent vacuum might reclaim mid-job (the compact() rule)
+      .localCheckpoint(eager = true)
+    val newFiles = stageData(spark, path, packed)
+    val v        = base + 1
+    require(
+      tryCommit(spark, path, v, large ++ newFiles),
+      s"compactSmall on $path lost a race at version $v — re-read and retry"
+    )
+    v
+  }
+
   /** Delete data files referenced by NO version > `keepFrom` —
     * explicitly destroys time travel older than that version.
     *
