@@ -1753,19 +1753,26 @@ object SparkEntry {
     }
     val hitsSql = {
       // 3 alternating half-iterations, each normalized by its round's
-      // total via floor division — mirrors Graph.hits exactly
+      // total via floor division — mirrors Graph.hits exactly.
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and each level here is referenced twice (the rows +
+      // the normalization total), so the inlined plan recomputes the
+      // edge joins 2^depth times — at sf1 that filled the disk with
+      // spill before failing. Materializing each level makes the
+      // oracle linear in iterations (≈5 s at sf1), the exact DuckDB
+      // analogue of the Spark side's per-level checkpoints.
       val iters = (1 to 3).map { i =>
-        s"""a${i}r AS (SELECT e.dst AS node, CAST(SUM(h.mass) AS BIGINT) AS raw
+        s"""a${i}r AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h.mass) AS BIGINT) AS raw
            |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
-           |a$i AS (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM a${i}r) AS BIGINT) AS mass
+           |a$i AS MATERIALIZED (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM a${i}r) AS BIGINT) AS mass
            |  FROM a${i}r),
-           |h${i}r AS (SELECT e.src AS node, CAST(SUM(a.mass) AS BIGINT) AS raw
+           |h${i}r AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a.mass) AS BIGINT) AS raw
            |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
-           |h$i AS (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM h${i}r) AS BIGINT) AS mass
+           |h$i AS MATERIALIZED (SELECT node, CAST((raw * 1000000) // (SELECT SUM(raw) FROM h${i}r) AS BIGINT) AS mass
            |  FROM h${i}r)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
-         |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS mass FROM e),
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+         |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS mass FROM e),
          |$iters
          |SELECT 'hub' AS role, node, mass FROM h3
          |UNION ALL SELECT 'auth' AS role, node, mass FROM a3
