@@ -381,12 +381,15 @@ object Graph {
         .select(col("e.dst").as("node"), col("l.label").as("label"))
         .groupBy("node", "label")
         .agg(count(lit(1)).as("cnt"))
-      val best = counts.groupBy("node").agg(max("cnt").as("mc"))
+      // one-shot argmax: max over (cnt, -label) structs picks the
+      // highest count and, among ties, the smallest label — same
+      // semantics as max-count + min-label, one aggregation instead of
+      // agg + join + filter + agg (a join and a shuffle saved per
+      // round; labels are non-negative node ids, so negation is safe)
       lab = counts
-        .join(best, Seq("node"))
-        .filter(col("cnt") === col("mc"))
         .groupBy("node")
-        .agg(min("label").as("label"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(eager = false)
     }
     lab.orderBy("node")
