@@ -890,6 +890,7 @@ object SparkEntry {
     "cogroup_order_gaps" -> q(MapReduce.customerOrderGaps),
     "stratified_sample"  -> q((s, dir) => DataOps.stratifiedSample(s, dir)),
     "weighted_sample"    -> q((s, dir) => DataOps.weightedSample(s, dir)),
+    "docs_dsir_resample" -> q((s, dir) => DataOps.dsirResample(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
     // the three one-shot ANN variants dump their deterministic frozen
@@ -3041,6 +3042,25 @@ object SparkEntry {
       // hash compare never rides on cross-engine ln() agreement at a
       // decimal boundary — selection itself is safe because adjacent
       // race keys sit far beyond 1 ulp apart.
+      "docs_dsir_resample" ->
+        s"""WITH pdw AS (SELECT doc_id, lang = 'en' AS is_target, unnest($toks) AS w
+          |             FROM documents),
+          |c AS (SELECT doc_id, is_target, w, count(*) AS c FROM pdw
+          |      GROUP BY doc_id, is_target, w),
+          |r AS (SELECT w,
+          |        (sum(CASE WHEN is_target THEN c ELSE 0 END) * 1000000) // sum(c) AS r
+          |      FROM c GROUP BY w),
+          |s AS (SELECT c.doc_id, CAST(sum(c.c * r.r) AS BIGINT) AS dsir_score
+          |      FROM c JOIN r USING (w) GROUP BY c.doc_id),
+          |raced AS (SELECT doc_id, dsir_score,
+          |    CAST((doc_id * 2654435761) % 1000000007 + 1 AS BIGINT) AS u_res,
+          |    -ln(((doc_id * 2654435761) % 1000000007 + 1) / 1000000008.0)
+          |          / dsir_score AS rawkey
+          |  FROM s WHERE dsir_score > 0
+          |  ORDER BY rawkey, doc_id LIMIT 100)
+          |SELECT CAST(row_number() OVER (ORDER BY rawkey, doc_id) AS BIGINT) AS rnk,
+          |       doc_id, dsir_score, u_res
+          |FROM raced ORDER BY rnk""".stripMargin,
       "weighted_sample" ->
         """SELECT CAST(row_number() OVER (ORDER BY rawkey, doc_id) AS BIGINT) AS rnk,
           |       doc_id, w, u_res

@@ -528,4 +528,33 @@ object DataOps {
     */
   def dsirWeightsEn(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir), col("lang") === "en")
+
+  /** The DSIR selection step: importance-RESAMPLE the corpus with
+    * inclusion probability ∝ the [[dsirWeights]] score, via the same
+    * Efraimidis–Spirakis A-ES bottom-k used by [[weightedSample]]
+    * (deterministic hash uniforms, race keys −ln(u)/w, global bottom-k
+    * as TakeOrderedAndProject — one pass, no corpus-sized window).
+    * Zero-weight documents (no target-seen unigram) are ineligible by
+    * definition of the race. Output carries only integers; the float
+    * race key orders but never hashes.
+    */
+  def dsirResample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val uRes = col("doc_id") * lit(2654435761L) % lit(1000000007L) + lit(1L)
+    val picked = dsirWeightsEn(spark, dir)
+      .filter(col("dsir_score") > 0)
+      .select(
+        col("doc_id"),
+        col("dsir_score"),
+        uRes.as("u_res"),
+        (-log(uRes / lit(1000000008.0)) / col("dsir_score")).as("rawkey")
+      )
+      .orderBy(col("rawkey").asc, col("doc_id").asc)
+      .limit(k)
+    val wr = Window.orderBy(col("rawkey").asc, col("doc_id").asc)
+    picked
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("dsir_score"), col("u_res"))
+      .orderBy("rnk")
+  }
 }

@@ -56,6 +56,22 @@ class DsirSpec extends SparkSpec {
     assert(scores == Set(333333L))
   }
 
+  test("dsirResample: deterministic, zero-score docs ineligible, biased toward high scores") {
+    val a = DataOps.dsirResample(spark, sfDir, k = 50)
+    val b = DataOps.dsirResample(spark, sfDir, k = 50)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    assert(a.filter(col("dsir_score") <= 0).count() == 0L)
+    // A-ES bias: the mean score of the selected 50 beats the eligible-corpus mean
+    val selMean = a.agg(avg("dsir_score")).head().getDouble(0)
+    val allMean = DataOps
+      .dsirWeightsEn(spark, sfDir)
+      .filter(col("dsir_score") > 0)
+      .agg(avg("dsir_score"))
+      .head()
+      .getDouble(0)
+    assert(selMean > allMean, s"selection not score-biased: $selMean <= $allMean")
+  }
+
   test("the corpus query runs on testdata and en docs dominate the top of the ranking") {
     val ranked = DataOps
       .dsirWeightsEn(spark, sfDir)
