@@ -260,6 +260,32 @@ object SparkEntry {
     */
   private val snapTableBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Memoized PRIVATE table for `table_history`: the shared snapshot
+    * table is mutated by other registry entries (`delete_rows` commits
+    * a delete version), so its history is registry-order-dependent.
+    * This one is touched by no other query — its op sequence
+    * (create, append, delete-mor, compact) is a stable contract.
+    */
+  private val histTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def histTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_hist_tbl", dir)}"
+    histTableBuilt.synchronized {
+      if (!histTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val docs = Tables.documents(s, dir).select("doc_id", "lang")
+        graft.sources.SnapshotTable.create(s, path, docs.filter(col("doc_id") % 2 === 0))
+        graft.sources.SnapshotTable.append(s, path, docs.filter(col("doc_id") % 2 === 1))
+        graft.sources.SnapshotTable.deleteMor(s, path, col("doc_id") % 10 === 0)
+        graft.sources.SnapshotTable.compact(s, path)
+        histTableBuilt += dir
+      }
+    }
+    path
+  }
+
   private def snapTableReady(s: SparkSession, dir: String): String = {
     val path = s"/tmp/${dirKeyed("graft_snap_tbl", dir)}"
     snapTableBuilt.synchronized {
@@ -1268,6 +1294,18 @@ object SparkEntry {
     // (latest is 4, the compaction) — each historical version must
     // reproduce its cumulative append state exactly, which DuckDB
     // derives from the %3 split of the base table
+    // DESCRIBE HISTORY over a PRIVATE snapshot table (the shared one
+    // is mutated by delete_rows, so its history is order-dependent):
+    // op stamps are commit-scoped meta lines, read back from manifests
+    // only — file counts excluded (partition-count dependent), the op
+    // sequence and DV counts are the stable contract
+    "table_history" -> q { (s, dir) =>
+      val path = histTableReady(s, dir)
+      graft.sources.SnapshotTable
+        .history(s, path)
+        .select(col("version"), col("operation"), col("n_dvs"))
+        .orderBy("version")
+    },
     "timetravel_read" -> q { (s, dir) =>
       val path = snapTableReady(s, dir)
       (1L to 3L)
@@ -2371,6 +2409,10 @@ object SparkEntry {
           |  bool_and(o_totalprice > 1000) AS all_above_1k,
           |  bool_or(o_totalprice > 500000) AS any_above_500k
           |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "table_history" ->
+        """SELECT CAST(v AS BIGINT) AS version, op AS operation, CAST(dvs AS BIGINT) AS n_dvs
+          |FROM (VALUES (1, 'create', 0), (2, 'append', 0), (3, 'delete-mor', 1), (4, 'compact', 0)) t(v, op, dvs)
+          |ORDER BY version""".stripMargin,
       "mv_join_incremental" ->
         """SELECT c_mktsegment, count(*) AS n_orders,
           |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys

@@ -69,10 +69,37 @@ object SnapshotTable {
     * formats. They are commit-scoped: readers skip them, and every
     * manifest-deriving writer strips the previous version's meta
     * instead of copying it forward (RESTORE is the deliberate
-    * exception — a byte-copied manifest re-asserts the restored
-    * commit's metadata, which is exactly what a rewind means).
+    * exception — it re-asserts the restored commit's APPLICATION meta,
+    * which is exactly what a rewind means, replacing only the `op:`
+    * stamp with its own). Every writer also stamps `meta:op:<name>`,
+    * which is what [[history]] reads back.
     */
   private def isMetaLine(line: String): Boolean = line.startsWith("meta:")
+
+  /** DESCRIBE HISTORY: one row per surviving version — (version,
+    * operation, n_data_files, n_dvs, application meta). Reads only
+    * manifests: O(versions) tiny files, metadata-sized at any table
+    * size, no data touched. Versions vacuumed away are absent;
+    * commits from before op-stamping show `unknown`.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val f      = fs(spark, path)
+    val latest = latestVersion(spark, path)
+    require(latest > 0, s"no table at $path")
+    val rows = (1L to latest).flatMap { v =>
+      if (!f.exists(manifestPath(path, v))) None
+      else {
+        val lines        = readManifest(spark, path, v)
+        val (data, dvs)  = splitManifest(lines)
+        val metas        = lines.filter(isMetaLine).map(_.stripPrefix("meta:"))
+        val op           = metas.collectFirst { case m if m.startsWith("op:") => m.stripPrefix("op:") }
+        val appMeta      = metas.filterNot(_.startsWith("op:"))
+        Some((v, op.getOrElse("unknown"), data.length.toLong, dvs.length.toLong, appMeta.mkString(";")))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_data_files", "n_dvs", "app_meta").orderBy("version")
+  }
 
   /** Split manifest lines into (data files, deletion-vector refs);
     * meta lines belong to neither.
@@ -467,7 +494,7 @@ object SnapshotTable {
   def create(spark: SparkSession, path: String, df: DataFrame): Long = {
     require(latestVersion(spark, path) == 0L, s"table already exists at $path")
     val files = stageData(spark, path, df)
-    require(tryCommit(spark, path, 1L, files), s"concurrent create at $path")
+    require(tryCommit(spark, path, 1L, files :+ "meta:op:create"), s"concurrent create at $path")
     1L
   }
 
@@ -491,7 +518,7 @@ object SnapshotTable {
       require(base > 0, s"no table at $path (create first)")
       // prior meta is commit-scoped — never copied forward
       val files = readManifest(spark, path, base).filterNot(isMetaLine) ++
-        newFiles ++ meta.map("meta:" + _)
+        newFiles ++ ("op:append" +: meta).map("meta:" + _)
       if (tryCommit(spark, path, base + 1, files)) return base + 1
       attempt += 1
     }
@@ -505,14 +532,23 @@ object SnapshotTable {
     * before deriving `df`) for full compare-and-swap semantics: the
     * commit refuses if anyone has advanced the table since.
     */
-  def overwrite(spark: SparkSession, path: String, df: DataFrame, expectedBase: Option[Long] = None): Long = {
+  def overwrite(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      expectedBase: Option[Long] = None,
+      opName: String = "overwrite"
+  ): Long = {
     val newFiles = stageData(spark, path, df)
     val base     = latestVersion(spark, path)
     expectedBase.foreach(e =>
       require(base == e, s"concurrent commit: $path advanced from version $e to $base — re-read and retry")
     )
     val v = base + 1
-    require(tryCommit(spark, path, v, newFiles), s"overwrite of $path lost a race at version $v — re-read and retry")
+    require(
+      tryCommit(spark, path, v, newFiles :+ s"meta:op:$opName"),
+      s"overwrite of $path lost a race at version $v — re-read and retry"
+    )
     v
   }
 
@@ -595,7 +631,7 @@ object SnapshotTable {
     hits.coalesce(1).write.parquet(s"$path/$dvRel")
     val v = base + 1
     require(
-      tryCommit(spark, path, v, lines.filterNot(isMetaLine) :+ s"dv:$dvRel"),
+      tryCommit(spark, path, v, lines.filterNot(isMetaLine) ++ Seq(s"dv:$dvRel", "meta:op:delete-mor")),
       s"deleteMor on $path lost a race at version $v"
     )
     v
@@ -630,7 +666,7 @@ object SnapshotTable {
     val newFiles  = stageData(spark, path, rewritten)
     val v         = base + 1
     require(
-      tryCommit(spark, path, v, data ++ newFiles ++ (dvs :+ dvRel).map("dv:" + _)),
+      tryCommit(spark, path, v, data ++ newFiles ++ (dvs :+ dvRel).map("dv:" + _) :+ "meta:op:update-mor"),
       s"updateMor on $path lost a race at version $v"
     )
     v
@@ -657,7 +693,13 @@ object SnapshotTable {
       require(f.exists(new Path(p)), s"cannot restore $path to version $version: $p was vacuumed")
     }
     val v = latest + 1
-    require(tryCommit(spark, path, v, lines), s"restore of $path lost a race at version $v")
+    // the restored commit's application meta (e.g. a JoinMv watermark)
+    // is deliberately re-asserted; only the OP stamp describes THIS
+    // commit, so the old one is replaced
+    require(
+      tryCommit(spark, path, v, lines.filterNot(_.startsWith("meta:op:")) :+ s"meta:op:restore-v$version"),
+      s"restore of $path lost a race at version $v"
+    )
     v
   }
 
@@ -679,7 +721,7 @@ object SnapshotTable {
     val abs = readManifest(spark, src, v).filterNot(isMetaLine).map { l =>
       if (isDvLine(l)) "dv:" + fileRef(src, l.stripPrefix("dv:")) else fileRef(src, l)
     }
-    require(tryCommit(spark, dst, 1L, abs), s"concurrent create at $dst")
+    require(tryCommit(spark, dst, 1L, abs :+ "meta:op:clone"), s"concurrent create at $dst")
     1L
   }
 
@@ -725,7 +767,7 @@ object SnapshotTable {
       .localCheckpoint(eager = true)
     val newFiles = stageData(spark, path, kept)
     val v        = base + 1
-    require(tryCommit(spark, path, v, untouched ++ newFiles), s"delete on $path lost a race at version $v")
+    require(tryCommit(spark, path, v, untouched ++ newFiles :+ "meta:op:delete"), s"delete on $path lost a race at version $v")
     v
   }
 
@@ -770,7 +812,7 @@ object SnapshotTable {
       .localCheckpoint(eager = true)
     val newFiles = stageData(spark, path, rewritten)
     val v        = base + 1
-    require(tryCommit(spark, path, v, untouched ++ newFiles), s"update on $path lost a race at version $v")
+    require(tryCommit(spark, path, v, untouched ++ newFiles :+ "meta:op:update"), s"update on $path lost a race at version $v")
     v
   }
 
@@ -833,7 +875,7 @@ object SnapshotTable {
     val cur = read(spark, path).coalesce(targetFiles)
     // localCheckpoint: materialize BEFORE staging so the rewrite never
     // reads files a concurrent vacuum might reclaim mid-job
-    overwrite(spark, path, cur.localCheckpoint(eager = true))
+    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact")
   }
 
   /** Cluster-compact: like [[compact]], but range-partitioned and
@@ -851,7 +893,7 @@ object SnapshotTable {
     val cur = read(spark, path)
       .repartitionByRange(targetFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
-    overwrite(spark, path, cur.localCheckpoint(eager = true))
+    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-clustered")
   }
 
   /** Bin-packing OPTIMIZE: rewrite ONLY the data files smaller than
@@ -894,7 +936,7 @@ object SnapshotTable {
     val newFiles = stageData(spark, path, packed)
     val v        = base + 1
     require(
-      tryCommit(spark, path, v, large ++ newFiles),
+      tryCommit(spark, path, v, large ++ newFiles :+ "meta:op:compact-small"),
       s"compactSmall on $path lost a race at version $v — re-read and retry"
     )
     v
