@@ -858,6 +858,10 @@ object SparkEntry {
     // integer mass with mass-conserving floor-div normalization per
     // half-iteration — replays bit-exact as unrolled SQL like pagerank
     "graph_hits"      -> q(Graph.supplierPartHits),
+    // 4-core by bounded synchronous peeling (3 rounds to fixpoint at
+    // every tested sf, 5 budgeted): integer-only, replays as unrolled
+    // SQL — KCoreSpec asserts the budget reaches the true fixpoint
+    "graph_kcore"     -> q(Graph.partSupplierKCore),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
     "graph_triangles" -> q(Graph.coOrderTriangles),
     "graph_ppr"       -> q(Graph.supplierAffinity),
@@ -1836,6 +1840,21 @@ object SparkEntry {
          |$iters
          |SELECT node, mass FROM pr4 ORDER BY node""".stripMargin
     }
+    val kcoreSql = {
+      // 5 unrolled synchronous peels; each level referenced 3× (the
+      // survivor HAVING + both endpoint joins), so MATERIALIZED keeps
+      // the oracle linear in rounds like hitsSql
+      val rounds = (1 to 5).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 4),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN s$i a ON e.src = a.node JOIN s$i b ON e.dst = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+         |  FROM lineitem WHERE l_quantity <= 3),
+         |e0 AS MATERIALIZED (SELECT p AS src, s AS dst FROM li UNION SELECT s AS src, p AS dst FROM li),
+         |$rounds
+         |SELECT CAST(src AS BIGINT) AS node, count(*) AS deg FROM e5 GROUP BY src ORDER BY node""".stripMargin
+    }
     val bfsSql = {
       val iters = (1 to 4).map { i =>
         s"""d$i AS (SELECT node, CAST(MIN(depth) AS BIGINT) AS depth FROM (
@@ -2737,6 +2756,7 @@ object SparkEntry {
       "graph_pagerank"  -> pageRankSql,
       "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
+      "graph_kcore"     -> kcoreSql,
       "graph_bfs_depth" -> bfsSql,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the

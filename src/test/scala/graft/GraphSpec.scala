@@ -247,4 +247,50 @@ class GraphSpec extends SparkSpec {
     val b     = Graph.labelPropagation(df.repartition(17), 4).as[(Long, Long)].collect().toMap
     assert(a == model && b == model)
   }
+
+  /** Model twin for k-core: synchronous peel to fixpoint. */
+  private def modelKCore(edges: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2).flatMap(p => Set(p, p.swap))
+    var done = false
+    while (!done) {
+      val deg  = e.groupBy(_._1).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      done = next == e
+      e = next
+    }
+    e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
+  }
+
+  test("kCore == fixpoint model: pendant chain peels away, cascade removes the chained triangle") {
+    // K4 core {1,2,3,4}; node 5 hangs off it with degree 2; removing 5
+    // drops 6's degree below 2 in turn — a 2-deep cascade
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)).toSet
+    val es = k4 ++ Set((4L, 5L), (3L, 5L), (5L, 6L), (4L, 6L), (6L, 7L))
+    val got = Graph.kCore(es.toSeq.toDF("src", "dst"), k = 3, rounds = 5).as[(Long, Long)].collect().toMap
+    assert(got == modelKCore(es, 3))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L) && got.values.forall(_ == 3L))
+  }
+
+  test("kCore == fixpoint model on a pseudo-random graph, partition invariant") {
+    val es = (1L to 400L).map { i =>
+      ((i * 2654435761L) % 60L, (i * 40503L) % 60L)
+    }.filter(e => e._1 != e._2).toSet
+    val df    = es.toSeq.toDF("src", "dst")
+    val model = modelKCore(es, 4)
+    val a     = Graph.kCore(df, 4, rounds = 8).as[(Long, Long)].collect().toMap
+    val b     = Graph.kCore(df.repartition(17), 4, rounds = 8).as[(Long, Long)].collect().toMap
+    assert(a == model && b == model)
+  }
+
+  test("partSupplierKCore: 5-round budget reaches the true fixpoint; every survivor keeps >= 4 in-core neighbors") {
+    val at5 = Graph.partSupplierKCore(SparkSpec.spark, SparkSpec.sfDir).as[(Long, Long)].collect().toMap
+    val li = Tables
+      .lineitem(SparkSpec.spark, SparkSpec.sfDir)
+      .filter(col("l_quantity") <= 3)
+      .select((col("l_partkey") * 2L).as("src"), (col("l_suppkey") * 2L + 1L).as("dst"))
+    val at6 = Graph.kCore(li, k = 4, rounds = 6).as[(Long, Long)].collect().toMap
+    assert(at5 == at6, "one extra peel changed the result — round budget too small")
+    assert(at5.nonEmpty && at5.values.forall(_ >= 4L))
+  }
 }
