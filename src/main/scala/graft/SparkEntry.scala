@@ -795,6 +795,11 @@ object SparkEntry {
     // ---- dedup ----
     "dedup_exact_groups"    -> q(Dedup.exactGroups),
     "dedup_normalized"      -> q(Dedup.normalizedGroups),
+    // Sorted-Neighborhood blocking (Hernández–Stolfo): distributed
+    // two-phase global ranking (block windows + O(#blocks) offsets),
+    // band join as an offset-explode equi-join, codegen levenshtein
+    // verify — the oracle replays it with one global row_number
+    "dedup_snm_pairs"       -> q(Dedup.snmDocumentPairs),
     "dedup_ngram_jaccard" -> q((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     ),
@@ -2725,6 +2730,14 @@ object SparkEntry {
           |  count(*) AS dup_cnt, min(doc_id) AS keeper
           |FROM documents
           |GROUP BY norm_hash ORDER BY keeper""".stripMargin,
+      "dedup_snm_pairs" ->
+        """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+          |s AS (SELECT doc_id, norm, row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) AS rn FROM n),
+          |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+          |        levenshtein(substr(a.norm, 1, 80), substr(b.norm, 1, 80)) AS d
+          |      FROM s a JOIN s b ON b.rn > a.rn AND b.rn - a.rn <= 7)
+          |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, CAST(d AS BIGINT) AS dist
+          |FROM p WHERE d <= 8 ORDER BY id_a, id_b""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
            |sh AS (SELECT DISTINCT doc_id,

@@ -1119,6 +1119,97 @@ object Dedup {
       nearDupComponents(spark, dir)
     )
 
+  // --------------------------------------------- sorted neighborhood (SNM)
+
+  /** Sorted-Neighborhood Method (Hernández & Stolfo, SIGMOD 1995):
+    * sort records by a blocking key, slide a window of `w` positions,
+    * verify every in-window pair with a bounded edit distance — the
+    * classic record-linkage blocking that trades MinHash's probabilistic
+    * recall for a deterministic "sort-adjacent" candidate set.
+    *
+    * Distributed formulation (NO global window): the global sort rank
+    * is computed two-phase, the zipWithIndex idea expressed
+    * declaratively — (1) a `row_number` window PARTITIONED by a
+    * value-based block (a prefix of the sort key, so block order ==
+    * global order), (2) block start offsets from a prefix sum over the
+    * per-block counts. That offsets relation is O(distinct blocks) —
+    * metadata-sized at any corpus size (key-prefix cardinality, not
+    * rows), so its single-partition window costs nothing; every
+    * row-proportional step is block-partitioned. The in-window pair
+    * join is a BAND join on rank turned into ONE equi-join by
+    * exploding each row into its w−1 forward offsets — linear in
+    * rows·w, shuffle on an integer key, never a cross or
+    * broadcast-nested-loop. Verify is codegen'd `levenshtein` on a
+    * bounded prefix.
+    *
+    * Output: verified (id_a, id_b, dist) with id_a < id_b in rank
+    * order, totally ordered. Pure integer/string ops — replays exactly
+    * against a global `row_number` oracle.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      w: Int = 8,
+      keyLen: Int = 24,
+      blockLen: Int = 4,
+      verifyLen: Int = 80,
+      maxDist: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(w >= 2 && blockLen <= keyLen, "need w >= 2 and block prefix <= sort key")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.select(
+      col(idCol).cast("long").as("id"),
+      normalizedText(textCol).as("norm")
+    )
+    val keyed = n.select(
+      col("id"),
+      col("norm"),
+      substring(col("norm"), 1, keyLen).as("sk"),
+      substring(col("norm"), 1, blockLen).as("blk")
+    )
+    val inBlock = keyed.withColumn(
+      "rnb",
+      row_number().over(Window.partitionBy("blk").orderBy("sk", "id"))
+    )
+    // O(#blocks) rows: the unpartitioned prefix-sum window is over the
+    // block directory, never the data
+    val offsets = keyed
+      .groupBy("blk")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum("cnt").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)
+        )
+      )
+      .select("blk", "off")
+    val ranked = inBlock
+      .join(broadcast(offsets), "blk")
+      .select(col("id"), col("norm"), (col("off") + col("rnb")).as("rn"))
+      .localCheckpoint(eager = false)
+    // band join rn < rn' <= rn + w-1 as ONE equi-join via offset explode
+    val probes = ranked.select(
+      col("id").as("id_a"),
+      substring(col("norm"), 1, verifyLen).as("va"),
+      explode(sequence(col("rn") + 1, col("rn") + (w - 1))).as("rn")
+    )
+    probes
+      .join(ranked.select(col("id").as("id_b"), substring(col("norm"), 1, verifyLen).as("vb"), col("rn")), "rn")
+      .withColumn("dist", levenshtein(col("va"), col("vb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** `dedup_snm_pairs` query body: SNM over the documents table —
+    * normalized-prefix sort key, window 8, edit distance ≤ 8 on the
+    * 80-char normalized prefix.
+    */
+  def snmDocumentPairs(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(Tables.documents(spark, dir))
+
   /** Naive quadratic twin of [[editDistanceJoin]] — the oracle path,
     * bounded-subset only (the length filter is the only pruning).
     */

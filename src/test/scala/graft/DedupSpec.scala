@@ -488,4 +488,52 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.editDistanceJoin(c, 1).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"edit-distance join must never plan a cartesian:\n$plan")
   }
+
+  /** Global-window twin of the distributed SNM: one unpartitioned
+    * row_number — the oracle's formulation, fine at test scale.
+    */
+  private def snmGlobal(df: org.apache.spark.sql.DataFrame, w: Int): Set[(Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    import SparkSpec.spark.implicits._
+    val n = df.select(col("doc_id").cast("long").as("id"), Dedup.normalizedText("text").as("norm"))
+    val s = n.withColumn("rn", row_number().over(Window.orderBy(substring(col("norm"), 1, 24), col("id"))))
+    val a = s.select(col("id").as("ia"), col("norm").as("na"), col("rn").as("ra"))
+    val b = s.select(col("id").as("ib"), col("norm").as("nb"), col("rn").as("rb"))
+    a.join(b, col("rb") > col("ra") && col("rb") - col("ra") <= w - 1)
+      .withColumn("d", levenshtein(substring(col("na"), 1, 80), substring(col("nb"), 1, 80)).cast("long"))
+      .filter(col("d") <= 8)
+      .select(least(col("ia"), col("ib")), greatest(col("ia"), col("ib")), col("d"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+  }
+
+  test("sortedNeighborhoodPairs == global-window SNM on the corpus; partition invariant") {
+    import SparkSpec.spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val expect = snmGlobal(docs, 8)
+    val got = Dedup.sortedNeighborhoodPairs(docs).as[(Long, Long, Long)].collect()
+    assert(got.toSet == expect, "distributed two-phase ranking must equal the global sort order")
+    assert(got.length == got.toSet.size, "no duplicate pairs")
+    val got17 = Dedup.sortedNeighborhoodPairs(docs.repartition(17)).as[(Long, Long, Long)].collect()
+    assert(got17.toSet == expect)
+  }
+
+  test("sortedNeighborhoodPairs: sort-adjacent near-dups found across a block boundary, far pairs not candidates") {
+    import SparkSpec.spark.implicits._
+    // two near-identical records landing in DIFFERENT 4-char blocks
+    // ("abcd..." vs "abce...") but rank-adjacent — the two-phase
+    // ranking must pair them; "zzzz" is sort-distant and stays out
+    val rows = Seq(
+      (1L, "abcd shared tail of text one"),
+      (2L, "abce shared tail of text one"),
+      (3L, "zzzz completely different words")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .sortedNeighborhoodPairs(rows, w = 2, maxDist = 8)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, 2L, 1L)), s"got $got")
+  }
 }
