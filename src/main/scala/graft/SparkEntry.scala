@@ -360,6 +360,48 @@ object SparkEntry {
     path
   }
 
+  /** Memoized delete-aware IVM demo: a graft-log base over orders
+    * mutated through append / MOR delete / MOR update / compaction,
+    * with a [[graft.sources.DeltaRollup]] view built at v1 and
+    * maintained purely from the row change feed — the view never
+    * rescans the base after build. Maintenance interleaves with the
+    * mutations (one mid-history, one at the end) so BOTH feed windows
+    * carry real deltas, and the final fold compacts the signed
+    * partials. Returns (basePath, viewPath).
+    */
+  private val cdfRollupBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def cdfRollupReady(s: SparkSession, dir: String): (String, String) = {
+    val base = s"/tmp/${dirKeyed("graft_cdf_base", dir)}"
+    val view = s"/tmp/${dirKeyed("graft_cdf_view", dir)}"
+    cdfRollupBuilt.synchronized {
+      if (!cdfRollupBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq(base, view).foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true)) // stale run
+        val orders = Tables
+          .orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        graft.sources.SnapshotTable.create(s, base, orders.filter(col("o_orderkey") % 3 === 0).repartition(4))
+        graft.sources.DeltaRollup.build(s, view, base, keys = Seq("o_orderpriority"), measures = Seq("o_custkey"))
+        graft.sources.SnapshotTable.append(s, base, orders.filter(col("o_orderkey") % 3 =!= 0))
+        graft.sources.SnapshotTable.deleteMor(s, base, col("o_orderkey") % 5 === 0)
+        graft.sources.DeltaRollup.maintain(s, view) // folds the append + the delete
+        graft.sources.SnapshotTable.updateMor(
+          s,
+          base,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0,
+          Map("o_orderpriority" -> lit("0-RESTATED"))
+        )
+        graft.sources.SnapshotTable.compact(s, base) // feed-transparent rewrite
+        graft.sources.DeltaRollup.maintain(s, view)  // update pre+post images; compact contributes nothing
+        graft.sources.DeltaRollup.compactRollup(s, view)
+        cdfRollupBuilt += dir
+      }
+    }
+    (base, view)
+  }
+
   private val logStatsBuilt = scala.collection.mutable.Set.empty[String]
 
   private val governedBuilt = scala.collection.mutable.Set.empty[String]
@@ -1277,6 +1319,27 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
         .orderBy("o_orderpriority")
+    },
+    // row-level CHANGE DATA FEED: every row change in versions 2..3 of
+    // the MOR table with _change_type/_commit_version, derived from
+    // manifests + deletion vectors alone (O(changed rows), no change
+    // files): v2 deleteMor → 'delete' pre-images, v3 updateMor →
+    // pre+post image pairs in one commit
+    "table_changes_feed" -> q { (s, dir) =>
+      val path = morTableReady(s, dir)
+      graft.sources.SnapshotTable
+        .rowChangesBetween(s, path, 1L, 3L)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "o_orderkey")
+    },
+    // delete-aware incremental rollup (counting-algorithm IVM): the
+    // view is maintained ONLY from the row change feed across
+    // append/deleteMor/updateMor/compact commits — never rescanning
+    // the base — and must equal the rollup DuckDB computes directly
+    // over the final state
+    "mv_cdf_rollup" -> q { (s, dir) =>
+      val (_, view) = cdfRollupReady(s, dir)
+      graft.sources.DeltaRollup.readRollup(s, view).orderBy("o_orderpriority")
     },
     // ROLLBACK: v4 = restore(v2) — a manifest-only commit whose read
     // must equal v2 exactly (update undone, delete still in effect),
@@ -3324,6 +3387,25 @@ object SparkEntry {
         """SELECT CAST(4 AS BIGINT) AS latest_version, CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
           |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+      "table_changes_feed" ->
+        """WITH upd AS (SELECT o_orderkey, o_orderpriority FROM orders
+          |             WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0)
+          |SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+          |       CAST(2 AS BIGINT) AS _commit_version
+          |FROM orders WHERE o_orderkey % 5 = 0
+          |UNION ALL
+          |SELECT o_orderkey, '0-RESTATED', 'update_postimage', CAST(3 AS BIGINT) FROM upd
+          |UNION ALL
+          |SELECT o_orderkey, o_orderpriority, 'update_preimage', CAST(3 AS BIGINT) FROM upd
+          |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+      "mv_cdf_rollup" ->
+        """SELECT o_orderpriority, CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM (SELECT CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+          |               THEN '0-RESTATED' ELSE o_orderpriority END AS o_orderpriority,
+          |             o_custkey
+          |      FROM orders WHERE o_orderkey % 5 <> 0)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "clone_table_read" ->
         """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0

@@ -537,8 +537,10 @@ object SnapshotTable {
       path: String,
       df: DataFrame,
       expectedBase: Option[Long] = None,
-      opName: String = "overwrite"
+      opName: String = "overwrite",
+      meta: Seq[String] = Nil
   ): Long = {
+    require(meta.forall(m => m.nonEmpty && !m.contains("\n")), "meta payloads must be newline-free")
     val newFiles = stageData(spark, path, df)
     val base     = latestVersion(spark, path)
     expectedBase.foreach(e =>
@@ -546,7 +548,7 @@ object SnapshotTable {
     )
     val v = base + 1
     require(
-      tryCommit(spark, path, v, newFiles :+ s"meta:op:$opName"),
+      tryCommit(spark, path, v, newFiles ++ (s"op:$opName" +: meta).map("meta:" + _)),
       s"overwrite of $path lost a race at version $v — re-read and retry"
     )
     v
@@ -843,6 +845,94 @@ object SnapshotTable {
     val added = (toData -- fromData).toSeq.sorted
     if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(added.map(fileRef(path, _)): _*)
+  }
+
+  /** Row-level CHANGE DATA FEED over `(fromVersion, toVersion]`: every
+    * row change with its `_change_type` (`insert`, `delete`,
+    * `update_preimage`, `update_postimage`) and `_commit_version` —
+    * the log-structured-table CDF contract, derived with NO per-commit
+    * change files: an append's changes are exactly its new files, and
+    * a merge-on-read commit's pre-images are replayed from its
+    * deletion vector against just the files the DV touches (positions
+    * are keyed by IMMUTABLE files, so the pre-image read is exact at
+    * any later time — this is why [[changesBetween]]'s refusal of DV
+    * commits doesn't apply here). Row-preserving rewrites (op stamp
+    * `compact*`: compaction, clustering, bin-packing) change files but
+    * not rows and contribute nothing. Commits whose row diff is NOT
+    * derivable from the manifest alone (copy-on-write
+    * overwrite/delete/update, restore) are refused loudly rather than
+    * answered wrong — consumers of such histories diff snapshots.
+    *
+    * Scale: cost is O(changed rows), never O(table) — an append
+    * contributes a scan of only its appended files; a MOR commit scans
+    * only its DV-touched files inner-joined to the DV (broadcast under
+    * the same size heuristic as [[minusDv]]). The manifest walk is
+    * O(versions) tiny text files on the driver. Downstream this is the
+    * delete-aware delta source for incremental view maintenance
+    * ([[DeltaRollup]]): inserts/post-images apply with weight +1,
+    * deletes/pre-images with −1 — Blakeley et al.'s counting algorithm.
+    */
+  def rowChangesBetween(
+      spark: SparkSession,
+      path: String,
+      fromVersion: Long,
+      toVersion: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(0 <= fromVersion && fromVersion <= toVersion, s"bad version range $fromVersion..$toVersion")
+    val latest = latestVersion(spark, path)
+    require(toVersion <= latest, s"version $toVersion of $path does not exist (latest is $latest)")
+    val f = fs(spark, path)
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      require(f.exists(manifestPath(path, v)), s"version $v of $path was vacuumed; change feed unavailable")
+    }
+    val parts: Seq[DataFrame] = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val (pd, pv) =
+        if (v == 1) (Seq.empty[String], Seq.empty[String])
+        else splitManifest(readManifest(spark, path, v - 1))
+      val (cd, cv)    = splitManifest(readManifest(spark, path, v))
+      val addedData   = cd.filterNot(pd.toSet)
+      val removedData = pd.filterNot(cd.toSet)
+      val addedDv     = cv.filterNot(pv.toSet)
+      val removedDv   = pv.filterNot(cv.toSet)
+      val op = commitMeta(spark, path, v)
+        .collectFirst { case m if m.startsWith("op:") => m.stripPrefix("op:") }
+        .getOrElse("unknown")
+      def stamped(df: DataFrame, tpe: String): DataFrame =
+        df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+      def inserted(tpe: String): DataFrame =
+        stamped(spark.read.parquet(addedData.map(fileRef(path, _)): _*), tpe)
+      def preimages(tpe: String): DataFrame = {
+        val dvPaths = addedDv.map(fileRef(path, _))
+        val dv      = spark.read.parquet(dvPaths: _*)
+        val touched = dv.select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+        val keyed   = dv.select(col("file").as("__graft_file"), col("pos").as("__graft_pos"))
+        val dvBytes = dvPaths.map(p => f.getContentSummary(new Path(p)).getLength).sum
+        val side    = if (dvBytes <= (64L << 20)) broadcast(keyed) else keyed
+        stamped(
+          scanWithPos(spark, path, touched)
+            .join(side, Seq("__graft_file", "__graft_pos"))
+            .drop("__graft_file", "__graft_pos"),
+          tpe
+        )
+      }
+      if (removedData.nonEmpty || removedDv.nonEmpty) {
+        if (op.startsWith("compact")) Nil // row-preserving rewrite: files change, rows don't
+        else
+          sys.error(
+            s"rowChangesBetween $path v$v (op '$op'): rewrite commit — row diff is not derivable from the manifest; diff snapshots instead"
+          )
+      } else if (addedDv.nonEmpty && addedData.nonEmpty)
+        Seq(preimages("update_preimage"), inserted("update_postimage"))
+      else if (addedDv.nonEmpty) Seq(preimages("delete"))
+      else if (addedData.nonEmpty) Seq(inserted("insert"))
+      else Nil // metadata-only commit (e.g. restore to an identical manifest)
+    }
+    val empty = read(spark, path, Some(math.max(toVersion, 1L)))
+      .filter(lit(false))
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0L))
+    parts.foldLeft(empty)(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The table as a STREAM of appends: every file a future commit adds
