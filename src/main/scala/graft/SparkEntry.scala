@@ -360,6 +360,48 @@ object SparkEntry {
     path
   }
 
+  /** Memoized multi-table transaction demo: a [[graft.sources.GraftDb]]
+    * database of two order shards ('hot' = open orders, 'cold' = the
+    * rest), one COMMITTED transaction moving the %5==0 cold rows to
+    * hot (cross-table append+delete published by ONE database CAS) and
+    * one ABORTED transaction (crashes after both member writes, before
+    * the database commit) whose rows must never surface through the
+    * database snapshot.
+    */
+  private val dbTxnBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def dbTxnReady(s: SparkSession, dir: String): String = {
+    val db = s"/tmp/${dirKeyed("graft_db_txn", dir)}"
+    dbTxnBuilt.synchronized {
+      if (!dbTxnBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(db)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(db), true) // stale run
+        val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus")
+        graft.sources.GraftDb.create(
+          s,
+          db,
+          Map(
+            "hot"  -> orders.filter(col("o_orderstatus") === "O"),
+            "cold" -> orders.filter(col("o_orderstatus") =!= "O")
+          )
+        )
+        graft.sources.GraftDb.transaction(s, db) { tx =>
+          tx.append("hot", tx.read("cold").filter(col("o_orderkey") % 5 === 0))
+          tx.deleteWhere("cold", col("o_orderkey") % 5 === 0)
+        }
+        try graft.sources.GraftDb.transaction(s, db) { tx =>
+          tx.append("cold", tx.read("hot").filter(col("o_orderkey") % 3 === 0))
+          tx.deleteWhere("hot", col("o_orderkey") % 3 === 0)
+          sys.error("deliberate crash before the database CAS")
+        }
+        catch { case e: RuntimeException if e.getMessage.contains("deliberate crash") => () }
+        dbTxnBuilt += dir
+      }
+    }
+    db
+  }
+
   /** Memoized delete-aware IVM demo: a graft-log base over orders
     * mutated through append / MOR delete / MOR update / compaction,
     * with a [[graft.sources.DeltaRollup]] view built at v1 and
@@ -1331,6 +1373,22 @@ object SparkEntry {
         .rowChangesBetween(s, path, 1L, 3L)
         .select(col("o_orderkey"), col("o_orderpriority"), col("_change_type"), col("_commit_version"))
         .orderBy("_commit_version", "_change_type", "o_orderkey")
+    },
+    // multi-table ACID: per-member (rows, key mass) read THROUGH the
+    // database snapshot — the committed cross-table move is fully
+    // visible, the aborted transaction's member-log debris is not,
+    // and the two shards stay a partition of orders (mass conserved)
+    "db_txn_read" -> q { (s, dir) =>
+      val db = dbTxnReady(s, dir)
+      Seq("cold", "hot")
+        .map(t =>
+          graft.sources.GraftDb
+            .read(s, db, t)
+            .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+            .select(lit(t).as("shard"), col("n_orders"), col("sum_key"))
+        )
+        .reduce(_ unionByName _)
+        .orderBy("shard")
     },
     // delete-aware incremental rollup (counting-algorithm IVM): the
     // view is maintained ONLY from the row change feed across
@@ -3398,6 +3456,15 @@ object SparkEntry {
           |UNION ALL
           |SELECT o_orderkey, o_orderpriority, 'update_preimage', CAST(3 AS BIGINT) FROM upd
           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+      "db_txn_read" ->
+        """SELECT 'cold' AS shard, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders WHERE o_orderstatus <> 'O' AND o_orderkey % 5 <> 0
+          |UNION ALL
+          |SELECT 'hot', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+          |FROM orders WHERE o_orderstatus = 'O'
+          |   OR (o_orderstatus <> 'O' AND o_orderkey % 5 = 0)
+          |ORDER BY shard""".stripMargin,
       "mv_cdf_rollup" ->
         """SELECT o_orderpriority, CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey,
           |  CAST(count(*) AS BIGINT) AS n_rows

@@ -58,7 +58,7 @@ object SnapshotTable {
     * live under the table root; absolute lines (shallow clones) are
     * used as-is.
     */
-  private def fileRef(path: String, line: String): String =
+  private[sources] def fileRef(path: String, line: String): String =
     if (line.startsWith("/") || line.contains("://")) line else s"$path/$line"
 
   private def isDvLine(line: String): Boolean = line.startsWith("dv:")
@@ -74,7 +74,7 @@ object SnapshotTable {
     * stamp with its own). Every writer also stamps `meta:op:<name>`,
     * which is what [[history]] reads back.
     */
-  private def isMetaLine(line: String): Boolean = line.startsWith("meta:")
+  private[sources] def isMetaLine(line: String): Boolean = line.startsWith("meta:")
 
   /** DESCRIBE HISTORY: one row per surviving version — (version,
     * operation, n_data_files, n_dvs, application meta). Reads only
@@ -104,7 +104,7 @@ object SnapshotTable {
   /** Split manifest lines into (data files, deletion-vector refs);
     * meta lines belong to neither.
     */
-  private def splitManifest(lines: Seq[String]): (Seq[String], Seq[String]) =
+  private[sources] def splitManifest(lines: Seq[String]): (Seq[String], Seq[String]) =
     (
       lines.filterNot(l => isDvLine(l) || isMetaLine(l)),
       lines.filter(isDvLine).map(_.stripPrefix("dv:"))
@@ -142,10 +142,10 @@ object SnapshotTable {
     None
   }
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[sources] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def manifestPath(path: String, version: Long): Path =
+  private[sources] def manifestPath(path: String, version: Long): Path =
     new Path(s"$path/_log/v${"%012d".format(version)}.txt")
 
   /** Latest committed version, 0 if the table does not exist. */
@@ -161,7 +161,7 @@ object SnapshotTable {
         .foldLeft(0L)(math.max)
   }
 
-  private def readManifest(spark: SparkSession, path: String, version: Long): Seq[String] = {
+  private[sources] def readManifest(spark: SparkSession, path: String, version: Long): Seq[String] = {
     val f  = fs(spark, path)
     val in = f.open(manifestPath(path, version))
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -182,7 +182,7 @@ object SnapshotTable {
     * only reference files whose stats already exist; orphaned
     * sidecars from aborted commits are inert).
     */
-  private def stageData(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
+  private[sources] def stageData(spark: SparkSession, path: String, df: DataFrame): Seq[String] = {
     val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.parquet(s"$path/$commitDir")
     val f = fs(spark, path)
@@ -561,7 +561,7 @@ object SnapshotTable {
     * within its immutable file). Costs nothing when unused: both are
     * per-row constants the reader already knows.
     */
-  private def scanWithPos(spark: SparkSession, path: String, dataLines: Seq[String]): DataFrame = {
+  private[sources] def scanWithPos(spark: SparkSession, path: String, dataLines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     spark.read
       .parquet(dataLines.map(fileRef(path, _)): _*)
@@ -577,7 +577,7 @@ object SnapshotTable {
     * many-deletes DV falls back to a shuffle join that partitions on
     * the same key the scan naturally groups by.
     */
-  private def minusDv(spark: SparkSession, path: String, scanned: DataFrame, dvRels: Seq[String]): DataFrame =
+  private[sources] def minusDv(spark: SparkSession, path: String, scanned: DataFrame, dvRels: Seq[String]): DataFrame =
     if (dvRels.isEmpty) scanned
     else {
       import org.apache.spark.sql.functions.{broadcast, col}

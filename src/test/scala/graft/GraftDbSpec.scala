@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftDb, SnapshotTable}
+
+/** Multi-table ACID transactions: atomic cross-table visibility,
+  * snapshot-isolated branch-base writes, abort hygiene, first-
+  * committer-wins conflicts — including under real racing threads.
+  */
+class GraftDbSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def freshDb(tag: String): String =
+    s"/tmp/graft_dbspec_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def rows(ids: Long*) = ids.map(i => (i, s"r$i")).toDF("id", "payload")
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("transaction publishes atomically: mid-flight snapshots see neither write, the commit flips both in one CAS") {
+    val db = freshDb("atomic")
+    GraftDb.create(spark, db, Map("a" -> rows(1L, 2L, 3L), "b" -> rows(10L)))
+    val v1Cut = GraftDb.snapshot(spark, db)
+    GraftDb.transaction(spark, db) { tx =>
+      tx.append("b", tx.read("a").filter($"id" === 3L))
+      tx.deleteWhere("a", col("id") === 3L)
+      // the database is the isolation boundary: BOTH member writes are
+      // already durably committed in the member logs here, yet the db
+      // snapshot still serves the old cut of BOTH
+      assert(GraftDb.snapshot(spark, db) == v1Cut)
+      assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L, 3L))
+      assert(idsOf(GraftDb.read(spark, db, "b")) == Set(10L))
+    }
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L))
+    assert(idsOf(GraftDb.read(spark, db, "b")) == Set(10L, 3L))
+  }
+
+  test("abort leaves no trace through the db, and later transactions never build on debris versions") {
+    val db = freshDb("abort")
+    GraftDb.create(spark, db, Map("a" -> rows(1L, 2L), "b" -> rows(10L)))
+    val boom = intercept[RuntimeException] {
+      GraftDb.transaction(spark, db) { tx =>
+        tx.append("b", rows(99L))
+        tx.deleteWhere("a", col("id") === 1L)
+        sys.error("crash before the database CAS")
+      }
+    }
+    assert(boom.getMessage.contains("crash"))
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L))
+    assert(idsOf(GraftDb.read(spark, db, "b")) == Set(10L))
+    // debris versions DO exist in the member log (documented dirty-read
+    // caveat) …
+    assert(SnapshotTable.latestVersion(spark, s"$db/tables/b") > GraftDb.snapshot(spark, db)("b"))
+    // … but a subsequent transaction branches from the CUT, so the
+    // aborted rows never enter any published lineage
+    GraftDb.transaction(spark, db)(tx => tx.append("b", rows(11L)))
+    assert(idsOf(GraftDb.read(spark, db, "b")) == Set(10L, 11L))
+  }
+
+  test("write-write conflict: first committer wins, loser aborts with WriteConflict; disjoint write sets both commit") {
+    val db = freshDb("conflict")
+    GraftDb.create(spark, db, Map("a" -> rows(1L), "b" -> rows(2L), "c" -> rows(3L)))
+    val e = intercept[GraftDb.WriteConflict] {
+      GraftDb.transaction(spark, db) { tx =>
+        tx.append("a", rows(100L))
+        // another transaction lands on 'a' first
+        GraftDb.transaction(spark, db)(inner => inner.append("a", rows(200L)))
+      }
+    }
+    assert(e.getMessage.contains("first committer wins"))
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 200L), "only the first committer's append survives")
+    // disjoint write sets: the outer retry folds the inner winner in
+    GraftDb.transaction(spark, db) { tx =>
+      tx.append("b", rows(101L))
+      GraftDb.transaction(spark, db)(inner => inner.append("c", rows(300L)))
+    }
+    assert(idsOf(GraftDb.read(spark, db, "b")) == Set(2L, 101L))
+    assert(idsOf(GraftDb.read(spark, db, "c")) == Set(3L, 300L))
+  }
+
+  test("racing transfer transactions conserve the cross-table invariant at EVERY published snapshot") {
+    val db = freshDb("race")
+    GraftDb.create(spark, db, Map("a" -> rows(1L to 16L: _*), "b" -> rows(101L to 104L: _*)))
+    val totalIds = (1L to 16L).sum + (101L to 104L).sum
+    val pool     = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 8 racing transfers, each moving ONE distinct id a→b with
+    // app-level retry on conflict — genuine thread concurrency, the
+    // discipline that found the rename-replace commit bug
+    (1L to 8L).foreach { id =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            var done = 0
+            while (done == 0)
+              try {
+                GraftDb.transaction(spark, db) { tx =>
+                  tx.append("b", tx.read("a").filter($"id" === id))
+                  tx.deleteWhere("a", col("id") === id)
+                }
+                done = 1
+              } catch { case _: GraftDb.WriteConflict => () }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"racing transactions failed: ${failures.peek()}")
+    val latest = SnapshotTable.latestVersion(spark, db)
+    assert(latest == 9L, s"8 committed transfers after create must publish exactly 9 db versions, got $latest")
+    (1L to latest).foreach { v =>
+      val mass = Seq("a", "b")
+        .map(t => GraftDb.read(spark, db, t, Some(v)).agg(sum($"id")).as[Long].head())
+        .sum
+      assert(mass == totalIds, s"id mass not conserved at db version $v")
+    }
+    assert(idsOf(GraftDb.read(spark, db, "a")) == (9L to 16L).toSet)
+    assert(idsOf(GraftDb.read(spark, db, "b")) == ((101L to 104L) ++ (1L to 8L)).toSet)
+  }
+}
