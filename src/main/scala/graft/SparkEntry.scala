@@ -360,6 +360,30 @@ object SparkEntry {
     path
   }
 
+  /** Memoized schema-evolution demo table: v1 = (doc_id, lang) for the
+    * even docs, v2 = a WIDENING append adding n_chars for the odd docs
+    * — the recorded per-version schema (schema-in-log, zero footer
+    * inference) makes v1's files read NULL in the new column.
+    */
+  private val evolvedBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def evolvedReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_evolved", dir)}"
+    evolvedBuilt.synchronized {
+      if (!evolvedBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val docs = Tables.documents(s, dir)
+        graft.sources.SnapshotTable.create(s, path, docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"))
+        graft.sources.SnapshotTable
+          .append(s, path, docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars"))
+        evolvedBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized multi-table transaction demo: a [[graft.sources.GraftDb]]
     * database of two order shards ('hot' = open orders, 'cold' = the
     * rest), one COMMITTED transaction moving the %5==0 cold rows to
@@ -1373,6 +1397,24 @@ object SparkEntry {
         .rowChangesBetween(s, path, 1L, 3L)
         .select(col("o_orderkey"), col("o_orderpriority"), col("_change_type"), col("_commit_version"))
         .orderBy("_commit_version", "_change_type", "o_orderkey")
+    },
+    // schema evolution (schema-in-log): a widening append leaves the
+    // pre-existing files readable with NULLs in the new column, and the
+    // recorded schema — not footer sampling — governs every snapshot;
+    // the narrow-version read proves schema time travel
+    "append_evolved" -> q { (s, dir) =>
+      val path = evolvedReady(s, dir)
+      val v1Cols = graft.sources.SnapshotTable.read(s, path, Some(1L)).columns.length.toLong
+      graft.sources.SnapshotTable
+        .read(s, path)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("sum_chars")
+        )
+        .withColumn("v1_cols", lit(v1Cols))
+        .orderBy("lang")
     },
     // multi-table ACID: per-member (rows, key mass) read THROUGH the
     // database snapshot — the committed cross-table move is fully
@@ -3456,6 +3498,12 @@ object SparkEntry {
           |UNION ALL
           |SELECT o_orderkey, o_orderpriority, 'update_preimage', CAST(3 AS BIGINT) FROM upd
           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+      "append_evolved" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_with_chars,
+          |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
+          |  CAST(2 AS BIGINT) AS v1_cols
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "db_txn_read" ->
         """SELECT 'cold' AS shard, CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key

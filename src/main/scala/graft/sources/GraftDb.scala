@@ -108,10 +108,24 @@ object GraftDb {
     * is whatever the log grants next, CAS-retried. Returns it.
     */
   private def appendAt(spark: SparkSession, path: String, baseVersion: Long, df: DataFrame): Long = {
+    // same schema gate as SnapshotTable.append, validated against the
+    // CUT version's schema (the lineage this commit derives from).
+    // Branch-base commits ALWAYS stamp their resolved schema: the
+    // member log is non-linear under transactions (debris/concurrent
+    // versions interleave), so the walk-down inheritance linear logs
+    // use could resolve through a NON-ANCESTOR — carrying the stamp on
+    // every manifest removes the ambiguity.
+    val resolved = SnapshotTable.schemaAsOf(spark, path, baseVersion) match {
+      case Some(prior) =>
+        SnapshotTable.requireEvolvable(prior, df.schema, path)
+        if (SnapshotTable.allNullable(df.schema).json == prior.json) prior else SnapshotTable.allNullable(df.schema)
+      case None => SnapshotTable.allNullable(df.schema)
+    }
     val newFiles = SnapshotTable.stageData(spark, path, df)
     val base     = SnapshotTable.readManifest(spark, path, baseVersion)
-    val lines    = base.filterNot(SnapshotTable.isMetaLine) ++ newFiles :+ "meta:op:txn-append"
-    var v        = SnapshotTable.latestVersion(spark, path) + 1
+    val lines = base.filterNot(SnapshotTable.isMetaLine) ++ newFiles ++
+      Seq(s"meta:schema:${resolved.json}", "meta:op:txn-append")
+    var v = SnapshotTable.latestVersion(spark, path) + 1
     while (!SnapshotTable.tryCommit(spark, path, v, lines)) v += 1
     v
   }
@@ -128,16 +142,22 @@ object GraftDb {
     val lines       = SnapshotTable.readManifest(spark, path, baseVersion)
     val (data, dvs) = SnapshotTable.splitManifest(lines)
     val hits = SnapshotTable
-      .minusDv(spark, path, SnapshotTable.scanWithPos(spark, path, data), dvs)
+      .minusDv(spark, path, SnapshotTable.scanWithPos(spark, path, data, SnapshotTable.schemaAsOf(spark, path, baseVersion)), dvs)
       .filter(predicate)
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
       .localCheckpoint(eager = true)
+    // carry the base's schema stamp forward (see appendAt: branch-base
+    // manifests always carry their own schema)
+    val schemaMeta = SnapshotTable
+      .schemaAsOf(spark, path, baseVersion)
+      .map(s => s"meta:schema:${s.json}")
+      .toSeq
     val newLines =
-      if (hits.isEmpty) lines.filterNot(SnapshotTable.isMetaLine) :+ "meta:op:txn-delete"
+      if (hits.isEmpty) lines.filterNot(SnapshotTable.isMetaLine) ++ schemaMeta :+ "meta:op:txn-delete"
       else {
         val dvRel = s"_dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
         hits.coalesce(1).write.parquet(s"$path/$dvRel")
-        lines.filterNot(SnapshotTable.isMetaLine) ++ Seq(s"dv:$dvRel", "meta:op:txn-delete")
+        lines.filterNot(SnapshotTable.isMetaLine) ++ Seq(s"dv:$dvRel") ++ schemaMeta :+ "meta:op:txn-delete"
       }
     var v = SnapshotTable.latestVersion(spark, path) + 1
     while (!SnapshotTable.tryCommit(spark, path, v, newLines)) v += 1

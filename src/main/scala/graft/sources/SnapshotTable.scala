@@ -93,7 +93,9 @@ object SnapshotTable {
         val (data, dvs)  = splitManifest(lines)
         val metas        = lines.filter(isMetaLine).map(_.stripPrefix("meta:"))
         val op           = metas.collectFirst { case m if m.startsWith("op:") => m.stripPrefix("op:") }
-        val appMeta      = metas.filterNot(_.startsWith("op:"))
+        // op stamps and schema records are engine bookkeeping, not
+        // application meta — history shows the user-meaningful payloads
+        val appMeta = metas.filterNot(m => m.startsWith("op:") || m.startsWith(SchemaPrefix))
         Some((v, op.getOrElse("unknown"), data.length.toLong, dvs.length.toLong, appMeta.mkString(";")))
       }
     }
@@ -440,9 +442,10 @@ object SnapshotTable {
     // pruned-away file simply never matches the anti-join
     val v   = versionAsOf.getOrElse(latestVersion(spark, path))
     val dvs = splitManifest(readManifest(spark, path, v))._2
+    val schema = schemaAsOf(spark, path, v)
     val scanned =
-      if (dvs.isEmpty) spark.read.parquet(survivors.map(fileRef(path, _)): _*)
-      else minusDv(spark, path, scanWithPos(spark, path, survivors), dvs).drop("__graft_file", "__graft_pos")
+      if (dvs.isEmpty) schema.map(spark.read.schema).getOrElse(spark.read).parquet(survivors.map(fileRef(path, _)): _*)
+      else minusDv(spark, path, scanWithPos(spark, path, survivors, schema), dvs).drop("__graft_file", "__graft_pos")
     scanned.filter(exact)
   }
 
@@ -494,7 +497,10 @@ object SnapshotTable {
   def create(spark: SparkSession, path: String, df: DataFrame): Long = {
     require(latestVersion(spark, path) == 0L, s"table already exists at $path")
     val files = stageData(spark, path, df)
-    require(tryCommit(spark, path, 1L, files :+ "meta:op:create"), s"concurrent create at $path")
+    require(
+      tryCommit(spark, path, 1L, files ++ Seq(s"meta:${schemaLine(df)}", "meta:op:create")),
+      s"concurrent create at $path"
+    )
     1L
   }
 
@@ -511,14 +517,29 @@ object SnapshotTable {
       meta: Seq[String] = Nil
   ): Long = {
     require(meta.forall(m => m.nonEmpty && !m.contains("\n")), "meta payloads must be newline-free")
+    // schema evolution gate BEFORE staging: adding columns is legal
+    // (old files read them as NULL under the restamped schema); a type
+    // change or drop would corrupt by-name resolution and is refused.
+    // Only a CHANGED schema restamps — unchanged commits inherit via
+    // the walk-down, keeping manifests lean.
+    def schemaMetaAt(base: Long): Seq[String] = {
+      val prior = schemaAsOf(spark, path, base).getOrElse(allNullable(read(spark, path, Some(base)).schema))
+      requireEvolvable(prior, df.schema, path)
+      if (allNullable(df.schema).json == prior.json) Nil else Seq(schemaLine(df))
+    }
+    val lv0 = latestVersion(spark, path)
+    require(lv0 > 0, s"no table at $path (create first)")
+    schemaMetaAt(lv0) // fast-fail BEFORE staging
     val newFiles = stageData(spark, path, df)
     var attempt  = 0
     while (attempt < maxRetries) {
       val base = latestVersion(spark, path)
       require(base > 0, s"no table at $path (create first)")
-      // prior meta is commit-scoped — never copied forward
+      // prior meta is commit-scoped — never copied forward; the schema
+      // gate re-evaluates against THIS base so a raced widening from
+      // another writer can neither be shadowed nor silently merged
       val files = readManifest(spark, path, base).filterNot(isMetaLine) ++
-        newFiles ++ ("op:append" +: meta).map("meta:" + _)
+        newFiles ++ (("op:append" +: schemaMetaAt(base)) ++ meta).map("meta:" + _)
       if (tryCommit(spark, path, base + 1, files)) return base + 1
       attempt += 1
     }
@@ -546,9 +567,15 @@ object SnapshotTable {
     expectedBase.foreach(e =>
       require(base == e, s"concurrent commit: $path advanced from version $e to $base — re-read and retry")
     )
+    // an overwrite may reshape the schema freely (its version references
+    // only its own files), but then it must restamp — otherwise the
+    // walk-down would serve a stale schema for this snapshot
+    val schemaMeta =
+      if (base > 0 && schemaAsOf(spark, path, base).exists(_.json == allNullable(df.schema).json)) Nil
+      else Seq(schemaLine(df))
     val v = base + 1
     require(
-      tryCommit(spark, path, v, newFiles ++ (s"op:$opName" +: meta).map("meta:" + _)),
+      tryCommit(spark, path, v, newFiles ++ ((s"op:$opName" +: schemaMeta) ++ meta).map("meta:" + _)),
       s"overwrite of $path lost a race at version $v — re-read and retry"
     )
     v
@@ -561,9 +588,16 @@ object SnapshotTable {
     * within its immutable file). Costs nothing when unused: both are
     * per-row constants the reader already knows.
     */
-  private[sources] def scanWithPos(spark: SparkSession, path: String, dataLines: Seq[String]): DataFrame = {
+  private[sources] def scanWithPos(
+      spark: SparkSession,
+      path: String,
+      dataLines: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None
+  ): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
-    spark.read
+    schema
+      .map(spark.read.schema)
+      .getOrElse(spark.read)
       .parquet(dataLines.map(fileRef(path, _)): _*)
       .withColumn("__graft_file", regexp_extract(col("_metadata.file_path"), "data/c-[^/]+/[^/]+$", 0))
       .withColumn("__graft_pos", col("_metadata.row_index"))
@@ -601,8 +635,65 @@ object SnapshotTable {
     require(v > 0, s"no table at $path")
     val (data, dvs) = splitManifest(readManifest(spark, path, v))
     require(data.nonEmpty, s"version $v of $path is empty")
-    if (dvs.isEmpty) spark.read.parquet(data.map(fileRef(path, _)): _*)
-    else minusDv(spark, path, scanWithPos(spark, path, data), dvs).drop("__graft_file", "__graft_pos")
+    // schema-in-log: read with THIS version's recorded schema — the
+    // snapshot's schema is a property of the version, not of whichever
+    // file the parquet reader samples. Files from before a widening
+    // append lack the new columns and read as NULLs (by-name parquet
+    // resolution); a time-traveled read below the widening gets the
+    // narrow schema back. Also a scale point: zero footer inference —
+    // at 100 TB, schema comes from one manifest walk, not file reads.
+    val schema = schemaAsOf(spark, path, v)
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    if (dvs.isEmpty) reader.parquet(data.map(fileRef(path, _)): _*)
+    else minusDv(spark, path, scanWithPos(spark, path, data, schema), dvs).drop("__graft_file", "__graft_pos")
+  }
+
+  private val SchemaPrefix = "schema:"
+
+  /** The schema recorded at or below version `v` (schema meta lines
+    * are sticky: commits that cannot change the schema don't restamp
+    * it, and [[latestMeta]] walks down to the newest one).
+    */
+  def schemaAsOf(spark: SparkSession, path: String, v: Long): Option[org.apache.spark.sql.types.StructType] =
+    latestMeta(spark, path, SchemaPrefix, Some(v)).map { case (_, payload) =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(payload.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  // declared nullable throughout: parquet nullability is advisory on
+  // read, and a widening append makes every pre-existing file NULL in
+  // the new columns anyway
+  private[sources] def allNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  private def schemaLine(df: DataFrame): String = s"$SchemaPrefix${allNullable(df.schema).json}"
+
+  /** Validate that `next` may follow `prior` as the table's schema:
+    * columns may be ADDED (old files read them as NULL), but a shared
+    * column's type can never change and existing columns can never be
+    * dropped — either would silently corrupt by-name parquet
+    * resolution of already-committed files.
+    */
+  private[sources] def requireEvolvable(
+      prior: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType,
+      path: String
+  ): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f.dataType).toMap
+    prior.fields.foreach { f =>
+      nextByName.get(f.name) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"schema evolution on $path cannot DROP column '${f.name}' — committed files still carry it; write the full schema"
+          )
+        case Some(t) if t != f.dataType =>
+          throw new IllegalArgumentException(
+            s"schema evolution on $path cannot change '${f.name}' from ${f.dataType.simpleString} to ${t.simpleString}"
+          )
+        case _ => ()
+      }
+    }
   }
 
   /** Merge-on-read row DELETE: rows where `predicate` is TRUE (SQL
@@ -624,7 +715,7 @@ object SnapshotTable {
     require(base > 0, s"no table at $path")
     val lines       = readManifest(spark, path, base)
     val (data, dvs) = splitManifest(lines)
-    val hits = minusDv(spark, path, scanWithPos(spark, path, data), dvs)
+    val hits = minusDv(spark, path, scanWithPos(spark, path, data, schemaAsOf(spark, path, base)), dvs)
       .filter(predicate)
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
       .localCheckpoint(eager = true)
@@ -658,10 +749,18 @@ object SnapshotTable {
     require(base > 0, s"no table at $path")
     val lines       = readManifest(spark, path, base)
     val (data, dvs) = splitManifest(lines)
-    val matched = minusDv(spark, path, scanWithPos(spark, path, data), dvs)
+    val matched = minusDv(spark, path, scanWithPos(spark, path, data, schemaAsOf(spark, path, base)), dvs)
       .filter(coalesce(predicate, lit(false)))
       .localCheckpoint(eager = true)
     if (matched.isEmpty) return base
+    // SET may only restate EXISTING columns: a new column here would
+    // widen only the rewritten rows' files while the manifest still
+    // mixes in narrow files under the unchanged recorded schema —
+    // widen with append/overwrite, which restamp the schema
+    require(
+      set.keySet.subsetOf(matched.columns.toSet - "__graft_file" - "__graft_pos"),
+      s"updateMor SET references columns not in the table: ${set.keySet -- matched.columns}"
+    )
     val dvRel = s"_dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
     matched.select(col("__graft_file").as("file"), col("__graft_pos").as("pos")).coalesce(1).write.parquet(s"$path/$dvRel")
     val rewritten = set.foldLeft(matched.drop("__graft_file", "__graft_pos")) { case (df, (c, e)) => df.withColumn(c, e) }
@@ -697,9 +796,20 @@ object SnapshotTable {
     val v = latest + 1
     // the restored commit's application meta (e.g. a JoinMv watermark)
     // is deliberately re-asserted; only the OP stamp describes THIS
-    // commit, so the old one is replaced
+    // commit, so the old one is replaced. The restored version's SCHEMA
+    // must be re-asserted explicitly when its own manifest inherited it
+    // (walk-down from the restore commit would otherwise serve a LATER
+    // widening's schema for the rewound files)
+    val schemaMeta =
+      if (lines.exists(_.startsWith(s"meta:$SchemaPrefix"))) Nil
+      else schemaAsOf(spark, path, version).map(s => s"meta:$SchemaPrefix${s.json}").toSeq
     require(
-      tryCommit(spark, path, v, lines.filterNot(_.startsWith("meta:op:")) :+ s"meta:op:restore-v$version"),
+      tryCommit(
+        spark,
+        path,
+        v,
+        lines.filterNot(_.startsWith("meta:op:")) ++ schemaMeta :+ s"meta:op:restore-v$version"
+      ),
       s"restore of $path lost a race at version $v"
     )
     v
@@ -719,11 +829,13 @@ object SnapshotTable {
     val v = versionAsOf.getOrElse(latestVersion(spark, src))
     require(v > 0, s"no table at $src")
     // a clone is a new table: the source commit's meta (watermarks etc.)
-    // does not describe it and is dropped
+    // does not describe it and is dropped — EXCEPT the schema, which
+    // describes the referenced files and must travel with them
     val abs = readManifest(spark, src, v).filterNot(isMetaLine).map { l =>
       if (isDvLine(l)) "dv:" + fileRef(src, l.stripPrefix("dv:")) else fileRef(src, l)
     }
-    require(tryCommit(spark, dst, 1L, abs :+ "meta:op:clone"), s"concurrent create at $dst")
+    val schemaMeta = schemaAsOf(spark, src, v).map(s => s"meta:$SchemaPrefix${s.json}").toSeq
+    require(tryCommit(spark, dst, 1L, abs ++ schemaMeta :+ "meta:op:clone"), s"concurrent create at $dst")
     1L
   }
 
@@ -749,8 +861,9 @@ object SnapshotTable {
       dvLines.isEmpty,
       s"copy-on-write delete on $path: table carries deletion vectors — compact() first, or stay merge-on-read with deleteMor"
     )
+    val rdr      = schemaAsOf(spark, path, base).map(spark.read.schema).getOrElse(spark.read)
     val absOf    = files.map(rel => fileRef(path, rel) -> rel).toMap
-    val cur      = spark.read.parquet(absOf.keys.toSeq: _*)
+    val cur      = rdr.parquet(absOf.keys.toSeq: _*)
     val touchedAbs = cur
       .filter(predicate)
       .select(input_file_name())
@@ -763,7 +876,7 @@ object SnapshotTable {
     // known relative paths so the comparison is scheme-agnostic
     val touchedRel = files.filter(rel => touchedAbs.exists(_.endsWith(rel))).toSet
     val untouched  = files.filterNot(touchedRel)
-    val kept = spark.read
+    val kept = rdr
       .parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)
       .filter(not(coalesce(predicate, lit(false))))
       .localCheckpoint(eager = true)
@@ -795,7 +908,8 @@ object SnapshotTable {
       dvLines.isEmpty,
       s"copy-on-write update on $path: table carries deletion vectors — compact() first, or stay merge-on-read with updateMor"
     )
-    val cur   = spark.read.parquet(files.map(fileRef(path, _)): _*)
+    val rdr   = schemaAsOf(spark, path, base).map(spark.read.schema).getOrElse(spark.read)
+    val cur   = rdr.parquet(files.map(fileRef(path, _)): _*)
     val touchedAbs = cur
       .filter(predicate)
       .select(input_file_name())
@@ -808,7 +922,7 @@ object SnapshotTable {
     val untouched  = files.filterNot(touchedRel)
     val hit        = coalesce(predicate, lit(false))
     val rewritten = set
-      .foldLeft(spark.read.parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)) { case (df, (c, e)) =>
+      .foldLeft(rdr.parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)) { case (df, (c, e)) =>
         df.withColumn(c, when(hit, e).otherwise(org.apache.spark.sql.functions.col(c)))
       }
       .localCheckpoint(eager = true)
@@ -844,7 +958,11 @@ object SnapshotTable {
     )
     val added = (toData -- fromData).toSeq.sorted
     if (added.isEmpty) read(spark, path, Some(toVersion)).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(added.map(fileRef(path, _)): _*)
+    else
+      schemaAsOf(spark, path, toVersion)
+        .map(spark.read.schema)
+        .getOrElse(spark.read)
+        .parquet(added.map(fileRef(path, _)): _*)
   }
 
   /** Row-level CHANGE DATA FEED over `(fromVersion, toVersion]`: every
