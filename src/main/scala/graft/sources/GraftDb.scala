@@ -164,6 +164,83 @@ object GraftDb {
     v
   }
 
+  /** Zero-copy BRANCH of the whole database at a cut: every member is
+    * shallow-cloned at its pinned version (one manifest write each —
+    * no data moves at any size), and the branch's own db manifest pins
+    * the clones. The branch diverges independently from the first
+    * transaction on; it shares fate with the source's files exactly
+    * like a single-table clone (vacuuming the source past the branched
+    * cut breaks it — detected loudly at read).
+    */
+  def branch(spark: SparkSession, srcDb: String, dstDb: String, versionAsOf: Option[Long] = None): Long = {
+    require(SnapshotTable.latestVersion(spark, dstDb) == 0L, s"database already exists at $dstDb")
+    val cut = snapshot(spark, srcDb, versionAsOf)
+    val newCut = cut.map { case (name, v) =>
+      name -> SnapshotTable.shallowClone(spark, tablePath(srcDb, name), tablePath(dstDb, name), Some(v))
+    }
+    require(
+      SnapshotTable.tryCommit(spark, dstDb, 1L, cutLines(newCut) :+ "meta:op:db-branch"),
+      s"concurrent database create at $dstDb"
+    )
+    1L
+  }
+
+  /** Reclaim storage the database no longer references: member
+    * versions pinned by NO surviving db manifest ≥ `keepFromDb` — i.e.
+    * aborted/raced transaction debris plus history below the retention
+    * point — have their manifests and their no-longer-live data/DV
+    * files deleted; db manifests below `keepFromDb` are dropped so a
+    * time-traveled db read fails loudly instead of resolving to
+    * missing members. `minAgeMs` is the SAME in-flight guard as
+    * [[SnapshotTable.vacuum]]: an open transaction commits member
+    * versions BEFORE the db CAS, so production callers must pass a
+    * horizon comfortably above the longest transaction (the default 0
+    * is the single-writer immediate-reclaim behavior).
+    *
+    * Cost: O(versions) manifest reads + one file listing per member —
+    * metadata-sized at any data scale, like every vacuum here.
+    */
+  def vacuumDb(spark: SparkSession, dbPath: String, keepFromDb: Long, minAgeMs: Long = 0L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val f        = SnapshotTable.fs(spark, dbPath)
+    val latestDb = SnapshotTable.latestVersion(spark, dbPath)
+    require(latestDb > 0, s"no database at $dbPath")
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val keep   = math.max(1L, keepFromDb)
+    val cuts = (keep to latestDb).flatMap { v =>
+      if (f.exists(SnapshotTable.manifestPath(dbPath, v))) Some(snapshot(spark, dbPath, Some(v))) else None
+    }
+    require(cuts.nonEmpty, s"vacuumDb would reclaim every cut of $dbPath — lower keepFromDb")
+    val members = cuts.flatMap(_.keys).toSet
+    members.foreach { name =>
+      val path = tablePath(dbPath, name)
+      val refd = cuts.flatMap(_.get(name)).toSet
+      val live: Set[String] = refd.flatMap { v =>
+        val (data, dvs) = SnapshotTable.splitManifest(SnapshotTable.readManifest(spark, path, v))
+        data.toSet ++ dvs.map("dv:" + _)
+      }
+      // unreferenced member manifests (debris + pre-retention history)
+      (1L to SnapshotTable.latestVersion(spark, path)).foreach { v =>
+        val mp = SnapshotTable.manifestPath(path, v)
+        if (!refd.contains(v) && f.exists(mp) && f.getFileStatus(mp).getModificationTime <= cutoff)
+          f.delete(mp, false)
+      }
+      // data files referenced by no surviving member manifest
+      val dataRoot = new Path(s"$path/data")
+      if (f.exists(dataRoot)) FsListing.listDataFiles(f, dataRoot).foreach { st =>
+        val rel = st.getPath.toUri.getPath.stripPrefix(new Path(path).toUri.getPath).stripPrefix("/")
+        if (!live.contains(rel) && st.getModificationTime <= cutoff) f.delete(st.getPath, false)
+      }
+      // deletion vectors likewise
+      val dvRoot = new Path(s"$path/_dv")
+      if (f.exists(dvRoot)) f.listStatus(dvRoot).foreach { st =>
+        if (!live.contains(s"dv:_dv/${st.getPath.getName}") && st.getModificationTime <= cutoff)
+          f.delete(st.getPath, true)
+      }
+    }
+    (1L until keep).foreach(v => f.delete(SnapshotTable.manifestPath(dbPath, v), false))
+  }
+
   /** Thrown when the database CAS finds a member of this transaction's
     * write set advanced past the entry cut — first committer won.
     */

@@ -79,6 +79,53 @@ class GraftDbSpec extends SparkSpec {
     assert(idsOf(GraftDb.read(spark, db, "c")) == Set(3L, 300L))
   }
 
+  test("branch: zero-copy database fork at a cut; branch and source diverge independently") {
+    val db = freshDb("src")
+    val br = freshDb("branch")
+    GraftDb.create(spark, db, Map("a" -> rows(1L, 2L), "b" -> rows(10L)))
+    GraftDb.transaction(spark, db)(tx => tx.append("a", rows(3L)))
+    GraftDb.branch(spark, db, br, versionAsOf = Some(2L))
+    assert(idsOf(GraftDb.read(spark, br, "a")) == Set(1L, 2L, 3L))
+    // no data copied: the branch members' data dirs are empty
+    val f = new org.apache.hadoop.fs.Path(br).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$br/tables/a/data")))
+    GraftDb.transaction(spark, br)(tx => tx.deleteWhere("a", col("id") === 1L))
+    GraftDb.transaction(spark, db)(tx => tx.append("b", rows(11L)))
+    assert(idsOf(GraftDb.read(spark, br, "a")) == Set(2L, 3L), "branch mutation stays on the branch")
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L, 3L), "source untouched by branch mutation")
+    assert(idsOf(GraftDb.read(spark, br, "b")) == Set(10L), "source mutation invisible to the branch")
+  }
+
+  test("vacuumDb reclaims aborted-transaction debris and pre-retention history; published cuts stay readable") {
+    val db = freshDb("vac")
+    GraftDb.create(spark, db, Map("a" -> rows(1L), "b" -> rows(10L)))        // db v1
+    GraftDb.transaction(spark, db)(tx => tx.append("a", rows(2L)))           // db v2
+    intercept[RuntimeException] {
+      GraftDb.transaction(spark, db) { tx =>
+        tx.append("a", rows(99L)) // debris member version
+        sys.error("abort")
+      }
+    }
+    val aPath  = s"$db/tables/a"
+    val debris = SnapshotTable.latestVersion(spark, aPath)
+    assert(debris > GraftDb.snapshot(spark, db)("a"))
+    val f = new org.apache.hadoop.fs.Path(db).getFileSystem(spark.sessionState.newHadoopConf())
+    // a generous minAge keeps the fresh debris (the in-flight guard) …
+    GraftDb.vacuumDb(spark, db, keepFromDb = 1L, minAgeMs = 60L * 60 * 1000)
+    assert(SnapshotTable.latestVersion(spark, aPath) == debris)
+    // … and immediate reclaim drops it: manifest gone, its staged files gone
+    GraftDb.vacuumDb(spark, db, keepFromDb = 1L)
+    assert(SnapshotTable.latestVersion(spark, aPath) == GraftDb.snapshot(spark, db)("a"))
+    (1L to 2L).foreach { v =>
+      assert(idsOf(GraftDb.read(spark, db, "a", Some(v))) == (if (v == 1L) Set(1L) else Set(1L, 2L)))
+    }
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L), "published state intact after vacuum")
+    // retention: dropping db v1 reclaims the cut and the member version only IT referenced
+    GraftDb.vacuumDb(spark, db, keepFromDb = 2L)
+    intercept[Exception](GraftDb.read(spark, db, "a", Some(1L)))
+    assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L))
+  }
+
   test("racing transfer transactions conserve the cross-table invariant at EVERY published snapshot") {
     val db = freshDb("race")
     GraftDb.create(spark, db, Map("a" -> rows(1L to 16L: _*), "b" -> rows(101L to 104L: _*)))
