@@ -1398,6 +1398,25 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"), col("_change_type"), col("_commit_version"))
         .orderBy("_commit_version", "_change_type", "o_orderkey")
     },
+    // constraint-free join elimination: the defensive left join to a
+    // deduplicated customer dimension (structurally unique via its
+    // groupBy) with no dimension columns referenced is REQUIRED to
+    // vanish from the optimized plan — the dimension's shuffle+build
+    // never runs; DuckDB replays the query without the join
+    "join_eliminated" -> q { (s, dir) =>
+      val o   = Tables.orders(s, dir)
+      val dim = Tables.customer(s, dir).groupBy("c_custkey").agg(max(col("c_acctbal")).as("bal"))
+      val joined = o
+        .join(dim, o("o_custkey") === dim("c_custkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("o_orderkey").as("sum_key"))
+        .orderBy("o_orderstatus")
+      val nJoins = joined.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+      require(nJoins == 0, s"defensive left join must be eliminated from the plan, found $nJoins join(s)")
+      joined
+    },
     // schema evolution (schema-in-log): a widening append leaves the
     // pre-existing files readable with NULLs in the new column, and the
     // recorded schema — not footer sampling — governs every snapshot;
@@ -3498,6 +3517,10 @@ object SparkEntry {
           |UNION ALL
           |SELECT o_orderkey, o_orderpriority, 'update_preimage', CAST(3 AS BIGINT) FROM upd
           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+      "join_eliminated" ->
+        """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "append_evolved" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_with_chars,

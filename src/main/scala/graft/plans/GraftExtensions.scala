@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent zone-map file skipping over registered layouts
     // (no-op until ZoneMapPruning.register)
     ext.injectOptimizerRule(_ => ZoneMapPruning.ZoneMapPruneRule)
+    // constraint-free join elimination: LEFT OUTER against a
+    // structurally-unique aggregate with no right-side references
+    ext.injectOptimizerRule(_ => EliminateUniqueLeftJoin)
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     )
