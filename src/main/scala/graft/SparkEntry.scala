@@ -304,6 +304,37 @@ object SparkEntry {
     path
   }
 
+  /** Memoized replaceWhere demo table: v1 = documents (doc_id, lang,
+    * n_chars) range-partitioned into 4 files; v2 = one
+    * [[graft.sources.SnapshotTable.replaceWhere]] backfill swapping
+    * the doc_id 100–199 band for its recomputed slice (even ids only,
+    * n_chars + 1000) in ONE commit — the range layout means the
+    * backfill rewrites only the files covering the band.
+    */
+  private val rwTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def rwTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_rw_tbl", dir)}"
+    rwTableBuilt.synchronized {
+      if (!rwTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        graft.sources.SnapshotTable.create(s, path, docs.repartitionByRange(4, col("doc_id")))
+        val band = col("doc_id").between(100L, 199L)
+        graft.sources.SnapshotTable.replaceWhere(
+          s,
+          path,
+          band,
+          docs.filter(band && col("doc_id") % 2 === 0).withColumn("n_chars", col("n_chars") + 1000L)
+        )
+        rwTableBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized merge-on-read demo table over orders: v1 = full table
     * in 4 files, v2 = [[graft.sources.SnapshotTable.deleteMor]] of
     * o_orderkey%5=0 (a deletion-vector commit — no file rewritten),
@@ -1353,6 +1384,27 @@ object SparkEntry {
           sum("doc_id").as("sum_ids"),
           sum(length(col("text"))).as("sum_chars")
         )
+    },
+    // predicate-scoped atomic overwrite (replaceWhere): v2 swapped the
+    // doc_id 100–199 band for its recomputed slice (even ids,
+    // n_chars+1000) in ONE commit; reading BOTH versions proves the
+    // swap is atomic and history stays time-travelable. DuckDB replays
+    // each version from the band predicate alone
+    "replace_where" -> q { (s, dir) =>
+      val path = rwTableReady(s, dir)
+      Seq(1L, 2L)
+        .map { v =>
+          graft.sources.SnapshotTable
+            .read(s, path, Some(v))
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum("doc_id").as("sum_ids"),
+              sum("n_chars").as("sum_chars")
+            )
+            .select(lit(v).as("version"), col("n_docs"), col("sum_ids"), col("sum_chars"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("version")
     },
     // merge-on-read DELETE: v2 tombstoned o_orderkey%5=0 via a
     // deletion vector (no data file rewritten — MergeOnReadSpec pins
@@ -3484,6 +3536,19 @@ object SparkEntry {
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
           |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
           |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+      "replace_where" ->
+        """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(sum(doc_id) AS BIGINT),
+          |  CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 199
+          |                THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+          |FROM documents
+          |WHERE NOT (doc_id BETWEEN 100 AND 199 AND doc_id % 2 = 1)
+          |ORDER BY version""".stripMargin,
       "delete_rows_mor" ->
         """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,

@@ -932,6 +932,92 @@ object SnapshotTable {
     v
   }
 
+  /** Predicate-scoped atomic overwrite (the lake-format
+    * `INSERT OVERWRITE … replaceWhere` contract, cf. Delta Lake's
+    * replaceWhere option): in ONE commit, every current row matching
+    * `predicate` is deleted and `rows` is inserted — the idempotent
+    * backfill/refresh primitive ("swap this day's slice for the
+    * recomputed one"). Every inserted row is REQUIRED to satisfy
+    * `predicate` (one aggregate over `rows` before anything is
+    * staged) — otherwise the op would leak rows outside its declared
+    * scope and re-running the backfill would no longer be idempotent.
+    * Touched-file discipline as [[delete]]: only files containing
+    * matches are rewritten (their predicate-false rows kept), the
+    * rest carry into the new manifest by reference — at 100 TB a
+    * one-partition backfill costs O(that partition's files) +
+    * O(new rows), never O(table). History stays readable
+    * (time travel sees the pre-replace slice until vacuum). DV
+    * tables are refused like the rest of the copy-on-write family;
+    * `rows` must match the table schema exactly — a scoped replace
+    * rewrites only part of the data, so it can never restamp the
+    * schema the way a full [[overwrite]] may. CHECK constraints and
+    * stats sidecars ride the shared staging boundary.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      rows: DataFrame
+  ): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, input_file_name, lit, not, sum, when}
+    val base = latestVersion(spark, path)
+    require(base > 0, s"no table at $path")
+    val (files, dvLines) = splitManifest(readManifest(spark, path, base))
+    require(
+      dvLines.isEmpty,
+      s"replaceWhere on $path: table carries deletion vectors — compact() first"
+    )
+    val prior = schemaAsOf(spark, path, base).getOrElse(allNullable(read(spark, path, Some(base)).schema))
+    require(
+      allNullable(rows.schema).json == prior.json,
+      s"replaceWhere on $path: inserted rows must match the table schema exactly " +
+        s"(got ${rows.schema.simpleString}, table ${prior.simpleString})"
+    )
+    // scope gate: count rows that do NOT satisfy the predicate (NULL
+    // counts as outside — it would survive the delete side untouched,
+    // so admitting it would duplicate on re-run)
+    val Array(nRows: Long, nOutside: Long) = rows
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(not(coalesce(predicate, lit(false))), 1L).otherwise(0L)).as("bad")
+      )
+      .collect()
+      .map(r => Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .head
+    require(
+      nOutside == 0L,
+      s"replaceWhere on $path: $nOutside of $nRows inserted rows do not satisfy the replace predicate"
+    )
+    val rdr = spark.read.schema(prior)
+    val touchedAbs =
+      if (files.isEmpty) Set.empty[String]
+      else
+        rdr
+          .parquet(files.map(fileRef(path, _)): _*)
+          .filter(predicate)
+          .select(input_file_name())
+          .distinct()
+          .collect()
+          .map(_.getString(0))
+          .toSet
+    val touchedRel = files.filter(rel => touchedAbs.exists(_.endsWith(rel))).toSet
+    val untouched  = files.filterNot(touchedRel)
+    val kept =
+      if (touchedRel.isEmpty) rows
+      else
+        rdr
+          .parquet(touchedRel.map(fileRef(path, _)).toSeq: _*)
+          .filter(not(coalesce(predicate, lit(false))))
+          .unionByName(rows)
+    val newFiles = stageData(spark, path, kept.localCheckpoint(eager = true))
+    val v        = base + 1
+    require(
+      tryCommit(spark, path, v, untouched ++ newFiles :+ "meta:op:replace_where"),
+      s"replaceWhere on $path lost a race at version $v — re-read and retry"
+    )
+    v
+  }
+
   /** Incremental pull: the rows ADDED between two versions, computed
     * from the manifest diff alone (files present in `toVersion` but
     * not `fromVersion`) — the batch consumer's "what's new since my

@@ -388,6 +388,61 @@ class SnapshotTableSpec extends SparkSpec {
     assert(total == 2L && surv.length == 1, "the all-NULL file must be skipped, the matching file kept")
   }
 
+  test("replaceWhere: one commit swaps the predicate slice, carries untouched files by reference, keeps history") {
+    val p = freshPath("rw")
+    // two files with disjoint id ranges so exactly one is touched
+    val low  = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp").repartition(1)
+    val high = Seq((10L, "c"), (11L, "c")).toDF("id", "grp").repartition(1)
+    SnapshotTable.create(spark, p, low)
+    SnapshotTable.append(spark, p, high)
+    val filesBefore = SnapshotTable.read(spark, p).inputFiles.toSet
+    val repl        = Seq((2L, "a2"), (4L, "a2")).toDF("id", "grp")
+    val v           = SnapshotTable.replaceWhere(spark, p, col("id") < 10L, repl)
+    assert(v == 3L)
+    val after = SnapshotTable.read(spark, p).as[(Long, String)].collect().sorted.toSeq
+    assert(after == Seq((2L, "a2"), (4L, "a2"), (10L, "c"), (11L, "c")), "slice swapped, rest intact")
+    // the untouched high file must carry by reference, the low file must be gone
+    val filesAfter = SnapshotTable.read(spark, p).inputFiles.toSet
+    assert((filesBefore & filesAfter).nonEmpty, "untouched file must carry by reference")
+    assert((filesBefore -- filesAfter).nonEmpty, "touched file must be rewritten")
+    // history: v2 still shows the pre-replace slice
+    assert(SnapshotTable.read(spark, p, Some(2L)).filter(col("id") < 10L).count() == 3L)
+    // idempotence: re-running the same backfill leaves content identical
+    SnapshotTable.replaceWhere(spark, p, col("id") < 10L, repl)
+    assert(SnapshotTable.read(spark, p).as[(Long, String)].collect().sorted.toSeq == after)
+  }
+
+  test("replaceWhere refusals: out-of-scope rows (incl. NULL predicate), schema drift, DV tables") {
+    val p = freshPath("rwref")
+    SnapshotTable.create(spark, p, Seq((1L, "a"), (20L, "c")).toDF("id", "grp"))
+    val v0 = SnapshotTable.latestVersion(spark, p)
+    // a row outside the predicate scope is refused before any commit
+    val leak = intercept[IllegalArgumentException] {
+      SnapshotTable.replaceWhere(spark, p, col("id") < 10L, Seq((2L, "a"), (15L, "x")).toDF("id", "grp"))
+    }
+    assert(leak.getMessage.contains("do not satisfy"))
+    // NULL predicate counts as outside (it would duplicate on re-run)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.replaceWhere(
+        spark,
+        p,
+        col("id") < 10L,
+        Seq[(Option[Long], String)]((None, "a")).toDF("id", "grp")
+      )
+    }
+    // schema drift refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.replaceWhere(spark, p, col("id") < 10L, Seq((2L, "a", 1L)).toDF("id", "grp", "extra"))
+    }
+    assert(SnapshotTable.latestVersion(spark, p) == v0, "no refused call may commit a version")
+    // DV tables are refused like the rest of the copy-on-write family
+    SnapshotTable.deleteMor(spark, p, col("id") === 20L)
+    val dv = intercept[IllegalArgumentException] {
+      SnapshotTable.replaceWhere(spark, p, col("id") < 10L, Seq((2L, "a")).toDF("id", "grp"))
+    }
+    assert(dv.getMessage.contains("deletion vectors"))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
