@@ -978,6 +978,17 @@ object SparkEntry {
         maxDist = 1
       )
     ),
+    // exact Jaro–Winkler fuzzy-name join (char-occurrence prefix
+    // filter + length-ratio filter + codegen'd JW verify, bit-matched
+    // to DuckDB's jaro_winkler_similarity) — the oracle replays the
+    // naive quadratic join over the same bounded subset because both
+    // the filter and the scorer are EXACT
+    "fuzzy_jw_names" -> q((s, dir) =>
+      Dedup.jaroWinklerJoin(
+        Tables.part(s, dir).filter(col("p_partkey") < 2000).select(col("p_partkey").as("id"), col("p_name").as("s")),
+        theta = 0.94
+      )
+    ),
     // the near-dup families dump their deterministic frozen state
     // (signatures / band assignments / cell assignments) so the DuckDB
     // oracle replays banding, bucket caps, candidate pairing, and
@@ -3129,6 +3140,12 @@ object SparkEntry {
           |  SELECT x.id AS a, y.id AS b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
           |  FROM c x JOIN c y ON x.id < y.id AND abs(length(x.s) - length(y.s)) <= 1)
           |WHERE dist <= 1 ORDER BY a, b""".stripMargin,
+      "fuzzy_jw_names" ->
+        """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey < 2000)
+          |SELECT a, b, sim FROM (
+          |  SELECT x.id AS a, y.id AS b, jaro_winkler_similarity(x.s, y.s) AS sim
+          |  FROM p x JOIN p y ON x.id < y.id)
+          |WHERE sim >= 0.94 ORDER BY a, b""".stripMargin,
       "dedup_components" ->
         s"""$ccWith
            |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,

@@ -1085,6 +1085,99 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Exact Jaro–Winkler similarity join: all pairs with
+    * `jaro_winkler(sa, sb) >= theta` — the record-linkage fuzzy-name
+    * join (person/company/product names), scored by the native
+    * [[graft.functions.JaroWinkler]] expression (bit-identical to
+    * DuckDB's `jaro_winkler_similarity`, so the result hash-replays
+    * cross-engine with no rounding).
+    *
+    * Candidate generation is EXACT via a character-multiset prefix
+    * filter derived from the JW arithmetic itself: for θ > 0.8,
+    * jw ≥ θ forces jaro ≥ (θ−0.4)/0.6 (the Winkler boost adds at most
+    * 0.4·(1−jaro)), hence m ≥ (5θ−4)·Lmax matched characters — and
+    * Jaro matching is injective on character OCCURRENCES of both
+    * sides, so the (char, occurrence-index) token multisets overlap in
+    * ≥ ceil((5θ−4)·L) tokens for EACH side's length L. That is the
+    * AllPairs overlap condition: under a global rarest-first token
+    * order, two qualifying strings must share a token among each
+    * side's (L − T + 1)-token prefix, so candidates come from ONE
+    * equi-join on prefix tokens (+ the implied length-ratio filter
+    * Lmin ≥ (5θ−4)·Lmax), never a cross join. The per-string work is
+    * array-local (no shuffle to build tokens); candidate quality
+    * degrades gracefully on tiny-alphabet corpora where every string
+    * shares its rare characters — the verify stage is a codegen'd
+    * byte-loop, so even then the cost is candidate-count scalar work,
+    * not a materialized cross product.
+    *
+    * Exactness of the pruning bound is argued at BYTE granularity for
+    * single-byte (ASCII) strings — the fuzzy-name domain; multi-byte
+    * text still verifies byte-exactly but candidate tokens are
+    * characters, so only ASCII inputs carry the no-miss guarantee.
+    * θ ≤ 0.8 is refused (the bound degenerates: 5θ−4 ≤ 0 admits
+    * everything — at that point an honest operator is a different
+    * blocker + JW verify, not this join).
+    */
+  def jaroWinklerJoin(
+      df: DataFrame,
+      theta: Double,
+      strCol: String = "s",
+      idCol: String = "id"
+  ): DataFrame = {
+    require(theta > 0.8 && theta <= 1.0, s"jaroWinklerJoin needs 0.8 < theta <= 1.0, got $theta")
+    graft.GraftFunctions.register(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+
+    val cmin = 5.0 * theta - 4.0 // exact-rational (5θ−4), evaluated in doubles
+
+    val strs = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+      .withColumn("len", length(col("s")))
+      .localCheckpoint(eager = false)
+
+    // (char, occurrence-index) multiset tokens, array-local (O(L²)
+    // per string on L≈name-length, zero shuffle): occurrence index =
+    // count of this char in the prefix up to here
+    val toks = strs
+      .withColumn("arr", split(col("s"), ""))
+      .select(
+        col("id"),
+        col("len"),
+        explode(
+          expr("transform(arr, (c, i) -> concat(c, '#', size(filter(slice(arr, 1, i + 1), x -> x = c))))")
+        ).as("tok")
+      )
+
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // prefix length L − T + 1 with T = ceil(cmin·L − ε): the ε guards
+    // the ulp where 5θ−4 lands just above its exact rational — an
+    // under-estimated T only LENGTHENS the prefix (more candidates,
+    // still exact), an over-estimate would miss pairs
+    val prefix = toks
+      .join(freq, "tok")
+      .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy(col("tf"), col("tok"))))
+      .filter(col("rk") <= col("len") - ceil(lit(cmin) * col("len") - lit(1e-9)) + 1)
+      .select("id", "len", "tok")
+      .localCheckpoint(eager = false)
+
+    prefix
+      .as("x")
+      .join(
+        prefix.as("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+          least(col("x.len"), col("y.len")) >= lit(cmin) * greatest(col("x.len"), col("y.len")) - lit(1e-9)
+      )
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+      .join(strs.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(strs.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("sim", expr("jaro_winkler(sa, sb)"))
+      .filter(col("sim") >= theta)
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy("a", "b")
+  }
+
   /** Canonical-document selection over near-dup clusters — the step a
     * curation pipeline runs AFTER clustering: each cluster keeps ONE
     * representative (here: the longest document, ties to the smallest
@@ -1226,6 +1319,25 @@ object Dedup {
       .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
+      .orderBy("a", "b")
+  }
+
+  /** Naive quadratic twin of [[jaroWinklerJoin]] — the test oracle. */
+  private[graft] def jaroWinklerJoinNaive(
+      df: DataFrame,
+      theta: Double,
+      strCol: String = "s",
+      idCol: String = "id"
+  ): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val s = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+    s.select(col("id").as("a"), col("s").as("sa"))
+      .join(s.select(col("id").as("b"), col("s").as("sb")), col("a") < col("b"))
+      .withColumn("sim", expr("jaro_winkler(sa, sb)"))
+      .filter(col("sim") >= theta)
+      .select(col("a"), col("b"), col("sim"))
       .orderBy("a", "b")
   }
 }

@@ -456,6 +456,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- Jaro–Winkler join
+
+  private def jwSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("jaro_winkler expression: pinned known values incl. byte semantics and empty cases") {
+    GraftFunctions.register(spark)
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT jaro_winkler('${a.replace("'", "''")}', '${b.replace("'", "''")}')").head().getDouble(0)
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0, "empty inputs score 0 (DuckDB parity)")
+    assert(jw("a", "a") == 1.0 && jw("abcdef", "abcdef") == 1.0)
+    // byte semantics: é is 2 bytes, so L1=6 vs L2=5 — pinned to the
+    // exact double DuckDB 1.0.0 returns for this pair
+    assert(jw("héllo", "hello") == 0.8400000000000001)
+    // boost threshold: jaro <= 0.7 gets no prefix bonus despite the
+    // 3-char common prefix (0.6667 stays 0.6667)
+    assert(jw("abcdef", "abcxyz") == 0.6666666666666666, "no prefix boost at jaro <= 0.7")
+  }
+
+  test("jaroWinklerJoin == naive JW join on real customer names at several thresholds") {
+    val c = Tables
+      .customer(spark, sfDir)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    for (th <- Seq(0.92, 0.97)) {
+      val fast  = jwSet(Dedup.jaroWinklerJoin(c, th))
+      val naive = jwSet(Dedup.jaroWinklerJoinNaive(c, th))
+      assert(fast == naive, s"theta=$th: missing=${(naive -- fast).take(5)}, extra=${(fast -- naive).take(5)}")
+      assert(naive.nonEmpty, s"theta=$th: the corpus must actually exercise the join")
+    }
+  }
+
+  test("jaroWinklerJoin == naive on a seeded tiny-alphabet corpus (completeness fuzz incl. boundary sims)") {
+    import SparkSpec.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val strs = (0L until 90L).map { i =>
+      val n = 1 + rnd.nextInt(11)
+      (i, (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    for (th <- Seq(0.85, 0.9, 0.95)) {
+      val fast  = jwSet(Dedup.jaroWinklerJoin(df, th))
+      val naive = jwSet(Dedup.jaroWinklerJoinNaive(df, th))
+      assert(fast == naive, s"theta=$th: missing=${(naive -- fast).take(5)}, extra=${(fast -- naive).take(5)}")
+    }
+  }
+
+  test("jaroWinklerJoin plans no cartesian product and refuses degenerate thresholds") {
+    val c = Tables
+      .customer(spark, sfDir)
+      .filter(col("c_custkey") < 300)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val plan = Dedup.jaroWinklerJoin(c, 0.95).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"JW join must never plan a cartesian:\n$plan")
+    intercept[IllegalArgumentException](Dedup.jaroWinklerJoin(c, 0.8))
+    intercept[IllegalArgumentException](Dedup.jaroWinklerJoin(c, 0.5))
+  }
+
   test("canonicalPick keeps the longest member per cluster (id tie-break), counts the rest") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
