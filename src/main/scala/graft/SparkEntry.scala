@@ -802,6 +802,11 @@ object SparkEntry {
     "quantiles"             -> q(Relational.quantiles),
     "fuzzy_part_names"      -> q(Relational.fuzzyPartNames),
     "range_join_price_bands" -> q(Relational.rangeJoinPriceBands),
+    // 2-D ε-distance join (grid-blocked spatial hash: ε-cells + 3×3
+    // neighborhood equi-join + exact integer verify) — all-integer, so
+    // the oracle replays the naive quadratic join over the same
+    // bounded deterministic point cloud
+    "spatial_distance_join" -> q(Spatial.customerDistanceJoin),
     // aggregate navigation: the rollup query plans onto the standing
     // MV (plan-asserted inside the fn — non-engagement is a loud
     // failure, not a silent fallback), and the oracle recomputes the
@@ -2475,6 +2480,16 @@ object SparkEntry {
           |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS total
           |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
           |GROUP BY band ORDER BY band""".stripMargin,
+      "spatial_distance_join" ->
+        """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+          |                  CAST(c_custkey * 48271 % 100000 AS BIGINT) AS x,
+          |                  CAST(c_custkey * 69621 % 100000 AS BIGINT) AS y
+          |           FROM customer WHERE c_custkey < 5000)
+          |SELECT a, b, dist2 FROM (
+          |  SELECT p1.id AS a, p2.id AS b,
+          |         (p1.x - p2.x) * (p1.x - p2.x) + (p1.y - p2.y) * (p1.y - p2.y) AS dist2
+          |  FROM p p1 JOIN p p2 ON p1.id < p2.id)
+          |WHERE dist2 <= 25000000 ORDER BY a, b""".stripMargin,
       "q7_volume_shipping" ->
         """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
           |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
