@@ -1023,6 +1023,10 @@ object SparkEntry {
     // SQL — KCoreSpec asserts the budget reaches the true fixpoint
     "graph_kcore"     -> q(Graph.partSupplierKCore),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
+    // weighted SSSP: bounded synchronous Bellman–Ford over the
+    // quantity-weighted part↔supplier graph — integer distances replay
+    // bit-exact as unrolled SQL like the BFS/PageRank family
+    "graph_sssp" -> q(Graph.partSupplierSssp),
     "graph_triangles" -> q(Graph.coOrderTriangles),
     "graph_ppr"       -> q(Graph.supplierAffinity),
     "dedup_simhash" -> q { (s, dir) =>
@@ -2124,6 +2128,27 @@ object SparkEntry {
          |$iters
          |SELECT node, depth FROM d4 ORDER BY node""".stripMargin
     }
+    // weighted Bellman–Ford: same unrolled-relaxation shape as bfsSql
+    // with an integer weight sum — bit-exact across engines
+    val ssspSql = {
+      val iters = (1 to 4).map { i =>
+        s"""s$i AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |  SELECT node, dist FROM s${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, x.dist + e.w AS dist FROM wedges e JOIN s${i - 1} x ON x.node = e.src) u
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wli AS (SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
+         |               CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         |wedges AS (SELECT src, dst, MIN(w) AS w FROM (
+         |    SELECT p AS src, s AS dst, w FROM wli
+         |    UNION ALL SELECT s AS src, p AS dst, w FROM wli) u
+         |  GROUP BY src, dst),
+         |seeds AS (SELECT DISTINCT l_partkey * 2 AS node FROM lineitem WHERE l_suppkey = 1),
+         |s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |$iters
+         |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
+    }
     val bm25Sql =
       s"""WITH q(query_id, term) AS (VALUES
          |  (0,'fast'),(0,'hash'),(0,'join'),
@@ -3031,6 +3056,7 @@ object SparkEntry {
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,
       "graph_bfs_depth" -> bfsSql,
+      "graph_sssp"      -> ssspSql,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
       // orientation only changes join sizes, never the triangle set

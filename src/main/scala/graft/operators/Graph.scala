@@ -345,6 +345,81 @@ object Graph {
     bfsDepths(partSupplierEdges(spark, dir), seeds, maxHops = 4)
   }
 
+  /** Weighted single-source(-set) shortest paths by bounded
+    * SYNCHRONOUS Bellman–Ford relaxation: `rounds` rounds, each
+    * relaxing EVERY edge once (one hash join of the distance relation
+    * onto edges by src + one min-aggregate by node — the
+    * [[bfsDepths]] shuffle shape with the hop counter replaced by an
+    * integer weight sum). After r rounds the relation holds the exact
+    * minimum-weight path using ≤ r edges — a pure function of the
+    * edge set (synchronous rounds, integer arithmetic, min-folds), so
+    * the DuckDB oracle replays it BIT-EXACT as unrolled SQL; with
+    * `rounds` ≥ the graph's hop diameter it is exact SSSP. Negative
+    * weights are refused loudly (bounded-round relaxation over a
+    * negative cycle would silently report a non-distance). Multi-edges
+    * collapse to their minimum weight before iterating. Unreached
+    * nodes are absent from the output.
+    *
+    * Scale: per round one equi-join + one aggregate, both
+    * node-hash-partitioned (bucketing co-partitions the join on a
+    * cluster); the static edge relation is checkpointed once; per-round
+    * lazy checkpoints keep the plan linear in round count.
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "shortestPaths needs at least one relaxation round")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst")
+      .agg(min("w").as("w"))
+      .localCheckpoint(eager = false)
+    require(
+      e.filter(col("w") < 0L).limit(1).count() == 0L,
+      "shortestPaths requires non-negative edge weights"
+    )
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct().withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist
+        .unionByName(relaxed)
+        .groupBy("node")
+        .agg(min("dist").as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist.orderBy("node")
+  }
+
+  /** The part↔supplier graph of [[partSupplierEdges]] weighted by the
+    * MINIMUM shipped quantity over the relation's lineitems — a
+    * deterministic integer weight both engines derive identically.
+    */
+  def weightedPartSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        (col("l_partkey") * 2L).as("p"),
+        (col("l_suppkey") * 2L + 1L).as("s"),
+        col("l_quantity").cast("long").as("w")
+      )
+    li.select(col("p").as("src"), col("s").as("dst"), col("w"))
+      .unionByName(li.select(col("s").as("src"), col("p").as("dst"), col("w")))
+      .groupBy("src", "dst")
+      .agg(min("w").as("w"))
+  }
+
+  /** `graph_sssp` query body: 4 Bellman–Ford rounds from supplier 1's
+    * parts over the quantity-weighted part↔supplier graph.
+    */
+  def partSupplierSssp(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_suppkey") === 1L)
+      .select((col("l_partkey") * 2L).as("node"))
+      .distinct()
+    shortestPaths(weightedPartSupplierEdges(spark, dir), seeds, rounds = 4)
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan/
     * Albert/Kumara, Phys. Rev. E 2007), determinized: labels start as
     * node ids; each round every node adopts the most frequent label

@@ -74,6 +74,46 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(99L))
   }
 
+  private def modelSssp(edges: Set[(Long, Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Long] = {
+    val minW = edges.groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.map(_._3).min }
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.Map.empty[Long, Long] ++ dist
+      for (((s, d), w) <- minW; ds <- dist.get(s))
+        if (!next.contains(d) || next(d) > ds + w) next(d) = ds + w
+      dist = next.toMap
+    }
+    dist
+  }
+
+  test("shortestPaths == weighted model: cheap 2-hop beats expensive direct edge; negative weights refused") {
+    // 1→2 w=10 direct, but 1→3→2 costs 2+3=5; 4 unreachable; multi-edge 1→2 keeps min(10, 12)
+    val e = Seq((1L, 2L, 10L), (1L, 2L, 12L), (1L, 3L, 2L), (3L, 2L, 3L), (4L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(e, Seq(1L).toDF("node"), rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L), s"got $got")
+    assert(!got.contains(4L), "nodes not reachable FROM the seed stay absent")
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](Graph.shortestPaths(neg, Seq(1L).toDF("node")))
+  }
+
+  test("shortestPaths == model on the real weighted graph, partition invariant; dist caps at round budget") {
+    val es = Graph.weightedPartSupplierEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val seedSet = es.collect { case (s, d, _) if d == 3L => s }.take(1)
+    val seeds   = seedSet.toSeq.toDF("node")
+    val df      = Graph.weightedPartSupplierEdges(spark, sfDir)
+    val got = Graph.shortestPaths(df.repartition(8), seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == modelSssp(es, seedSet.toSet, 3))
+    val single = Graph.shortestPaths(df.repartition(1), seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == single, "integer min-folds are partition invariant")
+    // registered query: seeds at 0, all distances non-negative, rows exist
+    val reg = SparkEntry.queries("graph_sssp")(spark, sfDir)
+    assert(reg.filter(col("dist") < 0).isEmpty && reg.count() > 0)
+  }
+
   private def modelPpr(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
     val out  = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     var mass = seeds.map(_ -> 1000000L).toMap
