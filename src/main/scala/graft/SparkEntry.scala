@@ -889,6 +889,10 @@ object SparkEntry {
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
+    // item-based collaborative filtering: per-item top-5 Jaccard
+    // neighbors over order baskets — int/int similarity quotients, so
+    // scores, ranking, and hash replay exactly cross-engine
+    "rec_item_neighbors"    -> q((s, dir) => Relational.itemItemNeighbors(s, dir)),
     // interval-overlap join (binned equi-join scale path + exact
     // verify): concurrent sessions of different users
     "sessions_overlap_join" -> q(EventAnalytics.concurrentSessions),
@@ -2971,6 +2975,23 @@ object SparkEntry {
           |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
           |GROUP BY x.item, y.item HAVING count(*) >= 2
           |ORDER BY item_a, item_b""".stripMargin,
+      "rec_item_neighbors" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+          |f AS (SELECT item, count(*) AS s FROM b GROUP BY item HAVING count(*) >= 3),
+          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item)),
+          |pairs AS (SELECT x.item AS ia, y.item AS ib, count(*) AS cooc
+          |          FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
+          |          GROUP BY x.item, y.item HAVING count(*) >= 2),
+          |sym AS (SELECT ia AS item, ib AS nbr, cooc FROM pairs
+          |        UNION ALL SELECT ib, ia, cooc FROM pairs),
+          |sc AS (SELECT sym.item, sym.nbr, sym.cooc,
+          |         CAST(sym.cooc AS DOUBLE) / (fa.s + fb.s - sym.cooc) AS sim
+          |       FROM sym JOIN f fa ON fa.item = sym.item JOIN f fb ON fb.item = sym.nbr),
+          |r AS (SELECT item, nbr, cooc, sim,
+          |        row_number() OVER (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+          |      FROM sc)
+          |SELECT item, CAST(rnk AS BIGINT) AS rnk, nbr, CAST(cooc AS BIGINT) AS cooc, sim
+          |FROM r WHERE rnk <= 5 ORDER BY item, rnk""".stripMargin,
       "events_attribution" ->
         """WITH c AS (SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
           |           FROM events WHERE event_type = 'purchase'),

@@ -1245,6 +1245,52 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** Item-item collaborative-filtering neighbors ("customers who
+    * bought X also bought Y"): Jaccard similarity over basket sets,
+    * `sim(a,b) = cooc / (supp_a + supp_b − cooc)`, with per-item top-k
+    * selection — the classic item-based recommender precompute
+    * (Sarwar et al., WWW 2001; Amazon's item-to-item CF).
+    *
+    * Scale shape: Apriori pruning ([[basketPairs]]) bounds the
+    * within-basket pairing to frequent items, co-occurrence is ONE
+    * basket-keyed equi-join + counting aggregate (never an item-item
+    * cross product), and the top-k window partitions by item. All
+    * counts are integers and `sim` is an int/int quotient — both
+    * engines divide the same longs, so the doubles (and therefore the
+    * ranking and the hash) replay exactly; ties break on the neighbor
+    * id for a total order.
+    */
+  def itemItemNeighbors(spark: SparkSession, dir: String, k: Int = 5, minSupport: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val freq = baskets
+      .groupBy("item")
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport)
+      .localCheckpoint(eager = false)
+    val pruned = baskets.join(freq.select("item"), Seq("item"))
+    val pairs = pruned
+      .alias("x")
+      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 2L)
+    val sym = pairs
+      .select(col("ia").as("item"), col("ib").as("nbr"), col("cooc"))
+      .unionByName(pairs.select(col("ib").as("item"), col("ia").as("nbr"), col("cooc")))
+    sym
+      .join(freq.select(col("item"), col("s").as("sa")), Seq("item"))
+      .join(freq.select(col("item").as("nbr"), col("s").as("sb")), Seq("nbr"))
+      .withColumn("sim", col("cooc").cast("double") / (col("sa") + col("sb") - col("cooc")))
+      .withColumn("rnk", row_number().over(Window.partitionBy("item").orderBy(col("sim").desc, col("nbr"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("rnk"), col("nbr"), col("cooc"), col("sim"))
+      .orderBy("item", "rnk")
+  }
+
   /** Skyline over `part`: cheapest-for-largest frontier on
     * (p_retailprice min, p_size max). Comparison-only on the doubles —
     * no float arithmetic, so the oracle hash-compare is exact.

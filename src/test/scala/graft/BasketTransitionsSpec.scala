@@ -68,4 +68,50 @@ class BasketTransitionsSpec extends SparkSpec {
     val users = Tables.events(spark, sfDir).groupBy("user_id").count().as[(Long, Long)].collect()
     assert(total == users.map(_._2 - 1).sum)
   }
+
+  test("itemItemNeighbors == brute-force Jaccard CF model on the real baskets (top-k, tie-breaks, symmetry)") {
+    val k   = 5
+    val got = Relational
+      .itemItemNeighbors(spark, sfDir, k = k, minSupport = 3L)
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    // brute force from collected baskets
+    val baskets = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .values
+      .map(_.map(_._2).toSet)
+      .toSeq
+    val supp = baskets.flatMap(_.toSeq).groupBy(identity).map { case (i, v) => i -> v.size.toLong }
+    val freq = supp.filter(_._2 >= 3L)
+    val cooc = baskets
+      .flatMap(items => for { a <- items if freq.contains(a); b <- items if freq.contains(b) && a < b } yield (a, b))
+      .groupBy(identity)
+      .map { case (p, v) => p -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    val want = cooc.toSeq
+      .flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+      .map { case (i, n, c) => (i, n, c, c.toDouble / (freq(i) + freq(n) - c)) }
+      .groupBy(_._1)
+      .flatMap { case (i, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(k).zipWithIndex.map { case ((_, n, c, s), idx) =>
+          (i, idx + 1L, n, c, s)
+        }
+      }
+      .toSet
+    assert(got.toSet == want, s"missing=${(want -- got.toSet).take(3)}, extra=${(got.toSet -- want).take(3)}")
+    assert(got.nonEmpty, "the corpus must produce neighbor lists")
+    // ranks are contiguous from 1 per item
+    got.groupBy(_._1).foreach { case (i, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.length.toLong), s"item $i ranks not contiguous")
+    }
+    // no cartesian anywhere
+    val plan = Relational.itemItemNeighbors(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CF pairing must be an equi-join:\n$plan")
+  }
 }
