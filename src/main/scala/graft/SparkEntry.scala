@@ -889,6 +889,11 @@ object SparkEntry {
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
+    // sequential-pattern mining (PrefixSpan-lite over the bounded
+    // event-type alphabet): length-2/3 subsequence supports via
+    // first/last + earliest-extension timestamp algebra — integer,
+    // O(events·|alphabet|), bit-exact replay
+    "events_seq_patterns"   -> q((s, dir) => EventAnalytics.sequentialPatterns(s, dir)),
     // item-based collaborative filtering: per-item top-5 Jaccard
     // neighbors over order baskets — int/int similarity quotients, so
     // scores, ranking, and hash replay exactly cross-engine
@@ -2975,6 +2980,25 @@ object SparkEntry {
           |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
           |GROUP BY x.item, y.item HAVING count(*) >= 2
           |ORDER BY item_a, item_b""".stripMargin,
+      "events_seq_patterns" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS t, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |fl AS (SELECT u, t, min(ts) AS first_ts, max(ts) AS last_ts FROM ev GROUP BY u, t),
+          |s2 AS (SELECT a.t AS ta, b.t AS tb, count(*) AS support
+          |       FROM fl a JOIN fl b ON a.u = b.u AND a.first_ts < b.last_ts
+          |       GROUP BY 1, 2),
+          |eab AS (SELECT e.u, a.t AS ta, e.t AS tb, min(e.ts) AS e_ab
+          |        FROM ev e JOIN fl a ON e.u = a.u AND e.ts > a.first_ts
+          |        GROUP BY 1, 2, 3),
+          |s3 AS (SELECT x.ta, x.tb, c.t AS tc, count(*) AS support
+          |       FROM eab x JOIN fl c ON x.u = c.u AND x.e_ab < c.last_ts
+          |       GROUP BY 1, 2, 3)
+          |SELECT pattern, len, support FROM (
+          |  SELECT concat(ta, '>', tb) AS pattern, CAST(2 AS BIGINT) AS len,
+          |         CAST(support AS BIGINT) AS support FROM s2
+          |  UNION ALL
+          |  SELECT concat(ta, '>', tb, '>', tc), CAST(3 AS BIGINT),
+          |         CAST(support AS BIGINT) FROM s3)
+          |WHERE support >= 10 ORDER BY len, pattern""".stripMargin,
       "rec_item_neighbors" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
           |f AS (SELECT item, count(*) AS s FROM b GROUP BY item HAVING count(*) >= 3),

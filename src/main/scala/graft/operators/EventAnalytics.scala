@@ -428,6 +428,64 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequential-pattern supports (the PrefixSpan/SPADE family,
+    * specialized to a bounded event-type alphabet): for every length-2
+    * pattern `a>b`, the number of users with an a-event STRICTLY
+    * before a b-event; for every length-3 pattern `a>b>c`, the number
+    * of users with a strictly increasing a,b,c chain. Patterns under
+    * `minSupport` users are dropped.
+    *
+    * Existence reduces to integer timestamp algebra (the greedy
+    * earliest-extension argument): a>b holds iff first(a) < last(b),
+    * and a>b>c holds iff e_ab < last(c) where e_ab = min ts of a
+    * b-event strictly after first(a) — if a chain t_a<t_b<t_c exists
+    * then first(a) ≤ t_a so e_ab ≤ t_b < t_c ≤ last(c); conversely
+    * (first(a), e_ab, last(c)) IS a chain. So the whole miner is two
+    * joins bounded by |alphabet| per user-event — one (user, type)
+    * first/last aggregate, one events⋈firsts min-aggregate, one
+    * closing join — all user-hash-partitioned, never a subsequence
+    * enumeration; work is O(events · |alphabet|) at any scale. Repeat
+    * types (a>a, a>b>a, …) fall out of the same algebra via the
+    * strict inequalities. All-integer: bit-exact cross-engine.
+    */
+  def sequentialPatterns(spark: SparkSession, dir: String, minSupport: Long = 10L): DataFrame =
+    sequentialPatternsOn(
+      Tables.events(spark, dir).select(col("user_id").as("u"), col("event_type").as("t"), col("ts_ns")),
+      minSupport
+    )
+
+  /** [[sequentialPatterns]] core over an explicit `(u, t, ts_ns)`
+    * relation — the testable unit.
+    */
+  def sequentialPatternsOn(ev: DataFrame, minSupport: Long): DataFrame = {
+    val fl = ev
+      .groupBy("u", "t")
+      .agg(min("ts_ns").as("first_ts"), max("ts_ns").as("last_ts"))
+      .localCheckpoint(eager = false)
+    val sup2 = fl
+      .as("a")
+      .join(fl.as("b"), col("a.u") === col("b.u") && col("a.first_ts") < col("b.last_ts"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).as("support"))
+    val eab = ev
+      .as("e")
+      .join(fl.as("a"), col("e.u") === col("a.u") && col("e.ts_ns") > col("a.first_ts"))
+      .groupBy(col("e.u").as("u"), col("a.t").as("ta"), col("e.t").as("tb"))
+      .agg(min(col("e.ts_ns")).as("e_ab"))
+    val sup3 = eab
+      .as("x")
+      .join(fl.as("c"), col("x.u") === col("c.u") && col("x.e_ab") < col("c.last_ts"))
+      .groupBy(col("x.ta").as("ta"), col("x.tb").as("tb"), col("c.t").as("tc"))
+      .agg(count(lit(1)).as("support"))
+    sup2
+      .select(concat_ws(">", col("ta"), col("tb")).as("pattern"), lit(2L).as("len"), col("support"))
+      .unionByName(
+        sup3.select(concat_ws(">", col("ta"), col("tb"), col("tc")).as("pattern"), lit(3L).as("len"), col("support"))
+      )
+      .filter(col("support") >= minSupport)
+      .orderBy("len", "pattern")
+  }
+
   /** Per-touch credit rows for [[attributionUShaped]] — exposed so the
     * 10 000-bp-per-conversion invariant is testable at touch grain.
     */

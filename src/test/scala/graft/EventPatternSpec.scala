@@ -43,6 +43,75 @@ class EventPatternSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("sequentialPatterns: hand-built stream — strict chains only, repeats handled, equal ts never chain") {
+    import SparkSpec.spark.implicits._
+    // u1: a@1 b@2 c@3      → a>b, a>c, b>c, a>b>c
+    // u2: a@1 b@1          → equal ts: NO a>b (strict)
+    // u3: a@1 a@5 b@3      → a>a, a>b (a@1<b@3), b>a (b@3<a@5), a>b>a (1<3<5);
+    //                        a>a>b needs a<a<b: 1<5 but no b after 5 → NO
+    // u4: b@1 a@2 b@9      → b>a, a>b, b>b, b>a>b
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "a", 1L), (2L, "b", 1L),
+      (3L, "a", 1L), (3L, "a", 5L), (3L, "b", 3L),
+      (4L, "b", 1L), (4L, "a", 2L), (4L, "b", 9L)
+    ).toDF("u", "t", "ts_ns")
+    val got = graft.operators.EventAnalytics
+      .sequentialPatternsOn(ev, minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = Set(
+      ("a>b", 2L, 3L), // u1, u3, u4
+      ("a>c", 2L, 1L), ("b>c", 2L, 1L),
+      ("a>a", 2L, 1L), // u3
+      ("b>a", 2L, 2L), // u3, u4
+      ("b>b", 2L, 1L), // u4
+      ("a>b>c", 3L, 1L), // u1
+      ("a>b>a", 3L, 1L), // u3
+      ("b>a>b", 3L, 1L) // u4
+    )
+    assert(got == want, s"missing=${want -- got}, extra=${got -- want}")
+  }
+
+  test("sequentialPatterns == brute-force subsequence check on real events (minSupport=1 full compare)") {
+    import SparkSpec.spark.implicits._
+    val evDf = Tables.events(spark, sfDir).select(col("user_id").as("u"), col("event_type").as("t"), col("ts_ns"))
+    val got = graft.operators.EventAnalytics
+      .sequentialPatternsOn(evDf, minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .toMap
+    val byUser = evDf.as[(Long, String, Long)].collect().groupBy(_._1).view.mapValues(_.map(e => (e._3, e._2)).sortBy(_._1)).toMap
+    def hasSeq(evs: Array[(Long, String)], pat: Seq[String]): Boolean = {
+      var lastTs = Long.MinValue
+      var i      = 0
+      for (p <- pat) {
+        var found = false
+        while (i < evs.length && !found) {
+          if (evs(i)._2 == p && evs(i)._1 > lastTs) { lastTs = evs(i)._1; found = true }
+          i += 1
+        }
+        if (!found) return false
+      }
+      true
+    }
+    val types = evDf.select("t").distinct().as[String].collect().sorted.toSeq
+    val want = (for {
+      a <- types; b <- types
+      pat2 = Seq(a, b)
+      s2   = byUser.values.count(v => hasSeq(v, pat2)).toLong
+      if s2 > 0
+    } yield (s"$a>$b", s2)).toMap ++ (for {
+      a <- types; b <- types; c <- types
+      pat3 = Seq(a, b, c)
+      s3   = byUser.values.count(v => hasSeq(v, pat3)).toLong
+      if s3 > 0
+    } yield (s"$a>$b>$c", s3)).toMap
+    assert(got == want, s"missing=${(want.toSet -- got.toSet).take(4)}, extra=${(got.toSet -- want.toSet).take(4)}")
+    assert(got.nonEmpty)
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
