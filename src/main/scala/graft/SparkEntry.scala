@@ -44,6 +44,28 @@ object SparkEntry {
     Cdc.scd2Apply(h1, b2, "doc_id", attrs, lit("2024-03-01"))
   }
 
+  /** Three-era SCD2 customer history for `scd2_fact_join`: opened
+    * 1992-01-01; 1995-01-01 restates mktsegment (suffix "-95") for
+    * %4=0 keys; 1997-01-01 moves nation (+100) for %6=0 keys (carrying
+    * each key's CURRENT segment so the nation change never reverts a
+    * 1995 segment change).
+    */
+  private def scd2CustomerHistory(s: SparkSession, dir: String): DataFrame = {
+    val c     = Tables.customer(s, dir).select("c_custkey", "c_mktsegment", "c_nationkey")
+    val attrs = Seq("c_mktsegment", "c_nationkey")
+    val seg95 = when(col("c_custkey") % 4 === 0, concat(col("c_mktsegment"), lit("-95")))
+      .otherwise(col("c_mktsegment"))
+    val h0 = Cdc.scd2Init(c, "c_custkey", attrs, lit("1992-01-01"))
+    val b1 = c
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("-95")).as("c_mktsegment"), col("c_nationkey"))
+    val h1 = Cdc.scd2Apply(h0, b1, "c_custkey", attrs, lit("1995-01-01"))
+    val b2 = c
+      .filter(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey"), seg95.as("c_mktsegment"), (col("c_nationkey") + 100L).as("c_nationkey"))
+    Cdc.scd2Apply(h1, b2, "c_custkey", attrs, lit("1997-01-01"))
+  }
+
   /** Mixture weights for `mixture_sampling`: every source weight is a
     * multiple of 0.25, so `frac(w) * 100` is exact in binary and the
     * Spark and DuckDB admission comparisons cannot diverge on a
@@ -1912,6 +1934,25 @@ object SparkEntry {
       Cdc
         .scd2AsOf(scd2DemoHistory(s, dir), lit("2024-02-15"))
         .orderBy("doc_id")
+    },
+    // temporal fact join (SCD2 consumption): every order joins the
+    // customer version valid AT ITS ORDER DATE across a three-era
+    // history built through the real scd2Init/scd2Apply machinery —
+    // the oracle restates version selection as date CASEs over the
+    // raw tables; integer measures keep the hash bit-exact
+    "scd2_fact_join" -> q { (s, dir) =>
+      val fact = Tables
+        .orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"), col("o_orderdate"))
+      Cdc
+        .scd2FactJoin(fact, scd2CustomerHistory(s, dir), "c_custkey", "o_orderdate")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("sum_key"),
+          sum("c_nationkey").as("sum_nation")
+        )
+        .orderBy("c_mktsegment")
     },
     "curation_pipeline" -> q { (s, dir) =>
       dumpMinhashModel(s, dir) // the oracle replays stage 2 from this model
@@ -3951,6 +3992,18 @@ object SparkEntry {
           |  CASE WHEN doc_id % 4 = 0 THEN upper(lang) ELSE lang END AS lang,
           |  CAST(n_chars AS BIGINT) AS n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "scd2_fact_join" ->
+        """SELECT seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+          |  CAST(sum(nat) AS BIGINT) AS sum_nation
+          |FROM (
+          |  SELECT o.o_orderkey,
+          |    CASE WHEN c.c_custkey % 4 = 0 AND o.o_orderdate >= DATE '1995-01-01'
+          |         THEN c.c_mktsegment || '-95' ELSE c.c_mktsegment END AS seg,
+          |    CASE WHEN c.c_custkey % 6 = 0 AND o.o_orderdate >= DATE '1997-01-01'
+          |         THEN c.c_nationkey + 100 ELSE c.c_nationkey END AS nat
+          |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+          |GROUP BY seg ORDER BY seg""".stripMargin,
       "vocab_ids" ->
         s"""WITH c AS (SELECT term, count(*) AS cnt
            |           FROM (SELECT unnest($toks) AS term FROM documents)

@@ -113,6 +113,32 @@ object Cdc {
       .filter(col("valid_from") <= asOf.cast(DateType) && (col("valid_to").isNull || col("valid_to") > asOf.cast(DateType)))
       .drop("valid_from", "valid_to")
 
+  /** Temporal (effective-dated) fact join — the SCD2 CONSUMPTION
+    * pattern: each fact row joins the ONE dimension version whose
+    * validity interval covers the fact's timestamp (`valid_from <= ts
+    * < valid_to`, open end = current), so facts aggregate under the
+    * attributes that were true WHEN THEY HAPPENED, not today's.
+    *
+    * Scale shape: a plain EQUI-join on the dimension key with the
+    * interval test as a residual conjunct — versions per key are few
+    * (bounded by change count), so fan-out is bounded and the join
+    * partitions/broadcasts exactly like any fact-dim join; never a
+    * range or nested-loop plan. Interval coverage is exclusive-end and
+    * versions partition each key's timeline, so at most one version
+    * matches per fact row (uniqueness inherited from the scd2Apply
+    * invariants). Facts dated before their key's first version (or
+    * with an unknown key) are dropped — inner semantics, documented.
+    */
+  def scd2FactJoin(fact: DataFrame, history: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__dim_key")
+    fact.join(
+      h,
+      fact(keyCol) === h("__dim_key") &&
+        h("valid_from") <= fact(tsCol).cast(DateType) &&
+        (h("valid_to").isNull || fact(tsCol).cast(DateType) < h("valid_to"))
+    ).drop("__dim_key", "valid_from", "valid_to")
+  }
+
   /** Apply one change batch to an SCD2 history. A change row whose
     * attributes differ (null-safely, per attribute — no digest, so
     * NULL/absent can never collide) from the id's current version

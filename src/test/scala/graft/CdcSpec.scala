@@ -240,4 +240,39 @@ class CdcSpec extends SparkSpec {
     val b = Cdc.mergeUpsertEvolving(target, changes, "doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("scd2FactJoin: boundary dates pick the right version, pre-creation/unknown keys drop, fan-out is one") {
+    import SparkSpec.spark.implicits._
+    // key 1: v1 [2020-01-01, 2021-01-01) val=A, v2 [2021-01-01, ∞) val=B
+    val hist = Seq(
+      (1L, "A", "2020-01-01", "2021-01-01"),
+      (1L, "B", "2021-01-01", null),
+      (2L, "X", "2020-06-01", null)
+    ).toDF("k", "v", "valid_from", "valid_to")
+      .select(col("k"), col("v"), col("valid_from").cast("date"), col("valid_to").cast("date"))
+    val facts = Seq(
+      (10L, 1L, "2020-12-31"), // last day of v1
+      (11L, 1L, "2021-01-01"), // first day of v2 (boundary: valid_to exclusive, valid_from inclusive)
+      (12L, 1L, "2019-05-05"), // before creation → dropped
+      (13L, 9L, "2021-05-05"), // unknown key → dropped
+      (14L, 2L, "2022-01-01")
+    ).toDF("fid", "k", "d").select(col("fid"), col("k"), col("d").cast("date"))
+    val got = graft.operators.Cdc
+      .scd2FactJoin(facts, hist, "k", "d")
+      .select("fid", "v")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+    assert(got == Set((10L, "A"), (11L, "B"), (14L, "X")), s"got $got")
+    // fan-out exactly one: every joined fid appears once
+    assert(got.toSeq.map(_._1).distinct.size == got.size)
+  }
+
+  test("registered scd2_fact_join covers every order exactly once (history opens before the first order date)") {
+    val reg   = SparkEntry.queries("scd2_fact_join")(spark, sfDir)
+    val total = reg.agg(sum("n_orders")).head().getLong(0)
+    assert(total == Tables.orders(spark, sfDir).count(), "inner temporal join must cover all orders, each once")
+    // restated segments only exist for %4=0 customers' post-1995 orders
+    assert(reg.filter(col("c_mktsegment").endsWith("-95")).count() > 0, "the 1995 era must be exercised")
+  }
 }
