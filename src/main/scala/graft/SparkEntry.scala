@@ -963,6 +963,10 @@ object SparkEntry {
     // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
     // — no float, no boundary flips
     "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
+    // weekday-seasonal anomaly: the same cleared-denominator integer
+    // z-test judged WITHIN each day-of-week cohort (Sundays against
+    // Sundays) — 7-row broadcast moments, two shuffles, bit-exact
+    "events_weekday_anomaly" -> q(EventAnalytics.weekdayAnomalies),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
@@ -1411,6 +1415,18 @@ object SparkEntry {
     // DuckDB recomputes each column's row from the raw table
     "profile_incremental" -> q { (s, dir) =>
       Profile.profileRollupRead(s, profRollupReady(s, dir), 32768)
+    },
+    // data-drift report: documents vs a deterministically degraded
+    // next batch (lang nulled for %5=0, source collapsed to its 3-char
+    // prefix) — the null-rate move and the dictionary collapse must
+    // flag, the untouched column must not; DuckDB recomputes both
+    // profiles from the same CASE mods and restates the integer flags
+    "profile_drift" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val degraded = docs
+        .withColumn("lang", when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("lang")))
+        .withColumn("source", substring(col("source"), 1, 3))
+      Profile.profileDrift(docs, degraded, Seq("lang", "source", "n_chars"))
     },
     // ANALYZE-style profile: one-pass per-column stats over lineitem
     // (row/null/exact-distinct counts via Expand + partial agg);
@@ -2937,6 +2953,17 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
           |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
+      "events_weekday_anomaly" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |d2 AS (SELECT day, CAST(dayofweek(day) + 1 AS BIGINT) AS wd, x FROM daily),
+          |m AS (SELECT wd, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+          |             CAST(sum(x * x) AS BIGINT) AS ss FROM d2 GROUP BY wd)
+          |SELECT day, d2.wd, x AS n_events,
+          |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
+          |FROM d2 JOIN m ON d2.wd = m.wd ORDER BY day""".stripMargin,
       "window_cumulative_distinct" ->
         """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
           |  CAST(count(DISTINCT event_type) OVER (
@@ -3674,6 +3701,30 @@ object SparkEntry {
                |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv FROM lineitem""".stripMargin
           )
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+      },
+      "profile_drift" -> {
+        val newExpr = Map(
+          "lang"    -> "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END",
+          "source"  -> "substr(source, 1, 3)",
+          "n_chars" -> "n_chars"
+        )
+        val sides = Seq("lang", "source", "n_chars")
+          .map { c =>
+            s"""SELECT '$c' AS col_name,
+               |  CAST(count(*) AS BIGINT) AS rows_old,
+               |  CAST(count(*) - count($c) AS BIGINT) AS nulls_old,
+               |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv_old,
+               |  CAST(count(*) AS BIGINT) AS rows_new,
+               |  CAST(count(*) - count(${newExpr(c)}) AS BIGINT) AS nulls_new,
+               |  CAST(count(DISTINCT ${newExpr(c)}) AS BIGINT) AS ndv_new
+               |FROM documents""".stripMargin
+          }
+          .mkString("WITH b AS (\n", "\nUNION ALL\n", ")")
+        s"""$sides
+           |SELECT col_name, rows_old, nulls_old, ndv_old, rows_new, nulls_new, ndv_new,
+           |  abs(nulls_new * rows_old - nulls_old * rows_new) * 20 > rows_old * rows_new AS null_drift,
+           |  ndv_new * 2 < ndv_old OR ndv_new > ndv_old * 2 AS ndv_drift
+           |FROM b ORDER BY col_name""".stripMargin
       },
       "delete_rows" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -116,6 +116,42 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Weekday-seasonal anomaly detection — [[dailyCountAnomalies]]'
+    * z-test run WITHIN each day-of-week cohort, so a naturally quiet
+    * Sunday is judged against Sundays, not against the weekday mean
+    * (the first seasonality any ops series has; comparing against the
+    * global mean flags every weekend as an outage). Same
+    * denominator-cleared PURE-INTEGER form so the flag can never flip
+    * on a summation-order ulp: |x−μ_w| > 2σ_w ⟺
+    * (n·x−S)²(n−1) > 4n(nQ−S²) with per-weekday n, S = Σx, Q = Σx².
+    * One daily aggregate + one 7-row weekday-moment aggregate joined
+    * back by weekday (broadcast) — two shuffles total at any scale.
+    */
+  def weekdayAnomalies(spark: SparkSession, dir: String): DataFrame =
+    weekdayAnomaliesOn(Tables.events(spark, dir))
+
+  /** [[weekdayAnomalies]] core over an explicit relation carrying a
+    * `ts` timestamp column — the testable unit.
+    */
+  def weekdayAnomaliesOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val moments = daily
+      .groupBy("wd")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"), sum(col("x") * col("x")).as("ss"))
+    daily
+      .join(broadcast(moments), Seq("wd"))
+      .withColumn(
+        "is_anomaly",
+        (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) * (col("n") - 1L) >
+          lit(4L) * col("n") * (col("n") * col("ss") - col("s") * col("s"))
+      )
+      .select(col("day"), col("wd"), col("x").as("n_events"), col("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Cumulative DISTINCT event types per user over time — the
     * new-behavior-discovery curve. Spark has no DISTINCT window
     * aggregate; `size(collect_set() OVER w)` expresses it exactly

@@ -124,4 +124,44 @@ object Profile {
       )
       .orderBy("col_name")
   }
+
+  /** Data-drift report between two snapshots of the same relation —
+    * the batch-ingest health check run before promoting a new crawl
+    * (Great-Expectations/Deequ "profile diff" shape). Joins the two
+    * one-pass [[profile]]s by column and flags:
+    *
+    *   - `null_drift`: the null RATE moved by more than 5 percentage
+    *     points, decided by integer cross-multiplication
+    *     (|nulls_n·rows_o − nulls_o·rows_n| · 20 > rows_o·rows_n) so
+    *     the flag can never flip on a float ulp;
+    *   - `ndv_drift`: distinct cardinality left the [½×, 2×] band of
+    *     the old snapshot (the dictionary-collapse / id-explosion
+    *     signal), again pure integer comparisons.
+    *
+    * Cost: two single-Expand profile passes over the snapshots plus a
+    * |cols|-row join — nothing scales with row count but the profiles
+    * themselves.
+    */
+  def profileDrift(dfOld: DataFrame, dfNew: DataFrame, cols: Seq[String]): DataFrame = {
+    val o = profile(dfOld, cols).select(
+      col("col_name"),
+      col("n_rows").as("rows_old"),
+      col("n_nulls").as("nulls_old"),
+      col("ndv").as("ndv_old")
+    )
+    val n = profile(dfNew, cols).select(
+      col("col_name"),
+      col("n_rows").as("rows_new"),
+      col("n_nulls").as("nulls_new"),
+      col("ndv").as("ndv_new")
+    )
+    o.join(n, Seq("col_name"))
+      .withColumn(
+        "null_drift",
+        abs(col("nulls_new") * col("rows_old") - col("nulls_old") * col("rows_new")) * 20L >
+          col("rows_old") * col("rows_new")
+      )
+      .withColumn("ndv_drift", col("ndv_new") * 2L < col("ndv_old") || col("ndv_new") > col("ndv_old") * 2L)
+      .orderBy("col_name")
+  }
 }

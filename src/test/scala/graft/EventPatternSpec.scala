@@ -112,6 +112,26 @@ class EventPatternSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("weekdayAnomalies: a weekly low-weekend rhythm is NOT flagged; a spiked Sunday is, within its cohort") {
+    import SparkSpec.spark.implicits._
+    // 8 weeks starting Mon 2024-01-01: weekdays 100 events/day,
+    // weekends 10/day — a rhythm the cohort test must NOT flag (every
+    // cohort is internally constant). The LAST Sunday (2024-02-25)
+    // spikes to 200: within the 8-Sunday cohort that clears 2σ.
+    val rows = (0 until 56).flatMap { d =>
+      val day   = java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)
+      val wkend = day.getDayOfWeek.getValue >= 6
+      val n     = if (day.toString == "2024-02-25") 200 else if (wkend) 10 else 100
+      (0 until n).map(i => (d * 1000L + i, java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }
+    val ev  = rows.toDF("event_id", "ts")
+    val got = graft.operators.EventAnalytics.weekdayAnomaliesOn(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getBoolean(3))).toMap
+    val flagged = got.filter(_._2).keySet
+    assert(flagged == Set("2024-02-25"), s"only the spiked Sunday may flag, got $flagged")
+    assert(got.size == 56 && got.keySet.contains("2024-01-06"), "every day reports a row")
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)

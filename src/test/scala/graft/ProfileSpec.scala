@@ -73,4 +73,40 @@ class ProfileSpec extends SparkSpec {
     assert(plan.contains("Expand"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("profileDrift: exact integer boundaries — 5pp null rate and the [half, double] ndv band are strict") {
+    def frame(nulls: Int, ndvMod: Long) =
+      (1 to 100)
+        .map(i => (i.toLong, if (i <= nulls) None else Some(s"v${i % 10}"), s"u${i % ndvMod}"))
+        .toDF("id", "v", "u")
+    val old = frame(10, 10)
+    def drift(nw: org.apache.spark.sql.DataFrame) =
+      Profile
+        .profileDrift(old, nw, Seq("v", "u"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getBoolean(7), r.getBoolean(8)))
+        .toMap
+    // +5pp exactly (10 → 15 nulls of 100): strict > must NOT flag
+    assert(drift(frame(15, 10))("v") == (false, false))
+    // +6pp flags the null side only
+    assert(drift(frame(16, 10))("v") == (true, false))
+    // ndv 10 → 5 is EXACTLY the half boundary: not flagged; 10 → 4 flags
+    assert(drift(frame(10, 5))("u") == (false, false))
+    assert(drift(frame(10, 4))("u") == (false, true))
+    // explosion beyond 2x flags too (10 -> 50)
+    assert(drift(frame(10, 50))("u") == (false, true))
+    // identical snapshots are clean everywhere
+    assert(drift(old).values.forall(_ == (false, false)))
+  }
+
+  test("registered profile_drift: planted lang null-drift and source collapse flag; n_chars stays clean") {
+    val got = SparkEntry
+      .queries("profile_drift")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getBoolean(7), r.getBoolean(8)))
+      .toMap
+    assert(got("lang")._1, "20% null injection must flag null_drift")
+    assert(got("source")._2, "prefix collapse of the source dictionary must flag ndv_drift")
+    assert(got("n_chars") == (false, false), "the untouched column must stay clean")
+  }
 }
