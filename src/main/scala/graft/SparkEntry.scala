@@ -969,6 +969,10 @@ object SparkEntry {
     "events_weekday_anomaly" -> q(EventAnalytics.weekdayAnomalies),
     "events_gap_filled"     -> q(EventAnalytics.gapFilledDaily),
     "events_funnel"         -> q(EventAnalytics.conversionFunnel),
+    // time-constrained funnel (convert within 24h, ANY chain — not
+    // first-touch): per-event qualification via iterated integer
+    // range-frame windows; one shuffle, bit-exact replay
+    "events_funnel_windowed" -> q((s, dir) => EventAnalytics.windowedFunnel(s, dir)),
     "events_cohort_retention" -> q(EventAnalytics.cohortRetention),
     "scalar_map"            -> q(EventAnalytics.mapFunctions),
     // ---- dedup ----
@@ -3012,6 +3016,26 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
           |                THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
           |FROM f""".stripMargin,
+      "events_funnel_windowed" ->
+        """WITH ev AS (SELECT user_id, event_type,
+          |              epoch_ns(CAST(ts AS TIMESTAMP)) AS t FROM events),
+          |f AS (SELECT user_id, event_type, t,
+          |        CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS f1
+          |      FROM ev),
+          |g AS (SELECT *, CASE WHEN event_type = 'click'
+          |          AND coalesce(max(f1) OVER w, 0) = 1 THEN 1 ELSE 0 END AS f2
+          |      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t
+          |        RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)),
+          |h AS (SELECT *, CASE WHEN event_type = 'purchase'
+          |          AND coalesce(max(f2) OVER w, 0) = 1 THEN 1 ELSE 0 END AS f3
+          |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY t
+          |        RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING)),
+          |u AS (SELECT user_id, max(f1) AS s1, max(f2) AS s2, max(f3) AS s3
+          |      FROM h GROUP BY user_id)
+          |SELECT CAST(sum(s1) AS BIGINT) AS viewed,
+          |  CAST(sum(s2) AS BIGINT) AS clicked_within_gap,
+          |  CAST(sum(s3) AS BIGINT) AS purchased_within_gap
+          |FROM u""".stripMargin,
       "events_cohort_retention" ->
         """WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
           |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)

@@ -356,6 +356,58 @@ object EventAnalytics {
     )
   }
 
+  /** Time-constrained funnel (the product-analytics "conversion
+    * within N hours" shape, Amplitude/Mixpanel semantics): a user
+    * converts step k when SOME step-(k−1)-qualified event happened
+    * strictly before, within `maxGapHours` — not merely first-touch
+    * order. First-touch logic ([[conversionFunnel]]) misses chains
+    * that restart (view@t0, click@t0+2d, view@t1, click@t1+5min), so
+    * qualification is computed per EVENT with an iterated range-frame
+    * window: a click qualifies when `max(view-flag)` over
+    * `RANGE [ts−Δ, ts−1]` (nanosecond integers) is 1, a purchase when
+    * the same frame holds a QUALIFIED click. Exists-any semantics fall
+    * out of max over 0/1 flags; everything is integer event-time, so
+    * the funnel replays bit-exact.
+    *
+    * Scale shape: two window passes over user-partitioned,
+    * ts-sorted events — one shuffle total (the first sort is reused
+    * by the second window, same partitioning), state bounded by the
+    * frame, no self-join of the event stream.
+    */
+  def windowedFunnel(spark: SparkSession, dir: String, maxGapHours: Int = 24): DataFrame =
+    windowedFunnelOn(Tables.events(spark, dir), maxGapHours)
+
+  /** [[windowedFunnel]] core over an explicit `(user_id, event_type,
+    * ts_ns)` relation — the testable unit.
+    */
+  def windowedFunnelOn(ev: DataFrame, maxGapHours: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = maxGapHours.toLong * 3600L * 1000000000L
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_ns"))
+      .rangeBetween(-gapNs, -1L)
+    val flagged = ev
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .withColumn("f1", when(col("event_type") === "view", 1L).otherwise(0L))
+      .withColumn(
+        "f2",
+        when(col("event_type") === "click" && coalesce(max(col("f1")).over(w), lit(0L)) === 1L, 1L).otherwise(0L)
+      )
+      .withColumn(
+        "f3",
+        when(col("event_type") === "purchase" && coalesce(max(col("f2")).over(w), lit(0L)) === 1L, 1L).otherwise(0L)
+      )
+    flagged
+      .groupBy("user_id")
+      .agg(max("f1").as("s1"), max("f2").as("s2"), max("f3").as("s3"))
+      .agg(
+        sum("s1").as("viewed"),
+        sum("s2").as("clicked_within_gap"),
+        sum("s3").as("purchased_within_gap")
+      )
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each later week, how many returned. The canonical
     * retention triangle as (cohort_week, week_offset, n_users).

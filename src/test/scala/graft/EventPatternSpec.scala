@@ -132,6 +132,48 @@ class EventPatternSpec extends SparkSpec {
     assert(got.size == 56 && got.keySet.contains("2024-01-06"), "every day reports a row")
   }
 
+  test("windowedFunnel: restart chains convert, equal-ts never chains, gap boundary is inclusive at exactly Δ") {
+    import SparkSpec.spark.implicits._
+    val d  = 86400000000000L // 24h in ns
+    val mn = 60000000000L    // 1min in ns
+    val ev = Seq(
+      // u1: first-touch chain is dead (click 2 days after view) but a
+      // RESTARTED chain converts — windowed must count, first-touch misses
+      (1L, "view", 0L), (1L, "click", 2 * d),
+      (1L, "view", 3 * d), (1L, "click", 3 * d + 5 * mn), (1L, "purchase", 3 * d + 10 * mn),
+      // u2: click at EXACTLY Δ after view (inclusive boundary);
+      // purchase at Δ+1ns after the click (exclusive beyond)
+      (2L, "view", 0L), (2L, "click", d), (2L, "purchase", d + d + 1L),
+      // u3: click precedes any view; purchase has no qualified click
+      (3L, "click", 0L), (3L, "view", mn), (3L, "purchase", 2 * mn),
+      // u4: equal timestamps never chain (strictly-before semantics)
+      (4L, "view", 7L), (4L, "click", 7L)
+    ).toDF("user_id", "event_type", "ts_ns")
+    val got = graft.operators.EventAnalytics.windowedFunnelOn(ev, 24).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 2L, 1L)),
+      s"expected (viewed=4, clicked=2, purchased=1), got $got")
+  }
+
+  test("windowedFunnel == brute-force any-chain model on real events") {
+    import SparkSpec.spark.implicits._
+    val gapNs = 24L * 3600L * 1000000000L
+    val evDf  = Tables.events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts_ns"))
+    val got   = graft.operators.EventAnalytics.windowedFunnelOn(evDf, 24).collect().head
+    val byUser = evDf.as[(Long, String, Long)].collect().groupBy(_._1)
+    def chain(evs: Seq[(String, Long)]): (Boolean, Boolean, Boolean) = {
+      val views = evs.collect { case ("view", t) => t }
+      val clicks = evs.collect { case ("click", t) => t }
+      val buys = evs.collect { case ("purchase", t) => t }
+      val qClicks = clicks.filter(c => views.exists(v => c - v >= 1 && c - v <= gapNs))
+      val qBuys = buys.filter(p => qClicks.exists(c => p - c >= 1 && p - c <= gapNs))
+      (views.nonEmpty, qClicks.nonEmpty, qBuys.nonEmpty)
+    }
+    val want = byUser.values.map(rows => chain(rows.map(r => (r._2, r._3)).toSeq)).toSeq
+    val exp  = (want.count(_._1).toLong, want.count(_._2).toLong, want.count(_._3).toLong)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == exp)
+    assert(exp._1 > 0 && exp._2 > 0, "the corpus must exercise the funnel")
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
