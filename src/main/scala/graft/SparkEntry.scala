@@ -963,6 +963,10 @@ object SparkEntry {
     // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
     // — no float, no boundary flips
     "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
+    // integer CUSUM level-shift detector: slack-and-reset CUSUM
+    // replayed recursion-free via the prefix-sum/running-min identity,
+    // everything scaled by n to stay integer — two window passes
+    "events_cusum_shift" -> q(EventAnalytics.cusumShifts),
     // weekday-seasonal anomaly: the same cleared-denominator integer
     // z-test judged WITHIN each day-of-week cohort (Sundays against
     // Sundays) — 7-row broadcast moments, two shuffles, bit-exact
@@ -2957,6 +2961,21 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
           |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
+      "events_cusum_shift" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+          |y AS (SELECT day, x, n * x - s - s // 10 AS yv, s FROM daily CROSS JOIN t),
+          |p AS (SELECT day, x, s,
+          |        sum(yv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv
+          |      FROM y),
+          |c AS (SELECT day, x, s, pv,
+          |        pv - least(min(pv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS cv
+          |      FROM p)
+          |SELECT day, x AS n_events, CAST(cv AS BIGINT) AS cusum, cv > 2 * s AS is_shift
+          |FROM c ORDER BY day""".stripMargin,
       "events_weekday_anomaly" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

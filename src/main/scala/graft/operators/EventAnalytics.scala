@@ -152,6 +152,43 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Sustained-level-shift detection by integer CUSUM (Page 1954):
+    * where [[dailyCountAnomalies]] flags single outlier days, CUSUM
+    * accumulates small persistent excesses — the "traffic has been
+    * 15% up for a week" signal a per-day z-test never crosses.
+    *
+    * Classic slack-and-reset CUSUM `C_t = max(0, C_{t−1} + x_t − μ −
+    * slack)` is replayed WITHOUT recursion via the prefix-sum
+    * identity `C_t = P_t − min(0, min_{i≤t} P_i)` (reset-at-zero ==
+    * drawup from the running minimum), so the whole detector is two
+    * running-window passes. Everything is scaled by n to stay
+    * integer: `y_t = n·x_t − S − floor(S/10)` (slack = 10% of the
+    * global mean), and a day flags when the accumulated excess tops
+    * two average days (`C_t > 2·S`). Pure 64-bit integers end to end
+    * — the flag can never flip on a summation ulp, and the oracle
+    * replays the same windows bit-exact.
+    */
+  def cusumShifts(spark: SparkSession, dir: String): DataFrame =
+    cusumShiftsOn(Tables.events(spark, dir))
+
+  /** [[cusumShifts]] core over an explicit relation carrying `ts`. */
+  def cusumShiftsOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val wRun   = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .crossJoin(broadcast(totals))
+      .withColumn("y", col("n") * col("x") - col("s") - expr("s DIV 10"))
+      .withColumn("p", sum("y").over(wRun))
+      .withColumn("c", col("p") - least(min("p").over(wRun), lit(0L)))
+      .withColumn("is_shift", col("c") > lit(2L) * col("s"))
+      .select(col("day"), col("x").as("n_events"), col("c").as("cusum"), col("is_shift"))
+      .orderBy("day")
+  }
+
   /** Cumulative DISTINCT event types per user over time — the
     * new-behavior-discovery curve. Spark has no DISTINCT window
     * aggregate; `size(collect_set() OVER w)` expresses it exactly

@@ -174,6 +174,48 @@ class EventPatternSpec extends SparkSpec {
     assert(exp._1 > 0 && exp._2 > 0, "the corpus must exercise the funnel")
   }
 
+  private def cusumModel(xs: Seq[Long]): Seq[(Long, Boolean)] = {
+    val n = xs.size.toLong
+    val s = xs.sum
+    var c = 0L
+    xs.map { x =>
+      c = math.max(0L, c + (n * x - s - s / 10))
+      (c, c > 2 * s)
+    }
+  }
+
+  private def cusumRun(counts: Seq[Int]): Seq[(Long, Boolean)] = {
+    import SparkSpec.spark.implicits._
+    val rows = counts.zipWithIndex.flatMap { case (cnt, d) =>
+      val day = java.time.LocalDate.of(2024, 3, 1).plusDays(d.toLong)
+      (0 until cnt).map(i => (d * 10000L + i, java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }
+    graft.operators.EventAnalytics
+      .cusumShiftsOn(rows.toDF("event_id", "ts"))
+      .collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+      .toSeq
+  }
+
+  test("cusumShifts: window identity == recursive slack-and-reset CUSUM; shift flags, flat and lone spike don't") {
+    // the prefix-sum/running-min formulation must equal the recursive
+    // max(0, C + y) definition on every series
+    val shift = Seq.fill(30)(100) ++ Seq.fill(10)(200) // doubled traffic for the last quarter
+    val flat  = Seq.fill(30)(100)
+    val spike = Seq.fill(15)(100) ++ Seq(160) ++ Seq.fill(14)(100)
+    for (series <- Seq(shift, flat, spike)) {
+      assert(cusumRun(series) == cusumModel(series.map(_.toLong)), s"identity failed on $series")
+    }
+    val shiftFlags = cusumRun(shift).map(_._2)
+    assert(shiftFlags.takeWhile(!_).size == 34 && shiftFlags.drop(34).forall(identity),
+      "the sustained shift must flag once ~2 mean-days of excess accumulate, then stay flagged")
+    assert(!cusumRun(flat).exists(_._2), "a flat series never flags")
+    // a lone spike bumps the CUSUM once but the slack drains it: no
+    // sustained-shift flag (this is the signal/shape distinction vs
+    // the per-day z-test, which DOES flag the spike)
+    assert(!cusumRun(spike).exists(_._2), "a lone spike is not a sustained shift")
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
