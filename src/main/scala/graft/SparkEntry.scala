@@ -1130,6 +1130,12 @@ object SparkEntry {
     "docs_dsir_resample" -> q((s, dir) => DataOps.dsirResample(s, dir)),
     // ---- similarity search ----
     "sim_topk_bruteforce" -> q((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    // MMR diversified re-ranking (λ=½) over the per-query top-20
+    // shortlist: greedy rel − max-sim-to-selected picks, struct-argmax
+    // ties to the smallest candidate — the corpus is scanned once,
+    // the greedy loop works on queries × 20 rows; DuckDB replays the
+    // unrolled greedy on the same bit-exact cosine doubles
+    "sim_mmr_rerank" -> q((s, dir) => Similarity.mmrRerank(s, dir)),
     // the three one-shot ANN variants dump their deterministic frozen
     // state (LSH codes / IVF centroids+assignments / PQ model) under a
     // fixed path so the DuckDB oracle replays banding/probing/ADC from
@@ -2222,6 +2228,43 @@ object SparkEntry {
          |s0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
          |$iters
          |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
+    }
+    // MMR greedy unrolled: step i picks argmax(rel − max-sim-to-sel)
+    // among unselected shortlist rows; identical doubles both engines
+    val mmrSql = {
+      val steps = (2 to 5).map { i =>
+        s"""s$i AS (SELECT qid, cand, score, CAST($i AS BIGINT) AS rnk FROM (
+           |    SELECT r.qid, r.cand, r.rel - m.msim AS score,
+           |      row_number() OVER (PARTITION BY r.qid
+           |        ORDER BY (r.rel - m.msim) DESC, r.cand) AS rn
+           |    FROM sl r
+           |    JOIN (SELECT ps.qid, ps.pa, max(ps.sim) AS msim
+           |          FROM ps JOIN sel${i - 1} s ON ps.qid = s.qid AND ps.pb = s.cand
+           |          GROUP BY ps.qid, ps.pa) m ON m.qid = r.qid AND m.pa = r.cand
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+           |                      WHERE z.qid = r.qid AND z.cand = r.cand)) t
+           |  WHERE rn = 1),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS cand, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+         |rel0 AS (SELECT qid, cand, list_cosine_similarity(qe, ce) AS rel, ce
+         |         FROM q JOIN c ON qid <> cand),
+         |sl AS (SELECT qid, cand, rel, ce FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cand) AS rn
+         |         FROM rel0) t
+         |       WHERE rn <= 20),
+         |ps AS (SELECT x.qid, x.cand AS pa, y.cand AS pb,
+         |         list_cosine_similarity(x.ce, y.ce) AS sim
+         |       FROM sl x JOIN sl y ON x.qid = y.qid AND x.cand <> y.cand),
+         |s1 AS (SELECT qid, cand, rel AS score, CAST(1 AS BIGINT) AS rnk FROM (
+         |         SELECT qid, cand, rel,
+         |           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cand) AS rn FROM sl) t
+         |       WHERE rn = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |$steps
+         |SELECT qid, rnk, cand, score FROM sel5 ORDER BY qid, rnk""".stripMargin
     }
     val bm25Sql =
       s"""WITH q(query_id, term) AS (VALUES
@@ -3367,6 +3410,7 @@ object SparkEntry {
           |                           CAST(y.embedding AS DOUBLE[])) AS cos
           |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
           |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin,
+      "sim_mmr_rerank" -> mmrSql,
       "sim_topk_bruteforce" ->
         """SELECT qid, rnk, cand, round(cos, 4) AS cos FROM (
           |  SELECT qid, cand, cos,

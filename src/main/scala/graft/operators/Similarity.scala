@@ -1152,4 +1152,66 @@ object Similarity {
       )
       .orderBy("label")
   }
+
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998) at λ = ½: greedily pick the candidate
+    * maximizing `rel − max-sim-to-already-selected`, so near-duplicate
+    * results stop crowding the top-k — the retrieval-side twin of
+    * SemDeDup (don't SHOW five copies either). Runs over a per-query
+    * top-`n` shortlist from the brute-force scorer: the k greedy steps
+    * are bounded joins + struct-argmax over queries × n rows — the
+    * corpus is touched ONCE (the shortlist pass), the greedy loop
+    * never is. Ties break to the smallest candidate id via
+    * `max(struct(score, −cand))` — no float negation (−0.0 orders
+    * differently across engines), so every pick replays exactly: rel
+    * and pairwise sims are the same bit-exact cosine doubles the
+    * ranked-retrieval oracles already hash on, and score = rel − maxsim
+    * is one subtraction of identical doubles.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, n: Int = 20, k: Int = 5): DataFrame = {
+    require(k >= 1 && n >= k, s"need 1 <= k <= n, got k=$k n=$n")
+    graft.GraftFunctions.register(spark)
+    val e       = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(expr("vec_id % 100 = 0")).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w       = Window.partitionBy("qid").orderBy(col("rel").desc, col("cand"))
+    val shortlist = e
+      .select(col("vec_id").as("cand"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("qid") =!= col("cand"))
+      .withColumn("rel", expr("cosine_sim(qe, ce)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("qid"), col("cand"), col("rel"), col("ce"))
+      .localCheckpoint(eager = false)
+    val cands = shortlist.select("qid", "cand", "rel")
+    val pairs = shortlist
+      .as("x")
+      .join(shortlist.as("y"), col("x.qid") === col("y.qid") && col("x.cand") =!= col("y.cand"))
+      .select(
+        col("x.qid").as("qid"),
+        col("x.cand").as("pa"),
+        col("y.cand").as("pb"),
+        expr("cosine_sim(x.ce, y.ce)").as("sim")
+      )
+      .localCheckpoint(eager = false)
+
+    def argmax(scored: DataFrame, rnk: Int): DataFrame =
+      scored
+        .groupBy("qid")
+        .agg(max(struct(col("score"), (-col("cand")).as("nc"))).as("pick"))
+        .select(col("qid"), (-col("pick.nc")).as("cand"), col("pick.score").as("score"), lit(rnk.toLong).as("rnk"))
+
+    var selected = argmax(cands.withColumn("score", col("rel")), 1)
+    for (i <- 2 to k) {
+      val remaining = cands.join(selected.select("qid", "cand"), Seq("qid", "cand"), "left_anti")
+      val maxSim = pairs
+        .join(selected.select(col("qid"), col("cand").as("pb")), Seq("qid", "pb"))
+        .groupBy(col("qid"), col("pa").as("cand"))
+        .agg(max("sim").as("msim"))
+      val scored = remaining
+        .join(maxSim, Seq("qid", "cand"))
+        .withColumn("score", col("rel") - col("msim"))
+      selected = selected.unionByName(argmax(scored, i)).localCheckpoint(eager = false)
+    }
+    selected.select(col("qid"), col("rnk"), col("cand"), col("score")).orderBy("qid", "rnk")
+  }
 }

@@ -369,4 +369,53 @@ class SimilaritySpec extends SparkSpec {
     val s2 = graft.operators.Similarity.clusterTopTerms(spark, sfDir).collect()
     assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq, "summaries must replay bit-identically")
   }
+
+  test("mmrRerank == pure-Scala greedy model; rank 1 is the relevance top-1; refusals") {
+    import SparkSpec.spark.implicits._
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i).toDouble; val y = b(i).toDouble; dot += x * y; na += x * x; nb += y * y; i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .collect()
+      .toMap
+    val model = vecs.keys.filter(_ % 100 == 0).toSeq.sorted.flatMap { qid =>
+      val rels = vecs.collect { case (c, e) if c != qid => (c, cosD(vecs(qid), e)) }.toSeq
+      val shortlist = rels.sortBy { case (c, r) => (-r, c) }.take(20)
+      var selected  = List.empty[(Long, Double)]
+      var remaining = shortlist
+      for (_ <- 1 to 5) {
+        val scored =
+          if (selected.isEmpty) remaining.map { case (c, r) => (c, r) }
+          else
+            remaining.map { case (c, r) =>
+              (c, r - selected.map(s => cosD(vecs(c), vecs(s._1))).max)
+            }
+        val pick = scored.minBy { case (c, s) => (-s, c) }
+        selected = selected :+ pick
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      selected.zipWithIndex.map { case ((c, s), i) => (qid, i + 1L, c, s) }
+    }
+    val got = graft.operators.Similarity
+      .mmrRerank(spark, sfDir)
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(got == model, s"first diff: ${got.zip(model).find { case (a, b) => a != b }}")
+    // rank 1 == plain relevance top-1
+    val top1 = graft.operators.Similarity
+      .bruteForceTopK(spark, sfDir, k = 1)
+      .select("qid", "cand")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    got.filter(_._2 == 1L).foreach { case (qid, _, cand, _) => assert(top1(qid) == cand) }
+    intercept[IllegalArgumentException](graft.operators.Similarity.mmrRerank(spark, sfDir, n = 3, k = 5))
+  }
 }
