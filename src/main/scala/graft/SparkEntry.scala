@@ -911,6 +911,10 @@ object SparkEntry {
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
+    // Apriori level 3: frequent triples via pair-pruned within-order
+    // enumeration; downward closure lets the oracle replay the naive
+    // triple count (identical >= minSupport sets)
+    "basket_triples"        -> q((s, dir) => Relational.basketTriples(s, dir)),
     // sequential-pattern mining (PrefixSpan-lite over the bounded
     // event-type alphabet): length-2/3 subsequence supports via
     // first/last + earliest-extension timestamp algebra — integer,
@@ -3153,6 +3157,16 @@ object SparkEntry {
           |  SELECT concat(ta, '>', tb, '>', tc), CAST(3 AS BIGINT),
           |         CAST(support AS BIGINT) FROM s3)
           |WHERE support >= 10 ORDER BY len, pattern""".stripMargin,
+      "basket_triples" ->
+        """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+          |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 2),
+          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item))
+          |SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+          |       CAST(count(*) AS BIGINT) AS support
+          |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
+          |          JOIN pb z ON y.okey = z.okey AND y.item < z.item
+          |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+          |ORDER BY item_a, item_b, item_c""".stripMargin,
       "rec_item_neighbors" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
           |f AS (SELECT item, count(*) AS s FROM b GROUP BY item HAVING count(*) >= 3),

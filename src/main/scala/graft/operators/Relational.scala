@@ -1245,6 +1245,56 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** Frequent 3-itemsets — the Apriori level-3 completion of
+    * [[basketPairs]]. Downward closure does the pruning: a frequent
+    * triple's sub-pairs are all frequent, so within-order triple
+    * enumeration runs over FREQUENT-PAIR occurrences only — the
+    * third leg joins the pair occurrence to the order's remaining
+    * frequent items and semi-joins both new edges ((a,c) and (b,c))
+    * against the frequent-pair list before counting. Everything is a
+    * basket- or pair-keyed equi-join (never an item cross product);
+    * integer supports replay exactly, and the oracle may replay the
+    * NAIVE triple count because closure makes the pruned and naive
+    * ≥-minSupport sets identical.
+    */
+  def basketTriples(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val frequent = baskets
+      .groupBy("item")
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport)
+      .select("item")
+    val pruned = baskets.join(frequent, Seq("item")).localCheckpoint(eager = false)
+    val fp = pruned
+      .alias("x")
+      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("pa"), col("y.item").as("pb"))
+      .agg(count(lit(1)).as("ps"))
+      .filter(col("ps") >= minSupport)
+      .select("pa", "pb")
+      .localCheckpoint(eager = false)
+    // within-order occurrences of frequent pairs
+    val po = pruned
+      .alias("x")
+      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .select(col("x.okey").as("okey"), col("x.item").as("ia"), col("y.item").as("ib"))
+      .join(fp, col("ia") === col("pa") && col("ib") === col("pb"))
+      .select("okey", "ia", "ib")
+    po
+      .join(pruned.alias("z"), col("z.okey") === po("okey") && col("z.item") > col("ib"))
+      .select(col("ia"), col("ib"), col("z.item").as("ic"))
+      .join(fp, col("ib") === col("pa") && col("ic") === col("pb"))
+      .select("ia", "ib", "ic")
+      .join(fp, col("ia") === col("pa") && col("ic") === col("pb"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"), col("ic").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy("item_a", "item_b", "item_c")
+  }
+
   /** Item-item collaborative-filtering neighbors ("customers who
     * bought X also bought Y"): Jaccard similarity over basket sets,
     * `sim(a,b) = cooc / (supp_a + supp_b − cooc)`, with per-item top-k

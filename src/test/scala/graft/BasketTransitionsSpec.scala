@@ -69,6 +69,37 @@ class BasketTransitionsSpec extends SparkSpec {
     assert(total == users.map(_._2 - 1).sum)
   }
 
+  test("basketTriples == brute-force triple counts; Apriori pruning loses nothing (downward closure)") {
+    val got = Relational
+      .basketTriples(spark, sfDir, minSupport = 2L)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    val baskets = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .values
+      .map(_.map(_._2).toSet)
+      .toSeq
+    val brute = baskets
+      .flatMap { items =>
+        val s = items.toSeq.sorted
+        for { i <- s.indices; j <- (i + 1) until s.size; k <- (j + 1) until s.size } yield (s(i), s(j), s(k))
+      }
+      .groupBy(identity)
+      .map { case (t, v) => (t._1, t._2, t._3, v.size.toLong) }
+      .filter(_._4 >= 2L)
+      .toSet
+    assert(got == brute, s"missing=${(brute -- got).take(3)}, extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty, "the corpus must produce frequent triples")
+    val plan = Relational.basketTriples(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"triple mining must stay equi-joined:\n$plan")
+  }
+
   test("itemItemNeighbors == brute-force Jaccard CF model on the real baskets (top-k, tie-breaks, symmetry)") {
     val k   = 5
     val got = Relational
