@@ -357,6 +357,30 @@ object SparkEntry {
     path
   }
 
+  /** Memoized OPTIMIZE-ZORDER demo table: stats on (doc_id, n_chars),
+    * created UNCLUSTERED in 8 files, then one
+    * [[graft.sources.SnapshotTable.compactZOrder]] on both columns —
+    * after which BOTH dimensions must prune via the per-file sidecars.
+    */
+  private val zorderBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def zorderReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_zorder_tbl", dir)}"
+    zorderBuilt.synchronized {
+      if (!zorderBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        graft.sources.SnapshotTable.enableStats(s, path, Seq("doc_id", "n_chars"))
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+        graft.sources.SnapshotTable.create(s, path, docs.repartition(8))
+        graft.sources.SnapshotTable.compactZOrder(s, path, Seq("doc_id", "n_chars"), targetFiles = 8)
+        zorderBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized merge-on-read demo table over orders: v1 = full table
     * in 4 files, v2 = [[graft.sources.SnapshotTable.deleteMor]] of
     * o_orderkey%5=0 (a deletion-vector commit — no file rewritten),
@@ -1454,6 +1478,22 @@ object SparkEntry {
         Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
       )
+    },
+    // OPTIMIZE ZORDER: after one compactZOrder on (doc_id, n_chars),
+    // a rectangle predicate must prune files via the stats sidecars
+    // on BOTH dimensions (required loudly) — lexicographic clustering
+    // can only ever give you the first; DuckDB replays the rectangle
+    // aggregate from the raw table
+    "zorder_optimize_read" -> q { (s, dir) =>
+      val path     = zorderReady(s, dir)
+      val (sa, ta) = graft.sources.SnapshotTable.pruneVersionFiles(s, path, "doc_id", Some(64L), Some(191L))
+      val (sb, tb) = graft.sources.SnapshotTable.pruneVersionFiles(s, path, "n_chars", Some(100L), Some(300L))
+      require(sa.length < ta && sb.length < tb,
+        s"z-order must make BOTH dimensions prunable, got doc_id ${sa.length}/$ta n_chars ${sb.length}/$tb")
+      graft.sources.SnapshotTable
+        .prunedRead(s, path, "doc_id", Some(64L), Some(191L))
+        .filter(col("n_chars").between(100L, 300L))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"), sum("n_chars").as("sum_chars"))
     },
     // copy-on-write DELETE on the snapshot table: remove doc_id%7=0
     // rows (rewriting only touched files), then aggregate the head —
@@ -3827,6 +3867,12 @@ object SparkEntry {
            |  ndv_new * 2 < ndv_old OR ndv_new > ndv_old * 2 AS ndv_drift
            |FROM b ORDER BY col_name""".stripMargin
       },
+      "zorder_optimize_read" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents
+          |WHERE doc_id BETWEEN 64 AND 191 AND n_chars BETWEEN 100 AND 300""".stripMargin,
       "delete_rows" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,

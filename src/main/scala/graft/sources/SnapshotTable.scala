@@ -1190,6 +1190,39 @@ object SnapshotTable {
     overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-clustered")
   }
 
+  /** OPTIMIZE ZORDER: [[compactClustered]] with a MULTI-dimensional
+    * Morton (z-order) clustering key instead of a lexicographic one —
+    * the lake-format `OPTIMIZE table ZORDER BY (a, b)` contract.
+    * Lexicographic range clustering makes the FIRST column's
+    * predicates prune and leaves the rest scattered; bit-interleaving
+    * the dimensions keeps every file a small hyper-rectangle in ALL of
+    * them, so per-file min/max stats sidecars prune multi-column
+    * range predicates (see [[graft.operators.DataOps.zOrderValueN]]
+    * and its rectangle-pruning spec). Columns must be non-negative
+    * integers below 2^bits (cast/scale first); the transient z
+    * column never lands in the table — partitioning and in-file order
+    * are by z, the schema is unchanged. DVs are folded by the rewrite
+    * exactly like [[compactClustered]]; stats sidecars re-tighten at
+    * staging.
+    */
+  def compactZOrder(
+      spark: SparkSession,
+      path: String,
+      zCols: Seq[String],
+      targetFiles: Int = 8,
+      bits: Int = 20
+  ): Long = {
+    require(zCols.size >= 2, s"compactZOrder needs >= 2 dimensions (use compactClustered for 1), got ${zCols.size}")
+    import org.apache.spark.sql.functions.col
+    val zc = "__graft_z"
+    val cur = read(spark, path)
+      .withColumn(zc, graft.operators.DataOps.zOrderValueN(zCols, bits))
+      .repartitionByRange(targetFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-zorder")
+  }
+
   /** Bin-packing OPTIMIZE: rewrite ONLY the data files smaller than
     * `minBytes` into `targetFiles` packed files, carrying every
     * already-large file into the new manifest BY REFERENCE. This is

@@ -443,6 +443,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(dv.getMessage.contains("deletion vectors"))
   }
 
+  test("compactZOrder: both dimensions prune after OPTIMIZE ZORDER; lexicographic clustering only gives the first") {
+    import org.apache.spark.sql.functions.expr
+    // a full 32x32 grid scaled to spread the bits the interleave uses
+    def grid = spark.range(1024).select(
+      col("id"),
+      ((col("id") / 32L).cast("long") * 8L).as("a"),
+      ((col("id") % 32L) * 8L).as("b")
+    )
+    val pz = freshPath("zorder")
+    SnapshotTable.enableStats(spark, pz, Seq("a", "b"))
+    SnapshotTable.create(spark, pz, grid.repartition(8))
+    val before = SnapshotTable.read(spark, pz).collect().map(_.toString).sorted.toSeq
+    SnapshotTable.compactZOrder(spark, pz, Seq("a", "b"), targetFiles = 16)
+    // content and history intact, schema unchanged (no z column leaks)
+    assert(SnapshotTable.read(spark, pz).collect().map(_.toString).sorted.toSeq == before)
+    assert(SnapshotTable.read(spark, pz).columns.toSeq == Seq("id", "a", "b"))
+    assert(SnapshotTable.read(spark, pz, Some(1L)).count() == 1024L)
+    val (sa, ta) = SnapshotTable.pruneVersionFiles(spark, pz, "a", Some(0L), Some(56L))
+    val (sb, tb) = SnapshotTable.pruneVersionFiles(spark, pz, "b", Some(0L), Some(56L))
+    assert(sa.length < ta.toInt && sb.length < tb.toInt, s"both dims must prune: a ${sa.length}/$ta b ${sb.length}/$tb")
+    // pruned rectangle read equals the exact filter
+    val rect = SnapshotTable
+      .prunedRead(spark, pz, "a", Some(0L), Some(56L))
+      .filter(col("b").between(0L, 56L))
+      .count()
+    assert(rect == 64L, s"8x8 corner of the 32x32 grid, got $rect")
+    // contrast: range-clustering by a leaves b unprunable on the same layout
+    val pc = freshPath("lexi")
+    SnapshotTable.enableStats(spark, pc, Seq("a", "b"))
+    SnapshotTable.create(spark, pc, grid.repartition(8))
+    SnapshotTable.compactClustered(spark, pc, Seq("a"), targetFiles = 16)
+    val (_, taL)  = SnapshotTable.pruneVersionFiles(spark, pc, "a", Some(0L), Some(56L))
+    val (sbL, _)  = SnapshotTable.pruneVersionFiles(spark, pc, "b", Some(0L), Some(56L))
+    assert(sbL.length == taL.toInt, "every a-clustered file spans the full b range - nothing prunes on b")
+    // refusal: z-order needs >= 2 dimensions
+    intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pz, Seq("a")))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
