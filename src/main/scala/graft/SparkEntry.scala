@@ -1381,6 +1381,24 @@ object SparkEntry {
     },
     "text_chunks"      -> q((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
+    // Luhn-validated card scan: digit-run candidates gated by the
+    // mod-10 checksum (array-local HOFs, zero shuffles) over a corpus
+    // with planted valid (%50=0) and invalid-lookalike (%50=7)
+    // numbers — the detector must separate them
+    "text_pii_luhn" -> q { (s, dir) =>
+      val docs = Tables
+        .documents(s, dir)
+        .withColumn(
+          "text2",
+          concat(
+            col("text"),
+            when(col("doc_id") % 50 === 0, lit(" card 4532015112830366 on file"))
+              .when(col("doc_id") % 50 === 7, lit(" ref 4532015112830367 code"))
+              .otherwise(lit(""))
+          )
+        )
+      Quality.piiCardScan(docs, "doc_id", "text2").orderBy("doc_id")
+    },
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
@@ -3536,6 +3554,22 @@ object SparkEntry {
            |  array_to_string(tk[start:start+49], ' ') AS chunk_text,
            |  len(tk[start:start+49]) AS n_chunk_tokens
            |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+      "text_pii_luhn" ->
+        """WITH t AS (SELECT doc_id,
+          |    text || CASE WHEN doc_id % 50 = 0 THEN ' card 4532015112830366 on file'
+          |                 WHEN doc_id % 50 = 7 THEN ' ref 4532015112830367 code'
+          |                 ELSE '' END AS text2
+          |  FROM documents),
+          |c AS (SELECT doc_id, list_filter(regexp_extract_all(text2, '[0-9]+'),
+          |                                 s -> length(s) BETWEEN 13 AND 19) AS cands FROM t)
+          |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+          |  CAST(len(list_filter(cands, s -> list_sum(list_transform(range(1, length(s) + 1),
+          |    i -> CASE WHEN (length(s) - i) % 2 = 1
+          |              THEN CASE WHEN (ascii(s[i]) - 48) * 2 > 9
+          |                        THEN (ascii(s[i]) - 48) * 2 - 9
+          |                        ELSE (ascii(s[i]) - 48) * 2 END
+          |              ELSE ascii(s[i]) - 48 END)) % 10 = 0)) AS BIGINT) AS n_valid
+          |FROM c WHERE len(cands) > 0 ORDER BY doc_id""".stripMargin,
       "text_redact" ->
         """SELECT doc_id,
           |  regexp_replace(text, '\b(customer|supplier)\b', '[REDACTED]', 'g') AS redacted,

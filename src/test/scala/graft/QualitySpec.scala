@@ -118,4 +118,32 @@ class QualitySpec extends SparkSpec {
     assert(rows(("documents", "in_range(n_chars)")) > 0L, "strict band must catch real rows")
     assert(rows(("documents", "accepted_values(lang)")) > 0L, "es/zh docs must be flagged")
   }
+
+  test("piiCardScan: Luhn separates real card shapes from lookalikes; length bounds gate candidacy") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 now"),                 // valid 16-digit
+      (2L, "ref 4532015112830367 thanks"),                   // invalid checksum
+      (3L, "cards 4111111111111111 and 4111111111111112"),   // one valid, one not
+      (4L, "short 123456789012 run"),                        // 12 digits: not a candidate
+      (5L, "long 45320151128303661234 run"),                 // 20 digits: not a candidate
+      (6L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Quality
+      .piiCardScan(docs, "doc_id", "text")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 2L, 1L)), s"got $got")
+    // registered query: every planted valid number is found valid,
+    // every planted lookalike is a candidate that FAILS the checksum
+    val regRows = SparkEntry.queries("text_pii_luhn")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val byId = regRows.map(r => r._1 -> (r._2, r._3)).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    (0L until nDocs by 50L).foreach(id => assert(byId.get(id).exists(_._2 >= 1L), s"doc $id must flag valid PII"))
+    regRows.filter(_._1 % 50 == 7).foreach { case (id, nc, nv) =>
+      assert(nc >= 1L && nv == 0L, s"doc $id lookalike must be candidate-only")
+    }
+  }
 }
