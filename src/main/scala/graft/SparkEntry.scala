@@ -1497,6 +1497,18 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
       )
     },
+    // metadata-only COUNT(*): sidecar n_rows sums answer both the
+    // unclustered v1 and the z-ordered v2 without touching data files
+    // (scan-equality REQUIRED loudly); DuckDB replays the plain count
+    "table_fast_count" -> q { (s, dir) =>
+      val path = zorderReady(s, dir)
+      val c1   = graft.sources.SnapshotTable.fastCount(s, path, Some(1L))
+      val c2   = graft.sources.SnapshotTable.fastCount(s, path)
+      require(c2 == graft.sources.SnapshotTable.read(s, path).count(),
+        "fastCount must equal the scan count")
+      import s.implicits._
+      Seq((1L, c1), (2L, c2)).toDF("version", "n_docs").orderBy("version")
+    },
     // OPTIMIZE ZORDER: after one compactZOrder on (doc_id, n_chars),
     // a rectangle predicate must prune files via the stats sidecars
     // on BOTH dimensions (required loudly) — lexicographic clustering
@@ -3901,6 +3913,11 @@ object SparkEntry {
            |  ndv_new * 2 < ndv_old OR ndv_new > ndv_old * 2 AS ndv_drift
            |FROM b ORDER BY col_name""".stripMargin
       },
+      "table_fast_count" ->
+        """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM documents
+          |ORDER BY version""".stripMargin,
       "zorder_optimize_read" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -421,6 +421,48 @@ object SnapshotTable {
     (files.filterNot(skippable), files.length.toLong)
   }
 
+  /** Metadata-only COUNT(*): Σ sidecar `n_rows` over the version's
+    * data files, minus the version's deletion-vector tombstones — the
+    * O(manifest + DV) count a production table format serves without
+    * touching a single data file. At 100 TB that is the difference
+    * between an instant answer and a cluster-wide scan. REQUIRES
+    * every data file of the version to carry a stats sidecar row
+    * (tables that called [[enableStats]] before their first commit);
+    * a partially-covered table is refused loudly — a count that is
+    * silently wrong-or-slow depending on table history is worse than
+    * no fast path.
+    */
+  def fastCount(spark: SparkSession, path: String, versionAsOf: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val v = versionAsOf.getOrElse(latestVersion(spark, path))
+    require(v > 0, s"no table at $path")
+    val (files, dvLines) = splitManifest(readManifest(spark, path, v))
+    if (files.isEmpty) return 0L
+    val f     = fs(spark, path)
+    val parts = new Path(s"$path/_stats/parts")
+    require(
+      f.exists(parts) && f.listStatus(parts).nonEmpty,
+      s"fastCount on $path: no stats sidecars (enableStats before the first commit)"
+    )
+    val st = spark.read
+      .option("mergeSchema", "true")
+      .parquet(s"$path/_stats/parts/*")
+      .select(col("file"), col("n_rows"))
+      .filter(col("file").isin(files: _*))
+      .distinct()
+    val rows = st.agg(sum("n_rows"), org.apache.spark.sql.functions.count(col("file"))).head()
+    require(
+      rows.getLong(1) == files.length.toLong,
+      s"fastCount on $path: only ${rows.getLong(1)} of ${files.length} files carry sidecars — " +
+        "count would silently fall back to a scan; enableStats predates no file of a fast-countable table"
+    )
+    val base = rows.getLong(0)
+    val dvRows =
+      if (dvLines.isEmpty) 0L
+      else spark.read.parquet(dvLines.map(fileRef(path, _)): _*).count()
+    base - dvRows
+  }
+
   /** Stats-pruned snapshot read, optionally time-traveled: scan only
     * the surviving files of that version and re-apply the EXACT
     * interval predicate (pruning is a necessary condition only).

@@ -481,6 +481,26 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pz, Seq("a")))
   }
 
+  test("fastCount: metadata-only count matches scans across appends, MOR deletes, and time travel; refusals loud") {
+    val p = freshPath("fastcount")
+    SnapshotTable.enableStats(spark, p, Seq("id"))
+    SnapshotTable.create(spark, p, df(1, 2, 3).repartition(2))
+    SnapshotTable.append(spark, p, df(4, 5))
+    assert(SnapshotTable.fastCount(spark, p) == 5L)
+    assert(SnapshotTable.fastCount(spark, p, Some(1L)) == 3L)
+    // merge-on-read delete: tombstones subtract without touching files
+    SnapshotTable.deleteMor(spark, p, col("id") % 2 === 0)
+    assert(SnapshotTable.fastCount(spark, p) == SnapshotTable.read(spark, p).count())
+    assert(SnapshotTable.fastCount(spark, p) == 3L)
+    // pre-MOR version still answers from the same immutable sidecars
+    assert(SnapshotTable.fastCount(spark, p, Some(2L)) == 5L)
+    // a table without sidecars refuses rather than silently scanning
+    val p2 = freshPath("fastcount_nostats")
+    SnapshotTable.create(spark, p2, df(1, 2))
+    val e = intercept[IllegalArgumentException](SnapshotTable.fastCount(spark, p2))
+    assert(e.getMessage.contains("sidecars") || e.getMessage.contains("enableStats"))
+  }
+
   test("registered time-travel query matches a direct recompute") {
     val got = SparkEntry.queries("timetravel_read")(spark, sfDir).collect().toSeq
     val docs = Tables.documents(spark, sfDir)
