@@ -1151,6 +1151,10 @@ object SparkEntry {
     "text_repetition" -> q(TextAnalysis.repetitionScore),
     "gen_shingle_counts" -> q((s, dir) => Dedup.shingleCounts(s, dir)),
     "mixture_sampling" -> q((s, dir) => DataOps.weightedMixture(s, dir, SparkEntry.mixtureWeights)),
+    // temperature-balanced mixture (τ=2): per-source admission
+    // sqrt(n_min/n) in integer basis points (IEEE sqrt is correctly
+    // rounded — identical doubles both engines), hash-bucket admission
+    "mixture_temperature" -> q((s, dir) => DataOps.temperatureMixture(s, dir)),
     "json_quarantine"  -> q(EventAnalytics.jsonQuarantine),
     "cogroup_order_gaps" -> q(MapReduce.customerOrderGaps),
     "stratified_sample"  -> q((s, dir) => DataOps.stratifiedSample(s, dir)),
@@ -3751,6 +3755,17 @@ object SparkEntry {
           |  COALESCE(n_orders, 0) AS n_orders, max_gap_days
           |FROM customer LEFT JOIN a ON c_custkey = o_custkey
           |ORDER BY c_custkey""".stripMargin,
+      "mixture_temperature" ->
+        """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+          |m AS (SELECT min(n) AS n_min FROM c),
+          |a AS (SELECT d.doc_id, d.source, c.n,
+          |        CAST(floor(10000.0 * sqrt(CAST(m.n_min * c.n AS DOUBLE)) / c.n) AS BIGINT) AS fbp,
+          |        (d.doc_id * 2654435761) % 10000 AS bucket
+          |      FROM documents d JOIN c USING (source) CROSS JOIN m)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, max(fbp) AS fbp,
+          |  CAST(sum(CASE WHEN bucket < fbp THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+          |  CAST(sum(CASE WHEN bucket < fbp THEN doc_id ELSE 0 END) AS BIGINT) AS sum_sel_ids
+          |FROM a GROUP BY source ORDER BY source""".stripMargin,
       "mixture_sampling" -> {
         val cases = mixtureWeights.toSeq.sortBy(_._1)
           .map { case (s, w) => s"WHEN '$s' THEN $w" }

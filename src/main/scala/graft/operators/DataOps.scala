@@ -113,6 +113,43 @@ object DataOps {
       .select(col("doc_id"), col("source"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
       .orderBy("doc_id", "epoch")
 
+  /** Temperature-balanced mixture (τ = 2, the mT5/multilingual
+    * rebalancing rule): per-source sampling mass ∝ n_i^(1/τ), realized
+    * as a per-doc admission fraction f_i = sqrt(n_min / n_i) so the
+    * SMALLEST source is kept whole and every larger source is
+    * down-sampled toward the balanced mix — the standard fix for
+    * head-language domination without starving the tail.
+    *
+    * Determinism: the fraction is computed in integer basis points,
+    * `fbp = floor(10000·sqrt(n_min·n_i) / n_i)` — sqrt is IEEE
+    * correctly-rounded, so every engine computes the identical double
+    * from the identical integers — and admission reuses the
+    * multiplicative-id-hash bucket of [[weightedMixture]]: no RNG, a
+    * doc's fate is a pure function of (doc_id, source counts).
+    * One counting aggregate + one broadcast join; emits the
+    * per-source audit row (n_docs, fbp, n_selected, sum_sel_ids).
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val nMin   = counts.agg(min("n").as("n_min"))
+    val admitted = docs
+      .join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(nMin))
+      .withColumn("fbp", floor(lit(10000.0) * sqrt((col("n_min") * col("n")).cast("double")) / col("n")).cast("long"))
+      .withColumn("bucket", (col("doc_id") * 2654435761L) % 10000L)
+      .withColumn("sel", col("bucket") < col("fbp"))
+    admitted
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("fbp").as("fbp"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("sel"), col("doc_id")).otherwise(0L)).as("sum_sel_ids")
+      )
+      .orderBy("source")
+  }
+
   /** Deterministic stratified sample: exactly `perSource` docs from
     * each source (fewer if the stratum is smaller), chosen by rank
     * under the multiplicative id hash — a stable pseudo-random order

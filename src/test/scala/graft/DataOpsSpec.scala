@@ -260,4 +260,38 @@ class DataOpsSpec extends SparkSpec {
     val plan = DataOps.weightedSample(spark, sfDir, k).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
   }
+
+  test("temperatureMixture: smallest source kept whole, fractions sqrt-monotone, admission matches the hash model") {
+    import SparkSpec.spark.implicits._
+    val rows = DataOps
+      .temperatureMixture(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(rows.nonEmpty)
+    val nMin = rows.map(_._2).min
+    // fbp recomputes from counts with the exact same arithmetic
+    rows.foreach { case (src, n, fbp, _, _) =>
+      val want = math.floor(10000.0 * math.sqrt((nMin * n).toDouble) / n).toLong
+      assert(fbp == want, s"$src: fbp $fbp != $want")
+    }
+    // every smallest source is fully admitted (fbp = 10000 keeps all buckets)
+    rows.filter(_._2 == nMin).foreach { case (src, n, fbp, sel, _) =>
+      assert(fbp == 10000L && sel == n, s"smallest source $src must be kept whole")
+    }
+    // monotone: bigger sources never get a larger fraction
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 >= b._3, s"fraction must not grow with size: $a vs $b")
+      case _         =>
+    }
+    // admission replays the multiplicative-hash model doc by doc
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source").as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wantSel = docs.groupBy(_._2).map { case (src, ds) =>
+      val fbp = math.floor(10000.0 * math.sqrt((nMin * counts(src)).toDouble) / counts(src)).toLong
+      src -> ds.count(d => (d._1 * 2654435761L) % 10000L < fbp).toLong
+    }
+    rows.foreach { case (src, _, _, sel, _) => assert(sel == wantSel(src), s"$src selection mismatch") }
+  }
 }
