@@ -1385,6 +1385,13 @@ object SparkEntry {
     },
     "text_chunks"      -> q((s, dir) => TextAnalysis.chunkDocuments(s, dir)),
     "text_redact"      -> q((s, dir) => TextAnalysis.redactTerms(s, dir)),
+    // query spell correction (Norvig shape): typos resolve to the
+    // nearest corpus-vocabulary term (dist asc, frequency desc, term
+    // asc) via the bipartite Ed-Join — never a query x vocab cross
+    // product; in-vocab terms self-correct at 0, hopeless terms drop
+    "retrieval_spellfix" -> q((s, dir) =>
+      TextAnalysis.spellCorrect(s, dir, Seq("custoner", "jion", "vektor", "scann", "merge", "qqqq"))
+    ),
     // Luhn-validated card scan: digit-run candidates gated by the
     // mod-10 checksum (array-local HOFs, zero shuffles) over a corpus
     // with planted valid (%50=0) and invalid-lookalike (%50=7)
@@ -3570,6 +3577,18 @@ object SparkEntry {
            |  array_to_string(tk[start:start+49], ' ') AS chunk_text,
            |  len(tk[start:start+49]) AS n_chunk_tokens
            |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+      "retrieval_spellfix" ->
+        s"""WITH q(query_term) AS (VALUES
+           |  ('custoner'), ('jion'), ('vektor'), ('scann'), ('merge'), ('qqqq')),
+           |v AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY t),
+           |c AS (SELECT q.query_term, v.term,
+           |        CAST(levenshtein(q.query_term, v.term) AS BIGINT) AS dist, v.cnt
+           |      FROM q CROSS JOIN v WHERE levenshtein(q.query_term, v.term) <= 2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_term
+           |        ORDER BY dist, cnt DESC, term) AS rn FROM c)
+           |SELECT query_term, term AS corrected, dist, cnt
+           |FROM r WHERE rn = 1 ORDER BY query_term""".stripMargin,
       "text_pii_luhn" ->
         """WITH t AS (SELECT doc_id,
           |    text || CASE WHEN doc_id % 50 = 0 THEN ' card 4532015112830366 on file'

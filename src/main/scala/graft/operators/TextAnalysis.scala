@@ -1628,4 +1628,52 @@ object TextAnalysis {
       .toDF(idCol, "n_bytes", "n_compressed", "ratio")
       .orderBy(idCol)
   }
+
+  /** Query spell correction against the corpus vocabulary (the
+    * Norvig candidate-model shape, distributed): each query term maps
+    * to the vocabulary term within edit distance ≤ `maxDist` ranked
+    * by (distance asc, corpus frequency desc, term asc) — an in-vocab
+    * term corrects to itself at distance 0, a term with no candidate
+    * is absent. Candidates come from the Ed-Join machinery
+    * ([[Dedup.editDistanceJoin]] run BIPARTITE by tagging the two
+    * sides into one id space: query ids 1..k sit below the vocab id
+    * offset, so the join's `a < b` pairs are exactly query×vocab plus
+    * discardable query×query rows) — never a query × vocabulary cross
+    * product, which is the whole point when the vocabulary is the
+    * corpus's and the query log is large.
+    */
+  def spellCorrect(spark: SparkSession, dir: String, terms: Seq[String], maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty && terms.size < VocabOffset, "need 1..1e6 query terms")
+    val vocab = graft.operators.DataOps
+      .vocabIds(spark, dir)
+      .select(col("vocab_id"), col("term"), col("cnt"))
+      .localCheckpoint(eager = false)
+    val qdf = terms.zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }
+      .toDF("id", "s")
+    val tagged = qdf.unionByName(
+      vocab.select((col("vocab_id") + VocabOffset).as("id"), col("term").as("s"))
+    )
+    val pairs = graft.operators.Dedup
+      .editDistanceJoin(tagged, maxDist)
+      .filter(col("a") <= terms.size.toLong && col("b") > VocabOffset)
+      .select(col("a").as("qid"), (col("b") - VocabOffset).as("vocab_id"), col("dist"))
+    pairs
+      .join(vocab, Seq("vocab_id"))
+      .groupBy("qid")
+      .agg(
+        min(struct(col("dist"), (-col("cnt")).as("nc"), col("term"))).as("best")
+      )
+      .join(qdf.select(col("id").as("qid"), col("s").as("query_term")), Seq("qid"))
+      .select(
+        col("query_term"),
+        col("best.term").as("corrected"),
+        col("best.dist").as("dist"),
+        (-col("best.nc")).as("cnt")
+      )
+      .orderBy("query_term")
+  }
+
+  private val VocabOffset = 1000000L
 }

@@ -538,4 +538,33 @@ class TextAnalysisSpec extends SparkSpec {
       .count()
     assert(recount == cxy, s"window recount $recount != array extraction $cxy for ($w1,$w2)")
   }
+
+  test("spellCorrect: typos resolve by (dist, freq, term); in-vocab self-corrects; hopeless terms absent") {
+    val got = graft.operators.TextAnalysis
+      .spellCorrect(spark, sfDir, Seq("custoner", "merge", "qqqqqq", "scann"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got("custoner") == (("customer", 1L)))
+    assert(got("merge") == (("merge", 0L)), "in-vocab terms self-correct at distance 0")
+    assert(got("scann")._2 == 1L)
+    assert(!got.contains("qqqqqq"), "a term with no candidate within maxDist is absent")
+    // rank model: recompute the winner for one typo by brute force
+    import SparkSpec.spark.implicits._
+    val vocab = graft.operators.DataOps.vocabIds(spark, sfDir).select("term", "cnt").as[(String, Long)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+      d(a.length)(b.length)
+    }
+    val want = vocab
+      .map { case (t, c) => (t, lev("custoner", t), c) }
+      .filter(_._2 <= 2)
+      .minBy { case (t, d, c) => (d, -c, t) }
+    assert(got("custoner")._1 == want._1)
+  }
 }
