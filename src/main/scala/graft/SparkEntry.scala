@@ -2117,6 +2117,10 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "multimodal_binary_meta"  -> q(Multimodal.binaryMeta),
     "multimodal_frame_sample" -> q((s, dir) => Multimodal.sampleFrames(s, dir).orderBy("doc_id", "frame_idx")),
+    // shot-boundary detection: Hamming cuts over per-frame signatures
+    // through a media-partitioned window — structure real, feature an
+    // honest portable stub, whole operator hash-replays
+    "multimodal_shot_bounds" -> q((s, dir) => Multimodal.shotBoundaries(s, dir)),
     // block-mean perceptual-hash near-dup over a bounded media cohort
     // (doc_id < 2000 keeps the oracle's pair join constant-size at
     // every gate scale); DuckDB replays hash AND pairs bit-exactly
@@ -4837,6 +4841,35 @@ object SparkEntry {
           |WHERE bit_count(xor(x.phash, y.phash)) <= 12
           |ORDER BY a, b""".stripMargin,
       // bit for bit
+      "multimodal_shot_bounds" ->
+        """WITH h AS (
+          |  SELECT doc_id, text,
+          |         CAST(list_sum(list_transform(range(0, 15), i ->
+          |           (CAST(instr('0123456789abcdef', substr(md5(text), CAST(i + 1 AS INTEGER), 1)) AS BIGINT) - 1)
+          |             * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INTEGER))
+          |         )) AS BIGINT) AS h60
+          |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+          |), d AS (
+          |  SELECT doc_id, text, 1000 + h60 % 600000 AS duration_ms FROM h
+          |), f AS (
+          |  SELECT doc_id, text, unnest(range(0, duration_ms // 40, 10)) AS frame_idx FROM d
+          |), s AS (
+          |  SELECT doc_id, frame_idx,
+          |         CAST(list_sum(list_transform(range(0, 15), i ->
+          |           (CAST(instr('0123456789abcdef',
+          |              substr(md5(text || '#' || CAST(frame_idx AS VARCHAR)),
+          |                     CAST(i + 1 AS INTEGER), 1)) AS BIGINT) - 1)
+          |             * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INTEGER))
+          |         )) AS BIGINT) AS fsig
+          |  FROM f
+          |), c AS (
+          |  SELECT doc_id, fsig,
+          |         lag(fsig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+          |  FROM s)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+          |  CAST(sum(CASE WHEN prev IS NOT NULL AND bit_count(xor(fsig, prev)) > 38
+          |               THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "multimodal_frame_sample" ->
         """WITH h AS (
           |  SELECT doc_id,

@@ -167,6 +167,54 @@ object Multimodal {
       )
       .select(col("doc_id"), col("frame_idx"), expr("h60 ^ frame_idx").as("frame_sig"))
 
+  /** Shot-boundary detection over the sampled frame stream — the
+    * video segmentation op a curation pipeline runs before
+    * per-shot captioning/sampling: a shot cut is where consecutive
+    * frames' feature distance (Hamming over a 60-bit per-frame
+    * signature — exactly how per-frame perceptual hashes are compared)
+    * exceeds `theta`. The STRUCTURE is the real pipeline's (explode to
+    * frames → media-partitioned ordered window → distance → boundary
+    * count); the FEATURE is the honest portable stub (per-frame md5 of
+    * content + index — content-dependent, bit-identical in any
+    * engine), so the whole operator hash-replays instead of being
+    * rows-only. One explode + one window + one aggregate; at scale
+    * everything partitions by media id.
+    */
+  def shotBoundaries(spark: SparkSession, dir: String, stride: Int = 10, theta: Int = 38): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("text"),
+        expr("cast(conv(substring(md5(encode(text, 'UTF-8')), 1, 15), 16, 10) as bigint)").as("h60")
+      )
+      .select(col("doc_id"), col("text"), (lit(1000L) + col("h60") % 600000L).as("duration_ms"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(expr(s"sequence(0L, duration_ms div 40 - 1, $stride)")).as("frame_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        expr(
+          "cast(conv(substring(md5(encode(concat(text, '#', cast(frame_idx as string)), 'UTF-8')), 1, 15), 16, 10) as bigint)"
+        ).as("fsig")
+      )
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag("fsig", 1).over(w))
+      .withColumn(
+        "cut",
+        when(col("prev").isNotNull && expr("bit_count(fsig ^ prev)") > theta, 1L).otherwise(0L)
+      )
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), (sum("cut") + 1L).as("n_shots"))
+      .orderBy("doc_id")
+  }
+
   /** SQL-expressible slice of the binary plumbing (oracle-checkable):
     * payload byte length + hex prefix of the payload.
     */

@@ -78,4 +78,47 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) % 10 == 0)
     }
   }
+
+  test("shotBoundaries: frame counts match the sampler, shots in [1, n_frames], model recompute agrees") {
+    import SparkSpec.spark.implicits._
+    val shots = graft.operators.Multimodal
+      .shotBoundaries(spark, sfDir)
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(shots.nonEmpty)
+    val framesPerDoc = graft.operators.Multimodal
+      .sampleFrames(spark, sfDir)
+      .groupBy("doc_id")
+      .count()
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    shots.foreach { case (id, nf, ns) =>
+      assert(nf == framesPerDoc(id), s"doc $id frame count must match the sampler")
+      assert(ns >= 1 && ns <= nf, s"doc $id: shots $ns out of [1, $nf]")
+    }
+    assert(shots.map(_._3).sum > shots.length, "the corpus must contain at least one real cut")
+    // pure-Scala recompute for the three largest docs
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val texts = Tables
+      .documents(spark, sfDir)
+      .filter(
+        org.apache.spark.sql.functions.col("doc_id") % 3 === 2 &&
+          org.apache.spark.sql.functions.col("text").isNotNull
+      )
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    shots.sortBy(-_._2).take(3).foreach { case (id, nf, ns) =>
+      val t     = texts(id)
+      val dur   = 1000L + h60(t) % 600000L
+      val idxs  = 0L.until(dur / 40L, 10L)
+      val sigs  = idxs.map(i => h60(s"$t#$i"))
+      val cuts  = sigs.sliding(2).count { case Seq(a, b) => java.lang.Long.bitCount(a ^ b) > 38; case _ => false }
+      assert(nf == idxs.size.toLong && ns == cuts + 1L, s"doc $id model mismatch")
+    }
+  }
 }
