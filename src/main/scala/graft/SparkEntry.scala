@@ -991,6 +991,10 @@ object SparkEntry {
     // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
     // — no float, no boundary flips
     "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
+    // Theil–Sen robust trend: median of all pairwise daily-count
+    // slopes as an exact rational — days², not rows², so the pair
+    // space is calendar-bounded at any corpus size
+    "events_trend_theilsen" -> q(EventAnalytics.theilSenTrend),
     // integer CUSUM level-shift detector: slack-and-reset CUSUM
     // replayed recursion-free via the prefix-sum/running-min identity,
     // everything scaled by n to stay integer — two window passes
@@ -3093,6 +3097,23 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
           |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
+      "events_trend_theilsen" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |idx AS (SELECT day, x,
+          |          CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t FROM daily),
+          |sl AS (SELECT b.x - a.x AS num, b.t - a.t AS den
+          |       FROM idx a JOIN idx b ON a.t < b.t),
+          |r AS (SELECT num, den,
+          |        CAST(row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den, num, den) AS BIGINT) AS rn,
+          |        CAST(count(*) OVER () AS BIGINT) AS m
+          |      FROM sl)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+          |  m AS n_pairs, num AS med_num, den AS med_den,
+          |  CAST(num AS DOUBLE) / den AS slope
+          |FROM r WHERE rn = (m + 1) // 2""".stripMargin,
       "events_cusum_shift" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

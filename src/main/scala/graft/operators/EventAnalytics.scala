@@ -116,6 +116,49 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Theil–Sen robust trend over the daily count series: the median
+    * of all pairwise slopes (x_j − x_i)/(t_j − t_i) — a 29%-breakdown
+    * trend estimate one outlier day cannot drag, where least squares
+    * folds at a single spike. Slopes stay EXACT RATIONALS
+    * (integer numerator/denominator); the median is selected by
+    * ordering on the int/int double quotient (identical in any
+    * engine) with (num, den) tie-breaks, and the winning slope is
+    * reported as its exact pair plus the quotient. The pair space is
+    * days², not rows² — the series is calendar-bounded, so the
+    * self-join is a few hundred rows at any corpus size; the raw
+    * stream contributes one daily aggregate.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    theilSenTrendOn(Tables.events(spark, dir))
+
+  /** [[theilSenTrend]] core over an explicit relation carrying `ts`. */
+  def theilSenTrendOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("t", (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+      .localCheckpoint(eager = false)
+    val slopes = idx
+      .as("a")
+      .join(idx.as("b"), col("a.t") < col("b.t"))
+      .select((col("b.x") - col("a.x")).as("num"), (col("b.t") - col("a.t")).as("den"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("num").cast("double") / col("den"), col("num"), col("den"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    ranked
+      .filter(col("rn") === expr("(m + 1) DIV 2"))
+      .crossJoin(broadcast(idx.agg(count(lit(1)).as("n_days"))))
+      .select(
+        col("n_days"),
+        col("m").as("n_pairs"),
+        col("num").as("med_num"),
+        col("den").as("med_den"),
+        (col("num").cast("double") / col("den")).as("slope")
+      )
+  }
+
   /** Weekday-seasonal anomaly detection — [[dailyCountAnomalies]]'
     * z-test run WITHIN each day-of-week cohort, so a naturally quiet
     * Sunday is judged against Sundays, not against the weekday mean

@@ -216,6 +216,30 @@ class EventPatternSpec extends SparkSpec {
     assert(!cusumRun(spike).exists(_._2), "a lone spike is not a sustained shift")
   }
 
+  private def theilSenRun(counts: Seq[Int]): (Long, Long, Long, Long, Double) = {
+    import SparkSpec.spark.implicits._
+    val rows = counts.zipWithIndex.flatMap { case (cnt, d) =>
+      val day = java.time.LocalDate.of(2024, 5, 1).plusDays(d.toLong)
+      (0 until cnt).map(i => (d * 10000L + i, java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }
+    val r = graft.operators.EventAnalytics.theilSenTrendOn(rows.toDF("event_id", "ts")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("theilSenTrend: exact-rational median slope survives an outlier day that wrecks the mean slope") {
+    // clean +2/day trend with one massive spike: Theil-Sen stays 2
+    val spiked = (0 until 15).map(d => 100 + 2 * d).updated(7, 5000)
+    val (n, m, num, den, slope) = theilSenRun(spiked)
+    assert(n == 15L && m == 105L)
+    assert(num.toDouble / den == 2.0 && slope == 2.0, s"robust slope must stay 2, got $num/$den")
+    // pure model: median of all pairwise slopes
+    val want = (for { i <- spiked.indices; j <- spiked.indices if i < j }
+      yield (spiked(j) - spiked(i)).toDouble / (j - i)).sorted.apply((105 + 1) / 2 - 1)
+    assert(slope == want)
+    // a flat series reports slope exactly 0
+    assert(theilSenRun(Seq.fill(10)(50))._5 == 0.0)
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
