@@ -935,6 +935,16 @@ object SparkEntry {
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
+    // exact median by histogram-refinement selection: O(log range)
+    // columnar scans, zero shuffled sorts, driver state <= 1024 rows
+    // — the exact-order-statistic answer at 100 TB
+    "exact_median_price" -> q { (s, dir) =>
+      val cents = Tables.orders(s, dir).select(round(col("o_totalprice") * 100).cast("long").as("v"))
+      val n     = cents.count()
+      val med   = Relational.exactKth(cents, "v", (n + 1) / 2)
+      import s.implicits._
+      Seq((n, med, med / 100.0)).toDF("n_orders", "median_cents", "median")
+    },
     // Apriori level 3: frequent triples via pair-pruned within-order
     // enumeration; downward closure lets the oracle replay the naive
     // triple count (identical >= minSupport sets)
@@ -3263,6 +3273,12 @@ object SparkEntry {
           |  SELECT concat(ta, '>', tb, '>', tc), CAST(3 AS BIGINT),
           |         CAST(support AS BIGINT) FROM s3)
           |WHERE support >= 10 ORDER BY len, pattern""".stripMargin,
+      "exact_median_price" ->
+        """WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+          |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn,
+          |        CAST(count(*) OVER () AS BIGINT) AS n FROM t)
+          |SELECT n AS n_orders, v AS median_cents, v / 100.0 AS median
+          |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
       "basket_triples" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
           |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 2),

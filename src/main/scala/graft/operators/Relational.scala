@@ -1245,6 +1245,54 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** Exact k-th order statistic by iterative HISTOGRAM REFINEMENT —
+    * distributed selection without a global sort: each round bins the
+    * current candidate interval into ≤1024 equi-width buckets with ONE
+    * columnar aggregate, walks the (driver-side, ≤1024-row) cumulative
+    * to find the bucket holding the k-th value, and recurses into it.
+    * O(log₁₀₂₄ range) full scans, zero shuffled sorts, driver state
+    * bounded by the bucket count — the selection-network answer to
+    * "exact median of 100 TB" where `orderBy().limit(k)` would sort
+    * the world and percentile sketches would approximate. Values must
+    * be longs (fixed-point your decimals first); k is 1-based.
+    */
+  def exactKth(df: DataFrame, valueCol: String, k: Long): Long = {
+    val vals = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val firstRow = vals.agg(min("v"), max("v"), count(lit(1))).head()
+    require(!firstRow.isNullAt(2) && firstRow.getLong(2) > 0, "exactKth on an empty relation")
+    val n = firstRow.getLong(2)
+    require(k >= 1 && k <= n, s"k=$k out of [1, $n]")
+    var lo   = firstRow.getLong(0)
+    var hi   = firstRow.getLong(1)
+    var kk   = k
+    while (hi > lo) {
+      val width = math.max(1L, (hi - lo) / 1024L + 1L)
+      val hist = vals
+        .filter(col("v") >= lo && col("v") <= hi)
+        .groupBy(((col("v") - lo) / width).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+      var cum    = 0L
+      var bucket = -1L
+      var inB    = 0L
+      val it     = hist.iterator
+      while (it.hasNext && bucket < 0) {
+        val (b, c) = it.next()
+        if (cum + c >= kk) { bucket = b; inB = kk - cum } else cum += c
+      }
+      require(bucket >= 0, s"histogram walk lost k=$kk — counts changed underfoot")
+      kk = inB
+      val newLo = lo + bucket * width
+      val newHi = math.min(hi, newLo + width - 1)
+      lo = newLo
+      hi = newHi
+      if (width == 1L) return lo
+    }
+    lo
+  }
+
   /** Frequent 3-itemsets — the Apriori level-3 completion of
     * [[basketPairs]]. Downward closure does the pruning: a frequent
     * triple's sub-pairs are all frequent, so within-order triple

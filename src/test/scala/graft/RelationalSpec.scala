@@ -207,4 +207,32 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"overlap join must be the binned equi-join:\n$plan")
   }
+
+  test("exactKth: histogram-refinement selection == sorted index on duplicates, skew, extremes") {
+    import SparkSpec.spark.implicits._
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(5L),
+      Seq(3L, 1L, 2L),
+      Seq(7L, 7L, 7L, 7L),
+      (1L to 1000L) ++ Seq.fill(500)(42L),                          // heavy duplicate mass
+      Seq(0L, 1L, 1000000000000L, 1000000000001L),                  // huge sparse range
+      scala.util.Random.shuffle((1L to 257L).toList).toSeq
+    )
+    for (xs <- cases) {
+      val df     = xs.toDF("v")
+      val sorted = xs.sorted
+      for (k <- Seq(1, (xs.size + 1) / 2, xs.size)) {
+        val got = Relational.exactKth(df, "v", k.toLong)
+        assert(got == sorted(k - 1), s"k=$k over ${xs.take(5)}...: got $got want ${sorted(k - 1)}")
+      }
+    }
+    // refusals
+    intercept[IllegalArgumentException](Relational.exactKth(Seq(1L).toDF("v"), "v", 2L))
+    intercept[IllegalArgumentException](Relational.exactKth(Seq(1L).toDF("v"), "v", 0L))
+    // real data: median of order totalprice cents == orderBy selection
+    val cents = Tables.orders(spark, sfDir).select(round(col("o_totalprice") * 100).cast("long").as("v"))
+    val n     = cents.count()
+    val want  = cents.orderBy("v").limit(((n + 1) / 2).toInt).collect().last.getLong(0)
+    assert(Relational.exactKth(cents, "v", (n + 1) / 2) == want)
+  }
 }
