@@ -1240,8 +1240,15 @@ object SnapshotTable {
     * the dimensions keeps every file a small hyper-rectangle in ALL of
     * them, so per-file min/max stats sidecars prune multi-column
     * range predicates (see [[graft.operators.DataOps.zOrderValueN]]
-    * and its rectangle-pruning spec). Columns must be non-negative
-    * integers below 2^bits (cast/scale first); the transient z
+    * and its rectangle-pruning spec). Each dimension is RANGE-
+    * NORMALIZED to the full `bits`-wide domain before interleaving
+    * (one min/max aggregate): raw interleaving is only balanced when
+    * the dimensions have comparable magnitudes — a 50 000-id column
+    * next to a 2 000-char column would own every high interleave bit
+    * and the small dimension would never prune (observed at the sf1
+    * gate; the production OPTIMIZE ZORDER implementations normalize
+    * for exactly this reason). Integer columns only, per-dimension
+    * range < 2^(63−bits) (overflow-guarded loudly); the transient z
     * column never lands in the table — partitioning and in-file order
     * are by z, the schema is unchanged. DVs are folded by the rewrite
     * exactly like [[compactClustered]]; stats sidecars re-tighten at
@@ -1252,16 +1259,31 @@ object SnapshotTable {
       path: String,
       zCols: Seq[String],
       targetFiles: Int = 8,
-      bits: Int = 20
+      bits: Int = 16
   ): Long = {
     require(zCols.size >= 2, s"compactZOrder needs >= 2 dimensions (use compactClustered for 1), got ${zCols.size}")
-    import org.apache.spark.sql.functions.col
+    require(zCols.size * bits <= 63, s"zCols*bits must fit a long, got ${zCols.size * bits}")
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    val base  = read(spark, path)
+    val aggs  = zCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
+    val stats = base.agg(aggs.head, aggs.tail: _*).head()
+    val scaleMax = (1L << bits) - 1L
+    val scaled = zCols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
+      val mn    = stats.getLong(2 * i)
+      val mx    = stats.getLong(2 * i + 1)
+      val range = math.max(1L, mx - mn)
+      require(
+        range <= (Long.MaxValue / (scaleMax + 1)),
+        s"compactZOrder: range of $c ($range) too wide for $bits-bit normalization"
+      )
+      df.withColumn(s"__zd$i", expr(s"CAST(((CAST($c AS BIGINT) - $mn) * $scaleMax) DIV $range AS BIGINT)"))
+    }
     val zc = "__graft_z"
-    val cur = read(spark, path)
-      .withColumn(zc, graft.operators.DataOps.zOrderValueN(zCols, bits))
+    val cur = scaled
+      .withColumn(zc, graft.operators.DataOps.zOrderValueN(zCols.indices.map(i => s"__zd$i"), bits))
       .repartitionByRange(targetFiles, col(zc))
       .sortWithinPartitions(col(zc))
-      .drop(zc)
+      .drop(zc +: zCols.indices.map(i => s"__zd$i"): _*)
     overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-zorder")
   }
 
