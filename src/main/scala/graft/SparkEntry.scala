@@ -1108,6 +1108,10 @@ object SparkEntry {
     // SQL — KCoreSpec asserts the budget reaches the true fixpoint
     "graph_kcore"     -> q(Graph.partSupplierKCore),
     "graph_bfs_depth" -> q(Graph.partSupplierBfs),
+    // bounded-radius closeness centrality: per-seed BFS with the seed
+    // identity carried (one relaxation loop serves all seeds) —
+    // integer reach/mass + an int/int closeness quotient
+    "graph_closeness" -> q(Graph.partCloseness),
     // weighted SSSP: bounded synchronous Bellman–Ford over the
     // quantity-weighted part↔supplier graph — integer distances replay
     // bit-exact as unrolled SQL like the BFS/PageRank family
@@ -2369,6 +2373,28 @@ object SparkEntry {
          |$steps
          |SELECT qid, rnk, cand, score FROM sel5 ORDER BY qid, rnk""".stripMargin
     }
+    // per-seed BFS unrolled with the seed carried; closeness is an
+    // int/int quotient over the bounded-radius reach
+    val closenessSql = {
+      val iters = (1 to 4).map { i =>
+        s"""c$i AS (SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS depth FROM (
+           |  SELECT seed, node, depth FROM c${i - 1}
+           |  UNION ALL
+           |  SELECT x.seed, e.dst AS node, x.depth + 1 AS depth
+           |  FROM edges e JOIN c${i - 1} x ON x.node = e.src) u
+           |GROUP BY seed, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |seeds(seed) AS (VALUES (2), (4), (6), (8), (10)),
+         |c0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS depth FROM seeds),
+         |$iters
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(depth) AS BIGINT) AS sum_d,
+         |  CASE WHEN sum(depth) = 0 THEN 0.0
+         |       ELSE CAST(count(*) - 1 AS DOUBLE) / sum(depth) END AS closeness
+         |FROM c4 GROUP BY seed ORDER BY seed""".stripMargin
+    }
     val bm25Sql =
       s"""WITH q(query_id, term) AS (VALUES
          |  (0,'fast'),(0,'hash'),(0,'join'),
@@ -3392,6 +3418,7 @@ object SparkEntry {
       "graph_kcore"     -> kcoreSql,
       "graph_bfs_depth" -> bfsSql,
       "graph_sssp"      -> ssspSql,
+      "graph_closeness" -> closenessSql,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
       // orientation only changes join sizes, never the triangle set

@@ -114,6 +114,38 @@ class GraphSpec extends SparkSpec {
     assert(reg.filter(col("dist") < 0).isEmpty && reg.count() > 0)
   }
 
+  test("closeness: per-seed tagged BFS == independent per-seed model; radius bound and self-only seed honored") {
+    // star: 1 is the hub; 9 is isolated-in (edge out only from 9? none) — give 9 no edges
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (4L, 5L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val df = e.toDF("src", "dst")
+    val got = Graph
+      .closeness(df, Seq(1L, 9L).toDF("node"), maxHops = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def modelFrom(seed: Long, hops: Int): (Long, Long) = {
+      val d = scala.collection.mutable.Map(seed -> 0L)
+      for (_ <- 1 to hops) {
+        val snap = d.toMap // frozen: relaxations within a round must not cascade
+        e.foreach { case (s, t) =>
+          snap.get(s).foreach(ds => if (!d.contains(t) || d(t) > ds + 1) d(t) = ds + 1)
+        }
+      }
+      (d.size.toLong, d.values.sum)
+    }
+    for (seed <- Seq(1L, 9L)) {
+      val (nr, sd) = modelFrom(seed, 2)
+      val want     = if (sd == 0) 0.0 else (nr - 1).toDouble / sd
+      assert(got(seed) == ((nr, sd, want)), s"seed $seed: got ${got(seed)} want ($nr, $sd, $want)")
+    }
+    // the 2-hop radius excludes node 5 (3 hops from 1)
+    assert(got(1L)._1 == 4L, "hub reaches {1,2,3,4} at radius 2")
+    assert(got(9L) == ((1L, 0L, 0.0)), "an isolated seed reaches only itself, closeness 0")
+    // registered query: every seed present, closeness within (0, 1]
+    val reg = SparkEntry.queries("graph_closeness")(spark, sfDir).collect()
+    assert(reg.length == 5 && reg.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   private def modelPpr(edges: Set[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
     val out  = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     var mass = seeds.map(_ -> 1000000L).toMap
