@@ -1001,6 +1001,10 @@ object SparkEntry {
     // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
     // — no float, no boundary flips
     "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
+    // trailing 7-day moving median: the robust dashboard smoother —
+    // array-local sorted-frame median over the calendar-bounded daily
+    // relation, integer in/out
+    "events_moving_median" -> q(EventAnalytics.movingMedianDaily),
     // Theil–Sen robust trend: median of all pairwise daily-count
     // slopes as an exact rational — days², not rows², so the pair
     // space is calendar-bounded at any corpus size
@@ -3133,6 +3137,18 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
           |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
+      "events_moving_median" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |w AS (SELECT day, x,
+          |        list_sort(list(x) OVER (ORDER BY day
+          |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          |      FROM daily)
+          |SELECT day, x AS n_events,
+          |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
+          |FROM w ORDER BY day""".stripMargin,
       "events_trend_theilsen" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -116,6 +116,34 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Trailing 7-day MOVING MEDIAN of the daily counts — the robust
+    * smoother dashboards plot instead of the mean (one outage day
+    * drags a moving average for a week; the median shrugs). Spark has
+    * no median window aggregate; over the calendar-bounded daily
+    * series the exact form is array-local: sort the trailing
+    * `collect_list` frame and index the lower median — integer in,
+    * integer out, identical in any engine with list functions.
+    * Partial leading windows use the days available (standard
+    * dashboard semantics). The window is global but its input is the
+    * DAILY relation — calendar-bounded at any corpus size (the raw
+    * stream contributes one aggregate), same stance as
+    * [[theilSenTrendOn]].
+    */
+  def movingMedianDaily(spark: SparkSession, dir: String): DataFrame =
+    movingMedianDailyOn(Tables.events(spark, dir))
+
+  /** [[movingMedianDaily]] core over an explicit relation with `ts`. */
+  def movingMedianDailyOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("arr", array_sort(collect_list("x").over(w)))
+      .withColumn("med7", expr("element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"))
+      .select(col("day"), col("x").as("n_events"), col("med7"))
+      .orderBy("day")
+  }
+
   /** Theil–Sen robust trend over the daily count series: the median
     * of all pairwise slopes (x_j − x_i)/(t_j − t_i) — a 29%-breakdown
     * trend estimate one outlier day cannot drag, where least squares

@@ -240,6 +240,27 @@ class EventPatternSpec extends SparkSpec {
     assert(theilSenRun(Seq.fill(10)(50))._5 == 0.0)
   }
 
+  test("movingMedianDaily: spike-immune smoothing == sliding-window model incl. partial leading windows") {
+    import SparkSpec.spark.implicits._
+    val counts = Seq(100, 102, 98, 5000, 101, 99, 103, 100, 97)
+    val rows = counts.zipWithIndex.flatMap { case (cnt, d) =>
+      val day = java.time.LocalDate.of(2024, 6, 1).plusDays(d.toLong)
+      (0 until cnt).map(i => (d * 10000L + i, java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }
+    val got = graft.operators.EventAnalytics
+      .movingMedianDailyOn(rows.toDF("event_id", "ts"))
+      .collect()
+      .map(r => r.getLong(2))
+      .toSeq
+    val want = counts.indices.map { i =>
+      val wdw = counts.slice(math.max(0, i - 6), i + 1).sorted
+      wdw((wdw.size + 1) / 2 - 1).toLong
+    }
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(5000L), "the spike day itself smooths away (median, not mean)")
+    assert(got.head == 100L, "a 1-day leading window is its own median")
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
