@@ -1414,6 +1414,34 @@ object SparkEntry {
     "retrieval_spellfix" -> q((s, dir) =>
       TextAnalysis.spellCorrect(s, dir, Seq("custoner", "jion", "vektor", "scann", "merge", "qqqq"))
     ),
+    // drift-gated ingest: four hash slices promoted against the
+    // reference profile (mod-prime decorrelation — doc_id%4 would
+    // correlate with the source dimension and false-flag every slice's
+    // ndv) — the poisoned slice (lang nulled for %3=0) quarantines
+    // WHOLE, the clean three land in the graft-log table; DuckDB
+    // restates the surviving corpus from the predicates
+    "drift_gated_ingest" -> q { (s, dir) =>
+      val base = s"/tmp/${dirKeyed("graft_driftgate", dir)}"
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      val slice = (col("doc_id") * 2654435761L) % 1000000007L % 4L
+      val slices = (0 to 3).map { i =>
+        val sl = docs.filter(slice === i)
+        if (i == 2) sl.withColumn("lang", when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")))
+        else sl
+      }
+      val (nAdm, nQuar) = Quality.driftGatedIngest(
+        s, docs, slices, Seq("lang", "source"), s"$base/tbl", s"$base/quarantine"
+      )
+      graft.sources.SnapshotTable
+        .read(s, s"$base/tbl")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .withColumn("n_admitted_slices", lit(nAdm))
+        .withColumn("n_quarantined_slices", lit(nQuar))
+        .orderBy("lang")
+    },
     // Luhn-validated card scan: digit-run candidates gated by the
     // mod-10 checksum (array-local HOFs, zero shuffles) over a corpus
     // with planted valid (%50=0) and invalid-lookalike (%50=7)
@@ -3661,6 +3689,13 @@ object SparkEntry {
            |  array_to_string(tk[start:start+49], ' ') AS chunk_text,
            |  len(tk[start:start+49]) AS n_chunk_tokens
            |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+      "drift_gated_ingest" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+          |  CAST(3 AS BIGINT) AS n_admitted_slices,
+          |  CAST(1 AS BIGINT) AS n_quarantined_slices
+          |FROM documents WHERE (doc_id * 2654435761) % 1000000007 % 4 <> 2
+          |GROUP BY lang ORDER BY lang""".stripMargin,
       "retrieval_spellfix" ->
         s"""WITH q(query_term) AS (VALUES
            |  ('custoner'), ('jion'), ('vektor'), ('scann'), ('merge'), ('qqqq')),

@@ -260,6 +260,52 @@ object Quality {
     parts.reduce(_ unionByName _).orderBy("table_name", "rule")
   }
 
+  /** Drift-gated ingest — the batch-promotion gate a data platform
+    * runs before a new crawl slice joins the corpus: each candidate
+    * slice is admitted only if its [[Profile.profileDrift]] report
+    * against the reference snapshot raises NO flag on the gated
+    * columns (null-rate move > 5pp, or distinct cardinality outside
+    * the [½×, 2×] band); a drifting slice lands WHOLE in quarantine —
+    * a slice is a unit of data lineage, not a bag of rows, so
+    * admitting its clean half would publish an unowned mixture.
+    * Admitted slices append to a graft-log table (ACID, versioned);
+    * the driver loop is O(slices) with each decision one drift report
+    * (two single-Expand profile passes). Gate columns should be
+    * slice-stable dimensions (low-cardinality attributes every slice
+    * covers) — gating a high-cardinality column on slice-vs-corpus
+    * ndv would false-flag by construction, which is a configuration
+    * error this ingest cannot detect for you.
+    */
+  def driftGatedIngest(
+      spark: SparkSession,
+      reference: DataFrame,
+      slices: Seq[DataFrame],
+      gateCols: Seq[String],
+      tablePath: String,
+      quarantinePath: String
+  ): (Long, Long) = {
+    require(slices.nonEmpty && gateCols.nonEmpty, "need at least one slice and one gated column")
+    var admitted    = 0L
+    var quarantined = 0L
+    slices.foreach { slice =>
+      val flagged = Profile
+        .profileDrift(reference, slice, gateCols)
+        .filter(col("null_drift") || col("ndv_drift"))
+        .limit(1)
+        .count() > 0
+      if (flagged) {
+        slice.write.mode("append").parquet(quarantinePath)
+        quarantined += 1
+      } else {
+        if (graft.sources.SnapshotTable.latestVersion(spark, tablePath) == 0L)
+          graft.sources.SnapshotTable.create(spark, tablePath, slice)
+        else graft.sources.SnapshotTable.append(spark, tablePath, slice)
+        admitted += 1
+      }
+    }
+    (admitted, quarantined)
+  }
+
   /** Luhn-validated payment-card detection — the PII scan that a bare
     * digit-run regex cannot be: card-shaped candidates (13–19
     * contiguous digits) are kept only when the ISO/IEC 7812 mod-10

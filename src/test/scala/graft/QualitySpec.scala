@@ -119,6 +119,39 @@ class QualitySpec extends SparkSpec {
     assert(rows(("documents", "accepted_values(lang)")) > 0L, "es/zh docs must be flagged")
   }
 
+  test("driftGatedIngest: poisoned slice quarantines WHOLE, clean slices land versioned, all-clean admits all") {
+    import SparkSpec.spark.implicits._
+    def freshBase(tag: String): String = {
+      val p  = s"/tmp/graft_driftgate_spec/$tag"
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      p
+    }
+    val ref = (1L to 400L).map(i => (i, s"l${i % 4}", s"s${i % 10}")).toDF("id", "lang", "src")
+    val clean  = (401L to 500L).map(i => (i, s"l${i % 4}", s"s${i % 10}")).toDF("id", "lang", "src")
+    val poison = (501L to 600L)
+      .map(i => (i, if (i % 3 == 0) null else s"l${i % 4}", s"s${i % 10}"))
+      .toDF("id", "lang", "src")
+    val b1 = freshBase("mixed")
+    val (adm, quar) = graft.operators.Quality
+      .driftGatedIngest(spark, ref, Seq(clean, poison), Seq("lang", "src"), s"$b1/t", s"$b1/q")
+    assert(adm == 1L && quar == 1L)
+    assert(graft.sources.SnapshotTable.read(spark, s"$b1/t").count() == 100L, "only the clean slice lands")
+    assert(spark.read.parquet(s"$b1/q").count() == 100L, "the poisoned slice quarantines whole")
+    // all-clean run admits everything across versions
+    val b2 = freshBase("clean")
+    val (a2, q2) = graft.operators.Quality
+      .driftGatedIngest(spark, ref, Seq(clean, clean.withColumn("id", col("id") + 1000L)), Seq("lang", "src"), s"$b2/t", s"$b2/q")
+    assert(a2 == 2L && q2 == 0L)
+    assert(graft.sources.SnapshotTable.latestVersion(spark, s"$b2/t") == 2L, "each admitted slice is one version")
+    // registered query: decision columns pinned, accepted set == %4 != 2
+    val reg = SparkEntry.queries("drift_gated_ingest")(spark, sfDir).collect()
+    assert(reg.forall(r => r.getLong(3) == 3L && r.getLong(4) == 1L))
+    val total = reg.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sfDir)
+      .filter((col("doc_id") * 2654435761L) % 1000000007L % 4L =!= 2).count())
+  }
+
   test("piiCardScan: Luhn separates real card shapes from lookalikes; length bounds gate candidacy") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
