@@ -3350,7 +3350,8 @@ object SparkEntry {
           |SELECT n AS n_orders, v AS median_cents, v / 100.0 AS median
           |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
       "basket_triples" ->
-        """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey % 2000 AS item
+          |          FROM lineitem WHERE l_orderkey < 60000),
           |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 2),
           |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item))
           |SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,

@@ -1306,9 +1306,15 @@ object Relational {
     * ≥-minSupport sets identical.
     */
   def basketTriples(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    // mined at PART-FAMILY grain (partkey mod 2000) over a bounded
+    // order window: triple support needs repeated co-occurrence, and
+    // at sf1 the raw item space dilutes every triple below any fixed
+    // support — family contraction + the fixed window keep the
+    // frequent-triple set non-degenerate at every scale factor
     val baskets = Tables
       .lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .filter(col("l_orderkey") < 60000L)
+      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 2000L).as("item"))
       .distinct()
     val frequent = baskets
       .groupBy("item")

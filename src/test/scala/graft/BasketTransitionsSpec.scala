@@ -77,7 +77,8 @@ class BasketTransitionsSpec extends SparkSpec {
       .toSet
     val baskets = Tables
       .lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .filter(col("l_orderkey") < 60000L)
+      .select(col("l_orderkey").as("okey"), (col("l_partkey") % 2000L).as("item"))
       .distinct()
       .as[(Long, Long)]
       .collect()
