@@ -1001,6 +1001,10 @@ object SparkEntry {
     // integer-algebra z-score outliers: (n·x−S)²(n−1) > 4n(nΣx²−S²)
     // — no float, no boundary flips
     "events_daily_anomaly" -> q(EventAnalytics.dailyCountAnomalies),
+    // LOCF gap imputation: planted NULL readings repaired from each
+    // user's most recent observation in event-time order; values are
+    // copied, never computed — bit-exact replay
+    "events_fill_forward" -> q(EventAnalytics.fillForward),
     // trailing 7-day moving median: the robust dashboard smoother —
     // array-local sorted-frame median over the calendar-bounded daily
     // relation, integer in/out
@@ -3165,6 +3169,14 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AS is_anomaly
           |FROM daily CROSS JOIN m ORDER BY day""".stripMargin,
+      "events_fill_forward" ->
+        """WITH t AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          |           FROM events)
+          |SELECT event_id, user_id, v,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS v_filled
+          |FROM t ORDER BY event_id""".stripMargin,
       "events_moving_median" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -116,6 +116,31 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** LOCF gap imputation (last observation carried forward): NULL
+    * sensor/metric readings take the user's most recent non-NULL
+    * value in event-time order — the standard telemetry repair before
+    * any windowed aggregate (a NULL-skipping mean silently reweights
+    * toward chatty periods). Leading NULLs (no prior observation)
+    * stay NULL — inventing a value would be imputation fiction. One
+    * user-partitioned running window, `last(ignoreNulls)` — values
+    * are COPIED, never computed, so doubles replay bit-exactly. The
+    * demo plants NULLs deterministically (event_id % 5 = 0) so both
+    * engines repair the identical holes.
+    */
+  def fillForward(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .withColumn("v", when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v"), col("v_filled"))
+      .orderBy("event_id")
+  }
+
   /** Trailing 7-day MOVING MEDIAN of the daily counts — the robust
     * smoother dashboards plot instead of the mean (one outage day
     * drags a moving average for a week; the median shrugs). Spark has

@@ -261,6 +261,34 @@ class EventPatternSpec extends SparkSpec {
     assert(got.head == 100L, "a 1-day leading window is its own median")
   }
 
+  test("fillForward: holes take the latest prior observation per user; leading NULLs stay NULL") {
+    val got = SparkEntry
+      .queries("events_fill_forward")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.nonEmpty && got.exists(_._3.isEmpty), "the plant must create holes")
+    // non-hole rows keep their value verbatim
+    got.filter(_._3.isDefined).foreach { case (id, _, v, f) => assert(f == v, s"row $id must keep its value") }
+    // model: per user in (ts, event_id) order, LOCF
+    import SparkSpec.spark.implicits._
+    val ordered = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .groupBy(_._1)
+    val model = ordered.toSeq.flatMap { case (_, rows) =>
+      var lastSeen: Option[Double] = None
+      rows.sortBy(r => (r._3, r._2)).toSeq.map { case (_, id, _, value) =>
+        val v = if (id % 5 == 0) None else Some(value)
+        if (v.isDefined) lastSeen = v
+        id -> lastSeen
+      }
+    }.toMap
+    got.foreach { case (id, _, _, f) => assert(f == model(id), s"row $id: got $f want ${model(id)}") }
+  }
+
   test("dailyCountAnomalies: integer z-score flags a planted spike and nothing on a flat series") {
     val got = EventAnalytics
       .dailyCountAnomalies(spark, sfDir)
