@@ -144,7 +144,7 @@ object Bench {
             val om = new com.fasterxml.jackson.databind.ObjectMapper()
             val q  = om.readTree(lines.last).get("queries")
             if (q == null) Map.empty
-            else q.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+            else q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
           }
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }

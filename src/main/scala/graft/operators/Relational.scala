@@ -1145,7 +1145,7 @@ object Relational {
     def binned(df: DataFrame, side: String) =
       df.filter(col(endCol) >= col(startCol))
         .select(
-          struct(df.columns.map(col): _*).as(side),
+          struct(df.columns.toIndexedSeq.map(col): _*).as(side),
           explode(
             sequence(
               floor(col(startCol).cast("long") / binSeconds).cast("long"),
@@ -1210,7 +1210,7 @@ object Relational {
         .filter(
           (col("__pmax").isNull || col("__pmax") < col(maxCol)) && !(col("__gmax") > col(maxCol))
         )
-        .select(in.columns.map(col): _*) // join keys came first; restore caller order
+        .select(in.columns.toIndexedSeq.map(col): _*) // join keys came first; restore caller order
     }
     pass(pass(df, bucketed = true), bucketed = false)
   }

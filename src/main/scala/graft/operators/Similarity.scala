@@ -155,7 +155,7 @@ object Similarity {
     // First-occurrence order is kept, so cell ids stay stable.
     val cents = lloyd(sample, nCells, seed = 42L, iters = 5).map(_.toSeq).distinct
     val centDf = spark
-      .createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) })
+      .createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
       .toDF("cell", "centroid")
     (assignNearestCell(e, cents.toIndexedSeq), centDf)
   }
