@@ -1907,18 +1907,51 @@ object SparkEntry {
     // BPE tokenizer training: distributed word-frequency aggregation +
     // driver-side merge learning over the bounded top-V table (the PQ
     // codebook stance). Merge learning is an iterative argmax no
-    // portable SQL replays → rows-only, with check_bpe as the
-    // hash-green twin (round trip, vocab closure, compression over the
-    // full corpus token stream).
-    "bpe_train" -> q((s, dir) => Bpe.train(s, dir, 200).orderBy("rank")),
+    // portable SQL re-derives, so the learned table follows the sim_*
+    // model-replay pattern: the merge table is DUMPED at Verify time
+    // and is the oracle's input contract — its SEMANTICS are
+    // hash-verified end-to-end by `bpe_encode_sample` (the oracle
+    // re-applies every merge from the dump) and its invariants by
+    // check_bpe (roundtrip, closure, compression, full corpus).
+    "bpe_train" -> q { (s, dir) =>
+      val m = Bpe.train(s, dir, 200).orderBy("rank")
+      dumpSimOracleOnce("bpe", dir) {
+        m.write.mode("overwrite").parquet("/tmp/graft_bpe_oracle/merges")
+      }
+      m
+    },
     "check_bpe" -> q((s, dir) => Checks.bpeInvariants(s, dir)),
+    // encode replay over the dumped merges: Spark encodes the top-300
+    // words with the JVM applyMerge; DuckDB re-applies every merge in
+    // rank order via a bar-delimited non-overlapping replace that is
+    // provably identical to applyMerge (inner-bar consumption keeps
+    // adjacent occurrences mergeable). A drifted dump, a drifted
+    // tokenizer, or a drifted merge-application order all hash-fail.
+    "bpe_encode_sample" -> q { (s, dir) =>
+      Bpe.encodeTopWords(s, dir, Bpe.train(s, dir, 200), topWords = 300)
+    },
     // unigram-LM tokenizer (SentencePiece family, hard-EM): the
-    // second subword trainer. Viterbi re-estimation is the same
-    // no-portable-SQL class as BPE merge learning → rows-only with
-    // check_unigram as the hash-green twin (roundtrip, closure,
-    // compression over the full corpus token stream)
-    "unigram_train" -> q((s, dir) => UnigramLm.train(s, dir).orderBy("rank")),
+    // second subword trainer. Same model-replay stance as bpe_train:
+    // the piece table is dumped at Verify time (read-back oracle) and
+    // validated against the raw corpus by `unigram_coverage`'s
+    // integer substring arithmetic; check_unigram pins roundtrip,
+    // closure, and compression Spark-side.
+    "unigram_train" -> q { (s, dir) =>
+      val v = UnigramLm.train(s, dir).orderBy("rank")
+      dumpSimOracleOnce("unigram", dir) {
+        v.write.mode("overwrite").parquet("/tmp/graft_unigram_oracle/pieces")
+      }
+      v
+    },
     "check_unigram" -> q((s, dir) => Checks.unigramInvariants(s, dir)),
+    // learned-piece corpus coverage: per multi-char piece, distinct
+    // top-word membership and weighted non-overlapping occurrence
+    // count — pure length/replace integer arithmetic over a bounded
+    // model×sample cross join, replayed by DuckDB from the dumped
+    // piece table against the same corpus-derived word table.
+    "unigram_coverage" -> q { (s, dir) =>
+      UnigramLm.pieceCoverage(s, dir, UnigramLm.train(s, dir), topWords = 1000)
+    },
     // sketch-backed MV: distinct suppliers per return flag (and their
     // exact union) served from the standing KMV rollup alone — built
     // incrementally (third + two deltas + compaction); sub-capacity,
@@ -3375,7 +3408,8 @@ object SparkEntry {
       "rec_item_neighbors" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
           |f AS (SELECT item, count(*) AS s FROM b GROUP BY item HAVING count(*) >= 3),
-          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item)),
+          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item)
+          |       QUALIFY row_number() OVER (PARTITION BY b.okey ORDER BY f.s DESC, b.item) <= 256),
           |pairs AS (SELECT x.item AS ia, y.item AS ib, count(*) AS cooc
           |          FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
           |          GROUP BY x.item, y.item HAVING count(*) >= 2),
@@ -4286,6 +4320,63 @@ object SparkEntry {
       "check_unigram" ->
         """SELECT CAST(0 AS BIGINT) AS roundtrip_violations, true AS compressed,
           |  true AS vocab_closed, true AS chars_closed""".stripMargin,
+      // model-replay oracles (the sim_* stance): the learned tables are
+      // dumped at Verify time and ARE the oracle's input contract;
+      // their semantics are independently hash-verified by the
+      // encode-replay / coverage queries below.
+      "bpe_train" ->
+        """SELECT rank, "left", "right", pair_count
+          |FROM read_parquet('/tmp/graft_bpe_oracle/merges/*.parquet')
+          |ORDER BY rank""".stripMargin,
+      "bpe_encode_sample" ->
+        s"""WITH RECURSIVE tw AS (
+           |  SELECT word FROM (
+           |    SELECT word, count(*) AS cnt
+           |    FROM (SELECT unnest($toks) AS word FROM documents)
+           |    GROUP BY word ORDER BY cnt DESC, word LIMIT 300)
+           |),
+           |m AS (SELECT rank, "left" AS l, "right" AS r
+           |      FROM read_parquet('/tmp/graft_bpe_oracle/merges/*.parquet')),
+           |enc AS (
+           |  -- symbols are DOUBLE-bar delimited; each merge consumes only
+           |  -- the INNER bars of its boundaries, so the non-overlapping
+           |  -- left-to-right replace() equals the engine's applyMerge
+           |  -- exactly (adjacent occurrences still merge: ||a||a||a||a||
+           |  -- -> ||aa||aa||)
+           |  SELECT word, '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS s, 0 AS r
+           |  FROM tw
+           |  UNION ALL
+           |  SELECT e.word,
+           |         replace(e.s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|'),
+           |         e.r + 1
+           |  FROM enc e JOIN m ON m.rank = e.r + 1
+           |)
+           |SELECT word, replace(trim(s, '|'), '||', ' ') AS toks,
+           |       CAST(len(string_split(replace(trim(s, '|'), '||', ' '), ' ')) AS BIGINT) AS n_toks
+           |FROM enc WHERE r = (SELECT max(rank) FROM m)
+           |ORDER BY word""".stripMargin,
+      "unigram_train" ->
+        """SELECT rank, piece, cnt
+          |FROM read_parquet('/tmp/graft_unigram_oracle/pieces/*.parquet')
+          |ORDER BY rank""".stripMargin,
+      "unigram_coverage" ->
+        s"""WITH w AS (
+           |  SELECT word, cnt FROM (
+           |    SELECT word, count(*) AS cnt
+           |    FROM (SELECT unnest($toks) AS word FROM documents)
+           |    GROUP BY word ORDER BY cnt DESC, word LIMIT 1000)
+           |),
+           |p AS (SELECT rank, piece
+           |      FROM read_parquet('/tmp/graft_unigram_oracle/pieces/*.parquet')
+           |      WHERE len(piece) > 1),
+           |o AS (SELECT p.rank, p.piece,
+           |        (len(w.word) - len(replace(w.word, p.piece, ''))) // len(p.piece) AS occ,
+           |        w.cnt
+           |      FROM p CROSS JOIN w)
+           |SELECT rank, piece,
+           |  CAST(count(CASE WHEN occ > 0 THEN 1 END) AS BIGINT) AS n_words,
+           |  CAST(sum(occ * cnt) AS BIGINT) AS total_occ
+           |FROM o GROUP BY rank, piece ORDER BY rank""".stripMargin,
       "mv_sketch_distinct" ->
         """SELECT scope, CAST(n AS BIGINT) AS n_distinct FROM (
           |  SELECT CAST(l_returnflag AS VARCHAR) AS scope,

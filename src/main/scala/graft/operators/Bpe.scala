@@ -174,6 +174,44 @@ object Bpe {
       .toDF("doc_id", "word", "tokens")
   }
 
+  /** Encode the corpus's top-`topWords` words (by cnt DESC, word ASC —
+    * a total, cross-engine-replayable order) under freshly trained
+    * merges: (word, toks, n_toks) with `toks` the space-joined
+    * segmentation. This is the encode-replay surface the DuckDB oracle
+    * verifies END-TO-END against the dumped merge table: the oracle
+    * re-applies every merge in rank order with a bar-delimited
+    * `replace` whose non-overlapping left-to-right semantics equal
+    * [[applyMerge]] exactly (each match consumes only the INNER bars
+    * of its boundary delimiters, so adjacent occurrences still merge —
+    * `||a||a||a||a||` → `||aa||aa||`), making the learned model's
+    * semantics — not just its bytes — hash-checkable cross-engine.
+    */
+  def encodeTopWords(
+      spark: SparkSession,
+      dir: String,
+      merges: DataFrame,
+      topWords: Int = 300
+  ): DataFrame = {
+    import spark.implicits._
+    val ms = merges
+      .orderBy("rank")
+      .select("left", "right")
+      .as[(String, String)]
+      .collect()
+    val bc = spark.sparkContext.broadcast(ms)
+    wordCounts(Tables.documents(spark, dir))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topWords)
+      .select("word")
+      .as[String]
+      .map { w =>
+        val t = encodeWord(w, bc.value)
+        (w, t.mkString(" "), t.length.toLong)
+      }
+      .toDF("word", "toks", "n_toks")
+      .orderBy("word")
+  }
+
   /** Per-document BPE token counts — the downstream budget/packing
     * input once a real tokenizer exists.
     */

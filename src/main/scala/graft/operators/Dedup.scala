@@ -1133,6 +1133,22 @@ object Dedup {
     val strs = df
       .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
+      // the no-miss prefix bound is argued at BYTE granularity while
+      // candidate tokens are CHARACTERS — on multi-byte input the two
+      // diverge and pairs could be missed with no signal. Refuse
+      // loudly (the codebase convention) via a branch on the row path
+      // the checkpoint pass already evaluates: ASCII ⟺ octet length
+      // equals character length.
+      .withColumn(
+        "s",
+        when(
+          octet_length(col("s")) =!= length(col("s")),
+          raise_error(concat(
+            lit("jaroWinklerJoin requires ASCII input (byte-exact prefix bound), got non-ASCII string for id="),
+            col("id").cast("string")
+          )).cast("string")
+        ).otherwise(col("s"))
+      )
       .withColumn("len", length(col("s")))
       .localCheckpoint(eager = false)
 

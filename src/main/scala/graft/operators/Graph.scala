@@ -427,15 +427,23 @@ object Graph {
     */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "shortestPaths needs at least one relaxation round")
+    // the negative-weight guard rides the collapse pass the operator
+    // already makes (a per-row branch in the projection, thrown on
+    // first evaluation) — a separate `filter(w<0).count()` pre-scan
+    // paid a full pass over the edge relation in the common GOOD case
+    val w = col("w").cast("long")
+    val guardedW = when(
+      w < 0L,
+      raise_error(concat(
+        lit("shortestPaths requires non-negative edge weights, got w="),
+        w.cast("string")
+      )).cast("long")
+    ).otherwise(w)
     val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"), guardedW.as("w"))
       .groupBy("src", "dst")
       .agg(min("w").as("w"))
       .localCheckpoint(eager = false)
-    require(
-      e.filter(col("w") < 0L).limit(1).count() == 0L,
-      "shortestPaths requires non-negative edge weights"
-    )
     var dist = seeds.select(col("node").cast("long").as("node")).distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
       val relaxed = e

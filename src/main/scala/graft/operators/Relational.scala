@@ -1265,11 +1265,23 @@ object Relational {
     var lo   = firstRow.getLong(0)
     var hi   = firstRow.getLong(1)
     var kk   = k
+    // Full-long-domain safety: when hi−lo overflows 64-bit (lo<0, hi>0
+    // with a span > Long.MaxValue — the wrapped difference is always
+    // negative), ONE sign-split round (a single count of the negative
+    // half) narrows to a half whose span, and every v−lo inside it,
+    // fits a long exactly. Everything after runs overflow-free.
+    if (lo < 0L && hi > 0L && hi - lo < 0L) {
+      val negCount = vals.filter(col("v") >= lo && col("v") < 0L).count()
+      if (kk <= negCount) hi = -1L else { kk -= negCount; lo = 0L }
+    }
     while (hi > lo) {
       val width = math.max(1L, (hi - lo) / 1024L + 1L)
       val hist = vals
         .filter(col("v") >= lo && col("v") <= hi)
-        .groupBy(((col("v") - lo) / width).cast("long").as("b"))
+        // integer DIV, not double `/`: double division mis-bins
+        // boundary values once the span exceeds 2^53, silently
+        // corrupting the order statistic on wide fixed-point domains
+        .groupBy(expr(s"(v - ${lo}L) DIV ${width}L").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1))
@@ -1285,7 +1297,9 @@ object Relational {
       require(bucket >= 0, s"histogram walk lost k=$kk — counts changed underfoot")
       kk = inB
       val newLo = lo + bucket * width
-      val newHi = math.min(hi, newLo + width - 1)
+      // hi−newLo always fits (≤ hi−lo); newLo+width−1 would wrap when
+      // hi sits near Long.MaxValue, so compare by difference instead
+      val newHi = if (hi - newLo < width) hi else newLo + width - 1L
       lo = newLo
       hi = newHi
       if (width == 1L) return lo
@@ -1364,18 +1378,47 @@ object Relational {
     * ranking and the hash) replay exactly; ties break on the neighbor
     * id for a total order.
     */
-  def itemItemNeighbors(spark: SparkSession, dir: String, k: Int = 5, minSupport: Long = 3L): DataFrame = {
+  def itemItemNeighbors(spark: SparkSession, dir: String, k: Int = 5, minSupport: Long = 3L): DataFrame =
+    itemNeighborsFrom(
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+        .distinct(),
+      k,
+      minSupport
+    )
+
+  /** [[itemItemNeighbors]] core over an explicit `(okey, item)` basket
+    * relation. `maxBasketItems` bounds the within-basket pair fan-out:
+    * the self-join emits |basket|²/2 pairs per basket, and one
+    * pathological mega-basket (a crawler session, a bot cart) would
+    * otherwise own the job at scale — each basket deterministically
+    * keeps its `maxBasketItems` HIGHEST-SUPPORT items (ties to the
+    * smaller item id), the items whose pairs can reach `minSupport`
+    * anyway, so the worst task is bounded by maxBasketItems²/2
+    * regardless of input shape. The cap window partitions by basket
+    * key — the same partitioning the pair self-join needs next, so
+    * Spark reuses the exchange.
+    */
+  def itemNeighborsFrom(
+      baskets: DataFrame,
+      k: Int = 5,
+      minSupport: Long = 3L,
+      maxBasketItems: Int = 256
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val baskets = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .distinct()
+    require(k >= 1, s"itemNeighborsFrom needs k >= 1, got $k")
+    require(maxBasketItems >= 2, s"itemNeighborsFrom needs maxBasketItems >= 2 (pairs need 2 items), got $maxBasketItems")
     val freq = baskets
       .groupBy("item")
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= minSupport)
       .localCheckpoint(eager = false)
-    val pruned = baskets.join(freq.select("item"), Seq("item"))
+    val pruned = baskets
+      .join(freq.select(col("item"), col("s").as("__s")), Seq("item"))
+      .withColumn("__bk", row_number().over(Window.partitionBy("okey").orderBy(col("__s").desc, col("item"))))
+      .filter(col("__bk") <= maxBasketItems)
+      .select("okey", "item")
     val pairs = pruned
       .alias("x")
       .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,17 +40,33 @@ object Spatial {
       yCol: String = "y"
   ): DataFrame = {
     require(eps > 0, s"distanceJoin needs eps > 0, got $eps")
+    // domain guard rides the row path (a codegen'd branch in the
+    // projection, thrown on first evaluation) instead of a separate
+    // full-relation `filter.count()` pre-scan: coordinates must be in
+    // [0, 2^31-1] — non-negative so integer-DIV cell ids floor
+    // consistently across engines, bounded so squared distances stay
+    // in 64-bit (the documented |coord| < ~2^31 contract, now loud)
+    val maxCoord = (1L << 31) - 1L
+    def guarded(src: Column, name: String): Column = {
+      val c = src.cast("long")
+      when(
+        c < 0L || c > maxCoord,
+        raise_error(concat(
+          lit(s"distanceJoin requires 0 <= $name <= 2^31-1 (shift/scale your frame first), got "),
+          c.cast("string")
+        )).cast("long")
+      ).otherwise(c)
+    }
     val pts = points
-      .select(col(idCol).cast("long").as("id"), col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .select(col(idCol).cast("long").as("id"), guarded(col(xCol), xCol).as("x"), guarded(col(yCol), yCol).as("y"))
       .localCheckpoint(eager = false)
 
-    // loud domain guard: one tiny aggregate, no silent wrong answers
-    val negatives = pts.filter(col("x") < 0 || col("y") < 0).limit(1).count()
-    require(negatives == 0L, "distanceJoin requires non-negative coordinates (shift your frame first)")
-
+    // integer DIV, not double `/`: exact over the full guarded domain
+    // (double division is only floor-exact below 2^53 — the DIV makes
+    // the cell id arithmetic independent of that bound)
     val home = pts
-      .withColumn("cx", (col("x") / eps).cast("long"))
-      .withColumn("cy", (col("y") / eps).cast("long"))
+      .withColumn("cx", expr(s"x DIV ${eps}L"))
+      .withColumn("cy", expr(s"y DIV ${eps}L"))
     // one side explodes its 3×3 neighborhood, the other stays put —
     // the candidate join is a plain equi-join on (cx, cy)
     val probe = home

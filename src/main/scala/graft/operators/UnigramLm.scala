@@ -198,4 +198,43 @@ object UnigramLm {
       }
       .toDF("doc_id", "word", "pieces")
   }
+
+  /** Corpus-coverage statistics of the learned MULTI-char pieces over
+    * the top-`topWords` word table: per piece, in how many distinct
+    * top words it occurs and its total weighted occurrence count
+    * (non-overlapping, counted by length arithmetic — pure integers,
+    * so the DuckDB oracle replays it exactly from the dumped piece
+    * table). This is the SQL-checkable validation surface for the
+    * learned vocabulary: Viterbi itself argmaxes float log-probs (a
+    * 1-ulp cross-engine hazard), but a piece table whose entries
+    * cover the corpus with these exact integer counts is pinned
+    * against both the dump and the raw corpus. The piece×word pairing
+    * is a bounded MODEL×SAMPLE cross join (≤ vocabSize × topWords
+    * rows, both sides tiny and broadcast) — never data×data.
+    */
+  def pieceCoverage(
+      spark: SparkSession,
+      dir: String,
+      vocab: DataFrame,
+      topWords: Int = 1000
+  ): DataFrame = {
+    val words = Bpe
+      .wordCounts(Tables.documents(spark, dir))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topWords)
+      .select(col("word"), col("cnt"))
+    val pieces = vocab.filter(length(col("piece")) > 1).select(col("rank"), col("piece"))
+    pieces
+      .crossJoin(broadcast(words))
+      .withColumn(
+        "occ",
+        expr("CAST((length(word) - length(replace(word, piece, ''))) DIV length(piece) AS BIGINT)")
+      )
+      .groupBy("rank", "piece")
+      .agg(
+        count(when(col("occ") > 0L, 1)).as("n_words"),
+        sum(col("occ") * col("cnt")).cast("long").as("total_occ")
+      )
+      .orderBy("rank")
+  }
 }

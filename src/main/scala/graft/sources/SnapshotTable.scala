@@ -417,8 +417,21 @@ object SnapshotTable {
       (lo.map(x => col(s"max_$statCol") < lit(x)).getOrElse(lit(false)) ||
         hi.map(x => col(s"min_$statCol") > lit(x)).getOrElse(lit(false)))
     val allNullFile = col(s"min_$statCol").isNull && recorded
-    val skippable   = st.filter(disjoint || allNullFile).select("file").collect().map(_.getString(0)).toSet
-    (files.filterNot(skippable), files.length.toLong)
+    // survivors by ANTI-JOIN of the manifest against the provably-
+    // skippable sidecar rows (ordinal column preserves manifest
+    // order): the executors hold the stats relation, the driver only
+    // ever receives the survivor list it must return anyway — no
+    // collected skip set, no O(#files) expression tree
+    import spark.implicits._
+    val filesDf = files.zipWithIndex.toDF("file", "__ord")
+    val survivors = filesDf
+      .join(st.filter(disjoint || allNullFile).select("file").distinct(), Seq("file"), "left_anti")
+      .orderBy("__ord")
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    (survivors, files.length.toLong)
   }
 
   /** Metadata-only COUNT(*): Σ sidecar `n_rows` over the version's
@@ -444,11 +457,16 @@ object SnapshotTable {
       f.exists(parts) && f.listStatus(parts).nonEmpty,
       s"fastCount on $path: no stats sidecars (enableStats before the first commit)"
     )
+    // membership by JOIN against the manifest's file list, not an
+    // `isin` literal: an In-expression over a 100 TB table's file
+    // count bloats the expression tree and driver memory — the join
+    // broadcasts the (tiny) local file-name relation instead
+    import spark.implicits._
     val st = spark.read
       .option("mergeSchema", "true")
       .parquet(s"$path/_stats/parts/*")
       .select(col("file"), col("n_rows"))
-      .filter(col("file").isin(files: _*))
+      .join(files.toDF("file"), Seq("file"))
       .distinct()
     val rows = st.agg(sum("n_rows"), org.apache.spark.sql.functions.count(col("file"))).head()
     require(
@@ -1264,11 +1282,33 @@ object SnapshotTable {
     require(zCols.size >= 2, s"compactZOrder needs >= 2 dimensions (use compactClustered for 1), got ${zCols.size}")
     require(zCols.size * bits <= 63, s"zCols*bits must fit a long, got ${zCols.size * bits}")
     import org.apache.spark.sql.functions.{col, expr, max, min}
-    val base  = read(spark, path)
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val base = read(spark, path)
+    // enforce the documented "integer columns only" contract loudly —
+    // a float/string zCol would otherwise be silently cast to long
+    // and cluster on truncated values
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    zCols.foreach { c =>
+      val f = base.schema.fields
+        .find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"compactZOrder: no column $c in $path"))
+      require(
+        integral.contains(f.dataType),
+        s"compactZOrder: $c is ${f.dataType.simpleString} — integer columns only (fixed-point your values first)"
+      )
+    }
     val aggs  = zCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"__mn_$c"), max(col(c).cast("long")).as(s"__mx_$c")))
     val stats = base.agg(aggs.head, aggs.tail: _*).head()
+    require(
+      !stats.isNullAt(0),
+      s"compactZOrder on $path: empty table (or all-NULL cluster column) — nothing to cluster"
+    )
     val scaleMax = (1L << bits) - 1L
     val scaled = zCols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
+      require(
+        !stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"compactZOrder on $path: cluster column $c is all-NULL — cannot range-normalize"
+      )
       val mn    = stats.getLong(2 * i)
       val mx    = stats.getLong(2 * i + 1)
       val range = math.max(1L, mx - mn)

@@ -516,6 +516,18 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.jaroWinklerJoin(c, 0.5))
   }
 
+  test("jaroWinklerJoin refuses non-ASCII input loudly (byte-exact prefix bound is char-granular)") {
+    import SparkSpec.spark.implicits._
+    // the kernel scores UTF-8 bytes while prefix tokens are characters:
+    // on multi-byte input the no-miss bound silently degrades, so the
+    // operator must refuse at first evaluation instead
+    val bad = Seq((1L, "müller"), (2L, "muller"), (3L, "miller")).toDF("id", "s")
+    val ex  = intercept[Exception](Dedup.jaroWinklerJoin(bad, 0.9).collect())
+    assert(ex.getMessage.contains("ASCII"), s"unexpected: ${ex.getMessage}")
+    val ok = Seq((1L, "muller"), (2L, "muller"), (3L, "miller")).toDF("id", "s")
+    assert(Dedup.jaroWinklerJoin(ok, 0.9).count() >= 1L)
+  }
+
   test("canonicalPick keeps the longest member per cluster (id tie-break), counts the rest") {
     import SparkSpec.spark.implicits._
     val docs = Seq(

@@ -93,8 +93,11 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L), s"got $got")
     assert(!got.contains(4L), "nodes not reachable FROM the seed stay absent")
+    // the guard rides the row path (raise_error in the collapse
+    // projection) — it fires at the first ACTION, not at plan build
     val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
-    intercept[IllegalArgumentException](Graph.shortestPaths(neg, Seq(1L).toDF("node")))
+    val ex = intercept[Exception](Graph.shortestPaths(neg, Seq(1L).toDF("node")).collect())
+    assert(ex.getMessage.contains("non-negative edge weights"), s"unexpected: ${ex.getMessage}")
   }
 
   test("shortestPaths == model on the real weighted graph, partition invariant; dist caps at round budget") {

@@ -235,4 +235,47 @@ class RelationalSpec extends SparkSpec {
     val want  = cents.orderBy("v").limit(((n + 1) / 2).toInt).collect().last.getLong(0)
     assert(Relational.exactKth(cents, "v", (n + 1) / 2) == want)
   }
+
+  test("exactKth stays exact over the FULL long domain (hi-lo overflow, >2^53 spans, MinValue/MaxValue)") {
+    import SparkSpec.spark.implicits._
+    // span > Long.MaxValue (sign-split round) with extremes present;
+    // adjacent boundary values past 2^53 where double division mis-bins
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(Long.MinValue, -7L, -1L, 0L, 3L, Long.MaxValue),
+      Seq(Long.MinValue, Long.MinValue + 1, Long.MaxValue - 1, Long.MaxValue),
+      Seq(-(1L << 60), -(1L << 60) + 1, (1L << 60) - 1, 1L << 60),
+      Seq((1L << 55), (1L << 55) + 1, (1L << 55) + 2, Long.MaxValue - 1, Long.MaxValue)
+    )
+    for (xs <- cases) {
+      val sorted = xs.sorted
+      for (k <- 1 to xs.size) {
+        val got = Relational.exactKth(xs.toDF("v"), "v", k.toLong)
+        assert(got == sorted(k - 1), s"k=$k over $xs: got $got want ${sorted(k - 1)}")
+      }
+    }
+  }
+
+  test("itemNeighborsFrom: mega-basket fan-out is capped deterministically; TPC-H output unchanged under the cap") {
+    import SparkSpec.spark.implicits._
+    // one pathological 500-item basket + a few normal baskets: the cap
+    // keeps the 8 highest-support items of the mega-basket, so the
+    // pair stage emits <= 8*7/2 pairs for it instead of ~125k
+    val normal = (1 to 6).flatMap(o => Seq((o.toLong, 1L), (o.toLong, 2L), (o.toLong, 3L)))
+    val mega   = (1L to 500L).map(i => (99L, i))
+    val baskets = (normal ++ mega).toDF("okey", "item")
+    val capped = Relational.itemNeighborsFrom(baskets, k = 5, minSupport = 3L, maxBasketItems = 8)
+    // items 1,2,3 have support 7 (6 normal + mega); every other mega item
+    // has support 1 < minSupport and is pruned before the cap anyway —
+    // so the surviving mega-basket rows are exactly {1,2,3} and results
+    // must equal the uncapped run
+    val uncapped = Relational.itemNeighborsFrom(baskets, k = 5, minSupport = 3L, maxBasketItems = 500)
+    assert(capped.collect().toSeq == uncapped.collect().toSeq)
+    // cap BELOW the frequent-item count per basket: with maxBasketItems=2
+    // only the 2 smallest ids (support ties) survive per basket, so item 3
+    // can never pair — the cap provably bites
+    val tight = Relational.itemNeighborsFrom(baskets, k = 5, minSupport = 3L, maxBasketItems = 2)
+      .select("item").as[Long].collect().toSet
+    assert(tight == Set(1L, 2L), s"cap must bound the basket deterministically, got $tight")
+    intercept[IllegalArgumentException](Relational.itemNeighborsFrom(baskets, maxBasketItems = 1))
+  }
 }

@@ -479,6 +479,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(sbL.length == taL.toInt, "every a-clustered file spans the full b range - nothing prunes on b")
     // refusal: z-order needs >= 2 dimensions
     intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pz, Seq("a")))
+    // refusal: non-integral cluster column (would silently truncate)
+    val pf = freshPath("zfloat")
+    SnapshotTable.create(spark, pf, spark.range(4).select(col("id"), (col("id") * 1.5).as("f")))
+    val fe = intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pf, Seq("id", "f")))
+    assert(fe.getMessage.contains("integer columns only"))
+    // refusal: missing column named clearly
+    intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pf, Seq("id", "nope")))
+    // refusal: empty table is a loud require, not an NPE
+    val pe = freshPath("zempty")
+    SnapshotTable.create(spark, pe, spark.range(1).filter(col("id") < 0L).select(col("id"), col("id").as("j")))
+    val ee = intercept[IllegalArgumentException](SnapshotTable.compactZOrder(spark, pe, Seq("id", "j")))
+    assert(ee.getMessage.contains("empty table"))
   }
 
   test("fastCount: metadata-only count matches scans across appends, MOR deletes, and time travel; refusals loud") {

@@ -48,9 +48,15 @@ class SpatialSpec extends SparkSpec {
       s"distance join must stay an equi-join:\n$plan")
   }
 
-  test("refusals: negative coordinates and degenerate eps fail loudly") {
+  test("refusals: negative, oversized coordinates and degenerate eps fail loudly") {
+    // the coordinate guard rides the row path (raise_error in the
+    // projection) — it fires at the first action, not at plan build
     val neg = Seq((1L, -5L, 3L), (2L, 4L, 4L)).toDF("id", "x", "y")
-    intercept[IllegalArgumentException](Spatial.distanceJoin(neg, 10L).collect())
+    val ex = intercept[Exception](Spatial.distanceJoin(neg, 10L).collect())
+    assert(ex.getMessage.contains("2^31-1"), s"unexpected: ${ex.getMessage}")
+    val big = Seq((1L, (1L << 31), 3L), (2L, 4L, 4L)).toDF("id", "x", "y")
+    val ex2 = intercept[Exception](Spatial.distanceJoin(big, 10L).collect())
+    assert(ex2.getMessage.contains("2^31-1"), s"unexpected: ${ex2.getMessage}")
     val ok = Seq((1L, 5L, 3L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException](Spatial.distanceJoin(ok, 0L))
   }
