@@ -126,6 +126,98 @@ class GraftDbSpec extends SparkSpec {
     assert(idsOf(GraftDb.read(spark, db, "a")) == Set(1L, 2L))
   }
 
+  test("vacuumDb racing LIVE readers: every snapshot >= the retention point resolves; debris reclaim never touches a referenced version") {
+    val db = freshDb("vacreaders")
+    GraftDb.create(spark, db, Map("t" -> rows(1L)))                           // db v1
+    val expected = scala.collection.mutable.Map(1L -> Set(1L))
+    (2L to 8L).foreach { v =>
+      GraftDb.transaction(spark, db)(tx => tx.append("t", rows(v)))           // db v
+      expected(v) = expected(v - 1) + v
+      // interleave debris: one aborted transaction per committed one
+      intercept[RuntimeException] {
+        GraftDb.transaction(spark, db) { tx => tx.append("t", rows(900L + v)); sys.error("abort") }
+      }
+    }
+    val tPath = s"$db/tables/t"
+    assert(SnapshotTable.latestVersion(spark, tPath) > GraftDb.snapshot(spark, db)("t"), "debris must exist")
+    val keepFrom = 4L
+    val stop     = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool     = java.util.concurrent.Executors.newFixedThreadPool(4)
+    (1 to 4).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            val rnd = new scala.util.Random(i)
+            while (!stop.get()) {
+              // readers resolve snapshots across the SURVIVING window
+              // while the vacuum below is actively deleting debris —
+              // a wrongly reclaimed manifest or data file surfaces as
+              // a read error or a wrong id set here
+              val v   = keepFrom + rnd.nextInt((8L - keepFrom).toInt + 1)
+              val got = idsOf(GraftDb.read(spark, db, "t", Some(v)))
+              if (got != expected(v))
+                failures.add(new AssertionError(s"db v$v read $got, want ${expected(v)}"))
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    (1 to 5).foreach { _ =>
+      GraftDb.vacuumDb(spark, db, keepFromDb = keepFrom)
+      Thread.sleep(50)
+    }
+    stop.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"reader failed during vacuum: ${failures.peek()}")
+    // every debris member version reclaimed: log head == published head
+    assert(SnapshotTable.latestVersion(spark, tPath) == GraftDb.snapshot(spark, db)("t"))
+    // below the retention point fails loudly; at and above, exact
+    intercept[Exception](GraftDb.read(spark, db, "t", Some(keepFrom - 1)))
+    (keepFrom to 8L).foreach(v => assert(idsOf(GraftDb.read(spark, db, "t", Some(v))) == expected(v)))
+  }
+
+  test("vacuumDb minAge guard: an OPEN transaction's member commits survive a concurrent vacuum that reclaims aged debris") {
+    val db = freshDb("vacinflight")
+    GraftDb.create(spark, db, Map("t" -> rows(1L)))                           // db v1
+    GraftDb.transaction(spark, db)(tx => tx.append("t", rows(2L)))            // db v2
+    val tPath = s"$db/tables/t"
+    // aged debris: an aborted transaction's member version, mtime
+    // pushed past any reasonable horizon
+    intercept[RuntimeException] {
+      GraftDb.transaction(spark, db) { tx => tx.append("t", rows(99L)); sys.error("abort") }
+    }
+    val debrisV    = SnapshotTable.latestVersion(spark, tPath)
+    val f          = new org.apache.hadoop.fs.Path(db).getFileSystem(spark.sessionState.newHadoopConf())
+    def manifest(v: Long) = new org.apache.hadoop.fs.Path(s"$tPath/_log/v${"%012d".format(v)}.txt")
+    val past = System.currentTimeMillis() - 24L * 60 * 60 * 1000
+    f.setTimes(manifest(debrisV), past, past)
+    // open a transaction: member version committed, db CAS pending
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val boom    = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val worker = new Thread(() =>
+      try GraftDb.transaction(spark, db) { tx =>
+        tx.append("t", rows(3L))
+        entered.countDown()
+        release.await()
+      }
+      catch { case t: Throwable => boom.set(t); entered.countDown() }
+    )
+    worker.start()
+    entered.await()
+    assert(boom.get() == null, s"open transaction failed early: ${boom.get()}")
+    // production horizon: aged debris is reclaimed, the FRESH pending
+    // member version of the open transaction is protected
+    GraftDb.vacuumDb(spark, db, keepFromDb = 1L, minAgeMs = 10L * 60 * 1000)
+    assert(!f.exists(manifest(debrisV)), "aged debris manifest must be reclaimed")
+    release.countDown()
+    worker.join(120000)
+    assert(!worker.isAlive, "open transaction must complete after vacuum")
+    assert(boom.get() == null, s"open transaction failed: ${boom.get()}")
+    assert(idsOf(GraftDb.read(spark, db, "t")) == Set(1L, 2L, 3L), "the pending write published intact")
+  }
+
   test("racing transfer transactions conserve the cross-table invariant at EVERY published snapshot") {
     val db = freshDb("race")
     GraftDb.create(spark, db, Map("a" -> rows(1L to 16L: _*), "b" -> rows(101L to 104L: _*)))
