@@ -168,6 +168,53 @@ object Bench {
     }
     val results = timed.collect { case (k, Right(v)) => k -> v }
     val errors  = timed.collect { case (k, Left(m)) => k -> m }
+    // ---- pinned sf1 heavy-family track (BENCH_MANIFEST_SF1.txt) ----
+    // One timed run per query at 10x the bench scale, serialized AFTER
+    // the main track (CPU contention would pollute both). Single rep,
+    // cold standing state: this is a round-over-round TREND LINE for
+    // the scale claims, not a latency number. Skipped silently when
+    // the sf1 corpus or manifest is absent (e.g. a fresh driver host).
+    val sf1Json: Option[String] = {
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      val mPath = java.nio.file.Paths.get(
+        sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_MANIFEST_SF1",
+          java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_MANIFEST_SF1.txt").toString
+        )
+      )
+      val haveData = java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir, "lineitem.parquet"))
+      if (!haveData || !java.nio.file.Files.exists(mPath)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val names = java.nio.file.Files
+          .readAllLines(mPath)
+          .asScala
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .toSeq
+        val t1: Seq[(String, Either[String, Double])] = names.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sf1Dir).write.format("noop").mode("overwrite").save()
+              name -> Right((System.nanoTime() - t0) / 1e9): (String, Either[String, Double])
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+                name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+            }
+          }
+        }
+        val ok  = t1.collect { case (k, Right(v)) => k -> v }
+        val bad = t1.collect { case (k, Left(m)) => k -> m }
+        val qj  = ok.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        val ej  = bad.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }.mkString("{", ",", "}")
+        Some(
+          s"""{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2).sum * 1e4) / 1e4},"unit":"sec","method":"single run, cold standing state","n":${ok.size},"error_count":${bad.size},"errors":$ej,"queries":$qj}"""
+        )
+      }
+    }
+    val sf1Field = sf1Json.map(j => s""","sf1":$j""").getOrElse("")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
@@ -181,7 +228,7 @@ object Bench {
     val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the final JSON line out of that tail — a full 100+-query map
     // (~4.5 KB) overflows the window and the round artifact records
@@ -193,7 +240,7 @@ object Bench {
     val stdoutLine = {
       val bySlowest = results.sortBy(-_._2)
       val meta =
-        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir","queries_omitted":NNN,"queries":"""
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
       val budget  = 1700 - meta.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used    = 2 // braces
