@@ -308,6 +308,31 @@ object SparkEntry {
     path
   }
 
+  /** Memoized version-diff demo table: v1 = documents (doc_id, lang,
+    * n_chars) with doc_id%5 < 3; v2 = copy-on-write DELETE of the
+    * %5==0 band; v3 = APPEND of the %5==3 band; v4 = compact
+    * (content-identical — must diff empty).
+    */
+  private val diffTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def diffTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_diff_tbl", dir)}"
+    diffTableBuilt.synchronized {
+      if (!diffTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        graft.sources.SnapshotTable.create(s, path, docs.filter(col("doc_id") % 5 < 3))
+        graft.sources.SnapshotTable.delete(s, path, col("doc_id") % 5 === 0)
+        graft.sources.SnapshotTable.append(s, path, docs.filter(col("doc_id") % 5 === 3))
+        graft.sources.SnapshotTable.compact(s, path)
+        diffTableBuilt += dir
+      }
+    }
+    path
+  }
+
   private def snapTableReady(s: SparkSession, dir: String): String = {
     val path = s"/tmp/${dirKeyed("graft_snap_tbl", dir)}"
     snapTableBuilt.synchronized {
@@ -1768,6 +1793,19 @@ object SparkEntry {
         .history(s, path)
         .select(col("version"), col("operation"), col("n_dvs"))
         .orderBy("version")
+    },
+    // row-level semantic diff between two committed versions, computed
+    // from content alone (no change feed): v1→v3 of the standing diff
+    // table shows the deleted %5==0 band and the appended %5==3 band;
+    // the compaction commit (v4) is REQUIRED in-query to diff empty —
+    // a physical rewrite must never read as a data change
+    "table_diff" -> q { (s, dir) =>
+      val path = diffTableReady(s, dir)
+      require(
+        graft.sources.SnapshotTable.diffVersions(s, path, 3L, 4L).isEmpty,
+        "compaction must diff empty (physical rewrite, no content change)"
+      )
+      graft.sources.SnapshotTable.diffVersions(s, path, 1L, 3L).orderBy("op", "doc_id")
     },
     "timetravel_read" -> q { (s, dir) =>
       val path = snapTableReady(s, dir)
@@ -4309,6 +4347,11 @@ object SparkEntry {
           |  min(o_totalprice), max(o_totalprice), CAST(sum(o_orderkey) AS BIGINT)
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
           |ORDER BY version""".stripMargin,
+      "table_diff" ->
+        """SELECT doc_id, lang, n_chars, 'delete' AS op FROM documents WHERE doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id, lang, n_chars, 'insert' AS op FROM documents WHERE doc_id % 5 = 3
+          |ORDER BY op, doc_id""".stripMargin,
       "timetravel_read" ->
         """SELECT CAST(v.version AS BIGINT) AS version,
           |  CAST((SELECT count(*) FROM documents WHERE doc_id % 3 < v.version) AS BIGINT) AS n_docs,

@@ -1220,6 +1220,38 @@ object SnapshotTable {
     spark.readStream.schema(schema).parquet(s"$path/data/*")
   }
 
+  /** Row-level SEMANTIC diff between two committed versions, computed
+    * from table content alone — the audit/debug answer to "what
+    * changed between v_a and v_b" for versions (or whole tables) that
+    * predate a change-data feed. Multiset semantics: a row appearing
+    * 3× in `toV` and 1× in `fromV` diffs as 2 inserts — `exceptAll`
+    * both ways, tagged `op ∈ {delete, insert}`. Physical rewrites
+    * (compaction, z-order, clustering) diff EMPTY by construction:
+    * the diff is over content, never files.
+    *
+    * Scale: two hash-partitioned count-and-subtract aggregates over
+    * the union of both versions (Spark plans exceptAll as a
+    * per-row-count aggregate + replicate, one shuffle each on the full
+    * row) — O(|v_a| + |v_b|), the honest cost of diffing arbitrary
+    * versions without a feed. Tables WITH a change feed should use
+    * [[graft.streaming.ChangeFeed]]'s O(changed rows) path instead.
+    * Schema-evolved version pairs are refused loudly (a diff across a
+    * schema change is not row-comparable).
+    */
+  def diffVersions(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 1 && toV >= 1 && fromV != toV, s"diffVersions needs two distinct committed versions, got $fromV -> $toV")
+    val a = read(spark, path, Some(fromV))
+    val b = read(spark, path, Some(toV))
+    require(
+      a.schema.fields.map(f => (f.name, f.dataType)).sameElements(b.schema.fields.map(f => (f.name, f.dataType))),
+      s"diffVersions on $path: schemas of v$fromV and v$toV differ — a diff across schema evolution is not row-comparable"
+    )
+    b.exceptAll(a)
+      .withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+  }
+
   /** Fold the CURRENT file set into `targetFiles` compacted files and
     * commit as a new version. Old versions keep referencing the old
     * (still present) files — compaction never breaks time travel;

@@ -493,6 +493,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ee.getMessage.contains("empty table"))
   }
 
+  test("diffVersions: multiset content diff between versions; physical rewrites diff empty; refusals loud") {
+    val p = freshPath("diffv")
+    // v1 carries a genuine duplicate row — diff must be MULTISET-exact
+    SnapshotTable.create(spark, p, Seq((1L, "a"), (2L, "b"), (2L, "b"), (3L, "c")).toDF("id", "grp"))
+    SnapshotTable.delete(spark, p, col("id") === 1L)                              // v2
+    SnapshotTable.append(spark, p, Seq((2L, "b"), (4L, "d")).toDF("id", "grp"))   // v3
+    val d = SnapshotTable
+      .diffVersions(spark, p, 1L, 3L)
+      .collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getString(1)))
+      .sorted
+      .toSeq
+    // (2,b) went 2 -> 3 copies: exactly ONE insert; (1,a) deleted; (4,d) inserted
+    assert(d == Seq(("delete", 1L, "a"), ("insert", 2L, "b"), ("insert", 4L, "d")), s"got $d")
+    // reverse direction swaps the ops
+    val rev = SnapshotTable.diffVersions(spark, p, 3L, 1L).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rev == Map("insert" -> 1L, "delete" -> 2L), s"got $rev")
+    // compaction is a physical rewrite: content diff must be EMPTY
+    SnapshotTable.compact(spark, p)                                               // v4
+    assert(SnapshotTable.diffVersions(spark, p, 3L, 4L).isEmpty)
+    // refusals: same version; schema-evolved pair
+    intercept[IllegalArgumentException](SnapshotTable.diffVersions(spark, p, 2L, 2L))
+    SnapshotTable.append(spark, p, Seq((5L, "e", 9L)).toDF("id", "grp", "extra")) // v5 widens
+    val se = intercept[IllegalArgumentException](SnapshotTable.diffVersions(spark, p, 1L, 5L))
+    assert(se.getMessage.contains("schema"))
+  }
+
   test("fastCount: metadata-only count matches scans across appends, MOR deletes, and time travel; refusals loud") {
     val p = freshPath("fastcount")
     SnapshotTable.enableStats(spark, p, Seq("id"))
