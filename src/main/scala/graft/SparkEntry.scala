@@ -308,6 +308,41 @@ object SparkEntry {
     path
   }
 
+  /** Memoized point-lookup-index demo table: orders key columns
+    * range-partitioned by o_custkey into 8 files (v1 = the
+    * o_orderkey%3 != 0 slice), exact secondary index BUILT on
+    * o_custkey, then an appended slice (%3 == 0, 4 more files)
+    * covered by an INCREMENTAL refresh — the build exercises full
+    * indexing, the append exercises the O(new files) maintenance
+    * path, and the range layout makes every probe prune.
+    */
+  private val idxTableBuilt = scala.collection.mutable.Set.empty[String]
+
+  private def idxTableReady(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/${dirKeyed("graft_idx_tbl", dir)}"
+    idxTableBuilt.synchronized {
+      if (!idxTableBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        f.delete(new org.apache.hadoop.fs.Path(path), true) // stale run
+        val o = Tables
+          .orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        graft.sources.SnapshotTable
+          .create(s, path, o.filter(col("o_orderkey") % 3 =!= 0).repartitionByRange(8, col("o_custkey")))
+        graft.sources.ValueIndex.build(s, path, "o_custkey")
+        graft.sources.SnapshotTable
+          .append(s, path, o.filter(col("o_orderkey") % 3 === 0).repartitionByRange(4, col("o_custkey")))
+        require(
+          graft.sources.ValueIndex.refresh(s, path, "o_custkey") > 0,
+          "incremental index refresh must cover the appended files"
+        )
+        idxTableBuilt += dir
+      }
+    }
+    path
+  }
+
   /** Memoized version-diff demo table: v1 = documents (doc_id, lang,
     * n_chars) with doc_id%5 < 3; v2 = copy-on-write DELETE of the
     * %5==0 band; v3 = APPEND of the %5==3 band; v4 = compact
@@ -1793,6 +1828,25 @@ object SparkEntry {
         .history(s, path)
         .select(col("version"), col("operation"), col("n_dvs"))
         .orderBy("version")
+    },
+    // exact secondary point-lookup index: three customer-key probes
+    // through the standing (value, file) posting index — each probe is
+    // REQUIRED in-query to scan fewer files than the version holds
+    // (zone maps can't prune here: the key is not the commit order),
+    // and the DuckDB oracle recomputes the fetched rows from the raw
+    // table. The absent-at-small-SF probe (777) proves the no-touch
+    // empty path.
+    "indexed_point_read" -> q { (s, dir) =>
+      val path   = idxTableReady(s, dir)
+      val probes = Seq(7L, 42L, 777L)
+      probes.foreach { k =>
+        val (hit, total) = graft.sources.ValueIndex.hitFiles(s, path, "o_custkey", k)
+        require(hit.length < total, s"index must prune files for custkey $k (hit ${hit.length}/$total)")
+      }
+      probes
+        .map(k => graft.sources.ValueIndex.pointRead(s, path, "o_custkey", k))
+        .reduce(_ unionByName _)
+        .orderBy("o_orderkey")
     },
     // row-level semantic diff between two committed versions, computed
     // from content alone (no change feed): v1→v3 of the standing diff
@@ -4347,6 +4401,10 @@ object SparkEntry {
           |  min(o_totalprice), max(o_totalprice), CAST(sum(o_orderkey) AS BIGINT)
           |FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
           |ORDER BY version""".stripMargin,
+      "indexed_point_read" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_custkey IN (7, 42, 777)
+          |ORDER BY o_orderkey""".stripMargin,
       "table_diff" ->
         """SELECT doc_id, lang, n_chars, 'delete' AS op FROM documents WHERE doc_id % 5 = 0
           |UNION ALL
