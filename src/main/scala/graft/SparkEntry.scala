@@ -1005,6 +1005,12 @@ object SparkEntry {
       import s.implicits._
       Seq((n, med, med / 100.0)).toDF("n_orders", "median_cents", "median")
     },
+    // GROUPED exact lower median by simultaneous per-group histogram
+    // refinement: one (group, bucket) aggregate per round, every
+    // segment narrowing independently, O(log range) scans total —
+    // never a per-group sort, never a buffering percentile. The
+    // oracle replays each group's (n+1)/2-th ordered value.
+    "group_exact_median" -> q((s, dir) => Relational.groupExactMedianPrice(s, dir)),
     // Apriori level 3: frequent triples via pair-pruned within-order
     // enumeration; downward closure lets the oracle replay the naive
     // triple count (identical >= minSupport sets)
@@ -3486,6 +3492,16 @@ object SparkEntry {
           |        CAST(count(*) OVER () AS BIGINT) AS n FROM t)
           |SELECT n AS n_orders, v AS median_cents, v / 100.0 AS median
           |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+      "group_exact_median" ->
+        """SELECT l_returnflag, price_cents FROM (
+          |  SELECT l_returnflag,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |                       ORDER BY round(l_extendedprice * 100)) AS rn,
+          |    count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem
+          |) WHERE rn = (n + 1) // 2
+          |ORDER BY l_returnflag""".stripMargin,
       "basket_triples" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey % 2000 AS item
           |          FROM lineitem WHERE l_orderkey < 60000),

@@ -1307,6 +1307,126 @@ object Relational {
     lo
   }
 
+  /** GROUPED exact k-th order statistic — [[exactKth]]'s histogram
+    * refinement run for EVERY group simultaneously: each round is ONE
+    * columnar aggregate over `(group, bucket)` (≤ groups×1024 rows to
+    * the driver), each group's candidate interval narrows
+    * independently, and resolved groups drop out of the scan filter.
+    * O(log₁₀₂₄ range) full scans total — independent of group count —
+    * where a per-group sort would shuffle the world and
+    * `percentile`-style aggregates would buffer every value. Driver
+    * state is O(groups×1024), bounded by a loud `maxGroups` require
+    * (this is the low-cardinality-segment operator: per status, per
+    * flag, per language — not a per-key operator). `kOf` maps each
+    * group's row count to the wanted 1-based rank (e.g. lower median
+    * `(n+1)/2`). Same full-long-domain discipline as [[exactKth]]:
+    * integer DIV bucketing, per-group sign-split when hi−lo overflows,
+    * difference-based interval narrowing.
+    */
+  def groupedExactKth(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kOf: Long => Long,
+      maxGroups: Int = 64
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(groupCol).cast("string").as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(eager = false)
+    val head = base
+      .groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    require(head.nonEmpty, "groupedExactKth on an empty relation")
+    require(
+      head.length <= maxGroups,
+      s"groupedExactKth holds O(groups*1024) driver state: ${head.length} groups > maxGroups=$maxGroups — " +
+        "this is the low-cardinality-segment operator; raise the cap only if that state is acceptable"
+    )
+    // mutable per-group state: (lo, hi, remaining k)
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    head.foreach { r =>
+      val n = r.getLong(3)
+      val k = kOf(n)
+      require(k >= 1 && k <= n, s"k=$k out of [1, $n] for group ${r.getString(0)}")
+      state(r.getString(0)) = (r.getLong(1), r.getLong(2), k)
+    }
+    // per-group sign-split when hi-lo overflows 64-bit (see exactKth):
+    // one shared aggregate counts each affected group's negative half
+    val wide = state.filter { case (_, (lo, hi, _)) => lo < 0L && hi > 0L && hi - lo < 0L }.keySet.toSeq
+    if (wide.nonEmpty) {
+      val negs = base
+        .filter(col("g").isin(wide: _*) && col("v") < 0L)
+        .groupBy("g")
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+      wide.foreach { g =>
+        val (lo, hi, k) = state(g)
+        val nc          = negs.getOrElse(g, 0L)
+        state(g) = if (k <= nc) (lo, -1L, k) else (0L, hi, k - nc)
+      }
+    }
+    var active = state.filter { case (_, (lo, hi, _)) => hi > lo }.keySet.toSeq.sorted
+    while (active.nonEmpty) {
+      // one pass: every active group binned against ITS interval via a
+      // broadcast join with the tiny state relation (integer DIV)
+      val st = active
+        .map { g => val (lo, hi, _) = state(g); (g, lo, hi, math.max(1L, (hi - lo) / 1024L + 1L)) }
+        .toDF("g", "__lo", "__hi", "__w")
+      val hist = base
+        .join(broadcast(st), Seq("g"))
+        .filter(col("v") >= col("__lo") && col("v") <= col("__hi"))
+        .groupBy(col("g"), expr("(v - __lo) DIV __w").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+      active.foreach { g =>
+        val (lo, hi, kk) = state(g)
+        val width        = math.max(1L, (hi - lo) / 1024L + 1L)
+        val buckets = hist
+          .getOrElse(g, Array.empty)
+          .map(r => r.getLong(1) -> r.getLong(2))
+          .sortBy(_._1)
+        var cum    = 0L
+        var bucket = -1L
+        var inB    = 0L
+        val it     = buckets.iterator
+        while (it.hasNext && bucket < 0) {
+          val (b, c) = it.next()
+          if (cum + c >= kk) { bucket = b; inB = kk - cum } else cum += c
+        }
+        require(bucket >= 0, s"histogram walk lost k=$kk in group $g — counts changed underfoot")
+        val newLo = lo + bucket * width
+        val newHi = if (hi - newLo < width) hi else newLo + width - 1L
+        state(g) = (newLo, if (width == 1L) newLo else newHi, inB)
+      }
+      active = state.filter { case (_, (lo, hi, _)) => hi > lo }.keySet.toSeq.sorted
+    }
+    state.toSeq
+      .map { case (g, (lo, _, _)) => (g, lo) }
+      .toDF(groupCol, valueCol)
+      .orderBy(groupCol)
+  }
+
+  /** `group_exact_median` query body: exact LOWER MEDIAN of lineitem
+    * extended price (cents — exact fixed-point longs) per return
+    * flag: three segments, one histogram-refinement loop, no sorts.
+    */
+  def groupExactMedianPrice(spark: SparkSession, dir: String): DataFrame =
+    groupedExactKth(
+      Tables
+        .lineitem(spark, dir)
+        .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("price_cents")),
+      "l_returnflag",
+      "price_cents",
+      n => (n + 1) / 2
+    )
+
   /** Frequent 3-itemsets — the Apriori level-3 completion of
     * [[basketPairs]]. Downward closure does the pruning: a frequent
     * triple's sub-pairs are all frequent, so within-order triple

@@ -255,6 +255,59 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactKth == per-group sorted model (duplicates, skew, overflow domains); refusals loud") {
+    import SparkSpec.spark.implicits._
+    // groups with different sizes, duplicate mass, full-long-domain
+    // extremes (one group spans MinValue..MaxValue — the sign-split)
+    val data: Seq[(String, Long)] =
+      (1L to 1000L).map(("a", _)) ++
+        Seq.fill(500)(("a", 42L)) ++
+        Seq(("b", 7L)) ++
+        Seq(("c", Long.MinValue), ("c", -7L), ("c", 0L), ("c", 3L), ("c", Long.MaxValue)) ++
+        (1L to 257L).map(i => ("d", (1L << 55) + i))
+    val df = data.toDF("g", "v")
+    val model = data.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      g -> sorted(((sorted.size + 1) / 2 - 1).toInt)
+    }
+    val got = Relational
+      .groupedExactKth(df, "g", "v", n => (n + 1) / 2)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == model, s"got $got want $model")
+    // k = max rank too (per-group maximum)
+    val gotMax = Relational
+      .groupedExactKth(df, "g", "v", n => n)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(gotMax == data.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).max })
+    // real data: per-status median of order price cents == window replay
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("g"), round(col("o_totalprice") * 100).cast("long").as("v"))
+    val want = o
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(expr("rn = (n + 1) DIV 2"))
+      .select("g", "v")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val real = Relational
+      .groupedExactKth(o, "g", "v", n => (n + 1) / 2)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(real == want)
+    // refusals: driver-state cap, empty relation, k out of range
+    val many = (1L to 100L).map(i => (s"g$i", i)).toDF("g", "v")
+    val e    = intercept[IllegalArgumentException](Relational.groupedExactKth(many, "g", "v", n => 1L, maxGroups = 64))
+    assert(e.getMessage.contains("maxGroups"))
+    intercept[IllegalArgumentException](Relational.groupedExactKth(df.filter(lit(false)), "g", "v", n => 1L))
+    intercept[IllegalArgumentException](Relational.groupedExactKth(df, "g", "v", n => n + 1))
+  }
+
   test("itemNeighborsFrom: mega-basket fan-out is capped deterministically; TPC-H output unchanged under the cap") {
     import SparkSpec.spark.implicits._
     // one pathological 500-item basket + a few normal baskets: the cap
