@@ -1571,6 +1571,9 @@ object SparkEntry {
       Similarity.clusterTopTerms(s, dir)
     },
     "text_lm_score"    -> q(TextAnalysis.lmScore),
+    "nb_train_model"   -> q(Classify.nbTrainModel),
+    "nb_classify"      -> q(Classify.nbClassify),
+    "nb_confusion"     -> q(Classify.nbConfusion),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
     // deflate → rows-only; check_compression_ratio is the oracle gate
     "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
@@ -2337,6 +2340,38 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] = {
     val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+    // shared by nb_classify / nb_confusion: Laplace-smoothed
+    // multinomial NB over the doc_id%5 split (Classify.nbClassify)
+    val nbClassifyWith =
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
+         |model AS (SELECT lang AS c, tok, count(*) AS mc FROM tok
+         |          WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |pri AS (SELECT lang AS c, count(*) AS d_c FROM documents
+         |        WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |mass AS (SELECT c, sum(mc) AS n_c FROM model GROUP BY c),
+         |gv AS (SELECT (SELECT count(DISTINCT tok) FROM model) AS v,
+         |                (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS d),
+         |cls AS (SELECT pri.c, pri.d_c, COALESCE(mass.n_c, 0) AS n_c, gv.v, gv.d
+         |        FROM pri LEFT JOIN mass USING (c) CROSS JOIN gv),
+         |ev AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+         |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |tot AS (SELECT d.doc_id, d.lang AS true_lang, COALESCE(s.t_d, 0) AS t_d
+         |        FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
+         |        LEFT JOIN (SELECT doc_id, sum(cnt) AS t_d FROM ev GROUP BY 1) s USING (doc_id)),
+         |mt AS (SELECT ev.doc_id, m.c,
+         |              sum(ev.cnt * ln((m.mc + 1.0) / (cl.n_c + cl.v))) AS msum,
+         |              sum(ev.cnt) AS mcnt
+         |       FROM ev JOIN model m USING (tok) JOIN cls cl ON m.c = cl.c
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT tot.doc_id, tot.true_lang, cls.c,
+         |              ln(CAST(cls.d_c AS DOUBLE) / cls.d)
+         |              + COALESCE(mt.msum, 0.0)
+         |              + (tot.t_d - COALESCE(mt.mcnt, 0)) * ln(1.0 / (cls.n_c + cls.v)) AS score
+         |       FROM tot CROSS JOIN cls
+         |       LEFT JOIN mt ON mt.doc_id = tot.doc_id AND mt.c = cls.c),
+         |pick AS (SELECT doc_id, true_lang, c AS pred_lang, round(score, 4) AS logp,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+         |         FROM sc)""".stripMargin
     // shared by dedup_components / dedup_canonical_pick: exact n-gram
     // Jaccard pairs at 0.6 over doc_id < 300, closed into components
     // by a recursive min-label reachability
@@ -4134,6 +4169,19 @@ object SparkEntry {
            |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.avg_logp
            |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      "nb_train_model" ->
+        s"""WITH tok AS (SELECT lang, unnest($toks) AS tok
+           |             FROM documents WHERE doc_id % 5 <> 0)
+           |SELECT lang, tok, count(*) AS cnt FROM tok
+           |GROUP BY lang, tok ORDER BY lang, tok""".stripMargin,
+      "nb_classify" ->
+        s"""$nbClassifyWith
+           |SELECT doc_id, true_lang, pred_lang, logp FROM pick WHERE rn = 1
+           |ORDER BY doc_id""".stripMargin,
+      "nb_confusion" ->
+        s"""$nbClassifyWith
+           |SELECT true_lang, pred_lang, count(*) AS n FROM pick WHERE rn = 1
+           |GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang""".stripMargin,
       "dataset_diff" ->
         """WITH v2 AS (
           |  SELECT doc_id,

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed supervised text classification — the trained-classifier
+  * tier of a curation pipeline (reference scope: the wc/ii token
+  * pipeline, main.go:94-118, generalized to supervised counting).
+  *
+  * Real 100 TB pipelines gate documents with a *trained* classifier
+  * (quality / language / topicality) rather than only the heuristic
+  * votes in [[TextAnalysis.languageId]]. Multinomial Naive Bayes is
+  * the canonical such model that trains in ONE distributed counting
+  * pass — the training job IS a word count grouped by label, so it
+  * inherits the same partial-aggregation shape as wc, and the learned
+  * model is a (label, token, count) relation that stays a DataFrame
+  * end to end (never driver-side).
+  *
+  * Scale notes (100 TB):
+  *   - train: explode + hash-aggregate with map-side partials; one
+  *     shuffle on (label, token). Identical shape to `wc_wordcount`.
+  *   - classify: the corpus joins the model ON TOKEN (shuffle
+  *     equi-join; AQE broadcasts when the model is small). The
+  *     per-class fan-out is |classes| (bounded, broadcast), and the
+  *     only window is partitioned per document. No global window, no
+  *     driver-side vocabulary.
+  *   - unseen tokens: handled WITHOUT densifying (doc × vocab) —
+  *     a matched-count subtraction folds every unmatched token into
+  *     one closed-form Laplace term per (doc, class).
+  */
+object Classify {
+
+  /** Per-(doc, label, token) counts — training's unit of work. */
+  private def docTokenCounts(docs: DataFrame): DataFrame =
+    TextJobs
+      .tokenized(docs.select("doc_id", "lang", "text"), "text", "tok")
+      .groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Deterministic leakage-safe split: doc_id % 5 == 0 is held out. */
+  private def trainDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
+  private def evalDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+
+  /** Learned multinomial model: token counts per class over the train
+    * split. Pure integer counting — exact at any scale.
+    */
+  def nbTrainModel(spark: SparkSession, dir: String): DataFrame =
+    docTokenCounts(trainDocs(spark, dir))
+      .groupBy(col("lang"), col("tok"))
+      .agg(sum("cnt").as("cnt"))
+      .orderBy("lang", "tok")
+
+  /** Classify the held-out split with Laplace-smoothed multinomial NB.
+    *
+    * score(d, c) = ln(D_c / D)
+    *             + Σ_{t ∈ d ∩ model_c} n_{d,t} · ln((C_{t,c}+1)/(N_c+V))
+    *             + (T_d − matched_d,c) · ln(1/(N_c+V))
+    *
+    * where V counts the train vocabulary and N_c the class token mass.
+    * Ties break on label ascending (deterministic). Scores are rounded
+    * to 4 decimals per the repo-wide double convention.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val train = trainDocs(spark, dir)
+    val model = docTokenCounts(train)
+      .groupBy(col("lang").as("c"), col("tok"))
+      .agg(sum("cnt").as("mc"))
+
+    // class relation: priors from doc counts, token mass from the
+    // model; a class whose train docs are all empty still exists with
+    // n_c = 0. All of this is a handful of rows — broadcast.
+    val priors = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("d_c"))
+    val mass   = model.groupBy("c").agg(sum("mc").as("n_c"))
+    // 1-row scalar aggregates enter via crossJoin (repo convention)
+    val globals = model
+      .agg(countDistinct("tok").as("v"))
+      .crossJoin(train.agg(count(lit(1)).as("d")))
+    val classes = priors
+      .join(mass, Seq("c"), "left")
+      .na.fill(0L, Seq("n_c"))
+      .crossJoin(globals)
+
+    // per-token class contribution, precomputed on the model side so
+    // the big corpus-side join carries one double per matched row
+    val modelScored = model
+      .join(broadcast(classes.select("c", "n_c", "v")), "c")
+      .select(
+        col("tok"),
+        col("c"),
+        log((col("mc") + lit(1.0)) / (col("n_c") + col("v"))).as("ltp")
+      )
+
+    val evalToks = docTokenCounts(evalDocs(spark, dir))
+    val docTotals = evalDocs(spark, dir)
+      .select(col("doc_id"), col("lang").as("true_lang"))
+      .join(
+        evalToks.groupBy("doc_id").agg(sum("cnt").as("t_d")),
+        Seq("doc_id"),
+        "left"
+      )
+      .na.fill(0L, Seq("t_d"))
+
+    val matched = evalToks
+      .join(modelScored, "tok")
+      .groupBy("doc_id", "c")
+      .agg(sum(col("cnt") * col("ltp")).as("msum"), sum("cnt").as("mcnt"))
+
+    val scored = docTotals
+      .crossJoin(broadcast(classes))
+      .join(matched, Seq("doc_id", "c"), "left")
+      .na.fill(0L, Seq("mcnt"))
+      .na.fill(0.0, Seq("msum"))
+      .withColumn(
+        "score",
+        log(col("d_c").cast("double") / col("d")) +
+          col("msum") +
+          (col("t_d") - col("mcnt")) * log(lit(1.0) / (col("n_c") + col("v")))
+      )
+
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("c"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("true_lang"),
+        col("c").as("pred_lang"),
+        round(col("score"), 4).as("logp")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Confusion matrix of [[nbClassify]] on the held-out split — the
+    * classifier's evaluation artifact, pure integer counts (robust at
+    * any scale; the per-doc scores in nbClassify carry the rounded
+    * doubles).
+    */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(spark, dir)
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+}
