@@ -1574,6 +1574,8 @@ object SparkEntry {
     "nb_train_model"   -> q(Classify.nbTrainModel),
     "nb_classify"      -> q(Classify.nbClassify),
     "nb_confusion"     -> q(Classify.nbConfusion),
+    "eval_auc_exact"   -> q(Evaluation.aucExact),
+    "eval_pr_curve"    -> q(Evaluation.prCurve),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
     // deflate → rows-only; check_compression_ratio is the oracle gate
     "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
@@ -2340,6 +2342,18 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] = {
     val toks    = """list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '')"""
+    // shared by eval_auc_exact / eval_pr_curve: distinct centi-score
+    // directory with exclusive cumulative counts (Evaluation.scala —
+    // floor(value*100), never round(), per the cross-engine float rule)
+    val evalCumWith =
+      """WITH sc AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |                   CAST(floor(value * 100) AS BIGINT) AS s FROM events),
+        |d AS (SELECT s, CAST(sum(y) AS BIGINT) AS p_s, count(*) AS g_s FROM sc GROUP BY s),
+        |c AS (SELECT s, p_s, g_s,
+        |        CAST(COALESCE(sum(p_s) OVER w, 0) AS BIGINT) AS c_p,
+        |        CAST(COALESCE(sum(g_s) OVER w, 0) AS BIGINT) AS c_g
+        |      FROM d WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT CAST(sum(y) AS BIGINT) AS pp, count(*) AS nn FROM sc)""".stripMargin
     // shared by nb_classify / nb_confusion: Laplace-smoothed
     // multinomial NB over the doc_id%5 split (Classify.nbClassify)
     val nbClassifyWith =
@@ -4182,6 +4196,17 @@ object SparkEntry {
         s"""$nbClassifyWith
            |SELECT true_lang, pred_lang, count(*) AS n FROM pick WHERE rn = 1
            |GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang""".stripMargin,
+      "eval_auc_exact" ->
+        s"""$evalCumWith
+           |SELECT CAST(r2 - pp * (pp + 1) AS BIGINT) AS auc_num,
+           |       CAST(2 * pp * (nn - pp) AS BIGINT) AS auc_den,
+           |       CAST(r2 - pp * (pp + 1) AS DOUBLE) / CAST(2 * pp * (nn - pp) AS DOUBLE) AS auc
+           |FROM (SELECT CAST(sum(p_s * (2 * c_g + g_s + 1)) AS HUGEINT) AS r2 FROM c)
+           |CROSS JOIN t""".stripMargin,
+      "eval_pr_curve" ->
+        s"""$evalCumWith
+           |SELECT s AS threshold, pp - c_p AS tp, (nn - pp) - (c_g - c_p) AS fp, c_p AS fn
+           |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin,
       "dataset_diff" ->
         """WITH v2 AS (
           |  SELECT doc_id,

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Exact classifier-evaluation metrics at corpus scale — the scoring
+  * side of a trained-filter pipeline ([[Classify]] trains; this tier
+  * grades). Everything is formulated in INTEGER arithmetic (the
+  * repo-wide cross-engine float discipline): scores quantize to
+  * centi-units via floor (exact IEEE), AUC is the tie-corrected
+  * Mann-Whitney rank-sum kept as an exact num/den pair, and the PR
+  * curve emits raw tp/fp/fn counts per threshold.
+  *
+  * Scale notes (100 TB):
+  *   - the data-sized relation is reduced FIRST to the distinct-score
+  *     directory (one hash aggregate with map-side partials); every
+  *     cumulative that follows runs on the directory, never the data.
+  *   - cumulative counts use the repo's two-phase global-ranking
+  *     pattern (Dedup.sortedNeighborhoodPairs): a window partitioned
+  *     by coarse score block plus an O(#blocks) broadcast offset
+  *     directory — NO unpartitioned window over a data-sized relation.
+  *   - quantization bounds the directory (#distinct centi-scores ≤
+  *     score range × 100), so the curve output is bounded regardless
+  *     of row count.
+  *   - rank sums grow as n²: at >~2×10⁹ rows the BIGINT pair would
+  *     overflow — the operator computes the rank-sum in DECIMAL(38,0)
+  *     internally and refuses (loud require) rather than wrap.
+  */
+object Evaluation {
+
+  /** (y, s): binary label (purchase) and exact centi-unit score.
+    * floor(value*100) not round(): floor of a double is the identical
+    * IEEE op in every engine; round() on raw doubles is not.
+    */
+  private def scoredEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("s")
+      )
+
+  /** Distinct-score directory with exclusive cumulative counts
+    * (c_p = positives strictly below s, c_g = rows strictly below s),
+    * built with the two-phase block + offset-directory pattern.
+    */
+  private[graft] def cumulativeByScore(scored: DataFrame, blockWidth: Long = 1000L): DataFrame = {
+    val byScore = scored
+      .groupBy("s")
+      .agg(sum("y").as("p_s"), count(lit(1)).as("g_s"))
+      .withColumn("blk", expr(s"s DIV ${blockWidth}L"))
+    val inBlk = Window.partitionBy("blk").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val local = byScore
+      .withColumn("lp", coalesce(sum("p_s").over(inBlk), lit(0L)))
+      .withColumn("lg", coalesce(sum("g_s").over(inBlk), lit(0L)))
+    // O(#blocks) directory: the only unpartitioned window runs here
+    val dirW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byScore
+      .groupBy("blk")
+      .agg(sum("p_s").as("bp"), sum("g_s").as("bg"))
+      .withColumn("op", coalesce(sum("bp").over(dirW), lit(0L)))
+      .withColumn("og", coalesce(sum("bg").over(dirW), lit(0L)))
+      .select("blk", "op", "og")
+    local
+      .join(broadcast(offsets), "blk")
+      .select(
+        col("s"),
+        col("p_s"),
+        col("g_s"),
+        (col("op") + col("lp")).as("c_p"),
+        (col("og") + col("lg")).as("c_g")
+      )
+  }
+
+  /** Exact tie-corrected AUC (Mann-Whitney): one row
+    * (auc_num, auc_den, auc) with
+    * auc_num = 2·Σ_s p_s·(2·c_g(s) + g_s + 1)/2 … kept doubled so ties'
+    * half-ranks stay integral: num = Σ p_s·(2c_g + g_s + 1) − P(P+1),
+    * den = 2·P·N, auc = num/den (one int/int IEEE division — bitwise
+    * identical across engines, left unrounded per repo convention).
+    */
+  def aucExact(spark: SparkSession, dir: String): DataFrame =
+    aucFromScored(scoredEvents(spark, dir))
+
+  /** AUC over any (y ∈ {0,1}, s: long) relation. */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    val cum = cumulativeByScore(scored)
+    // DECIMAL(38,0) for the n²-growth term; totals stay long
+    val parts = cum.agg(
+      sum((col("p_s") * (lit(2) * col("c_g") + col("g_s") + lit(1))).cast("decimal(38,0)")).as("r2"),
+      sum("p_s").as("p"),
+      sum("g_s").as("n")
+    )
+    parts
+      .select(
+        (col("r2") - (col("p").cast("decimal(38,0)") * (col("p") + lit(1)))).as("numd"),
+        (lit(2).cast("decimal(38,0)") * col("p") * (col("n") - col("p"))).as("dend")
+      )
+      .select(
+        guardedLong(col("numd"), "auc_num").as("auc_num"),
+        guardedLong(col("dend"), "auc_den").as("auc_den"),
+        (col("numd").cast("double") / col("dend").cast("double")).as("auc")
+      )
+  }
+
+  /** decimal→long that REFUSES (raise_error in the row path — no extra
+    * action) instead of silently nulling past ±2⁶³; auc itself stays
+    * exact as a decimal/decimal double at any scale.
+    */
+  private def guardedLong(c: org.apache.spark.sql.Column, nm: String): org.apache.spark.sql.Column =
+    when(
+      c.between(lit(Long.MinValue).cast("decimal(38,0)"), lit(Long.MaxValue).cast("decimal(38,0)")),
+      c.cast("long")
+    ).otherwise(
+      raise_error(lit(s"aucExact: $nm exceeds BIGINT at this row count — consume the decimal form"))
+        .cast("long")
+    )
+
+  /** PR curve at every distinct centi-score threshold t (predict
+    * positive when s ≥ t): exact tp/fp/fn counts per threshold,
+    * ordered by threshold. Ratios are left to the consumer — counts
+    * are the exact, scale-robust artifact.
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame =
+    prCurveFromScored(scoredEvents(spark, dir))
+
+  /** PR curve over any (y ∈ {0,1}, s: long) relation. */
+  def prCurveFromScored(sc: DataFrame): DataFrame = {
+    val cum    = cumulativeByScore(sc)
+    val totals = sc.agg(sum("y").as("pp"), count(lit(1)).as("nn"))
+    cum
+      .crossJoin(broadcast(totals))
+      .select(
+        col("s").as("threshold"),
+        (col("pp") - col("c_p")).as("tp"),
+        ((col("nn") - col("pp")) - (col("c_g") - col("c_p"))).as("fp"),
+        col("c_p").as("fn")
+      )
+      .orderBy("threshold")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluation
+
+/** eval_auc_exact / eval_pr_curve values are pinned by their DuckDB
+  * oracles; this spec pins the METRIC SEMANTICS on closed-form cases
+  * (perfect / inverted / random ranking, tie handling) and the curve
+  * invariants, plus a brute-force pair-count cross-check — evidence
+  * the two-phase cumulative machinery computes Mann-Whitney exactly.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private def scoredDf(rows: Seq[(Long, Long)]) = {
+    val ss = spark
+    import ss.implicits._
+    rows.toDF("y", "s")
+  }
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long, Double) = {
+    val r = Evaluation.aucFromScored(scoredDf(rows)).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("closed forms: perfect separation → 1, inverted → 0, all-tied → 1/2") {
+    val pos = (1L to 40L).map(i => (1L, 100L + i))
+    val neg = (1L to 60L).map(i => (0L, i))
+    assert(auc(pos ++ neg)._3 == 1.0)
+    assert(auc(pos.map { case (y, s) => (y, -s) } ++ neg.map { case (y, s) => (y, -s) })._3 == 0.0)
+    val tied = (1L to 30L).map(i => (i % 2, 7L))
+    assert(auc(tied)._3 == 0.5)
+  }
+
+  test("tie correction matches brute-force pair counting on irregular ties") {
+    // deterministic irregular case: score = i*i % 13 collides heavily
+    val rows = (1L to 200L).map(i => ((i * 31 % 5) / 4, i * i % 13))
+    val (num, den, a) = auc(rows)
+    // brute force: wins + half-ties over pos×neg pairs
+    val pos   = rows.filter(_._1 == 1L).map(_._2)
+    val negs  = rows.filter(_._1 == 0L).map(_._2)
+    val wins  = (for (p <- pos; n <- negs) yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(num == wins, s"num $num != brute-force doubled wins $wins")
+    assert(den == 2L * pos.length * negs.length)
+    assert(a == wins.toDouble / (2L * pos.length * negs.length))
+  }
+
+  test("two-phase cumulative is block-width invariant") {
+    val rows = (1L to 500L).map(i => ((i * 17 % 3) / 2, (i * i) % 4001))
+    val wide = Evaluation.cumulativeByScore(scoredDf(rows), blockWidth = 1000000L).orderBy("s").collect()
+    val tiny = Evaluation.cumulativeByScore(scoredDf(rows), blockWidth = 7L).orderBy("s").collect()
+    assert(wide.map(_.toSeq).toSeq == tiny.map(_.toSeq).toSeq, "block width changed cumulative counts")
+  }
+
+  test("PR curve invariants: tp+fn constant, monotone counts, extremes") {
+    val curve = Evaluation.prCurve(spark, sfDir).collect()
+    assert(curve.nonEmpty)
+    val p = curve.head.getLong(1) + curve.head.getLong(3)
+    assert(curve.forall(r => r.getLong(1) + r.getLong(3) == p), "tp+fn is not the constant positive count")
+    // threshold ascending → tp and fp nonincreasing
+    curve.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1) && b.getLong(2) <= a.getLong(2), "tp/fp not monotone in threshold")
+      case _ =>
+    }
+    // lowest threshold admits everything
+    assert(curve.head.getLong(3) == 0L, "fn at the lowest threshold must be 0")
+  }
+}
