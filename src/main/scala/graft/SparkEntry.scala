@@ -1075,6 +1075,10 @@ object SparkEntry {
     // array-local sorted-frame median over the calendar-bounded daily
     // relation, integer in/out
     "events_moving_median" -> q(EventAnalytics.movingMedianDaily),
+    // exact fixed-point EWMA: day-lag weights 3^l*4^(7-l), num/den
+    // BIGINT pair; lag in calendar days via explode-to-target, so the
+    // gapless rows-frame pitfall never arises
+    "events_ewma_daily"    -> q(EventAnalytics.ewmaDaily),
     // Theil–Sen robust trend: median of all pairwise daily-count
     // slopes as an exact rational — days², not rows², so the pair
     // space is calendar-bounded at any corpus size
@@ -3369,6 +3373,22 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
           |FROM w ORDER BY day""".stripMargin,
+      "events_ewma_daily" ->
+        """WITH daily AS (
+          |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY day),
+          |con AS (
+          |  SELECT day + CAST(lag AS INTEGER) AS day, x,
+          |         [16384,12288,9216,6912,5184,3888,2916,2187][CAST(lag + 1 AS INTEGER)] AS w
+          |  FROM daily, unnest(range(0, 8)) AS t(lag)),
+          |agg AS (
+          |  SELECT day, CAST(sum(x * w) AS BIGINT) AS ewma_num,
+          |         CAST(sum(w) AS BIGINT) AS ewma_den
+          |  FROM con GROUP BY day)
+          |SELECT d.day, d.x AS n_events, a.ewma_num, a.ewma_den,
+          |  CAST(a.ewma_num AS DOUBLE) / a.ewma_den AS ewma
+          |FROM daily d JOIN agg a USING (day) ORDER BY day""".stripMargin,
       "events_trend_theilsen" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

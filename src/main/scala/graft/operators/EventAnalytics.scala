@@ -169,6 +169,51 @@ object EventAnalytics {
       .orderBy("day")
   }
 
+  /** Trailing EWMA (α = 1/4, 8-day horizon) of the daily counts in
+    * EXACT fixed-point: weight on day-lag ℓ is (3/4)^ℓ, cleared of
+    * denominators as 3^ℓ·4^(7−ℓ), so the smoother is an exact
+    * num/den BIGINT pair (the only float is the final int/int
+    * quotient — identical IEEE division in any engine).
+    *
+    * Lag is measured in CALENDAR DAYS, not series rows: each daily
+    * row is exploded onto the 8 target days it influences and the
+    * targets aggregate — gap days neither contribute phantom zeros
+    * nor shift everyone's lags the way a rows-frame would. One
+    * explode (×8, calendar-bounded) + one aggregate; no window over
+    * data at all, so it scales as the daily directory, not the rows.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaDailyOn(Tables.events(spark, dir))
+
+  /** [[ewmaDaily]] core over an explicit relation with `ts`. */
+  def ewmaDailyOn(ev: DataFrame): DataFrame = {
+    val horizon = 8
+    val weights = (0 until horizon).map(l => math.pow(3, l).toLong << (2 * (horizon - 1 - l)))
+    val daily = ev.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val contrib = daily
+      .select(col("day"), col("x"), explode(sequence(lit(0), lit(horizon - 1))).as("lag"))
+      .select(
+        date_add(col("day"), col("lag")).as("day"),
+        col("x"),
+        element_at(array(weights.map(lit): _*), col("lag") + 1).as("w")
+      )
+    val agg = contrib
+      .groupBy("day")
+      .agg(sum(col("x") * col("w")).as("ewma_num"), sum("w").as("ewma_den"))
+    // inner join back to the observed days: contributions exploded
+    // onto gap days / past the series end are definitionally dropped
+    daily
+      .join(agg, "day")
+      .select(
+        col("day"),
+        col("x").as("n_events"),
+        col("ewma_num"),
+        col("ewma_den"),
+        (col("ewma_num").cast("double") / col("ewma_den")).as("ewma")
+      )
+      .orderBy("day")
+  }
+
   /** Theil–Sen robust trend over the daily count series: the median
     * of all pairwise slopes (x_j − x_i)/(t_j − t_i) — a 29%-breakdown
     * trend estimate one outlier day cannot drag, where least squares

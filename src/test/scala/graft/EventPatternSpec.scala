@@ -261,6 +261,29 @@ class EventPatternSpec extends SparkSpec {
     assert(got.head == 100L, "a 1-day leading window is its own median")
   }
 
+  test("ewmaDaily: lags are CALENDAR days — a 2-day gap ages the history; exact vs hand model") {
+    import SparkSpec.spark.implicits._
+    // days 0,1,2 then a 2-day gap then day 5: a rows-frame would treat
+    // day 2 as lag 1 of day 5; the calendar semantics make it lag 3
+    val series = Seq(0 -> 100, 1 -> 102, 2 -> 98, 5 -> 200)
+    val base   = java.time.LocalDate.of(2024, 6, 1)
+    val rows = series.flatMap { case (d, cnt) =>
+      (0 until cnt).map(i => (d * 10000L + i, java.sql.Timestamp.valueOf(s"${base.plusDays(d.toLong)} 12:00:00")))
+    }
+    val got = graft.operators.EventAnalytics
+      .ewmaDailyOn(rows.toDF("event_id", "ts"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(2), r.getLong(3)))
+    val w = (0 until 8).map(l => math.pow(3, l).toLong << (2 * (7 - l)))
+    val model = series.map { case (d, _) =>
+      val contrib = series.collect { case (s, x) if d - s >= 0 && d - s < 8 => (x.toLong * w(d - s), w(d - s)) }
+      (base.plusDays(d.toLong), contrib.map(_._1).sum, contrib.map(_._2).sum)
+    }
+    assert(got.toSeq == model, s"got ${got.toSeq} want $model")
+    // the gap must actually bind: day 5's denominator excludes lags 1,2,4..7
+    assert(got.last._3 == w(5) + w(4) + w(3) + w(0), "gap days contributed phantom weight")
+  }
+
   test("fillForward: holes take the latest prior observation per user; leading NULLs stay NULL") {
     val got = SparkEntry
       .queries("events_fill_forward")(spark, sfDir)
