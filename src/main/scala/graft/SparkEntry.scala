@@ -1190,6 +1190,9 @@ object SparkEntry {
     // identity carried (one relaxation loop serves all seeds) —
     // integer reach/mass + an int/int closeness quotient
     "graph_closeness" -> q(Graph.partCloseness),
+    // Brandes seed-set betweenness: exact integer path counts, level-
+    // synchronous dependency accumulation, radius-bounded like closeness
+    "graph_betweenness" -> q(Graph.partBetweenness),
     // weighted SSSP: bounded synchronous Bellman–Ford over the
     // quantity-weighted part↔supplier graph — integer distances replay
     // bit-exact as unrolled SQL like the BFS/PageRank family
@@ -2615,6 +2618,38 @@ object SparkEntry {
          |       ELSE CAST(count(*) - 1 AS DOUBLE) / sum(depth) END AS closeness
          |FROM c4 GROUP BY seed ORDER BY seed""".stripMargin
     }
+    // Brandes seed-set betweenness, radius 3: unrolled forward levels
+    // with exact integer path counts, then unrolled backward
+    // dependency accumulation (Graph.betweenness)
+    val betweennessSql = {
+      val fwd = (1 to 3).map { i =>
+        val prior = (0 until i).map(j => s"SELECT seed, node FROM s$j").mkString(" UNION ALL ")
+        s"""s$i AS (SELECT u.seed, u.node, CAST(sum(u.sigma) AS BIGINT) AS sigma FROM (
+           |  SELECT x.seed, e.dst AS node, x.sigma
+           |  FROM edges e JOIN s${i - 1} x ON x.node = e.src) u
+           |LEFT JOIN ($prior) k ON k.seed = u.seed AND k.node = u.node
+           |WHERE k.node IS NULL
+           |GROUP BY u.seed, u.node)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (2 to 1 by -1).map { i =>
+        s"""d$i AS (SELECT l.seed, l.node, l.sigma,
+           |  COALESCE(sum(CAST(l.sigma AS DOUBLE) / u.sigma * (1 + u.delta)), 0.0) AS delta
+           |FROM s$i l
+           |LEFT JOIN edges e ON e.src = l.node
+           |LEFT JOIN d${i + 1} u ON u.seed = l.seed AND u.node = e.dst
+           |GROUP BY l.seed, l.node, l.sigma)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgesSql,
+         |seeds(seed) AS (VALUES (2), (4), (6), (8), (10)),
+         |s0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+         |              CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |$fwd,
+         |d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM s3),
+         |$bwd
+         |SELECT node, round(sum(delta), 4) AS bc FROM (
+         |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) a
+         |WHERE node <> seed GROUP BY node ORDER BY node""".stripMargin
+    }
     val bm25Sql =
       s"""WITH q(query_id, term) AS (VALUES
          |  (0,'fast'),(0,'hash'),(0,'join'),
@@ -3687,6 +3722,7 @@ object SparkEntry {
       "graph_bfs_depth" -> bfsSql,
       "graph_sssp"      -> ssspSql,
       "graph_closeness" -> closenessSql,
+      "graph_betweenness" -> betweennessSql,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
       // orientation only changes join sizes, never the triangle set

@@ -405,6 +405,85 @@ object Graph {
     closeness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"))
   }
 
+  /** Seed-set BETWEENNESS centrality (Brandes 2001, "A faster
+    * algorithm for betweenness centrality", J. Math. Sociology —
+    * public knowledge), radius-bounded: exact shortest-path counting
+    * from each seed (σ stays a LONG — path counts are integers) and
+    * level-synchronous backward dependency accumulation
+    * δ(v) = Σ_{w : succ} (σ_v/σ_w)·(1+δ_w). The sampled-seed form is
+    * the standard corpus-scale approximation (full betweenness is
+    * all-pairs); scores are the seed-set sums, unscaled and honestly
+    * radius-bounded like [[closeness]].
+    *
+    * Scale: forward is |levels| rounds of one equi-join + one
+    * aggregate + one anti-join (settled set), all node-keyed —
+    * bucketing co-partitions every one of them; backward is one
+    * reversed-edge join + one aggregate per level. Levels are
+    * lazily checkpointed so the plan stays linear in depth. The only
+    * doubles are the σ-ratio dependency terms (rounded to 4 decimals
+    * at the end, repo convention); every count is exact.
+    */
+  def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, "betweenness needs at least one hop")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // forward: strict BFS levels with exact path counts
+    val l0 = seeds
+      .select(col("node").cast("long").as("seed"))
+      .distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(eager = false)
+    var levels  = List(l0) // head = deepest
+    var settled = l0.select("seed", "node")
+    for (_ <- 1 to maxHops) {
+      val next = e
+        .join(levels.head, col("src") === col("node"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .groupBy("seed", "node")
+        .agg(sum("sigma").as("sigma"))
+        .localCheckpoint(eager = false)
+      levels = next :: levels
+      settled = settled.unionByName(next.select("seed", "node")).localCheckpoint(eager = false)
+    }
+    // backward: δ = 0 at the deepest level, then one reversed-edge
+    // join + aggregate per level upward; seeds' own rows (level 0)
+    // never enter the centrality sum
+    var cur       = levels.head.withColumn("delta", lit(0.0))
+    var deltaRows = cur
+    for (lower <- levels.tail) {
+      val fromAbove = cur
+        .join(e, cur("node") === e("dst"))
+        .select(col("seed"), e("src").as("node"), col("sigma").as("sig_w"), col("delta").as("del_w"))
+      cur = lower
+        .join(fromAbove, Seq("seed", "node"), "left")
+        .groupBy(col("seed"), col("node"), col("sigma"))
+        .agg(
+          coalesce(
+            sum(col("sigma").cast("double") / col("sig_w") * (lit(1.0) + col("del_w"))),
+            lit(0.0)
+          ).as("delta")
+        )
+        .localCheckpoint(eager = false)
+      deltaRows = deltaRows.unionByName(cur)
+    }
+    deltaRows
+      .filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(round(sum("delta"), 4).as("bc"))
+      .orderBy("node")
+  }
+
+  /** `graph_betweenness` query body: five part seeds over the
+    * part↔supplier graph, 3-hop radius.
+    */
+  def partBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    betweenness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"))
+  }
+
   /** Weighted single-source(-set) shortest paths by bounded
     * SYNCHRONOUS Bellman–Ford relaxation: `rounds` rounds, each
     * relaxing EVERY edge once (one hash join of the distance relation

@@ -368,4 +368,23 @@ class GraphSpec extends SparkSpec {
     assert(at5 == at6, "one extra peel changed the result — round budget too small")
     assert(at5.nonEmpty && at5.values.forall(_ >= 4L))
   }
+
+  test("betweenness: closed forms — path chain accumulates 3,2,1; diamond splits sigma 0.5/0.5") {
+    def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4-5, seed 1: delta(2)=3, delta(3)=2, delta(4)=1, delta(5)=0
+    val chain = Graph
+      .betweenness(sym(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)), Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(chain == Map(2L -> 3.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0), s"chain gave $chain")
+    // diamond 1-{2,3}-4, seed 1: sigma(4)=2, so 2 and 3 each carry 1/2
+    val diamond = Graph
+      .betweenness(sym(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)), Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(diamond == Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0), s"diamond gave $diamond")
+    // radius bound binds: the chain at maxHops=2 must not see node 5's pressure
+    val bounded = Graph
+      .betweenness(sym(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)), Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bounded == Map(2L -> 1.0, 3L -> 0.0), s"bounded gave $bounded")
+  }
 }
