@@ -97,6 +97,9 @@ object SparkEntry {
   /** Memoized staged input directory for `events_stream_dedup`. */
   private val sdedupStaged = scala.collection.mutable.Set.empty[String]
 
+  /** Memoized staged input directory for `nb_stream_classify`. */
+  private val nbStreamStaged = scala.collection.mutable.Set.empty[String]
+
   /** Same memoization for the BM25 postings index (build + one append
     * covering the full corpus, so the oracle-checked probe exercises
     * the append contract too).
@@ -1581,6 +1584,37 @@ object SparkEntry {
     "nb_train_model"   -> q(Classify.nbTrainModel),
     "nb_classify"      -> q(Classify.nbClassify),
     "nb_confusion"     -> q(Classify.nbConfusion),
+    // standing-model streaming classification: AvailableNow drain in
+    // forced multi-file micro-batches; per-doc scoring is micro-batch-
+    // invariant, so the BATCH oracle gates the streaming path
+    "nb_stream_classify" -> q { (s, dir) =>
+      val base = s"/tmp/${dirKeyed("graft_nbstream", dir)}"
+      val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
+      nbStreamStaged.synchronized {
+        if (!nbStreamStaged.contains(dir)) {
+          fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+          Classify.evalDocs(s, dir).repartition(4).write.parquet(s"$base/in")
+          nbStreamStaged += dir
+        }
+      }
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$base/run"), true)
+      val model = Classify.nbFit(Classify.trainDocs(s, dir))
+      model.modelScored.cache()
+      model.classes.cache()
+      try {
+        val stream = s.readStream
+          .schema(Tables.documents(s, dir).schema)
+          .option("maxFilesPerTrigger", 2) // force a real multi-batch drain
+          .parquet(s"$base/in")
+        graft.streaming.ClassifyServing
+          .classifyStream(stream, model, s"$base/run/out", s"$base/run/ckpt")
+          .awaitTermination()
+      } finally {
+        model.modelScored.unpersist()
+        model.classes.unpersist()
+      }
+      s.read.parquet(s"$base/run/out").orderBy("doc_id")
+    },
     "eval_auc_exact"   -> q(Evaluation.aucExact),
     "eval_pr_curve"    -> q(Evaluation.prCurve),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
@@ -2344,7 +2378,11 @@ object SparkEntry {
     val base    = oracleSqlBase
     // the star-CC variant is algorithm-equivalent to the propagation
     // loop — one oracle, two hash-checked implementations
-    base + ("dedup_components_star" -> base("dedup_components"))
+    base +
+      ("dedup_components_star" -> base("dedup_components")) +
+      // micro-batch-invariant scoring: the streaming drain equals the
+      // batch classification, so the batch oracle gates both paths
+      ("nb_stream_classify" -> base("nb_classify"))
   }
 
   private def oracleSqlBase: Map[String, String] = {

@@ -30,8 +30,18 @@ import graft.Tables
   *   - unseen tokens: handled WITHOUT densifying (doc × vocab) —
   *     a matched-count subtraction folds every unmatched token into
   *     one closed-form Laplace term per (doc, class).
+  *   - fit/score are split ([[nbFit]]/[[nbScore]]) so a standing model
+  *     scores both batch corpora and micro-batches of a stream
+  *     ([[graft.streaming.EventStreams]]-style foreachBatch) without
+  *     refitting.
   */
 object Classify {
+
+  /** Fitted model: per-(class, token) smoothed log-likelihood relation
+    * plus the tiny class relation (priors, token mass, vocab size).
+    * Both are DataFrames — cache() them for repeated scoring.
+    */
+  final case class NbModel(modelScored: DataFrame, classes: DataFrame)
 
   /** Per-(doc, label, token) counts — training's unit of work. */
   private def docTokenCounts(docs: DataFrame): DataFrame =
@@ -41,9 +51,9 @@ object Classify {
       .agg(count(lit(1)).as("cnt"))
 
   /** Deterministic leakage-safe split: doc_id % 5 == 0 is held out. */
-  private def trainDocs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def trainDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") % 5 =!= 0)
-  private def evalDocs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def evalDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
 
   /** Learned multinomial model: token counts per class over the train
@@ -55,18 +65,10 @@ object Classify {
       .agg(sum("cnt").as("cnt"))
       .orderBy("lang", "tok")
 
-  /** Classify the held-out split with Laplace-smoothed multinomial NB.
-    *
-    * score(d, c) = ln(D_c / D)
-    *             + Σ_{t ∈ d ∩ model_c} n_{d,t} · ln((C_{t,c}+1)/(N_c+V))
-    *             + (T_d − matched_d,c) · ln(1/(N_c+V))
-    *
-    * where V counts the train vocabulary and N_c the class token mass.
-    * Ties break on label ascending (deterministic). Scores are rounded
-    * to 4 decimals per the repo-wide double convention.
+  /** Fit the Laplace-smoothed multinomial NB from labeled docs
+    * (`doc_id`, `lang`, `text`).
     */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
-    val train = trainDocs(spark, dir)
+  def nbFit(train: DataFrame): NbModel = {
     val model = docTokenCounts(train)
       .groupBy(col("lang").as("c"), col("tok"))
       .agg(sum("cnt").as("mc"))
@@ -94,9 +96,24 @@ object Classify {
         col("c"),
         log((col("mc") + lit(1.0)) / (col("n_c") + col("v"))).as("ltp")
       )
+    NbModel(modelScored, classes)
+  }
 
-    val evalToks = docTokenCounts(evalDocs(spark, dir))
-    val docTotals = evalDocs(spark, dir)
+  /** Score labeled docs (`doc_id`, `lang`, `text`) against a fitted
+    * model and pick each doc's argmax class.
+    *
+    * score(d, c) = ln(D_c / D)
+    *             + Σ_{t ∈ d ∩ model_c} n_{d,t} · ln((C_{t,c}+1)/(N_c+V))
+    *             + (T_d − matched_d,c) · ln(1/(N_c+V))
+    *
+    * Ties break on label ascending (deterministic). Scores are rounded
+    * to 4 decimals per the repo-wide double convention. Scoring is
+    * per-doc independent, so it is micro-batch-invariant — a stream
+    * scored batch by batch equals the batch classification.
+    */
+  def nbScore(m: NbModel, docs: DataFrame): DataFrame = {
+    val evalToks = docTokenCounts(docs)
+    val docTotals = docs
       .select(col("doc_id"), col("lang").as("true_lang"))
       .join(
         evalToks.groupBy("doc_id").agg(sum("cnt").as("t_d")),
@@ -106,12 +123,12 @@ object Classify {
       .na.fill(0L, Seq("t_d"))
 
     val matched = evalToks
-      .join(modelScored, "tok")
+      .join(m.modelScored, "tok")
       .groupBy("doc_id", "c")
       .agg(sum(col("cnt") * col("ltp")).as("msum"), sum("cnt").as("mcnt"))
 
     val scored = docTotals
-      .crossJoin(broadcast(classes))
+      .crossJoin(broadcast(m.classes))
       .join(matched, Seq("doc_id", "c"), "left")
       .na.fill(0L, Seq("mcnt"))
       .na.fill(0.0, Seq("msum"))
@@ -131,8 +148,13 @@ object Classify {
         col("c").as("pred_lang"),
         round(col("score"), 4).as("logp")
       )
-      .orderBy("doc_id")
   }
+
+  /** Classify the held-out split with the model fitted on the train
+    * split — the batch form.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbScore(nbFit(trainDocs(spark, dir)), evalDocs(spark, dir)).orderBy("doc_id")
 
   /** Confusion matrix of [[nbClassify]] on the held-out split — the
     * classifier's evaluation artifact, pure integer counts (robust at

@@ -335,4 +335,17 @@ class StreamingSpec extends SparkSpec {
       assert(batch.contains(key), s"stateful session $key not found in batch result")
     }
   }
+
+  test("nb_stream_classify drains in MULTIPLE micro-batches and equals the batch classification") {
+    val rows = SparkEntry.queries("nb_stream_classify")(spark, sfDir).collect()
+    val batchRows = graft.operators.Classify.nbClassify(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == batchRows.map(_.toSeq).toSeq, "streaming drain != batch classification")
+    // the invariance claim is only evidence if the drain really was
+    // multi-batch: the checkpoint commit log must show >= 2 batches
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val commits = new java.io.File(s"/tmp/graft_nbstream_$key/run/ckpt/commits")
+      .listFiles()
+      .count(_.getName.forall(_.isDigit))
+    assert(commits >= 2, s"only $commits micro-batch commits — the multi-batch claim is untested")
+  }
 }
