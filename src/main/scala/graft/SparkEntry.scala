@@ -1615,6 +1615,11 @@ object SparkEntry {
       }
       s.read.parquet(s"$base/run/out").orderBy("doc_id")
     },
+    // k-fold CV accuracy (pure integer counts) and the exact-rational
+    // top discriminative tokens per class — the classifier's quality
+    // estimate and interpretability artifacts
+    "nb_cv_accuracy"   -> q((s, dir) => Classify.nbCrossValidate(s, dir)),
+    "nb_top_features"  -> q((s, dir) => Classify.nbTopFeatures(s, dir)),
     "eval_auc_exact"   -> q(Evaluation.aucExact),
     "eval_pr_curve"    -> q(Evaluation.prCurve),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
@@ -2399,38 +2404,73 @@ object SparkEntry {
         |        CAST(COALESCE(sum(g_s) OVER w, 0) AS BIGINT) AS c_g
         |      FROM d WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |t AS (SELECT CAST(sum(y) AS BIGINT) AS pp, count(*) AS nn FROM sc)""".stripMargin
-    // shared by nb_classify / nb_confusion: Laplace-smoothed
-    // multinomial NB over the doc_id%5 split (Classify.nbClassify)
-    val nbClassifyWith =
-      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents),
-         |model AS (SELECT lang AS c, tok, count(*) AS mc FROM tok
-         |          WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
-         |pri AS (SELECT lang AS c, count(*) AS d_c FROM documents
-         |        WHERE doc_id % 5 <> 0 GROUP BY 1),
-         |mass AS (SELECT c, sum(mc) AS n_c FROM model GROUP BY c),
-         |gv AS (SELECT (SELECT count(DISTINCT tok) FROM model) AS v,
-         |                (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS d),
-         |cls AS (SELECT pri.c, pri.d_c, COALESCE(mass.n_c, 0) AS n_c, gv.v, gv.d
-         |        FROM pri LEFT JOIN mass USING (c) CROSS JOIN gv),
-         |ev AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
-         |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-         |tot AS (SELECT d.doc_id, d.lang AS true_lang, COALESCE(s.t_d, 0) AS t_d
-         |        FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
-         |        LEFT JOIN (SELECT doc_id, sum(cnt) AS t_d FROM ev GROUP BY 1) s USING (doc_id)),
-         |mt AS (SELECT ev.doc_id, m.c,
-         |              sum(ev.cnt * ln((m.mc + 1.0) / (cl.n_c + cl.v))) AS msum,
-         |              sum(ev.cnt) AS mcnt
-         |       FROM ev JOIN model m USING (tok) JOIN cls cl ON m.c = cl.c
+    // shared by nb_classify / nb_confusion / nb_cv_accuracy: Laplace-
+    // smoothed multinomial NB, fold-parametric (Classify.nbClassify /
+    // nbCrossValidate) — fold k trains on doc_id%5<>k, scores %5=k;
+    // `x` suffixes CTE names so k folds coexist in one WITH
+    def nbFoldCtes(k: Int, x: String): String =
+      s"""model$x AS (SELECT lang AS c, tok, count(*) AS mc FROM tok
+         |          WHERE doc_id % 5 <> $k GROUP BY 1, 2),
+         |pri$x AS (SELECT lang AS c, count(*) AS d_c FROM documents
+         |        WHERE doc_id % 5 <> $k GROUP BY 1),
+         |mass$x AS (SELECT c, sum(mc) AS n_c FROM model$x GROUP BY c),
+         |gv$x AS (SELECT (SELECT count(DISTINCT tok) FROM model$x) AS v,
+         |                (SELECT count(*) FROM documents WHERE doc_id % 5 <> $k) AS d),
+         |cls$x AS (SELECT pri$x.c, pri$x.d_c, COALESCE(mass$x.n_c, 0) AS n_c, gv$x.v, gv$x.d
+         |        FROM pri$x LEFT JOIN mass$x USING (c) CROSS JOIN gv$x),
+         |ev$x AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+         |       WHERE doc_id % 5 = $k GROUP BY 1, 2),
+         |tot$x AS (SELECT d.doc_id, d.lang AS true_lang, COALESCE(s.t_d, 0) AS t_d
+         |        FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = $k) d
+         |        LEFT JOIN (SELECT doc_id, sum(cnt) AS t_d FROM ev$x GROUP BY 1) s USING (doc_id)),
+         |mt$x AS (SELECT ev$x.doc_id, m.c,
+         |              sum(ev$x.cnt * ln((m.mc + 1.0) / (cl.n_c + cl.v))) AS msum,
+         |              sum(ev$x.cnt) AS mcnt
+         |       FROM ev$x JOIN model$x m USING (tok) JOIN cls$x cl ON m.c = cl.c
          |       GROUP BY 1, 2),
-         |sc AS (SELECT tot.doc_id, tot.true_lang, cls.c,
-         |              ln(CAST(cls.d_c AS DOUBLE) / cls.d)
-         |              + COALESCE(mt.msum, 0.0)
-         |              + (tot.t_d - COALESCE(mt.mcnt, 0)) * ln(1.0 / (cls.n_c + cls.v)) AS score
-         |       FROM tot CROSS JOIN cls
-         |       LEFT JOIN mt ON mt.doc_id = tot.doc_id AND mt.c = cls.c),
-         |pick AS (SELECT doc_id, true_lang, c AS pred_lang, round(score, 4) AS logp,
+         |sc$x AS (SELECT tot$x.doc_id, tot$x.true_lang, cls$x.c,
+         |              ln(CAST(cls$x.d_c AS DOUBLE) / cls$x.d)
+         |              + COALESCE(mt$x.msum, 0.0)
+         |              + (tot$x.t_d - COALESCE(mt$x.mcnt, 0)) * ln(1.0 / (cls$x.n_c + cls$x.v)) AS score
+         |       FROM tot$x CROSS JOIN cls$x
+         |       LEFT JOIN mt$x ON mt$x.doc_id = tot$x.doc_id AND mt$x.c = cls$x.c),
+         |pick$x AS (SELECT doc_id, true_lang, c AS pred_lang, round(score, 4) AS logp,
          |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
-         |         FROM sc)""".stripMargin
+         |         FROM sc$x)""".stripMargin
+    val tokCte =
+      s"""tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)"""
+    val nbClassifyWith = s"WITH $tokCte,\n${nbFoldCtes(0, "")}"
+    val nbCvSql = {
+      val ctes  = (0 until 5).map(k => nbFoldCtes(k, s"_$k")).mkString(",\n")
+      val union = (0 until 5)
+        .map(k => s"SELECT $k AS fold, true_lang, pred_lang FROM pick_$k WHERE rn = 1")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $tokCte,
+         |$ctes,
+         |u AS ($union)
+         |SELECT CAST(fold AS BIGINT) AS fold,
+         |  CAST(sum(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  count(*) AS n_total
+         |FROM u GROUP BY fold ORDER BY fold""".stripMargin
+    }
+    // top discriminative tokens per class: exact cross-multiplied
+    // odds-ratio pair, int/int double quotient ordering (Classify.nbTopFeatures)
+    val nbTopFeaturesSql =
+      s"""WITH $tokCte,
+         |${nbFoldCtes(0, "")},
+         |tc AS (SELECT tok, CAST(sum(mc) AS BIGINT) AS tc FROM model GROUP BY tok),
+         |nm AS (SELECT CAST(sum(mc) AS BIGINT) AS nt FROM model),
+         |f AS (SELECT m.c, m.tok,
+         |        (m.mc + 1) * ((nm.nt - cls.n_c) + cls.v) AS odds_num,
+         |        ((tc.tc - m.mc) + 1) * (cls.n_c + cls.v) AS odds_den
+         |      FROM model m JOIN tc USING (tok) JOIN cls ON m.c = cls.c CROSS JOIN nm),
+         |r AS (SELECT c AS lang, tok,
+         |        CAST(odds_num AS BIGINT) AS odds_num, CAST(odds_den AS BIGINT) AS odds_den,
+         |        row_number() OVER (PARTITION BY c
+         |          ORDER BY CAST(odds_num AS DOUBLE) / odds_den DESC, tok) AS rnk
+         |      FROM f)
+         |SELECT lang, tok, odds_num, odds_den, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
     // shared by dedup_components / dedup_canonical_pick: exact n-gram
     // Jaccard pairs at 0.6 over doc_id < 300, closed into components
     // by a recursive min-label reachability
@@ -4290,6 +4330,8 @@ object SparkEntry {
         s"""$nbClassifyWith
            |SELECT true_lang, pred_lang, count(*) AS n FROM pick WHERE rn = 1
            |GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang""".stripMargin,
+      "nb_cv_accuracy"   -> nbCvSql,
+      "nb_top_features"  -> nbTopFeaturesSql,
       "eval_auc_exact" ->
         s"""$evalCumWith
            |SELECT CAST(r2 - pp * (pp + 1) AS BIGINT) AS auc_num,

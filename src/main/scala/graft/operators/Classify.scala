@@ -156,6 +156,74 @@ object Classify {
   def nbClassify(spark: SparkSession, dir: String): DataFrame =
     nbScore(nbFit(trainDocs(spark, dir)), evalDocs(spark, dir)).orderBy("doc_id")
 
+  /** k-fold cross-validation accuracy: train on doc_id % folds ≠ k,
+    * score fold k, for every k — the standard leakage-safe estimate of
+    * classifier quality, emitted as PURE INTEGER (fold, n_correct,
+    * n_total) counts. Each fold is an independent fit+score plan
+    * (k scans of the corpus — the honest cost of k-fold CV; folds
+    * share nothing by construction).
+    */
+  def nbCrossValidate(spark: SparkSession, dir: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2, s"cross-validation needs >= 2 folds, got $folds")
+    val docs = Tables.documents(spark, dir)
+    (0 until folds)
+      .map { k =>
+        val train = docs.filter(col("doc_id") % folds =!= k)
+        val test  = docs.filter(col("doc_id") % folds === k)
+        nbScore(nbFit(train), test)
+          .select(
+            lit(k.toLong).as("fold"),
+            (col("pred_lang") === col("true_lang")).cast("long").as("ok")
+          )
+      }
+      .reduce(_ unionByName _)
+      .groupBy("fold")
+      .agg(sum("ok").as("n_correct"), count(lit(1)).as("n_total"))
+      .orderBy("fold")
+  }
+
+  /** Top-k discriminative tokens per class by smoothed log-odds vs the
+    * complement class — NB's interpretability artifact ("why is this
+    * the 'de' model"). The odds ratio
+    * ((C_tc+1)/(N_c+V)) / ((C_t¬c+1)/(N_¬c+V)) is ranked as an EXACT
+    * long num/den pair (cross-multiplied), ordered by the int/int
+    * double quotient with token tiebreak — the Theil-Sen exact-rational
+    * ranking convention. Products stay far under 2⁶³ until corpus
+    * token mass approaches ~3×10⁹ per class; beyond that move the pair
+    * to DECIMAL (documented, like aucExact).
+    */
+  def nbTopFeatures(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    val model = docTokenCounts(trainDocs(spark, dir))
+      .groupBy(col("lang").as("c"), col("tok"))
+      .agg(sum("cnt").as("mc"))
+    val mass = model.groupBy("c").agg(sum("mc").as("n_c"))
+    val v    = model.agg(countDistinct("tok").as("v"))
+    val nt   = model.agg(sum("mc").as("nt"))
+    val tc   = model.groupBy("tok").agg(sum("mc").as("tc"))
+    val f = model
+      .join(tc, "tok")
+      .join(broadcast(mass), "c")
+      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(nt))
+      .select(
+        col("c").as("lang"),
+        col("tok"),
+        ((col("mc") + 1L) * ((col("nt") - col("n_c")) + col("v"))).as("odds_num"),
+        (((col("tc") - col("mc")) + 1L) * (col("n_c") + col("v"))).as("odds_den")
+      )
+    f.withColumn(
+      "rnk",
+      row_number()
+        .over(
+          Window
+            .partitionBy("lang")
+            .orderBy((col("odds_num").cast("double") / col("odds_den")).desc, col("tok"))
+        )
+        .cast("long")
+    ).filter(col("rnk") <= topK)
+      .orderBy("lang", "rnk")
+  }
+
   /** Confusion matrix of [[nbClassify]] on the held-out split — the
     * classifier's evaluation artifact, pure integer counts (robust at
     * any scale; the per-doc scores in nbClassify carry the rounded

@@ -39,6 +39,33 @@ class ClassifySpec extends SparkSpec {
     assert(!wcAll.exceptAll(model).isEmpty, "split never binds — eval docs leaked into training")
   }
 
+  test("nbCrossValidate: folds partition the corpus; fold 0 matches the confusion-matrix diagonal") {
+    val cv = Classify.nbCrossValidate(spark, sfDir).collect()
+    assert(cv.length == 5)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(cv.map(_.getLong(2)).sum == total, "fold sizes must partition the corpus")
+    cv.foreach(r => assert(r.getLong(1) <= r.getLong(2), "n_correct > n_total"))
+    // fold 0 is exactly the nb_confusion split — diagonals must agree
+    val diag = Classify.nbConfusion(spark, sfDir).collect()
+      .filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    assert(cv.find(_.getLong(0) == 0L).get.getLong(1) == diag, "fold-0 accuracy != confusion diagonal")
+  }
+
+  test("nbTopFeatures: dense ranks per class, ordered by the exact odds quotient") {
+    val rows = Classify.nbTopFeatures(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ranked = rs.sortBy(_.getLong(4))
+      assert(ranked.map(_.getLong(4)).toSeq == (1L to ranked.length).toSeq, s"$lang ranks not dense")
+      val quotients = ranked.map(r => r.getLong(2).toDouble / r.getLong(3))
+      quotients.sliding(2).foreach {
+        case Array(a, b) => assert(b <= a, s"$lang odds quotient not nonincreasing")
+        case _           =>
+      }
+      assert(rs.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0), "odds pair must be positive")
+    }
+  }
+
   test("a document with only unseen tokens scores prior + T·ln(1/(n_c+V)) — argmax is closed-form") {
     // replicate the smoothing floor from the model relation alone and
     // check nbClassify agrees on the synthetic all-unseen case: since
