@@ -1622,6 +1622,7 @@ object SparkEntry {
     "nb_top_features"  -> q((s, dir) => Classify.nbTopFeatures(s, dir)),
     "eval_auc_exact"   -> q(Evaluation.aucExact),
     "eval_pr_curve"    -> q(Evaluation.prCurve),
+    "eval_calibration" -> q((s, dir) => Evaluation.calibrationBins(s, dir)),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
     // deflate → rows-only; check_compression_ratio is the oracle gate
     "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
@@ -4343,6 +4344,11 @@ object SparkEntry {
         s"""$evalCumWith
            |SELECT s AS threshold, pp - c_p AS tp, (nn - pp) - (c_g - c_p) AS fp, c_p AS fn
            |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin,
+      "eval_calibration" ->
+        """WITH sc AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          |                   CAST(floor(value * 100) AS BIGINT) AS s FROM events)
+          |SELECT s // 5000 AS bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+          |FROM sc GROUP BY bin ORDER BY bin""".stripMargin,
       "dataset_diff" ->
         """WITH v2 AS (
           |  SELECT doc_id,

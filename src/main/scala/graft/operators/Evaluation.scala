@@ -106,6 +106,19 @@ object Evaluation {
       )
   }
 
+  /** Reliability-diagram bins: per score bucket, how many rows and how
+    * many positives — the calibration artifact (a well-calibrated
+    * scorer has n_pos/n tracking the bucket's score). Pure integers,
+    * one hash aggregate; ratio left to the consumer.
+    */
+  def calibrationBins(spark: SparkSession, dir: String, binWidth: Long = 5000L): DataFrame = {
+    require(binWidth > 0, s"calibrationBins needs binWidth > 0, got $binWidth")
+    scoredEvents(spark, dir)
+      .groupBy(expr(s"s DIV ${binWidth}L").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .orderBy("bin")
+  }
+
   /** decimal→long that REFUSES (raise_error in the row path — no extra
     * action) instead of silently nulling past ±2⁶³; auc itself stays
     * exact as a decimal/decimal double at any scale.

@@ -708,6 +708,43 @@ object SnapshotTable {
     else minusDv(spark, path, scanWithPos(spark, path, data, schema), dvs).drop("__graft_file", "__graft_pos")
   }
 
+  /** Resolve the newest version PUBLISHED at or before `tsMillis` —
+    * timestamp time travel, the lake-format contract ("the table as
+    * of last Tuesday 09:00"). The publication instant is the manifest
+    * file's modification time: manifests are write-once (hard-link
+    * publication, never rewritten), so the mtime IS the commit
+    * instant, surviving restarts with zero extra bookkeeping.
+    * Refuses loudly when the timestamp predates every SURVIVING
+    * manifest — a vacuumed history cannot answer it, and a silent
+    * clamp-to-earliest would misreport what existed then.
+    * O(#versions) metadata listing, no data touched.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val f      = fs(spark, path)
+    val logDir = new Path(s"$path/_log")
+    require(f.exists(logDir), s"no table at $path")
+    val stamps = f
+      .listStatus(logDir)
+      .iterator
+      .collect {
+        case st if st.getPath.getName.startsWith("v") && st.getPath.getName.endsWith(".txt") =>
+          (st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toLong, st.getModificationTime)
+      }
+      .toSeq
+    require(stamps.nonEmpty, s"no table at $path")
+    val eligible = stamps.filter(_._2 <= tsMillis)
+    require(
+      eligible.nonEmpty,
+      s"timestamp $tsMillis predates the earliest surviving commit (${stamps.map(_._2).min}) of $path — " +
+        "older history may have been vacuumed"
+    )
+    eligible.map(_._1).max
+  }
+
+  /** [[read]] at the version resolved by [[versionAt]]. */
+  def readAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(spark, path, tsMillis)))
+
   private val SchemaPrefix = "schema:"
 
   /** The schema recorded at or below version `v` (schema meta lines

@@ -77,4 +77,30 @@ class HistorySpec extends SparkSpec {
     val h = SnapshotTable.history(spark, p).select("version", "operation").as[(Long, String)].collect().toSeq
     assert(h == Seq((3L, "append")))
   }
+
+  test("timestamp time travel: versionAt resolves commit instants; pre-history timestamps refuse") {
+    val p = fresh("tsasof")
+    SnapshotTable.create(spark, p, (1L to 10L).toDF("id"))
+    val afterV1 = SnapshotTable
+      .versionAt(spark, p, Long.MaxValue) // sanity: newest wins
+    assert(afterV1 == 1L)
+    val t1 = new java.io.File(s"$p/_log/v${"%012d".format(1L)}.txt").lastModified()
+    Thread.sleep(1100) // local-fs mtime granularity can be 1s
+    SnapshotTable.append(spark, p, (11L to 20L).toDF("id"))
+    val t2 = new java.io.File(s"$p/_log/v${"%012d".format(2L)}.txt").lastModified()
+    assert(t2 > t1, "commit instants must advance")
+    // a timestamp between the commits sees version 1's data
+    assert(SnapshotTable.versionAt(spark, p, t1) == 1L)
+    assert(SnapshotTable.readAt(spark, p, t1).count() == 10L)
+    assert(SnapshotTable.versionAt(spark, p, t2) == 2L)
+    assert(SnapshotTable.readAt(spark, p, t2).count() == 20L)
+    // predating the first surviving commit refuses (vacuumed history)
+    val err = intercept[IllegalArgumentException](SnapshotTable.versionAt(spark, p, t1 - 10000L))
+    assert(err.getMessage.contains("predates"), s"wrong refusal: ${err.getMessage}")
+    // after vacuuming v1 away, t1 itself becomes unanswerable
+    SnapshotTable.vacuum(spark, p, keepFrom = 2L)
+    val err2 = intercept[IllegalArgumentException](SnapshotTable.versionAt(spark, p, t1))
+    assert(err2.getMessage.contains("predates"))
+    assert(SnapshotTable.versionAt(spark, p, t2) == 2L)
+  }
 }
