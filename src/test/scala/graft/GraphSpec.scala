@@ -369,6 +369,50 @@ class GraphSpec extends SparkSpec {
     assert(at5.nonEmpty && at5.values.forall(_ >= 4L))
   }
 
+  /** Model twin of radius-bounded Brandes: plain collections. */
+  private def modelBetweenness(edges: Set[(Long, Long)], seeds: Set[Long], maxHops: Int): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- seeds) {
+      var dist     = Map(s -> 0)
+      val sigma    = scala.collection.mutable.Map(s -> 1L).withDefaultValue(0L)
+      var frontier = Set(s)
+      var levels   = List(Set(s)) // head = deepest
+      for (d <- 1 to maxHops) {
+        val nextSigma = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (v <- frontier; w <- adj.getOrElse(v, Set.empty)) if (!dist.contains(w)) nextSigma(w) += sigma(v)
+        val nf = nextSigma.keySet.toSet
+        nf.foreach { w => dist += w -> d; sigma(w) = nextSigma(w) }
+        frontier = nf
+        levels = nf :: levels
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (level <- levels; v <- level) {
+        for (w <- adj.getOrElse(v, Set.empty) if dist.contains(w) && dist(w) == dist(v) + 1)
+          delta(v) += sigma(v).toDouble / sigma(w) * (1.0 + delta(w))
+      }
+      for ((v, _) <- dist if v != s) acc(v) += delta(v)
+    }
+    acc.toMap
+  }
+
+  test("betweenness: distributed result equals the in-memory Brandes model on pseudo-random graphs") {
+    val rnd = new scala.util.Random(0xb7e15163)
+    for (trial <- 1 to 3) {
+      val n = 24 + trial * 8
+      val es = (1 to n * 3).map { _ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) }
+        .filter(e => e._1 != e._2).toSet
+      val sym   = es ++ es.map(_.swap)
+      val seeds = Set(0L, 3L, 7L)
+      val model = modelBetweenness(sym, seeds, maxHops = 3)
+        .map { case (k, v) => k -> math.rint(v * 1e4) / 1e4 }
+      val got = Graph
+        .betweenness(sym.toSeq.toDF("src", "dst"), seeds.toSeq.toDF("node"), maxHops = 3)
+        .as[(Long, Double)].collect().toMap
+      assert(got == model, s"trial $trial: got ${got.toSeq.sortBy(_._1)} want ${model.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("betweenness: closed forms — path chain accumulates 3,2,1; diamond splits sigma 0.5/0.5") {
     def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toDF("src", "dst")
     // path 1-2-3-4-5, seed 1: delta(2)=3, delta(3)=2, delta(4)=1, delta(5)=0
