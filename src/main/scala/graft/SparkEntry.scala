@@ -1170,6 +1170,9 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, dir))
     },
     "dedup_components"  -> q(Dedup.nearDupComponents),
+    // cluster-aware fold assignment: near-dup copies of a doc can
+    // never straddle the train/eval boundary
+    "split_leakage_safe" -> q((s, dir) => Dedup.leakageSafeSplit(s, dir)),
     "dedup_components_star" -> q(Dedup.nearDupComponentsStar),
     // ---- graph analytics (integer-mass link analysis) ----
     // INTEGER mass + floor division make 5 power iterations bit-exact
@@ -3935,6 +3938,12 @@ object SparkEntry {
       "dedup_components" ->
         s"""$ccWith
            |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+      "split_leakage_safe" ->
+        s"""$ccWith,
+           |s AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS cluster
+           |      FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+           |      LEFT JOIN comp USING (doc_id))
+           |SELECT doc_id, cluster, cluster % 5 AS fold FROM s ORDER BY doc_id""".stripMargin,
       // canonical pick shares the component derivation; the pick is an
       // integer argmin (length desc, doc_id asc) via row_number
       "dedup_canonical_pick" ->

@@ -870,6 +870,29 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(spark, dir).filter(col("doc_id") < 300), k = 3, threshold = 0.6)
     )
 
+  /** LEAKAGE-SAFE dataset split: fold assignment by near-dup CLUSTER,
+    * not by document — the split that keeps a train copy of an eval
+    * document out of training (the classic contamination failure a
+    * per-doc hash split cannot prevent; cf. the decontamination tier).
+    * Every member of a component inherits the component label's fold;
+    * singletons are their own cluster. Deterministic: component labels
+    * are min doc_ids.
+    *
+    * Domain note: bounded to the same doc_id < 300 oracle subset as
+    * [[nearDupComponents]]; at corpus scale the pair relation comes
+    * from the LSH tier ([[minHashLshPairs]]) and this fold projection
+    * is unchanged — one left join + modulo, O(rows).
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String, folds: Int = 5): DataFrame = {
+    require(folds >= 2, s"leakageSafeSplit needs >= 2 folds, got $folds")
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300).select("doc_id")
+    docs
+      .join(nearDupComponents(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+      .withColumn("fold", col("cluster") % folds)
+      .orderBy("doc_id")
+  }
+
   /** [[nearDupComponents]] computed by the large-star/small-star
     * variant — same pair set, same oracle (the two algorithms are
     * spec-pinned equivalent, and the driver hash-checks both).

@@ -66,6 +66,26 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: every near-dup component lands wholly in ONE fold; singletons hash by id") {
+    val split = graft.operators.Dedup.leakageSafeSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(split.nonEmpty)
+    // folds constant per cluster — the whole point of the operator
+    split.groupBy(_._2).foreach { case (cluster, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cluster straddles folds")
+    }
+    val comp = graft.operators.Dedup.nearDupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    split.foreach { case (doc, cluster, fold) =>
+      assert(cluster == comp.getOrElse(doc, doc), s"doc $doc cluster mismatch")
+      assert(fold == cluster % 5)
+    }
+    // the guarantee must BIND somewhere: some multi-member cluster has
+    // a member whose id-hash fold differs from its cluster fold
+    val binds = split.exists { case (doc, cluster, fold) => doc != cluster && doc % 5 != fold }
+    assert(binds, "no doc's fold was changed by clustering — fixture can't witness the guarantee")
+  }
+
   test("a document with only unseen tokens scores prior + T·ln(1/(n_c+V)) — argmax is closed-form") {
     // replicate the smoothing floor from the model relation alone and
     // check nbClassify agrees on the synthetic all-unseen case: since
