@@ -2706,7 +2706,7 @@ object SparkEntry {
     val betweennessSql = {
       val fwd = (1 to 3).map { i =>
         val prior = (0 until i).map(j => s"SELECT seed, node FROM s$j").mkString(" UNION ALL ")
-        s"""s$i AS (SELECT u.seed, u.node, CAST(sum(u.sigma) AS BIGINT) AS sigma FROM (
+        s"""s$i AS MATERIALIZED (SELECT u.seed, u.node, CAST(sum(u.sigma) AS BIGINT) AS sigma FROM (
            |  SELECT x.seed, e.dst AS node, x.sigma
            |  FROM edges e JOIN s${i - 1} x ON x.node = e.src) u
            |LEFT JOIN ($prior) k ON k.seed = u.seed AND k.node = u.node
@@ -2714,7 +2714,7 @@ object SparkEntry {
            |GROUP BY u.seed, u.node)""".stripMargin
       }.mkString(",\n")
       val bwd = (2 to 1 by -1).map { i =>
-        s"""d$i AS (SELECT l.seed, l.node, l.sigma,
+        s"""d$i AS MATERIALIZED (SELECT l.seed, l.node, l.sigma,
            |  COALESCE(sum(CAST(l.sigma AS DOUBLE) / u.sigma * (1 + u.delta)), 0.0) AS delta
            |FROM s$i l
            |LEFT JOIN edges e ON e.src = l.node
@@ -2723,10 +2723,10 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH $graphEdgesSql,
          |seeds(seed) AS (VALUES (2), (4), (6), (8), (10)),
-         |s0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
+         |s0 AS MATERIALIZED (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node,
          |              CAST(1 AS BIGINT) AS sigma FROM seeds),
          |$fwd,
-         |d3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM s3),
+         |d3 AS MATERIALIZED (SELECT seed, node, sigma, 0.0 AS delta FROM s3),
          |$bwd
          |SELECT node, round(sum(delta), 4) AS bc FROM (
          |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3) a
