@@ -1626,6 +1626,9 @@ object SparkEntry {
     "eval_auc_exact"   -> q(Evaluation.aucExact),
     "eval_pr_curve"    -> q(Evaluation.prCurve),
     "eval_calibration" -> q((s, dir) => Evaluation.calibrationBins(s, dir)),
+    // PAV isotonic fit via the minimax identity — no sequential loop,
+    // exact int/int means, bounded bins² pair space (Theil-Sen shape)
+    "eval_isotonic"    -> q(Evaluation.isotonicCalibration),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
     // deflate → rows-only; check_compression_ratio is the oracle gate
     "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
@@ -4358,6 +4361,22 @@ object SparkEntry {
           |                   CAST(floor(value * 100) AS BIGINT) AS s FROM events)
           |SELECT s // 5000 AS bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
           |FROM sc GROUP BY bin ORDER BY bin""".stripMargin,
+      "eval_isotonic" ->
+        """WITH sc AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          |                   CAST(floor(value * 100) AS BIGINT) AS s FROM events),
+          |bins AS (SELECT s // 100 AS b, count(*) AS n, CAST(sum(y) AS BIGINT) AS p
+          |         FROM sc GROUP BY b),
+          |pre AS (SELECT b, n, p AS n_pos,
+          |          CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+          |          CAST(sum(p) OVER (ORDER BY b) AS BIGINT) AS cp
+          |        FROM bins),
+          |ms AS (SELECT lo.b AS j,
+          |         min((hi.cp - (lo.cp - lo.n_pos)) * 1.0 / (hi.cn - (lo.cn - lo.n))) AS minavg
+          |       FROM pre lo JOIN pre hi ON lo.b <= hi.b
+          |       GROUP BY lo.b)
+          |SELECT pre.b AS bin, pre.n, pre.n_pos,
+          |  max(ms.minavg) OVER (ORDER BY pre.b) AS fit
+          |FROM pre JOIN ms ON pre.b = ms.j ORDER BY bin""".stripMargin,
       "dataset_diff" ->
         """WITH v2 AS (
           |  SELECT doc_id,

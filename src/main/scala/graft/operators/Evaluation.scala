@@ -119,6 +119,52 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) over value-unit
+    * score bins, via the closed-form identity
+    * fit(i) = max_{j ≤ i} min_{k ≥ j} mean(y[j..k]) — the minimax
+    * characterization of the isotonic regressor (Robertson/Wright/
+    * Dykstra, "Order Restricted Statistical Inference" — public
+    * knowledge), which needs NO sequential pooling loop: one pair
+    * enumeration + a per-j min + a prefix max.
+    *
+    * Exactness: every mean is one int/int double division of exact
+    * prefix-sum counts (identical IEEE op in any engine), and min/max
+    * over identical double sets are exact — no accumulation, no
+    * rounding, hash-stable cross-engine.
+    *
+    * Scale: bins are VALUE UNITS (s DIV 100), so the directory is
+    * bounded by the score range (~hundreds) at ANY corpus size — the
+    * pair space is bins², the Theil-Sen days² argument; the corpus
+    * contributes exactly one hash aggregate.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicFromScored(scoredEvents(spark, dir))
+
+  /** [[isotonicCalibration]] core over any (y ∈ {0,1}, s: long). */
+  def isotonicFromScored(scored: DataFrame): DataFrame = {
+    val bins = scored
+      .groupBy(expr("s DIV 100").as("b"))
+      .agg(count(lit(1)).as("n"), sum("y").as("p"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0) // directory-sized
+    val pre = bins
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cp", sum("p").over(w))
+      .select(col("b"), col("n"), col("p").as("n_pos"), col("cn"), col("cp"))
+    val hi = pre.select(col("b").as("k"), col("cn").as("cnk"), col("cp").as("cpk"))
+    val lo = pre.select(col("b").as("j"), (col("cn") - col("n")).as("cnj"), (col("cp") - col("n_pos")).as("cpj"))
+    // mean(j..k) for every j <= k over the bounded directory
+    val minSuffix = lo
+      .join(hi, col("j") <= col("k"))
+      .select(col("j"), ((col("cpk") - col("cpj")).cast("double") / (col("cnk") - col("cnj"))).as("m"))
+      .groupBy("j")
+      .agg(min("m").as("minavg"))
+    val fit = pre
+      .join(minSuffix, col("b") === col("j"))
+      .withColumn("fit", max("minavg").over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("b").as("bin"), col("n"), col("n_pos"), col("fit"))
+    fit.orderBy("bin")
+  }
+
   /** decimal→long that REFUSES (raise_error in the row path — no extra
     * action) instead of silently nulling past ±2⁶³; auc itself stays
     * exact as a decimal/decimal double at any scale.

@@ -52,6 +52,29 @@ class EvaluationSpec extends SparkSpec {
     assert(wide.map(_.toSeq).toSeq == tiny.map(_.toSeq).toSeq, "block width changed cumulative counts")
   }
 
+  test("isotonic fit: monotone, in [0,1], mass-preserving; closed forms pool exactly") {
+    val fit = Evaluation.isotonicCalibration(spark, sfDir).collect()
+    assert(fit.nonEmpty)
+    fit.sliding(2).foreach {
+      case Array(a, b) => assert(b.getDouble(3) >= a.getDouble(3), "fit must be nondecreasing")
+      case _           =>
+    }
+    assert(fit.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // PAV preserves total mass: sum n_i * fit_i == total positives
+    val mass = fit.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val pos  = fit.map(_.getLong(2)).sum
+    assert(math.abs(mass - pos) < 1e-6 * math.max(1.0, pos), s"mass $mass != positives $pos")
+    // closed forms: already-monotone input is untouched; a violation pools
+    def tiny(rows: Seq[(Long, Long)]) =
+      Evaluation.isotonicFromScored(scoredDf(rows)).collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // bins 0 and 1 (scores 0, 100): rates 1/4 then 3/4 — monotone, kept
+    val mono = tiny(Seq((1L, 0L), (0L, 0L), (0L, 0L), (0L, 0L), (1L, 100L), (1L, 100L), (1L, 100L), (0L, 100L)))
+    assert(mono == Seq((0L, 0.25), (1L, 0.75)), s"monotone case altered: $mono")
+    // rates 3/4 then 1/4 — violation pools to the global mean 1/2
+    val pooled = tiny(Seq((1L, 0L), (1L, 0L), (1L, 0L), (0L, 0L), (0L, 100L), (0L, 100L), (0L, 100L), (1L, 100L)))
+    assert(pooled == Seq((0L, 0.5), (1L, 0.5)), s"violation not pooled: $pooled")
+  }
+
   test("PR curve invariants: tp+fn constant, monotone counts, extremes") {
     val curve = Evaluation.prCurve(spark, sfDir).collect()
     assert(curve.nonEmpty)
