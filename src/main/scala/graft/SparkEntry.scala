@@ -995,6 +995,9 @@ object SparkEntry {
     "events_sliding_counts" -> q(EventAnalytics.slidingCounts),
     "events_sessionize"     -> q(EventAnalytics.sessionize),
     "events_user_profile"   -> q(EventAnalytics.userProfile),
+    // RFM quartile coding over the per-user directory; total-order
+    // ntile ties break deterministically on user_id
+    "events_rfm_segments"   -> q(EventAnalytics.rfmSegments),
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
@@ -1670,6 +1673,9 @@ object SparkEntry {
     // prefix) — the null-rate move and the dictionary collapse must
     // flag, the untouched column must not; DuckDB recomputes both
     // profiles from the same CASE mods and restates the integer flags
+    // Benford leading-digit screen; digit from the decimal rendering
+    // of exact cents, never libm log10 (ulp-shifts at powers of ten)
+    "profile_benford" -> q((s, dir) => Profile.benfordDigits(Tables.orders(s, dir), "o_totalprice")),
     "profile_drift" -> q { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val degraded = docs
@@ -3493,6 +3499,23 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
           |FROM w ORDER BY day""".stripMargin,
+      "events_rfm_segments" ->
+        """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |                   CAST(floor(value * 100) AS BIGINT) AS cents
+          |            FROM events WHERE event_type = 'purchase'),
+          |anchor AS (SELECT max(day) AS anchor_day FROM ev),
+          |pu AS (SELECT user_id,
+          |         CAST(date_diff('day', max(day), (SELECT anchor_day FROM anchor)) AS BIGINT) AS recency_days,
+          |         count(*) AS freq, CAST(sum(cents) AS BIGINT) AS cents
+          |       FROM ev GROUP BY user_id),
+          |coded AS (SELECT user_id, recency_days, freq, cents,
+          |            CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r,
+          |            CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f,
+          |            CAST(ntile(4) OVER (ORDER BY cents, user_id) AS BIGINT) AS m
+          |          FROM pu)
+          |SELECT user_id, recency_days, freq, cents, r, f, m,
+          |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+          |FROM coded ORDER BY user_id""".stripMargin,
       "events_ewma_daily" ->
         """WITH daily AS (
           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
@@ -4420,6 +4443,16 @@ object SparkEntry {
           |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
           |SELECT key, cnt, n_keys, n_rows FROM c CROSS JOIN t
           |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+      "profile_benford" ->
+        """WITH cents AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |               FROM orders WHERE floor(o_totalprice * 100) > 0),
+          |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+          |             count(*) AS n_observed
+          |      FROM cents GROUP BY digit),
+          |t AS (SELECT count(*) AS n FROM cents)
+          |SELECT digit, n_observed,
+          |  round(n * log10(1.0 + 1.0 / digit), 4) AS n_expected
+          |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
       "profile_incremental" -> {
         val cols = Seq("l_suppkey", "l_returnflag", "l_linestatus", "l_linenumber")
         cols

@@ -21,6 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Benford first-digit conformity profile — the classic
+    * fabricated-data / unit-mixup screen for financial-style amount
+    * columns: observed count per leading digit vs the Benford
+    * expectation n·log10(1+1/d). The leading digit is taken from the
+    * DECIMAL RENDERING of exact cents (CAST to string), never from
+    * floor(v/10^floor(log10 v)) — libm log10 is off-by-one-ulp at
+    * powers of ten, which silently shifts the digit of exact-power
+    * amounts; string-of-integer is identical in every engine.
+    * One hash aggregate over the data; the 9-row digit directory
+    * carries the only floats (rounded expectation).
+    */
+  def benfordDigits(df: DataFrame, amountCol: String): DataFrame = {
+    val cents = df
+      .select(expr(s"CAST(floor($amountCol * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+    val digits = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_observed"))
+    digits
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+      .select(
+        col("digit"),
+        col("n_observed"),
+        round(col("n") * log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("n_expected")
+      )
+      .orderBy("digit")
+  }
+
   /** Join-key skew report: the k hottest keys with exact counts plus
     * the table's total row and distinct-key counts (all integers —
     * the skew ratio cnt·n_keys/n_rows is derivable exactly, no float

@@ -261,6 +261,23 @@ class EventPatternSpec extends SparkSpec {
     assert(got.head == 100L, "a 1-day leading window is its own median")
   }
 
+  test("rfmSegments: every purchasing user coded once; quartiles balanced; segment echoes the codes") {
+    val got = SparkEntry.queries("events_rfm_segments")(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(got.length.toLong == users, "one row per purchasing user")
+    Seq(4, 5, 6).foreach { i => // r, f, m columns
+      val codes = got.map(_.getLong(i))
+      assert(codes.forall(c => c >= 1 && c <= 4))
+      val sizes = codes.groupBy(identity).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"ntile(4) quartiles unbalanced: $sizes")
+    }
+    got.foreach { r =>
+      assert(r.getString(7) == s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}", "segment != rfm concat")
+    }
+  }
+
   test("ewmaDaily: lags are CALENDAR days — a 2-day gap ages the history; exact vs hand model") {
     import SparkSpec.spark.implicits._
     // days 0,1,2 then a 2-day gap then day 5: a rows-frame would treat

@@ -109,4 +109,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("source")._2, "prefix collapse of the source dictionary must flag ndv_drift")
     assert(got("n_chars") == (false, false), "the untouched column must stay clean")
   }
+
+  test("benfordDigits: digits 1-9 partition the positive rows; expectation masses to n; powers of ten don't shift") {
+    import SparkSpec.spark.implicits._
+    val got = graft.operators.Profile
+      .benfordDigits(Tables.orders(spark, sfDir), "o_totalprice")
+      .collect()
+    val digits = got.map(_.getLong(0))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    val positive = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.expr("floor(o_totalprice * 100) > 0")).count()
+    assert(got.map(_.getLong(1)).sum == positive, "observed counts must partition the rows")
+    assert(math.abs(got.map(_.getDouble(2)).sum - positive) < 0.01, "Benford expectations must mass to n")
+    // the libm trap the string path avoids: amounts that are exact
+    // powers of ten must classify as digit 1
+    val tricky = Seq(10.00, 100.00, 1000.00, 0.01).toDF("v")
+    val t = graft.operators.Profile.benfordDigits(tricky, "v").collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1))).toMap == Map(1L -> 4L), s"power-of-ten digits shifted: ${t.toSeq}")
+  }
 }
