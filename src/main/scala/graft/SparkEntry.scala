@@ -1546,6 +1546,23 @@ object SparkEntry {
         )
       Quality.piiCardScan(docs, "doc_id", "text2").orderBy("doc_id")
     },
+    // contact-PII scan over planted emails/IPs/phones (%40 families);
+    // RE2 ∩ Java patterns so the oracle replays them verbatim
+    "text_pii_contacts" -> q { (s, dir) =>
+      val docs = Tables
+        .documents(s, dir)
+        .withColumn(
+          "text2",
+          concat(
+            col("text"),
+            when(col("doc_id") % 40 === 0, concat(lit(" contact u"), col("doc_id"), lit("@example.com now")))
+              .when(col("doc_id") % 40 === 13, concat(lit(" host 10."), col("doc_id") % 256, lit(".0.1 up")))
+              .when(col("doc_id") % 40 === 26, lit(" call 555-0142 today"))
+              .otherwise(lit(""))
+          )
+        )
+      Quality.piiContacts(docs, "doc_id", "text2").orderBy("doc_id")
+    },
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
@@ -4443,6 +4460,17 @@ object SparkEntry {
           |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
           |SELECT key, cnt, n_keys, n_rows FROM c CROSS JOIN t
           |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+      "text_pii_contacts" ->
+        """WITH t AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 40 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          |       WHEN doc_id % 40 = 13 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+          |       WHEN doc_id % 40 = 26 THEN ' call 555-0142 today'
+          |       ELSE '' END AS text2 FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+          |  CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+          |FROM t ORDER BY doc_id""".stripMargin,
       "profile_benford" ->
         """WITH cents AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
           |               FROM orders WHERE floor(o_totalprice * 100) > 0),

@@ -319,6 +319,25 @@ object Quality {
     * document that carries at least one candidate:
     * `(id, n_candidates, n_valid)`.
     */
+  /** Contact-PII scan: per-doc counts of email / IPv4 / NANP-style
+    * phone matches — the scrub-before-training screen beside
+    * [[piiCardScan]]. Patterns restricted to the RE2 ∩ Java-regex
+    * dialect (no lookbehind, no backrefs) so the oracle replays them
+    * verbatim; counts are exact ints. Single narrow pass, zero
+    * shuffles before the output sort.
+    */
+  def piiContacts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipv4  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phone = """\b\d{3}-\d{4}\b"""
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(ipv4), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col(textCol), lit(phone), lit(0))).cast("long").as("n_phones")
+    )
+  }
+
   def piiCardScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val luhnValid =
       s"""s -> aggregate(sequence(1, length(s)), CAST(0 AS BIGINT), (acc, i) -> acc +

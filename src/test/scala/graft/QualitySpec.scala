@@ -179,4 +179,19 @@ class QualitySpec extends SparkSpec {
       assert(nc >= 1L && nv == 0L, s"doc $id lookalike must be candidate-only")
     }
   }
+
+  test("piiContacts: planted contact types detected exactly where planted, nowhere else") {
+    val rows = SparkEntry.queries("text_pii_contacts")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, e, ip, ph) =>
+      val want = (id % 40) match {
+        case 0L  => (1L, 0L, 0L)
+        case 13L => (0L, 1L, 0L)
+        case 26L => (0L, 0L, 1L)
+        case _   => (0L, 0L, 0L)
+      }
+      assert((e, ip, ph) == want, s"doc $id: got ($e,$ip,$ph) want $want")
+    }
+  }
 }
