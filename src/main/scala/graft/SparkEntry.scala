@@ -998,6 +998,8 @@ object SparkEntry {
     // RFM quartile coding over the per-user directory; total-order
     // ntile ties break deterministically on user_id
     "events_rfm_segments"   -> q(EventAnalytics.rfmSegments),
+    // gaps-and-islands consecutive-day streaks, per-user windows only
+    "events_streaks"        -> q(EventAnalytics.activityStreaks),
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
@@ -3516,6 +3518,21 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
           |FROM w ORDER BY day""".stripMargin,
+      "events_streaks" ->
+        """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+          |r AS (SELECT user_id, day,
+          |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+          |      FROM days),
+          |st AS (SELECT user_id, anchor, count(*) AS len, min(day) AS start FROM r GROUP BY 1, 2),
+          |pick AS (SELECT user_id, len, start,
+          |           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS rn
+          |         FROM st),
+          |agg AS (SELECT user_id, count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
+          |        FROM st GROUP BY 1)
+          |SELECT a.user_id, a.n_active_days, a.n_streaks,
+          |  CAST(p.len AS BIGINT) AS longest_streak, p.start AS longest_start
+          |FROM agg a JOIN pick p ON a.user_id = p.user_id AND p.rn = 1
+          |ORDER BY a.user_id""".stripMargin,
       "events_rfm_segments" ->
         """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
           |                   CAST(floor(value * 100) AS BIGINT) AS cents

@@ -644,6 +644,40 @@ object EventAnalytics {
       )
       .orderBy("user_id")
 
+  /** Per-user activity STREAKS (gaps-and-islands): consecutive-day
+    * runs found by the anchor identity day − row_number (constant
+    * exactly within a run), then per-user longest streak with a
+    * deterministic tie-break (earliest start). All integers and
+    * dates; windows are partitioned per user — no global window, the
+    * classic engagement metric at any scale.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    activityStreaksOn(Tables.events(spark, dir))
+
+  /** [[activityStreaks]] core over an explicit relation with
+    * (`user_id`, `ts`).
+    */
+  def activityStreaksOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = ev
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val streaks = days
+      .withColumn("anchor", expr("date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min("day").as("start"))
+    val pick = streaks
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy(col("len").desc, col("start"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("len").as("longest_streak"), col("start").as("longest_start"))
+    streaks
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum("len").as("n_active_days"))
+      .join(pick, "user_id")
+      .select("user_id", "n_active_days", "n_streaks", "longest_streak", "longest_start")
+      .orderBy("user_id")
+  }
+
   /** RFM segmentation: each user coded 1–4 on Recency (days since
     * last purchase, vs the corpus max day — a deterministic anchor),
     * Frequency (purchase count) and Monetary (purchase cents), codes

@@ -278,6 +278,22 @@ class EventPatternSpec extends SparkSpec {
     }
   }
 
+  test("activityStreaks: islands split on calendar gaps; ties pick the earliest start") {
+    import SparkSpec.spark.implicits._
+    val base = java.time.LocalDate.of(2024, 6, 1)
+    def ev(u: Long, d: Int, i: Int) =
+      (u * 1000 + d * 10 + i, java.sql.Timestamp.valueOf(s"${base.plusDays(d.toLong)} 0$i:00:00"), u)
+    // user 1: 1,2,3 | 5,6 | 9 ; user 2: 1,2 | 4,5 (tie on length)
+    val rows = Seq(1 -> 1, 1 -> 2, 1 -> 3, 1 -> 5, 1 -> 6, 1 -> 9, 2 -> 1, 2 -> 2, 2 -> 4, 2 -> 5)
+      .flatMap { case (u, d) => Seq(ev(u, d, 1), ev(u, d, 2)) } // 2 events/day: distinct must collapse
+      .toDF("event_id", "ts", "user_id")
+    val got = graft.operators.EventAnalytics.activityStreaksOn(rows).collect()
+    // columns: user_id, n_active_days, n_streaks, longest_streak, longest_start
+    val m = got.map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(1), r.getLong(2), r.getDate(4).toLocalDate))).toMap
+    assert(m(1L) == ((3L, 6L, 3L, base.plusDays(1))), s"user 1: ${m(1L)}")
+    assert(m(2L) == ((2L, 4L, 2L, base.plusDays(1))), s"user 2 must tie-break to the EARLIEST start: ${m(2L)}")
+  }
+
   test("ewmaDaily: lags are CALENDAR days — a 2-day gap ages the history; exact vs hand model") {
     import SparkSpec.spark.implicits._
     // days 0,1,2 then a 2-day gap then day 5: a rows-frame would treat
