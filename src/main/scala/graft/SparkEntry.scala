@@ -577,6 +577,43 @@ object SparkEntry {
     */
   private val cdfRollupBuilt = scala.collection.mutable.Set.empty[String]
 
+  /** Memoized incremental NB model: the (lang, tok) count model
+    * maintained as a delete-aware [[graft.sources.DeltaRollup]] view
+    * over a graft-log table of train-split token rows — built from
+    * two-thirds of the split, extended by append, stressed by a
+    * retract-then-restore leg (net zero), then compacted. The oracle
+    * is the FULL batch model (`nb_train_model`): incremental
+    * maintenance must land exactly there.
+    */
+  private val nbIncBuilt = scala.collection.mutable.Set.empty[String]
+  private def nbIncReady(s: SparkSession, dir: String): String = {
+    val base = s"/tmp/${dirKeyed("graft_nbinc_base", dir)}"
+    val view = s"/tmp/${dirKeyed("graft_nbinc_view", dir)}"
+    nbIncBuilt.synchronized {
+      if (!nbIncBuilt.contains(dir)) {
+        val f = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq(base, view).foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), true)) // stale run
+        val toks = TextJobs
+          .tokenized(Classify.trainDocs(s, dir).select("doc_id", "lang", "text"), "text", "tok")
+          .select(col("doc_id"), col("lang"), col("tok"), lit(1L).as("one"))
+        graft.sources.SnapshotTable.create(s, base, toks.filter(col("doc_id") % 3 =!= 0).repartition(4))
+        graft.sources.DeltaRollup.build(s, view, base, keys = Seq("lang", "tok"), measures = Seq("one"))
+        graft.sources.SnapshotTable.append(s, base, toks.filter(col("doc_id") % 3 === 0))
+        graft.sources.DeltaRollup.maintain(s, view)
+        // retract one doc family, maintain, restore it, maintain: the
+        // delete-aware path must cancel exactly
+        graft.sources.SnapshotTable.deleteMor(s, base, col("doc_id") % 7 === 1)
+        graft.sources.DeltaRollup.maintain(s, view)
+        graft.sources.SnapshotTable.append(s, base, toks.filter(col("doc_id") % 7 === 1))
+        graft.sources.DeltaRollup.maintain(s, view)
+        graft.sources.DeltaRollup.compactRollup(s, view)
+        nbIncBuilt += dir
+      }
+    }
+    view
+  }
+
   private def cdfRollupReady(s: SparkSession, dir: String): (String, String) = {
     val base = s"/tmp/${dirKeyed("graft_cdf_base", dir)}"
     val view = s"/tmp/${dirKeyed("graft_cdf_view", dir)}"
@@ -979,6 +1016,9 @@ object SparkEntry {
     "text_winnow"           -> q((s, dir) => DataOps.winnowFingerprints(s, dir)),
     "dataset_split"         -> q(DataOps.datasetSplit),
     "skyline_parts"         -> q(Relational.skylineParts),
+    // Pareto classes on exact cents; boundaries via cross-multiplied
+    // integers — no float share arithmetic at the 80/95 cut
+    "abc_analysis"          -> q(Relational.abcAnalysis),
     "docs_dsir_weights"     -> q(DataOps.dsirWeightsEn),
     "pack_sequences"        -> q((s, dir) => DataOps.packSequences(s, dir)),
     "agg_extras"            -> q(Relational.aggExtras),
@@ -1612,6 +1652,15 @@ object SparkEntry {
     // standing-model streaming classification: AvailableNow drain in
     // forced multi-file micro-batches; per-doc scoring is micro-batch-
     // invariant, so the BATCH oracle gates the streaming path
+    // the NB model as a maintained additive view: build 2/3 + append
+    // 1/3 + retract/restore leg must land EXACTLY on the batch model
+    "nb_model_incremental" -> q { (s, dir) =>
+      val view = nbIncReady(s, dir)
+      graft.sources.DeltaRollup
+        .readRollup(s, view)
+        .select(col("lang"), col("tok"), col("sum_one").as("cnt"))
+        .orderBy("lang", "tok")
+    },
     "nb_stream_classify" -> q { (s, dir) =>
       val base = s"/tmp/${dirKeyed("graft_nbstream", dir)}"
       val fsys = new org.apache.hadoop.fs.Path(base).getFileSystem(s.sessionState.newHadoopConf())
@@ -2419,7 +2468,9 @@ object SparkEntry {
       ("dedup_components_star" -> base("dedup_components")) +
       // micro-batch-invariant scoring: the streaming drain equals the
       // batch classification, so the batch oracle gates both paths
-      ("nb_stream_classify" -> base("nb_classify"))
+      ("nb_stream_classify" -> base("nb_classify")) +
+      // incremental maintenance must land exactly on the batch model
+      ("nb_model_incremental" -> base("nb_train_model"))
   }
 
   private def oracleSqlBase: Map[String, String] = {
@@ -3518,6 +3569,20 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
           |FROM w ORDER BY day""".stripMargin,
+      "abc_analysis" ->
+        """WITH pp AS (SELECT l_partkey AS part,
+          |              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |            FROM lineitem GROUP BY 1),
+          |c AS (SELECT part, cents,
+          |        CAST(sum(cents) OVER (ORDER BY cents DESC, part
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+          |      FROM pp),
+          |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pp)
+          |SELECT part, cents, cum_cents,
+          |  CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+          |       WHEN cum_cents * 100 <= total * 95 THEN 'B'
+          |       ELSE 'C' END AS abc_class
+          |FROM c CROSS JOIN t ORDER BY part""".stripMargin,
       "events_streaks" ->
         """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
           |r AS (SELECT user_id, day,

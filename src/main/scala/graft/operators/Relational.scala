@@ -1558,6 +1558,36 @@ object Relational {
       .orderBy("item", "rnk")
   }
 
+  /** ABC (Pareto) revenue classification: parts ranked by exact
+    * revenue cents, class A up to 80% of cumulative revenue, B to
+    * 95%, C beyond — the classic inventory-concentration analysis.
+    * Thresholds compare CROSS-MULTIPLIED integers
+    * (cum·100 ≤ total·80), so the class boundary is exact at any
+    * scale; ranking ties break on part key. The cumulative runs over
+    * the per-part revenue DIRECTORY (one aggregate output row per
+    * part — the RFM-style directory-window argument; at part
+    * cardinalities past one partition, switch to the two-phase
+    * block+offset pattern used by [[graft.operators.Evaluation]]).
+    */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("part")).rowsBetween(Window.unboundedPreceding, 0)
+    perPart
+      .withColumn("cum_cents", sum("cents").over(w))
+      .crossJoin(broadcast(perPart.agg(sum("cents").as("total"))))
+      .withColumn(
+        "abc_class",
+        when(col("cum_cents") * 100L <= col("total") * 80L, "A")
+          .when(col("cum_cents") * 100L <= col("total") * 95L, "B")
+          .otherwise("C")
+      )
+      .select("part", "cents", "cum_cents", "abc_class")
+      .orderBy("part")
+  }
+
   /** Skyline over `part`: cheapest-for-largest frontier on
     * (p_retailprice min, p_size max). Comparison-only on the doubles —
     * no float arithmetic, so the oracle hash-compare is exact.

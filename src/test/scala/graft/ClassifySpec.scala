@@ -66,6 +66,30 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("nb_model_incremental: the maintained rollup view equals the batch model row-for-row") {
+    val inc = SparkEntry.queries("nb_model_incremental")(spark, sfDir).collect().map(_.toSeq).toSeq
+    val full = Classify.nbTrainModel(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(inc == full, s"incremental model diverged: ${inc.size} vs ${full.size} rows")
+  }
+
+  test("abc_analysis: classes are cumulative-prefix bands with exact integer boundaries") {
+    val rows = SparkEntry.queries("abc_analysis")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty && Set("A", "B", "C").subsetOf(rows.map(_._3).toSet),
+      "fixture must populate all three classes")
+    val total = rows.map(_._1).sum
+    rows.foreach { case (_, cum, cls) =>
+      val want = if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+      assert(cls == want, s"class mismatch at cum=$cum")
+    }
+    // bands are prefixes of the revenue ordering: every A's cum < every B's cum < every C's
+    val maxA = rows.filter(_._3 == "A").map(_._2).max
+    val minB = rows.filter(_._3 == "B").map(_._2).min
+    val maxB = rows.filter(_._3 == "B").map(_._2).max
+    val minC = rows.filter(_._3 == "C").map(_._2).min
+    assert(maxA < minB && maxB < minC, "classes must be contiguous cumulative bands")
+  }
+
   test("leakageSafeSplit: every near-dup component lands wholly in ONE fold; singletons hash by id") {
     val split = graft.operators.Dedup.leakageSafeSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
