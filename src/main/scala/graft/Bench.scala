@@ -150,14 +150,15 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     // ---- pinned sf1 heavy-family track (BENCH_MANIFEST_SF1.txt) ----
     // One timed run per query at 10x the bench scale, serialized
-    // BEFORE the main track on the still-clean JVM: running it after
-    // was measured to inflate the checkpoint-heavy graph family ~2x
-    // (storage-memory/GC residue from 167 main-track queries — lpa
-    // 13.6 s alone vs 38 s after; fresh-JVM probe confirmed the
-    // operators unchanged). Single rep, cold standing state: this is
-    // a round-over-round TREND LINE for the scale claims, not a
-    // latency number. Skipped silently when the sf1 corpus or
-    // manifest is absent (e.g. a fresh driver host).
+    // BEFORE the main track on the still-clean JVM so trend points
+    // never inherit main-track storage/GC residue. (A suspected 2x
+    // after-main inflation turned out to be a LAUNCH mismatch - sf1
+    // points taken at local[4] vs the conventional CPUS=8; the JSON
+    // now records "cpus" so a sample can never hide its parallelism
+    // again.) Single rep, cold standing state: this is a
+    // round-over-round TREND LINE for the scale claims, not a latency
+    // number. Skipped silently when the sf1 corpus or manifest is
+    // absent (e.g. a fresh driver host).
     val sf1Json: Option[String] = {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       val mPath = java.nio.file.Paths.get(
@@ -232,7 +233,7 @@ object Bench {
     val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the final JSON line out of that tail — a full 100+-query map
     // (~4.5 KB) overflows the window and the round artifact records
@@ -244,7 +245,7 @@ object Bench {
     val stdoutLine = {
       val bySlowest = results.sortBy(-_._2)
       val meta =
-        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
       val budget  = 1700 - meta.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used    = 2 // braces
