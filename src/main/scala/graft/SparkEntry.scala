@@ -1019,6 +1019,8 @@ object SparkEntry {
     // Pareto classes on exact cents; boundaries via cross-multiplied
     // integers — no float share arithmetic at the 80/95 cut
     "abc_analysis"          -> q(Relational.abcAnalysis),
+    // first-order-month cohorts x months-since age: the LTV triangle
+    "cohort_ltv"            -> q(Relational.cohortLtv),
     "docs_dsir_weights"     -> q(DataOps.dsirWeightsEn),
     "pack_sequences"        -> q((s, dir) => DataOps.packSequences(s, dir)),
     "agg_extras"            -> q(Relational.aggExtras),
@@ -3569,6 +3571,18 @@ object SparkEntry {
           |SELECT day, x AS n_events,
           |  CAST(arr[CAST((len(arr) + 1) // 2 AS INTEGER)] AS BIGINT) AS med7
           |FROM w ORDER BY day""".stripMargin,
+      "cohort_ltv" ->
+        """WITH o AS (SELECT o_custkey,
+          |             date_trunc('month', CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)) AS month,
+          |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          |           FROM orders),
+          |c AS (SELECT o_custkey, min(month) AS cohort_month FROM o GROUP BY 1)
+          |SELECT CAST(c.cohort_month AS DATE) AS cohort_month,
+          |  CAST(date_diff('month', c.cohort_month, o.month) AS BIGINT) AS age_months,
+          |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+          |  CAST(sum(o.cents) AS BIGINT) AS cents
+          |FROM o JOIN c USING (o_custkey)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "abc_analysis" ->
         """WITH pp AS (SELECT l_partkey AS part,
           |              CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -1558,6 +1558,28 @@ object Relational {
       .orderBy("item", "rnk")
   }
 
+  /** Cohort LTV triangle: customers grouped by first-order month
+    * (cohort), revenue rolled up by months-since-cohort (age) — the
+    * lifetime-value retention triangle. All integers (exact cents,
+    * month arithmetic on truncated dates); two hash aggregates and
+    * one equi-join on customer, no windows at all.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "MM").as("month"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents")
+      )
+    val cohorts = o.groupBy("o_custkey").agg(min("month").as("cohort_month"))
+    o.join(cohorts, "o_custkey")
+      .withColumn("age_months", months_between(col("month"), col("cohort_month")).cast("long"))
+      .groupBy("cohort_month", "age_months")
+      .agg(countDistinct("o_custkey").as("n_customers"), sum("cents").as("cents"))
+      .orderBy("cohort_month", "age_months")
+  }
+
   /** ABC (Pareto) revenue classification: parts ranked by exact
     * revenue cents, class A up to 80% of cumulative revenue, B to
     * 95%, C beyond — the classic inventory-concentration analysis.

@@ -90,6 +90,23 @@ class ClassifySpec extends SparkSpec {
     assert(maxA < minB && maxB < minC, "classes must be contiguous cumulative bands")
   }
 
+  test("cohort_ltv: age-0 row carries the full cohort; ages nonnegative; revenue masses to the corpus") {
+    val rows = SparkEntry.queries("cohort_ltv")(spark, sfDir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L), "negative cohort age")
+    // every cohort has an age-0 row, and no age can exceed its size
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val age0 = rs.find(_._2 == 0L).getOrElse(fail(s"cohort $c missing its own first month"))
+      assert(rs.forall(_._3 <= age0._3), s"cohort $c: a later age has more customers than month 0")
+    }
+    val totalCents = Tables.orders(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")))
+      .head().getLong(0)
+    assert(rows.map(_._4).sum == totalCents, "triangle must partition total revenue exactly")
+  }
+
   test("leakageSafeSplit: every near-dup component lands wholly in ONE fold; singletons hash by id") {
     val split = graft.operators.Dedup.leakageSafeSplit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
