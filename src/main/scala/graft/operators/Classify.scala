@@ -69,19 +69,27 @@ object Classify {
     * (`doc_id`, `lang`, `text`).
     */
   def nbFit(train: DataFrame): NbModel = {
+    // lazily checkpointed: mass, vocab size and the scored-model
+    // projection all consume this relation — without the checkpoint
+    // each re-expands the tokenize+count subtree and the corpus is
+    // re-scanned per consumer (AQE stage reuse collapses some but not
+    // all; plan-evidence spec pins the executed scan count)
     val model = docTokenCounts(train)
       .groupBy(col("lang").as("c"), col("tok"))
       .agg(sum("cnt").as("mc"))
+      .localCheckpoint(eager = false)
 
     // class relation: priors from doc counts, token mass from the
     // model; a class whose train docs are all empty still exists with
     // n_c = 0. All of this is a handful of rows — broadcast.
     val priors = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("d_c"))
     val mass   = model.groupBy("c").agg(sum("mc").as("n_c"))
-    // 1-row scalar aggregates enter via crossJoin (repo convention)
+    // 1-row scalar aggregates enter via crossJoin (repo convention);
+    // d re-aggregates the tiny priors relation — never a second
+    // corpus scan
     val globals = model
       .agg(countDistinct("tok").as("v"))
-      .crossJoin(train.agg(count(lit(1)).as("d")))
+      .crossJoin(priors.agg(sum("d_c").as("d")))
     val classes = priors
       .join(mass, Seq("c"), "left")
       .na.fill(0L, Seq("n_c"))
@@ -112,7 +120,9 @@ object Classify {
     * scored batch by batch equals the batch classification.
     */
   def nbScore(m: NbModel, docs: DataFrame): DataFrame = {
-    val evalToks = docTokenCounts(docs)
+    // two consumers (totals + matched): checkpoint so the scored docs
+    // tokenize exactly once
+    val evalToks = docTokenCounts(docs).localCheckpoint(eager = false)
     val docTotals = docs
       .select(col("doc_id"), col("lang").as("true_lang"))
       .join(

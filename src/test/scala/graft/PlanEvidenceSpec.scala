@@ -54,6 +54,23 @@ class PlanEvidenceSpec extends SparkSpec {
       s"expected <=2 executed documents scans (tf stage reused across consumers), found $scans:\n$executed")
   }
 
+  test("nb_classify executes a bounded number of documents scans (model subtree reused)") {
+    // the static plan re-expands the tokenize+count subtree under every
+    // consumer (model, mass, vocab, priors, eval side) — 24 static
+    // scans; AQE's stage cache must collapse the canonically-equal
+    // exchanges so the corpus is not re-tokenized per consumer
+    val df = operators.Classify.nbClassify(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.explainString(FormattedMode)
+    assert(finalPlan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    val executed = finalPlan.split("== Initial Plan ==")(0)
+    val scans    = "Scan parquet".r.findAllIn(executed).length
+    assert(
+      scans <= 4,
+      s"expected <=4 executed documents scans (train tokenize, eval tokenize, priors, doc list), found $scans"
+    )
+  }
+
   test("AQE splits the skewed partition of a hot-key join") {
     ScaleDemos.withSkewConfs(spark) {
       val df = ScaleDemos.skewedJoin(spark)
