@@ -1246,6 +1246,8 @@ object SparkEntry {
     // Brandes seed-set betweenness: exact integer path counts, level-
     // synchronous dependency accumulation, radius-bounded like closeness
     "graph_betweenness" -> q(Graph.partBetweenness),
+    // Newman degree assortativity from four exact integer moments
+    "graph_assortativity" -> q(Graph.partAssortativity),
     // weighted SSSP: bounded synchronous Bellman–Ford over the
     // quantity-weighted part↔supplier graph — integer distances replay
     // bit-exact as unrolled SQL like the BFS/PageRank family
@@ -3944,6 +3946,18 @@ object SparkEntry {
       "graph_sssp"      -> ssspSql,
       "graph_closeness" -> closenessSql,
       "graph_betweenness" -> betweennessSql,
+      "graph_assortativity" ->
+        s"""WITH $graphEdgesSql,
+           |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+           |j AS (SELECT dx.d AS dx, dy.d AS dy
+           |      FROM edges e JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),
+           |mo AS (SELECT count(*) AS m, CAST(sum(dx) AS BIGINT) AS s_x,
+           |         CAST(sum(dx * dy) AS BIGINT) AS s_xy, CAST(sum(dx * dx) AS BIGINT) AS s_xx
+           |       FROM j)
+           |SELECT m, s_x, s_xy, s_xx,
+           |  (CAST(m AS DOUBLE) * s_xy - CAST(s_x AS DOUBLE) * s_x) /
+           |  (CAST(m AS DOUBLE) * s_xx - CAST(s_x AS DOUBLE) * s_x) AS r
+           |FROM mo""".stripMargin,
       "graph_ppr"       -> pprSql,
       // id-oriented replay of the degree-oriented Spark plan: the
       // orientation only changes join sizes, never the triangle set

@@ -476,6 +476,49 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Degree ASSORTATIVITY (Newman 2002, "Assortative mixing in
+    * networks" — public knowledge): the Pearson correlation of
+    * endpoint degrees over the symmetric edge set, computed from four
+    * EXACT integer moments (m, Σd_src, Σd_src·d_dst, Σd_src²; by
+    * symmetry the src and dst marginals coincide) —
+    * r = (m·S_xy − S_x²) / (m·S_xx − S_x²). The moments are emitted
+    * as BIGINTs; r itself is assembled with a FIXED operation order
+    * (cast-then-multiply-then-subtract-then-divide), so the double is
+    * bit-identical in any engine. One degree aggregate + one edge
+    * join + one moment aggregate — no windows, no iteration.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val joined = e
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    joined
+      .agg(
+        count(lit(1)).as("m"),
+        sum("dx").as("s_x"),
+        sum(col("dx") * col("dy")).as("s_xy"),
+        sum(col("dx") * col("dx")).as("s_xx")
+      )
+      .select(
+        col("m"),
+        col("s_x"),
+        col("s_xy"),
+        col("s_xx"),
+        ((col("m").cast("double") * col("s_xy") - col("s_x").cast("double") * col("s_x")) /
+          (col("m").cast("double") * col("s_xx") - col("s_x").cast("double") * col("s_x"))).as("r")
+      )
+  }
+
+  /** `graph_assortativity` query body: the part↔supplier graph —
+    * strongly disassortative by construction (hub suppliers attach to
+    * low-degree parts).
+    */
+  def partAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(partSupplierEdges(spark, dir))
+
   /** `graph_betweenness` query body: five part seeds over the
     * part↔supplier graph, 3-hop radius.
     */

@@ -413,6 +413,18 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("degreeAssortativity: a star is exactly -1; moments match hand values") {
+    val n = 4
+    val es  = (1 to n).map(i => (0L, i.toLong))
+    val sym = (es ++ es.map(_.swap)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(sym).collect().head
+    assert(r.getLong(0) == 2L * n, "m must be the symmetric edge count")
+    assert(r.getLong(1) == n.toLong * (n + 1), "S_x")
+    assert(r.getLong(2) == 2L * n * n, "S_xy")
+    assert(r.getLong(3) == n.toLong * (n * n + 1), "S_xx")
+    assert(r.getDouble(4) == -1.0, s"star assortativity must be exactly -1, got ${r.getDouble(4)}")
+  }
+
   test("betweenness: closed forms — path chain accumulates 3,2,1; diamond splits sigma 0.5/0.5") {
     def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toDF("src", "dst")
     // path 1-2-3-4-5, seed 1: delta(2)=3, delta(3)=2, delta(4)=1, delta(5)=0
