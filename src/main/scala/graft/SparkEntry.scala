@@ -1061,6 +1061,18 @@ object SparkEntry {
     // never a per-group sort, never a buffering percentile. The
     // oracle replays each group's (n+1)/2-th ordered value.
     "group_exact_median" -> q((s, dir) => Relational.groupExactMedianPrice(s, dir)),
+    // same simultaneous histogram refinement at a different order
+    // statistic: exact lower p90 per priority, zero sorts
+    "group_exact_p90" -> q { (s, dir) =>
+      Relational.groupedExactKth(
+        Tables
+          .orders(s, dir)
+          .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderpriority",
+        "cents",
+        n => (9L * n + 9L) / 10L
+      )
+    },
     // Apriori level 3: frequent triples via pair-pruned within-order
     // enumeration; downward closure lets the oracle replay the naive
     // triple count (identical >= minSupport sets)
@@ -3819,6 +3831,16 @@ object SparkEntry {
           |        CAST(count(*) OVER () AS BIGINT) AS n FROM t)
           |SELECT n AS n_orders, v AS median_cents, v / 100.0 AS median
           |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+      "group_exact_p90" ->
+        """SELECT o_orderpriority, cents FROM (
+          |  SELECT o_orderpriority,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          |    row_number() OVER (PARTITION BY o_orderpriority
+          |                       ORDER BY round(o_totalprice * 100)) AS rn,
+          |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+          |  FROM orders
+          |) WHERE rn = (9 * n + 9) // 10
+          |ORDER BY o_orderpriority""".stripMargin,
       "group_exact_median" ->
         """SELECT l_returnflag, price_cents FROM (
           |  SELECT l_returnflag,
