@@ -1622,6 +1622,9 @@ object SparkEntry {
       Quality.piiContacts(docs, "doc_id", "text2").orderBy("doc_id")
     },
     "text_contamination" -> q((s, dir) => TextAnalysis.benchmarkContamination(s, dir)),
+    // Heaps'-law curve from ONE first-occurrence aggregate — never a
+    // scan per prefix
+    "text_vocab_growth" -> q((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
     "text_top_bigrams" -> q((s, dir) => TextAnalysis.topBigrams(s, dir)),
     "text_boilerplate" -> q((s, dir) => TextAnalysis.boilerplateScore(s, dir)),
     "text_dup_spans"   -> q((s, dir) => TextAnalysis.duplicatedSpans(s, dir)),
@@ -4592,6 +4595,14 @@ object SparkEntry {
           |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c)
           |SELECT key, cnt, n_keys, n_rows FROM c CROSS JOIN t
           |ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+      "text_vocab_growth" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+           |f AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+           |h AS (SELECT first_doc // 500 AS bucket, count(*) AS n_new_tokens
+           |      FROM f GROUP BY bucket)
+           |SELECT bucket, n_new_tokens,
+           |  CAST(sum(n_new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS vocab
+           |FROM h ORDER BY bucket""".stripMargin,
       "text_pii_contacts" ->
         """WITH t AS (SELECT doc_id, text ||
           |  CASE WHEN doc_id % 40 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'

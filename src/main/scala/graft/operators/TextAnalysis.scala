@@ -30,6 +30,30 @@ object TextAnalysis {
   private def tokenRows(spark: SparkSession, dir: String): DataFrame =
     TextJobs.tokenized(Tables.documents(spark, dir).select("doc_id", "text"), "text", "tok")
 
+  /** Heaps'-law vocabulary growth: distinct-vocabulary size after each
+    * doc_id prefix of the corpus — the curve that sizes tokenizer
+    * vocabularies and predicts OOV rates as a corpus grows. Computed
+    * WITHOUT re-scanning per prefix: a token first appears at
+    * min(doc_id), so the whole curve is ONE tokenize + min-aggregate
+    * into a first-occurrence histogram, then a cumulative over the
+    * tiny bucket directory. Pure integers.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, bucket: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucket > 0, s"vocabGrowth needs bucket > 0, got $bucket")
+    val firsts = tokenRows(spark, dir)
+      .groupBy("tok")
+      .agg(min("doc_id").as("first_doc"))
+      .groupBy(expr(s"first_doc DIV ${bucket}L").as("bucket"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    firsts
+      .withColumn(
+        "vocab",
+        sum("n_new_tokens").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+      ) // directory-sized window: #buckets = #docs / bucket
+      .orderBy("bucket")
+  }
+
   /** N-gram/stopword-vote language ID. Deterministic tie-break order:
     * en > de > es > fr (CASE chain).
     */

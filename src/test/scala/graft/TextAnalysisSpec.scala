@@ -567,4 +567,20 @@ class TextAnalysisSpec extends SparkSpec {
       .minBy { case (t, d, c) => (d, -c, t) }
     assert(got("custoner")._1 == want._1)
   }
+
+  test("vocabGrowth: cumulative vocab is monotone and lands exactly on the corpus distinct-token count") {
+    import org.apache.spark.sql.functions._
+    val curve = TextAnalysis.vocabGrowth(spark, sfDir).collect()
+    assert(curve.nonEmpty)
+    curve.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) > a.getLong(2), "vocab must strictly grow per non-empty bucket")
+        assert(b.getLong(2) - a.getLong(2) == b.getLong(1), "cumulative must sum the new-token counts")
+      case _ =>
+    }
+    val total = graft.operators.TextJobs
+      .tokenized(Tables.documents(spark, sfDir).select("doc_id", "text"), "text", "tok")
+      .select("tok").distinct().count()
+    assert(curve.last.getLong(2) == total, "curve must end at the full distinct vocabulary")
+  }
 }
