@@ -27,6 +27,7 @@ object GraftFunctions {
   }
 
   private def doRegister(spark: SparkSession): Unit = {
+    graft.plans.GraftTableFunctions.register(spark)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")

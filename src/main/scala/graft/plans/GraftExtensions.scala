@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // constraint-free join elimination: LEFT OUTER against a
     // structurally-unique aggregate with no right-side references
     ext.injectOptimizerRule(_ => EliminateUniqueLeftJoin)
+    // SQL TABLE functions for the graft-log tier (shared builders —
+    // GraftFunctions.register installs the same into programmatic
+    // sessions)
+    GraftTableFunctions.all.foreach(t => ext.injectTableFunction(t))
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"), info("cosine_sim"), (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)))
     )
