@@ -1042,6 +1042,8 @@ object SparkEntry {
     "events_rfm_segments"   -> q(EventAnalytics.rfmSegments),
     // gaps-and-islands consecutive-day streaks, per-user windows only
     "events_streaks"        -> q(EventAnalytics.activityStreaks),
+    // DAU/WAU stickiness; trailing-7 actives via explode-onto-targets
+    "events_stickiness"     -> q(EventAnalytics.dauWauStickiness),
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
@@ -3614,6 +3616,16 @@ object SparkEntry {
           |       WHEN cum_cents * 100 <= total * 95 THEN 'B'
           |       ELSE 'C' END AS abc_class
           |FROM c CROSS JOIN t ORDER BY part""".stripMargin,
+      "events_stickiness" ->
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+          |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY day),
+          |wau AS (SELECT day + CAST(lag AS INTEGER) AS day,
+          |               user_id
+          |        FROM ud, unnest(range(0, 7)) AS t(lag)),
+          |w AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM wau GROUP BY day)
+          |SELECT dau.day, dau.dau, w.wau,
+          |  CAST(dau.dau AS DOUBLE) / w.wau AS stickiness
+          |FROM dau JOIN w USING (day) ORDER BY dau.day""".stripMargin,
       "events_streaks" ->
         """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
           |r AS (SELECT user_id, day,

@@ -678,6 +678,38 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** DAU / WAU stickiness: per calendar day, distinct daily actives
+    * and distinct trailing-7-day actives, plus the exact int/int
+    * stickiness quotient. WAU reuses the calendar-correct
+    * explode-onto-targets shape of [[ewmaDailyOn]] — each (user, day)
+    * activity row contributes to the 7 target days it keeps the user
+    * "weekly active" for, then ONE distinct aggregate per target; gap
+    * days are absent rather than phantom. Output days are restricted
+    * to observed days (a trailing window into empty calendar would
+    * otherwise invent days with dau = 0).
+    */
+  def dauWauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables
+      .events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("lag"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("lag")).as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+    dau
+      .join(wau, "day") // inner: observed days only
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness")
+      )
+      .orderBy("day")
+  }
+
   /** RFM segmentation: each user coded 1–4 on Recency (days since
     * last purchase, vs the corpus max day — a deterministic anchor),
     * Frequency (purchase count) and Monetary (purchase cents), codes

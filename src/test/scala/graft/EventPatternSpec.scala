@@ -294,6 +294,20 @@ class EventPatternSpec extends SparkSpec {
     assert(m(2L) == ((2L, 4L, 2L, base.plusDays(1))), s"user 2 must tie-break to the EARLIEST start: ${m(2L)}")
   }
 
+  test("dauWauStickiness: wau dominates dau, the first day has no history, stickiness in (0,1]") {
+    val rows = SparkEntry.queries("events_stickiness")(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau, s) =>
+      assert(wau >= dau, s"$d: wau $wau < dau $dau")
+      assert(s > 0.0 && s <= 1.0 && s == dau.toDouble / wau, s"$d: stickiness mismatch")
+    }
+    val first = rows.minBy(_._1.toEpochDay)
+    assert(first._2 == first._3, "the first observed day has no trailing history: wau must equal dau")
+    // the trailing window must BIND somewhere: some day has wau > dau
+    assert(rows.exists(r => r._3 > r._2), "wau never exceeded dau — fixture can't witness the window")
+  }
+
   test("ewmaDaily: lags are CALENDAR days — a 2-day gap ages the history; exact vs hand model") {
     import SparkSpec.spark.implicits._
     // days 0,1,2 then a 2-day gap then day 5: a rows-frame would treat
