@@ -1,5 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-query task-metrics probe: accumulates spill bytes and the
+  * largest single-task peak execution memory between resets. The
+  * bench drains the listener bus (GraftBenchShims) around each
+  * sample so async events can't leak across query windows. The
+  * per-task peak is the 100×-readiness signal wall-time can't give:
+  * a query whose tasks already spill (or whose biggest task's
+  * execution memory nears the per-core budget) at 10× is the first
+  * thing to break at 100×.
+  */
+private final class TaskMetricsProbe extends org.apache.spark.scheduler.SparkListener {
+  private val memSpill  = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val peakTask  = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      memSpill.addAndGet(m.memoryBytesSpilled)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      peakTask.accumulateAndGet(m.peakExecutionMemory, Math.max(_: Long, _: Long))
+    }
+  }
+  /** (memSpillBytes, diskSpillBytes, maxTaskPeakExecMemBytes), then zero. */
+  def snapshotAndReset(): (Long, Long, Long) = {
+    val r = (memSpill.get(), diskSpill.get(), peakTask.get())
+    memSpill.set(0L); diskSpill.set(0L); peakTask.set(0L)
+    r
+  }
+}
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Each query is forced through a `noop` sink so
   * the full plan (all columns, all operators) executes — `.count()`
@@ -177,12 +206,22 @@ object Bench {
           .map(_.trim)
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .toSeq
-        val t1: Seq[(String, Either[String, Double])] = names.flatMap { name =>
+        // task-metrics probe: per-query spill + max single-task peak
+        // execution memory ride along in the sf1 block (the scale
+        // signal wall-time can't give) — bus drained around each
+        // query so events attribute to the right window
+        val probe = new TaskMetricsProbe
+        spark.sparkContext.addSparkListener(probe)
+        val t1: Seq[(String, Either[String, (Double, (Long, Long, Long))])] = names.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
+            org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
+            probe.snapshotAndReset()
             val t0 = System.nanoTime()
             try {
               fn(spark, sf1Dir).write.format("noop").mode("overwrite").save()
-              name -> Right((System.nanoTime() - t0) / 1e9): (String, Either[String, Double])
+              val dt = (System.nanoTime() - t0) / 1e9
+              org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
+              name -> Right((dt, probe.snapshotAndReset())): (String, Either[String, (Double, (Long, Long, Long))])
             } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
@@ -190,12 +229,18 @@ object Bench {
             }
           }
         }
+        spark.sparkContext.removeSparkListener(probe)
         val ok  = t1.collect { case (k, Right(v)) => k -> v }
         val bad = t1.collect { case (k, Left(m)) => k -> m }
-        val qj  = ok.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
-        val ej  = bad.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }.mkString("{", ",", "}")
+        val qj  = ok.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        val mj = ok
+          .map { case (k, (_, (ms, ds, pk))) =>
+            "\"" + k + s"""\":{"spill_bytes":$ms,"disk_spill_bytes":$ds,"peak_task_mem_bytes":$pk}"""
+          }
+          .mkString("{", ",", "}")
+        val ej = bad.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }.mkString("{", ",", "}")
         Some(
-          s"""{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2).sum * 1e4) / 1e4},"unit":"sec","method":"single run, cold standing state","n":${ok.size},"error_count":${bad.size},"errors":$ej,"queries":$qj}"""
+          s"""{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","method":"single run, cold standing state","n":${ok.size},"error_count":${bad.size},"errors":$ej,"queries":$qj,"metrics":$mj}"""
         )
       }
     }
@@ -233,7 +278,7 @@ object Bench {
     val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 trend track precedes in the same JVM (since r10 - main totals straddling that reorder are not like-for-like)","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the final JSON line out of that tail — a full 100+-query map
     // (~4.5 KB) overflows the window and the round artifact records
@@ -245,7 +290,7 @@ object Bench {
     val stdoutLine = {
       val bySlowest = results.sortBy(-_._2)
       val meta =
-        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 track precedes in-JVM; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
       val budget  = 1700 - meta.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used    = 2 // braces

@@ -2539,7 +2539,8 @@ object SparkEntry {
          |       FROM tot$x CROSS JOIN cls$x
          |       LEFT JOIN mt$x ON mt$x.doc_id = tot$x.doc_id AND mt$x.c = cls$x.c),
          |pick$x AS (SELECT doc_id, true_lang, c AS pred_lang, round(score, 4) AS logp,
-         |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY round(score, 6) DESC, c) AS rn
          |         FROM sc$x)""".stripMargin
     val tokCte =
       s"""tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)"""

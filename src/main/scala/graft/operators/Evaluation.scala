@@ -43,6 +43,20 @@ object Evaluation {
         expr("CAST(floor(value * 100) AS BIGINT)").as("s")
       )
 
+  /** Floor division matching DuckDB's `//` (Spark's `DIV` truncates
+    * toward zero, so the two disagree on every negative non-multiple —
+    * e.g. −150 DIV 100 = −1 vs −150 // 100 = −2). The branch form
+    * avoids the `-((-s)...)` negation overflow at Long.MinValue. Used
+    * for every bin id that LEAVES a query (cross-engine exactness must
+    * not depend on scores happening to be non-negative) and for the
+    * internal block keys (where truncation would still be monotone,
+    * but one division convention keeps the engines' SQL literal).
+    */
+  private def floorDiv(c: String, w: Long): org.apache.spark.sql.Column = {
+    require(w > 0, s"floorDiv needs a positive divisor, got $w")
+    expr(s"($c DIV $w) - (CASE WHEN $c % $w <> 0 AND $c < 0 THEN 1 ELSE 0 END)")
+  }
+
   /** Distinct-score directory with exclusive cumulative counts
     * (c_p = positives strictly below s, c_g = rows strictly below s),
     * built with the two-phase block + offset-directory pattern.
@@ -51,7 +65,7 @@ object Evaluation {
     val byScore = scored
       .groupBy("s")
       .agg(sum("y").as("p_s"), count(lit(1)).as("g_s"))
-      .withColumn("blk", expr(s"s DIV ${blockWidth}L"))
+      .withColumn("blk", floorDiv("s", blockWidth))
     val inBlk = Window.partitionBy("blk").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     val local = byScore
       .withColumn("lp", coalesce(sum("p_s").over(inBlk), lit(0L)))
@@ -88,9 +102,16 @@ object Evaluation {
   /** AUC over any (y ∈ {0,1}, s: long) relation. */
   def aucFromScored(scored: DataFrame): DataFrame = {
     val cum = cumulativeByScore(scored)
-    // DECIMAL(38,0) for the n²-growth term; totals stay long
+    // DECIMAL(38,0) for the n²-growth term — the OPERANDS are cast
+    // before the multiplication so the product itself runs in decimal
+    // (a LONG product would silently wrap near ~2e9 rows with ANSI
+    // off, and the guard below would then validate already-wrapped
+    // values); totals stay long
     val parts = cum.agg(
-      sum((col("p_s") * (lit(2) * col("c_g") + col("g_s") + lit(1))).cast("decimal(38,0)")).as("r2"),
+      sum(
+        col("p_s").cast("decimal(38,0)") *
+          (lit(2) * col("c_g").cast("decimal(38,0)") + col("g_s") + lit(1))
+      ).as("r2"),
       sum("p_s").as("p"),
       sum("g_s").as("n")
     )
@@ -114,7 +135,7 @@ object Evaluation {
   def calibrationBins(spark: SparkSession, dir: String, binWidth: Long = 5000L): DataFrame = {
     require(binWidth > 0, s"calibrationBins needs binWidth > 0, got $binWidth")
     scoredEvents(spark, dir)
-      .groupBy(expr(s"s DIV ${binWidth}L").as("bin"))
+      .groupBy(floorDiv("s", binWidth).as("bin"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
       .orderBy("bin")
   }
@@ -143,7 +164,7 @@ object Evaluation {
   /** [[isotonicCalibration]] core over any (y ∈ {0,1}, s: long). */
   def isotonicFromScored(scored: DataFrame): DataFrame = {
     val bins = scored
-      .groupBy(expr("s DIV 100").as("b"))
+      .groupBy(floorDiv("s", 100L).as("b"))
       .agg(count(lit(1)).as("n"), sum("y").as("p"))
     val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0) // directory-sized
     val pre = bins

@@ -713,21 +713,24 @@ object EventAnalytics {
   /** RFM segmentation: each user coded 1–4 on Recency (days since
     * last purchase, vs the corpus max day — a deterministic anchor),
     * Frequency (purchase count) and Monetary (purchase cents), codes
-    * assigned by ntile(4) with TOTAL orders (metric, user_id) so tied
-    * users code deterministically; 4 = best quartile on every axis.
-    * All-integer metrics (cents via floor, day diffs as longs).
+    * assigned with NTILE semantics over TOTAL orders (metric, user_id)
+    * so tied users code deterministically; 4 = best quartile on every
+    * axis. All-integer metrics (cents via floor, day diffs as longs).
     *
-    * Scale: one hash aggregate per user + three ntile windows over the
-    * USER directory (one row per user — the aggregate output, not the
-    * event stream); on a cluster the three windows share one
-    * hash-partitioning of that directory. Users ≫ one partition is the
-    * one real limit of built-in ntile — for that regime use the
-    * two-phase [[graft.operators.Evaluation.cumulativeByScore]]
-    * pattern; at the typical users-per-corpus ratio the directory
-    * window is the right plan.
+    * Scale: one hash aggregate per user, then three
+    * [[graft.operators.Relational.ntileTwoPhase]] passes over the user
+    * directory — NO unpartitioned window anywhere (the old built-in
+    * `ntile(4).over(Window.orderBy(...))` forced the whole directory
+    * through ONE partition). Block keys: recency and frequency have
+    * bounded domains with heavy tie classes, so their blocks are
+    * (metric value, user_id DIV 2^20) — ties split across blocks, each
+    * block ≤ 1 Mi users; monetary cents are near-unique, so its block
+    * is a value range (cents DIV 100000 — a sub-block of a LATER order
+    * key after a range-quantized leading key would reorder, so ranges
+    * must stay unsplit; a pathological point-mass on one cents value
+    * would re-create the tie skew, the stated spread assumption).
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir).filter(col("event_type") === "purchase")
     val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_day"))
     val perUser = ev
@@ -744,14 +747,37 @@ object EventAnalytics {
         col("freq"),
         col("cents")
       )
-    val r = ntile(4).over(Window.orderBy(col("recency_days").desc, col("user_id"))) // fewer days = best = 4
-    val f = ntile(4).over(Window.orderBy(col("freq"), col("user_id")))
-    val m = ntile(4).over(Window.orderBy(col("cents"), col("user_id")))
-    perUser
-      .withColumn("r", r.cast("long"))
-      .withColumn("f", f.cast("long"))
-      .withColumn("m", m.cast("long"))
+    val uidBlk = expr("user_id DIV 1048576")
+    // fewer days = best = 4: rank on the negated metric (ascending)
+    val withR = Relational
+      .ntileTwoPhase(
+        perUser.withColumn("__negr", -col("recency_days")),
+        Nil,
+        Seq(col("__negr"), col("user_id")),
+        Seq(col("__negr"), uidBlk),
+        4,
+        "r"
+      )
+      .drop("__negr")
+    val withF = Relational.ntileTwoPhase(
+      withR,
+      Nil,
+      Seq(col("freq"), col("user_id")),
+      Seq(col("freq"), uidBlk),
+      4,
+      "f"
+    )
+    val withM = Relational.ntileTwoPhase(
+      withF,
+      Nil,
+      Seq(col("cents"), col("user_id")),
+      Seq(expr("cents DIV 100000")),
+      4,
+      "m"
+    )
+    withM
       .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .select("user_id", "recency_days", "freq", "cents", "r", "f", "m", "segment")
       .orderBy("user_id")
   }
 

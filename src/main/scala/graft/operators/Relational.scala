@@ -739,25 +739,28 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** Equi-DEPTH histogram via ntile: per group, `buckets` buckets of
+  /** Equi-DEPTH histogram: per group, `buckets` buckets of
     * (near-)equal row count with their value bounds — the
     * selectivity-estimation summary an equi-width histogram
-    * ([[histogramTotalprice]]) can't give on skewed data. The ntile
-    * ordering carries the key tiebreak so bucket assignment is total
-    * and replays exactly. Sort-based by construction (a per-group
-    * global rank IS a sort); the 100 TB form of the same summary is
-    * `approx_percentile` bounds — this operator is the exact tier.
+    * ([[histogramTotalprice]]) can't give on skewed data. Bucket
+    * assignment is NTILE over (price, key) — total, so it replays
+    * exactly — computed with [[ntileTwoPhase]]: the per-status rank
+    * window is partitioned by a price-range block (floor(price) DIV
+    * 1000 — monotone in the double), never one partition per status.
+    * The 100 TB form of the same summary is `approx_percentile`
+    * bounds — this operator is the exact tier, now without the
+    * per-group global sort.
     */
   def equidepthHistogram(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame =
-    Tables
-      .orders(spark, dir)
-      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn(
-        "bucket",
-        ntile(buckets).over(
-          Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
-        )
-      )
+    ntileTwoPhase(
+      Tables.orders(spark, dir).select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+      Seq("o_orderstatus"),
+      Seq(col("o_totalprice"), col("o_orderkey")),
+      Seq(expr("CAST(floor(o_totalprice) AS BIGINT) DIV 1000")),
+      buckets,
+      "bucket"
+    )
+      .withColumn("bucket", col("bucket").cast("int"))
       .groupBy("o_orderstatus", "bucket")
       .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
       .orderBy("o_orderstatus", "bucket")
@@ -1411,6 +1414,104 @@ object Relational {
       .map { case (g, (lo, _, _)) => (g, lo) }
       .toDF(groupCol, valueCol)
       .orderBy(groupCol)
+  }
+
+  /** Two-phase NTILE — built-in `ntile(t).over(orderBy(...))` without
+    * the single-partition global sort: the data-sized window is
+    * PARTITIONED by a coarse block key that is a monotone prefix of
+    * the ordering (so cross-block order is already settled), and the
+    * cross-block rank offsets come from an O(#blocks) directory
+    * cumulated DRIVER-SIDE ([[groupedExactKth]]'s bounded-state
+    * stance, with a loud `maxBlocks` require) — no unpartitioned
+    * WindowExec anywhere, not even a directory-sized one. The bucket
+    * is then closed-form from the global rank: SQL NTILE gives the
+    * first `n mod t` tiles `n div t + 1` rows and the rest `n div t`,
+    * which both Spark and DuckDB implement identically, so the oracle
+    * replays with the built-in.
+    *
+    * Caller contract (not checkable cheaply, so documented):
+    *   - `orderCols` totally order each `partCols` group (include a
+    *     unique tiebreak);
+    *   - `blkCols` cast to non-null longs and order lexicographically
+    *     consistently with `orderCols` (e.g. the leading order key
+    *     itself plus a sub-block of the NEXT key when the leading key
+    *     has heavy tie classes; a range-quantized leading key may NOT
+    *     be followed by a sub-block of a later key — that would
+    *     reorder across blocks).
+    *
+    * Scale: the per-block window sorts bounded runs in parallel; the
+    * directory is blocks-sized (≪ data — loud require), broadcast
+    * back for the offset join. This is the pattern
+    * [[graft.operators.Dedup.sortedNeighborhoodPairs]] and
+    * [[graft.operators.Evaluation.cumulativeByScore]] use, with the
+    * directory prefix-sum moved off WindowExec entirely.
+    */
+  private[graft] def ntileTwoPhase(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      blkCols: Seq[org.apache.spark.sql.Column],
+      tiles: Int,
+      outCol: String,
+      maxBlocks: Int = 1 << 21
+  ): DataFrame = {
+    require(tiles >= 1, s"ntileTwoPhase needs tiles >= 1, got $tiles")
+    require(blkCols.nonEmpty, "ntileTwoPhase needs at least one block column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark  = df.sparkSession
+    val bNames = blkCols.indices.map(i => s"__blk$i")
+    val base = bNames
+      .zip(blkCols)
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c.cast("long")) }
+      .localCheckpoint(eager = false) // two consumers: directory + ranked join
+    val keys = partCols ++ bNames
+    val w    = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val dir  = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bc"))
+    val rows = dir.collect()
+    require(
+      rows.length <= maxBlocks,
+      s"ntileTwoPhase block directory has ${rows.length} blocks > maxBlocks=$maxBlocks — " +
+        "widen the blocks or raise the cap if O(#blocks) driver state is acceptable"
+    )
+    val p = partCols.length
+    val b = bNames.length
+    // per-part cumulative offsets + totals, computed on the driver
+    val out = Seq.newBuilder[Row]
+    rows
+      .groupBy(r => (0 until p).map(r.get).toList)
+      .foreach { case (_, grp) =>
+        val sorted = grp.sortBy(r => (0 until b).map(i => r.getLong(p + i)).toList)(
+          scala.math.Ordering.Implicits.seqOrdering[List, Long]
+        )
+        val total = sorted.map(_.getLong(p + b)).sum
+        var cum   = 0L
+        sorted.foreach { r =>
+          out += Row.fromSeq(r.toSeq.init ++ Seq(cum, total))
+          cum += r.getLong(p + b)
+        }
+      }
+    val offSchema = StructType(
+      dir.schema.fields.dropRight(1) ++
+        Seq(StructField("__off", LongType, nullable = false), StructField("__n", LongType, nullable = false))
+    )
+    import scala.jdk.CollectionConverters._
+    val offsets = spark.createDataFrame(out.result().asJava, offSchema)
+    val t       = tiles.toLong
+    base
+      .withColumn("__rnb", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), keys)
+      .withColumn("__rank", col("__off") + col("__rnb"))
+      .withColumn(
+        outCol,
+        expr(
+          s"""CASE WHEN __rank <= (__n % $t) * (__n DIV $t + 1)
+             |     THEN (__rank - 1) DIV (__n DIV $t + 1) + 1
+             |     ELSE (__n % $t) + (__rank - (__n % $t) * (__n DIV $t + 1) - 1) DIV greatest(__n DIV $t, 1) + 1
+             |END""".stripMargin
+        )
+      )
+      .drop((bNames ++ Seq("__rnb", "__off", "__n", "__rank")): _*)
   }
 
   /** `group_exact_median` query body: exact LOWER MEDIAN of lineitem

@@ -55,10 +55,11 @@ class PlanEvidenceSpec extends SparkSpec {
   }
 
   test("nb_classify executes a bounded number of documents scans (model subtree reused)") {
-    // the static plan re-expands the tokenize+count subtree under every
-    // consumer (model, mass, vocab, priors, eval side) — 24 static
-    // scans; AQE's stage cache must collapse the canonically-equal
-    // exchanges so the corpus is not re-tokenized per consumer
+    // the corpus tokenizes ONCE into a checkpointed token relation and
+    // the doc directory is one pruned doc_id/lang scan — every fit and
+    // score consumer derives from those two relations, so the executed
+    // plan holds at most 2 parquet scans (it was 24 static → 4 before
+    // the shared-tokenize refactor)
     val df = operators.Classify.nbClassify(spark, sfDir)
     df.collect()
     val finalPlan = df.queryExecution.explainString(FormattedMode)
@@ -66,8 +67,27 @@ class PlanEvidenceSpec extends SparkSpec {
     val executed = finalPlan.split("== Initial Plan ==")(0)
     val scans    = "Scan parquet".r.findAllIn(executed).length
     assert(
-      scans <= 4,
-      s"expected <=4 executed documents scans (train tokenize, eval tokenize, priors, doc list), found $scans"
+      scans <= 2,
+      s"expected <=2 executed documents scans (shared tokenize + doc directory), found $scans"
+    )
+  }
+
+  test("nb_cv_accuracy executes a bounded number of corpus scans (one tokenize across folds)") {
+    // 5-fold CV = 5 fits + 5 scores, but the models are fold-complement
+    // rollups (total − own fold) of ONE per-(fold, class, token)
+    // aggregate over ONE checkpointed token relation, and scoring is
+    // one (fold, tok)-keyed join: the corpus text is tokenized exactly
+    // once regardless of fold count (it was ~10 tokenize passes — the
+    // single slowest bench query at both scales before the rewrite)
+    val df = operators.Classify.nbCrossValidate(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.explainString(FormattedMode)
+    assert(finalPlan.contains("isFinalPlan=true"), "AQE final plan not materialized")
+    val executed = finalPlan.split("== Initial Plan ==")(0)
+    val scans    = "Scan parquet".r.findAllIn(executed).length
+    assert(
+      scans <= 2,
+      s"expected <=2 executed corpus scans (one text tokenize + one pruned doc directory), found $scans"
     )
   }
 
