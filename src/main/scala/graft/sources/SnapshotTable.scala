@@ -1295,10 +1295,17 @@ object SnapshotTable {
     * reclaiming space is [[vacuum]]'s explicitly destructive job.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 4): Long = {
-    val cur = read(spark, path).coalesce(targetFiles)
+    // CAS against the version the rewrite READ: a compaction is a
+    // derived rewrite, so committing it after anyone else advanced the
+    // table would silently drop their rows from the new latest (the
+    // appender won its commit, then the compaction replaced the
+    // contents with its pre-append snapshot). Pin the read version and
+    // make overwrite refuse loudly on a raced base — the loser retries.
+    val v0  = latestVersion(spark, path)
+    val cur = read(spark, path, Some(v0)).coalesce(targetFiles)
     // localCheckpoint: materialize BEFORE staging so the rewrite never
     // reads files a concurrent vacuum might reclaim mid-job
-    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact")
+    overwrite(spark, path, cur.localCheckpoint(eager = true), expectedBase = Some(v0), opName = "compact")
   }
 
   /** Cluster-compact: like [[compact]], but range-partitioned and
@@ -1313,10 +1320,13 @@ object SnapshotTable {
   def compactClustered(spark: SparkSession, path: String, clusterCols: Seq[String], targetFiles: Int = 8): Long = {
     require(clusterCols.nonEmpty, "compactClustered needs at least one cluster column")
     import org.apache.spark.sql.functions.col
-    val cur = read(spark, path)
+    // version-pinned + CAS commit: see compact() — a clustered rewrite
+    // must never silently replace a concurrently-appended version
+    val v0 = latestVersion(spark, path)
+    val cur = read(spark, path, Some(v0))
       .repartitionByRange(targetFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
-    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-clustered")
+    overwrite(spark, path, cur.localCheckpoint(eager = true), expectedBase = Some(v0), opName = "compact-clustered")
   }
 
   /** OPTIMIZE ZORDER: [[compactClustered]] with a MULTI-dimensional
@@ -1352,7 +1362,9 @@ object SnapshotTable {
     require(zCols.size * bits <= 63, s"zCols*bits must fit a long, got ${zCols.size * bits}")
     import org.apache.spark.sql.functions.{col, expr, max, min}
     import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
-    val base = read(spark, path)
+    // version-pinned + CAS commit: see compact()
+    val v0   = latestVersion(spark, path)
+    val base = read(spark, path, Some(v0))
     // enforce the documented "integer columns only" contract loudly —
     // a float/string zCol would otherwise be silently cast to long
     // and cluster on truncated values
@@ -1393,7 +1405,7 @@ object SnapshotTable {
       .repartitionByRange(targetFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc +: zCols.indices.map(i => s"__zd$i"): _*)
-    overwrite(spark, path, cur.localCheckpoint(eager = true), opName = "compact-zorder")
+    overwrite(spark, path, cur.localCheckpoint(eager = true), expectedBase = Some(v0), opName = "compact-zorder")
   }
 
   /** Bin-packing OPTIMIZE: rewrite ONLY the data files smaller than

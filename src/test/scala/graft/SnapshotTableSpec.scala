@@ -550,4 +550,54 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) == want)
   }
+
+  test("REAL append-vs-OPTIMIZE race: compaction lands or CAS-fails loudly, appends are never dropped") {
+    // the lost-update shape this pins: a compaction is a DERIVED
+    // rewrite — it reads version B, rewrites, and commits. If an
+    // append lands B+1 while the compactor is staging, committing the
+    // rewrite on top would replace the latest contents with the
+    // pre-append snapshot and the appended rows would vanish without
+    // any failure anywhere. compact()/compactClustered()/
+    // compactZOrder() therefore pin their read version and CAS-commit
+    // against it (expectedBase) — the loser must throw, never win
+    // silently. Real threads, barrier-released, several rounds: the
+    // compaction window (read + checkpoint + stage) is long enough
+    // that most rounds genuinely interleave.
+    val p = freshPath("appendvsoptimize")
+    SnapshotTable.create(spark, p, df(0L))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rounds    = 6
+    var casLosses = 0
+    (1 to rounds).foreach { r =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val ids     = (1L to 3L).map(i => 1000L * r + i)
+      val appender = Future {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ids.foreach(id => SnapshotTable.append(spark, p, df(id)))
+      }
+      val optimizer = Future {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        try Right(
+          if (r % 2 == 0) SnapshotTable.compactClustered(spark, p, Seq("id"), targetFiles = 2)
+          else SnapshotTable.compact(spark, p, targetFiles = 2)
+        )
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("advanced from version") || e.getMessage.contains("lost a race") =>
+            Left(e) // the loud CAS refusal — the only acceptable loss mode
+        }
+      }
+      Await.result(appender, 120.seconds)
+      if (Await.result(optimizer, 120.seconds).isLeft) casLosses += 1
+      val got = SnapshotTable.read(spark, p).as[Long].collect().toSet
+      ids.foreach(id => assert(got.contains(id), s"round $r: append $id silently dropped by the racing compaction"))
+    }
+    val fin = SnapshotTable.read(spark, p).as[Long].collect().toSet
+    (1 to rounds).foreach { r =>
+      (1L to 3L).foreach(i => assert(fin.contains(1000L * r + i), s"round-$r append lost by a LATER compaction"))
+    }
+    info(s"compaction CAS losses over $rounds raced rounds: $casLosses")
+  }
 }

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Generate an sf10 SLICE (documents + embeddings only) by key-shifted
+replication of sf0.1 — the 100x probe corpus for the bucketed/banded
+scale claims (VERDICT r10 item 6: the "sublinear for bucketed families"
+claim rested on one 10x point; this adds a 100x point for the families
+whose probes must stay bucket-pruned: set-similarity join, MinHash-LSH,
+BM25 standing-index top-k).
+
+Driver-side tooling only (pyarrow is NOT an engine dependency). Same
+deliberate choices as make_sf1.py:
+  - each copy i>0 appends a ' c<i>' tag so cross-copy docs are NEAR
+    dups (the adversarial shape for LSH), not byte dups;
+  - embeddings use a small per-copy perturbation so the vector space
+    has 100x distinct points, not 100x collisions;
+  - row groups stay the source's, so file parallelism scales with the
+    copy count.
+
+Only the two tables the probe families read are generated — a full
+sf10 star schema would be ~9 GB of parquet for no additional signal.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf10"
+COPIES = 100
+EMB_COPIES = 50  # 100k vectors (sf1 uses 5 copies = 10k)
+
+OFF = {"doc": 5000, "vec": 2000}
+
+
+def main():
+    import os
+    os.makedirs(DST, exist_ok=True)
+
+    # documents: id shift + text tag + n_chars recompute (make_sf1 logic)
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        doc_id = pc.add(t.column("doc_id"), i * OFF["doc"])
+        if i == 0:
+            text = t.column("text")
+        else:
+            text = pc.binary_join_element_wise(
+                pc.cast(t.column("text"), pa.string()), f" c{i}", "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        parts.append(pa.table(
+            {"doc_id": doc_id, "text": text, "lang": t.column("lang"),
+             "source": t.column("source"), "n_chars": n_chars}))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{DST}/documents.parquet")
+    print(f"documents: {t.num_rows} -> {out.num_rows}")
+
+    # embeddings: per-copy component perturbation
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    flat_type = t.column("embedding").type
+    parts = []
+    for i in range(EMB_COPIES):
+        vec_id = pc.add(t.column("vec_id"), i * OFF["vec"])
+        emb = t.column("embedding").combine_chunks()
+        if i > 0:
+            flat = pc.add(emb.values, 0.0003 * i)
+            emb = pa.ListArray.from_arrays(emb.offsets, pc.cast(flat, pa.float32()))
+            emb = emb.cast(flat_type)
+        parts.append(pa.table({"vec_id": vec_id, "embedding": emb,
+                               "label": t.column("label")}))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{DST}/embeddings.parquet")
+    print(f"embeddings: {t.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
