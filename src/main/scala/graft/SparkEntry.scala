@@ -1047,6 +1047,7 @@ object SparkEntry {
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
+    "basket_rules"          -> q((s, dir) => Relational.basketRules(s, dir)),
     // exact median by histogram-refinement selection: O(log range)
     // columnar scans, zero shuffled sorts, driver state <= 1024 rows
     // — the exact-order-statistic answer at 100 TB
@@ -1267,7 +1268,10 @@ object SparkEntry {
     // bit-exact as unrolled SQL like the BFS/PageRank family
     "graph_sssp" -> q(Graph.partSupplierSssp),
     "graph_triangles" -> q(Graph.coOrderTriangles),
-    "graph_ppr"       -> q(Graph.supplierAffinity),
+    // 4-truss by synchronous peeling: fixed 3 rounds so the unrolled
+    // oracle replays the peel sequence bit-exact (kcore convention)
+    "graph_ktruss" -> q(Graph.coOrderKTruss),
+    "graph_ppr"    -> q(Graph.supplierAffinity),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
         Dedup
@@ -2692,6 +2696,24 @@ object SparkEntry {
          |$iters
          |SELECT node, mass FROM pr4 ORDER BY node""".stripMargin
     }
+    val ktrussSql = {
+      // 3 unrolled synchronous peels (Graph.ktrussEdges rounds=3):
+      // per round, per-edge triangle support via the common-neighbor
+      // wedge join over the symmetric closure, then sup >= k-2 = 2
+      val rounds = (1 to 3).map { i =>
+        s"""adj${i - 1} AS MATERIALIZED (SELECT a AS u, b AS v FROM e${i - 1}
+           |  UNION ALL SELECT b AS u, a AS v FROM e${i - 1}),
+           |s$i AS MATERIALIZED (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+           |  FROM e${i - 1} e JOIN adj${i - 1} x ON x.u = e.a JOIN adj${i - 1} y ON y.u = e.b AND y.v = x.v
+           |  GROUP BY e.a, e.b),
+           |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE sup >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_orderkey < 10000),
+         |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         |$rounds
+         |SELECT a, b, sup FROM s3 WHERE sup >= 2 ORDER BY a, b""".stripMargin
+    }
     val kcoreSql = {
       // 5 unrolled synchronous peels; each level referenced 3× (the
       // survivor HAVING + both endpoint joins), so MATERIALIZED keeps
@@ -3822,6 +3844,26 @@ object SparkEntry {
           |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
           |GROUP BY x.item, y.item HAVING count(*) >= 2
           |ORDER BY item_a, item_b""".stripMargin,
+      "basket_rules" ->
+        """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+          |f AS MATERIALIZED (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY item HAVING count(*) >= 2),
+          |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item)),
+          |p AS (SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS pair_support
+          |      FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
+          |      GROUP BY x.item, y.item HAVING count(*) >= 2),
+          |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM b),
+          |r AS (SELECT item_a AS antecedent, item_b AS consequent, pair_support FROM p
+          |      UNION ALL
+          |      SELECT item_b AS antecedent, item_a AS consequent, pair_support FROM p)
+          |SELECT r.antecedent, r.consequent, r.pair_support,
+          |  fa.s AS ant_support, fc.s AS cons_support, n.n_baskets,
+          |  CAST(r.pair_support AS DOUBLE) / fa.s AS confidence,
+          |  CAST(r.pair_support * n.n_baskets AS DOUBLE) / (fa.s * fc.s) AS lift
+          |FROM r JOIN f fa ON r.antecedent = fa.item
+          |       JOIN f fc ON r.consequent = fc.item
+          |       CROSS JOIN n
+          |WHERE r.pair_support * 100 >= fa.s * 5
+          |ORDER BY antecedent, consequent""".stripMargin,
       "events_seq_patterns" ->
         """WITH ev AS (SELECT user_id AS u, event_type AS t, CAST(ts AS TIMESTAMP) AS ts FROM events),
           |fl AS (SELECT u, t, min(ts) AS first_ts, max(ts) AS last_ts FROM ev GROUP BY u, t),
@@ -3980,6 +4022,7 @@ object SparkEntry {
       "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,
+      "graph_ktruss"    -> ktrussSql,
       "graph_bfs_depth" -> bfsSql,
       "graph_sssp"      -> ssspSql,
       "graph_closeness" -> closenessSql,

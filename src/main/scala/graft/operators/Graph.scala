@@ -187,15 +187,23 @@ object Graph {
     * follow that order. Output: (node, n_tri) for every node in ≥1
     * triangle, ordered by node.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+  /** Canonical undirected edge list (a < b, loops dropped, deduped). */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
       .select(
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b")
       )
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+
+  /** Every triangle of the canonical edge list `und` exactly once, as
+    * (x, y, z): the degree-oriented wedge join (each edge points from
+    * its lower-degree endpoint, wedges close with one hash join) — the
+    * standard linear-in-wedges enumeration that never materializes a
+    * high-degree node's neighbor cross product in the wrong order.
+    */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und
       .select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n")
@@ -211,7 +219,7 @@ object Graph {
       )
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .localCheckpoint(eager = false)
-    val tri = oriented
+    oriented
       .as("e1")
       .join(
         oriented.as("e2"),
@@ -223,11 +231,76 @@ object Graph {
         oriented.select(col("u").as("y"), col("v").as("z")),
         Seq("y", "z")
       )
-    tri
+      .select("x", "y", "z")
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(canonicalEdges(edges).localCheckpoint(eager = false))
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_tri"))
       .orderBy("node")
+
+  /** Synchronous k-truss peeling (Cohen 2008, "Trusses: cohesive
+    * subgraphs for social network analysis" — public knowledge): a
+    * k-truss is the maximal subgraph where every edge closes ≥ k−2
+    * triangles WITHIN the subgraph. Each peel computes per-edge
+    * triangle SUPPORT (one degree-oriented triangle enumeration over
+    * the surviving edges, each triangle exploded onto its 3 canonical
+    * edges, one counting aggregate) and drops edges below k−2; a FIXED
+    * `rounds` count keeps the computation a pure function of the input
+    * so the oracle replays it with unrolled CTEs (the [[graph_kcore]]
+    * convention — synchronous, not converged-to-fixpoint).
+    *
+    * Scale: per round one wedge join + one aggregate + one semi-join,
+    * everything edge-keyed (bucketing-friendly), survivors lazily
+    * checkpointed so round r+1 never re-enumerates round r's plan.
+    * Output: surviving (a, b) with their final-round support.
+    */
+  def ktrussEdges(edges: DataFrame, k: Int = 4, rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"ktrussEdges needs >= 1 peel, got $rounds")
+    var cur                 = canonicalEdges(edges).localCheckpoint(eager = false)
+    var sup: DataFrame      = null
+    val minSup              = (k - 2).toLong
+    for (_ <- 1 to rounds) {
+      // orientation is by DEGREE, so triangle corners are not ordered —
+      // re-canonicalize each of the 3 edges before counting
+      sup = orientedTriangles(cur)
+        .select(
+          explode(
+            array(
+              struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+              struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+              struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b"))
+            )
+          ).as("e")
+        )
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("sup"))
+      // inner aggregate only holds triangle-closing edges — zero-support
+      // edges are peeled implicitly (sup 0 < k−2 always)
+      cur = sup.filter(col("sup") >= minSup).select("a", "b").localCheckpoint(eager = false)
+    }
+    sup.filter(col("sup") >= minSup).orderBy("a", "b")
+  }
+
+  /** `graph_ktruss` query body: 4-truss (every surviving edge in ≥ 2
+    * triangles among survivors), 3 synchronous peels, over the same
+    * bounded co-order graph as [[coOrderTriangles]].
+    */
+  def coOrderKTruss(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .filter(col("l_orderkey") < 10000L)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li
+      .as("x")
+      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+    ktrussEdges(edges, k = 4, rounds = 3)
   }
 
   /** `graph_triangles` query body: triangle counts over the

@@ -1248,6 +1248,76 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** Association rules from the frequent pairs: each surviving pair
+    * fans into its two directed rules A→B / B→A with
+    * confidence = pair_support / antecedent_support and
+    * lift = pair_support · n_baskets / (ant_support · cons_support)
+    * (Agrawal–Srikant Apriori, public knowledge). Exactness: the
+    * confidence FILTER is the integer cross-multiplication
+    * `100·pair ≥ minConfPct·ant` (never a float compare), and the
+    * emitted confidence/lift are single int/int IEEE divisions of
+    * exact longs — bitwise identical in any engine, left unrounded per
+    * repo convention (the long products stay < 2⁶³ until
+    * baskets·pair_support ≈ 9e18 — loud to the reader, not reachable
+    * at any tested scale).
+    *
+    * Scale: rides [[basketPairs]]'s Apriori pruning (item-frequency
+    * semi-join before the within-basket pair join), then one 2-way
+    * explode + two item-keyed support joins + one broadcast scalar for
+    * the basket total. Nothing beyond the pair relation is shuffled.
+    */
+  def basketRules(
+      spark: SparkSession,
+      dir: String,
+      minSupport: Long = 2L,
+      minConfPct: Long = 5L
+  ): DataFrame = {
+    val baskets = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumers: item supports + basket total
+    val itemSup = baskets
+      .groupBy("item")
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport)
+      .localCheckpoint(eager = false) // consumers: prune + both rule-side supports
+    val pruned = baskets.join(itemSup.select("item"), Seq("item"))
+    val pairs = pruned
+      .alias("x")
+      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minSupport)
+    val nBaskets = baskets.agg(countDistinct("okey").as("n_baskets"))
+    pairs
+      .select(
+        explode(
+          array(
+            struct(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("pair_support")),
+            struct(col("item_b").as("antecedent"), col("item_a").as("consequent"), col("pair_support"))
+          )
+        ).as("r")
+      )
+      .select(col("r.antecedent"), col("r.consequent"), col("r.pair_support"))
+      .join(itemSup.select(col("item").as("antecedent"), col("s").as("ant_support")), "antecedent")
+      .join(itemSup.select(col("item").as("consequent"), col("s").as("cons_support")), "consequent")
+      .crossJoin(broadcast(nBaskets)) // 1-row scalar aggregate (repo convention)
+      .filter(col("pair_support") * 100L >= col("ant_support") * minConfPct)
+      .select(
+        col("antecedent"),
+        col("consequent"),
+        col("pair_support"),
+        col("ant_support"),
+        col("cons_support"),
+        col("n_baskets"),
+        (col("pair_support").cast("double") / col("ant_support")).as("confidence"),
+        ((col("pair_support") * col("n_baskets")).cast("double") /
+          (col("ant_support") * col("cons_support"))).as("lift")
+      )
+      .orderBy("antecedent", "consequent")
+  }
+
   /** Exact k-th order statistic by iterative HISTOGRAM REFINEMENT —
     * distributed selection without a global sort: each round bins the
     * current candidate interval into ≤1024 equi-width buckets with ONE

@@ -40,6 +40,42 @@ class BasketTransitionsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("basketRules == brute-force Apriori rules: supports, integer confidence gate, lift quotients") {
+    val real = Relational.basketRules(spark, sfDir, minSupport = 2L, minConfPct = 5L)
+    val plan = real.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"rule derivation must stay equi-join:\n$plan")
+    val baskets = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+    val n       = baskets.map(_._1).distinct.length.toLong
+    val itemSup = baskets.groupBy(_._2).map { case (i, v) => i -> v.length.toLong }.filter(_._2 >= 2L)
+    val sets    = baskets.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val pairSup = sets
+      .flatMap(s => for { a <- s; b <- s if a < b } yield (a, b))
+      .groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    val want = pairSup.toSeq
+      .flatMap { case ((a, b), ps) => Seq((a, b, ps), (b, a, ps)) }
+      .filter { case (ant, _, ps) => ps * 100L >= itemSup(ant) * 5L }
+      .map { case (ant, cons, ps) =>
+        (ant, cons) -> (ps, itemSup(ant), itemSup(cons), n,
+          ps.toDouble / itemSup(ant), (ps * n).toDouble / (itemSup(ant) * itemSup(cons)))
+      }
+      .toMap
+    val got = real
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    assert(got == want, s"got ${got.size} rules, want ${want.size}")
+    // every pair yields both directions unless the confidence gate binds
+    assert(got.nonEmpty && got.keySet.exists { case (a, b) => got.contains((b, a)) })
+  }
+
   test("eventTransitions: hand-built stream and total-order tiebreak on equal timestamps") {
     import java.sql.Timestamp
     def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")

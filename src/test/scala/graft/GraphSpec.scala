@@ -443,4 +443,62 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(bounded == Map(2L -> 1.0, 3L -> 0.0), s"bounded gave $bounded")
   }
+
+  /** Model twin of the synchronous k-truss peel: per round, support =
+    * |N(a) ∩ N(b)| over surviving edges, then drop sup < k−2.
+    */
+  private def modelKTruss(edges: Set[(Long, Long)], k: Int, rounds: Int): Map[(Long, Long), Long] = {
+    def canon(e: (Long, Long)) = (math.min(e._1, e._2), math.max(e._1, e._2))
+    var cur                            = edges.map(canon).filter(e => e._1 != e._2)
+    var sup: Map[(Long, Long), Long]   = Map.empty
+    for (_ <- 1 to rounds) {
+      val nbrs = cur.toSeq
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).toSet }
+      sup = cur.iterator.map { case (a, b) => (a, b) -> (nbrs(a) & nbrs(b)).size.toLong }.toMap
+      cur = sup.filter(_._2 >= (k - 2).toLong).keySet
+    }
+    sup.filter(_._2 >= (k - 2).toLong)
+  }
+
+  test("k-truss == pure-Scala synchronous peel on a seeded random graph (k=3 and k=4)") {
+    val rnd = new scala.util.Random(11L)
+    val edges = (1 to 160)
+      .map(_ => (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong))
+      .filter(e => e._1 != e._2)
+      .toSet
+    val df = edges.toSeq.toDF("src", "dst")
+    for (k <- Seq(3, 4); rounds <- Seq(1, 3)) {
+      val want = modelKTruss(edges, k, rounds)
+      val got = Graph
+        .ktrussEdges(df, k, rounds)
+        .as[(Long, Long, Long)]
+        .collect()
+        .map { case (a, b, s) => (a, b) -> s }
+        .toMap
+      assert(got == want, s"k=$k rounds=$rounds: got ${got.size} edges, want ${want.size}")
+    }
+  }
+
+  test("registered graph_ktruss peel budget reaches the fixpoint (round 3 == round 4)") {
+    // the kcore convention: the FIXED synchronous round count is part
+    // of the contract (the oracle unrolls it), and this pins that the
+    // budget suffices on the registered instance — a 4th peel removes
+    // nothing more
+    import graft.Tables
+    val li = Tables
+      .lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 10000L)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li
+      .as("x")
+      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .localCheckpoint(eager = true)
+    val r3 = Graph.ktrussEdges(edges, 4, 3).as[(Long, Long, Long)].collect().toSet
+    val r4 = Graph.ktrussEdges(edges, 4, 4).as[(Long, Long, Long)].collect().toSet
+    assert(r3 == r4, s"peel budget 3 not a fixpoint: ${r3.size} vs ${r4.size} edges")
+  }
 }
