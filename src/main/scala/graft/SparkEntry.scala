@@ -1478,6 +1478,10 @@ object SparkEntry {
     // the count threshold, totals broadcast — DuckDB replays via
     // generate_series over the same token lists
     "text_pmi_collocations" -> q((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
+    // RAKE keyphrases quantized to integers: stopword-free runs via
+    // per-doc gaps-and-islands, word score (100·deg) DIV freq, phrase
+    // score an integer sum — hash-replays exactly
+    "text_rake_keyphrases" -> q((s, dir) => TextAnalysis.rakeKeyphrases(s, dir)),
     "text_bm25_topk"   -> q((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "text_phrase_search" -> q((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "text_ql_topk"     -> q((s, dir) => TextAnalysis.qlTopK(s, dir)),
@@ -4840,6 +4844,25 @@ object SparkEntry {
           |  CAST(n_union AS BIGINT) AS n_union, CAST(n_overlap AS BIGINT) AS n_overlap,
           |  round(CAST(n_overlap AS DOUBLE) / n_union, 4) AS jaccard
           |FROM m""".stripMargin,
+      "text_rake_keyphrases" ->
+        """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ts
+          |           FROM documents),
+          |w AS (SELECT doc_id, i, ts[i] AS w FROM tk, unnest(range(1, len(ts) + 1)) AS g(i)),
+          |ns AS (SELECT doc_id, i, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+          |       FROM w WHERE w NOT IN ('the','and','of','to','in','is','it','that','a','for',
+          |         'der','die','das','und','ist','nicht','ein','zu',
+          |         'le','les','et','est','dans','une','pour',
+          |         'el','los','y','es','en','una','por','que')),
+          |occ AS (SELECT doc_id, i - rn AS isl, string_agg(w, ' ' ORDER BY i) AS phrase,
+          |          CAST(count(*) AS BIGINT) AS len
+          |        FROM ns GROUP BY doc_id, isl HAVING count(*) <= 4),
+          |ws AS (SELECT w, (100 * CAST(sum(len) AS BIGINT)) // count(*) AS wscore
+          |       FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w FROM occ) GROUP BY w),
+          |ps AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY phrase),
+          |sc AS (SELECT p.phrase, p.n_occ, CAST(sum(ws.wscore) AS BIGINT) AS score
+          |       FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM ps) p
+          |       JOIN ws USING (w) GROUP BY p.phrase, p.n_occ)
+          |SELECT phrase, n_occ, score FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
       "text_pmi_collocations" ->
         """WITH toks AS (
           |  SELECT list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS ts

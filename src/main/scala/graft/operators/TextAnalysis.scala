@@ -30,6 +30,65 @@ object TextAnalysis {
   private def tokenRows(spark: SparkSession, dir: String): DataFrame =
     TextJobs.tokenized(Tables.documents(spark, dir).select("doc_id", "text"), "text", "tok")
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents" — public knowledge),
+    * quantized to PURE INTEGERS so the oracle hash-replays:
+    *
+    *   - candidate phrases are maximal stopword-free token runs
+    *     (gaps-and-islands over token positions — one window
+    *     PARTITIONED per doc), capped at `maxLen` tokens;
+    *   - word score is the integer floor (100·deg(w)) DIV freq(w),
+    *     where deg(w) sums the lengths of every candidate occurrence
+    *     containing w (RAKE's degree = freq + co-occurrence) and
+    *     freq(w) counts occurrences — both exact counts, and the
+    *     positive-operand floor-div is identical in Spark and DuckDB;
+    *   - a phrase scores the SUM of its words' integer scores (no
+    *     float accumulation anywhere);
+    *   - output: global top-k phrases by (score desc, phrase) — a
+    *     total order (phrase strings are distinct) served by
+    *     TakeOrderedAndProject, never a global sort.
+    *
+    * Scale: one tokenize + one per-doc window + three hash aggregates
+    * at candidate/word/phrase grain; the phrase directory (bounded by
+    * distinct stopword-free runs) is the largest shuffled relation.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String, topK: Int = 20, maxLen: Int = 4): DataFrame =
+    rakeKeyphrasesDf(Tables.documents(spark, dir), topK, maxLen)
+
+  /** [[rakeKeyphrases]] core over any (doc_id, text) relation. */
+  private[graft] def rakeKeyphrasesDf(docs: DataFrame, topK: Int = 20, maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = stopEn ++ stopDe ++ stopFr ++ stopEs
+    val words = docs
+      .select(col("doc_id"), posexplode(expr(toks("lower(text)"))))
+      .toDF("doc_id", "i", "w")
+    val isl = words
+      .filter(!col("w").isin(stop: _*))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("isl", col("i") - col("rn"))
+    val occ = isl
+      .groupBy("doc_id", "isl")
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)"), " ").as("phrase"),
+        count(lit(1)).as("len")
+      )
+      .filter(col("len") <= maxLen)
+      .localCheckpoint(eager = false) // consumers: word stats + phrase stats
+    val wordScores = occ
+      .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(expr("(100 * sum(len)) DIV count(1)").as("wscore"))
+    occ
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScores, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum("wscore").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Heaps'-law vocabulary growth: distinct-vocabulary size after each
     * doc_id prefix of the corpus — the curve that sizes tokenizer
     * vocabularies and predicts OOV rates as a corpus grows. Computed

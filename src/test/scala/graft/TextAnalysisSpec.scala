@@ -583,4 +583,38 @@ class TextAnalysisSpec extends SparkSpec {
       .select("tok").distinct().count()
     assert(curve.last.getLong(2) == total, "curve must end at the full distinct vocabulary")
   }
+
+  test("rakeKeyphrases: hand-computed fixture — islands, integer word scores, phrase sums, top order") {
+    val ss = spark; import ss.implicits._
+    // doc 1 tokens: deep learning [of the] deep systems -> "deep learning", "deep systems"
+    // doc 2: "systems design"; doc 3: [the] learning -> "learning"
+    // deg/freq: deep 4/2 -> 200, learning 3/2 -> 150, systems 4/2 -> 200, design 2/1 -> 200
+    // phrases: deep systems 400, systems design 400, deep learning 350, learning 150
+    val docs = Seq(
+      (1L, "Deep learning of the deep systems"),
+      (2L, "systems design"),
+      (3L, "the learning")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .rakeKeyphrasesDf(docs, topK = 10)
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+    assert(
+      got == Seq(
+        ("deep systems", 1L, 400L),
+        ("systems design", 1L, 400L),
+        ("deep learning", 1L, 350L),
+        ("learning", 1L, 150L)
+      ),
+      s"got $got"
+    )
+    // maxLen binds: a 5-word run is not a candidate and its words don't score
+    val long = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(TextAnalysis.rakeKeyphrasesDf(long, topK = 10, maxLen = 4).count() == 0L)
+    assert(
+      TextAnalysis.rakeKeyphrasesDf(long, topK = 10, maxLen = 5).as[(String, Long, Long)].collect().toSeq ==
+        Seq(("alpha beta gamma delta epsilon", 1L, 2500L)) // 5 words, each deg/freq = 5/1 -> 500
+    )
+  }
 }
