@@ -1046,6 +1046,9 @@ object SparkEntry {
     "events_stickiness"     -> q(EventAnalytics.dauWauStickiness),
     "events_attribution"    -> q((s, dir) => EventAnalytics.attributionUShaped(s, dir)),
     "events_transitions"    -> q(EventAnalytics.eventTransitions),
+    // stationary distribution of the behavior chain: integer-mass
+    // power iteration (pagerank discipline), bit-exact unrolled oracle
+    "events_markov_stationary" -> q((s, dir) => EventAnalytics.markovStationary(s, dir)),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
     "basket_rules"          -> q((s, dir) => Relational.basketRules(s, dir)),
     // exact median by histogram-refinement selection: O(log range)
@@ -3840,6 +3843,33 @@ object SparkEntry {
           |SELECT from_type, to_type, count(*) AS n_transitions
           |FROM p WHERE to_type IS NOT NULL
           |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+      "events_markov_stationary" -> {
+        // 8 unrolled integer-mass power-iteration rounds over the
+        // transition matrix (EventAnalytics.markovStationary) — floor
+        // division matches Spark's DIV on the positive operands
+        val rounds = (1 to 8).map { i =>
+          s"""m$i AS MATERIALIZED (SELECT state, CAST(sum(dm) AS BIGINT) AS m FROM (
+             |  SELECT tr.to_type AS state, x.m * tr.n // o.outn AS dm
+             |  FROM tr JOIN m${i - 1} x ON x.state = tr.from_type JOIN o ON o.from_type = tr.from_type
+             |  UNION ALL
+             |  SELECT x.state, x.m AS dm FROM m${i - 1} x
+             |  WHERE x.state NOT IN (SELECT from_type FROM o)
+             |) GROUP BY state)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+           |p AS (SELECT event_type AS from_type,
+           |        lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+           |      FROM s),
+           |tr AS MATERIALIZED (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |o AS MATERIALIZED (SELECT from_type, CAST(sum(n) AS BIGINT) AS outn FROM tr GROUP BY 1),
+           |st AS MATERIALIZED (SELECT from_type AS state FROM tr UNION SELECT to_type FROM tr),
+           |m0 AS (SELECT state, CAST(1000000000000 AS BIGINT) AS m FROM st),
+           |$rounds
+           |SELECT st.state AS event_type, CAST(COALESCE(m8.m, 0) AS BIGINT) AS mass
+           |FROM st LEFT JOIN m8 ON st.state = m8.state
+           |ORDER BY event_type""".stripMargin
+      },
       "basket_pairs" ->
         """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
           |f AS (SELECT item FROM b GROUP BY item HAVING count(*) >= 2),

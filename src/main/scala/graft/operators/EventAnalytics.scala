@@ -831,6 +831,60 @@ object EventAnalytics {
       .orderBy("from_type", "to_type")
   }
 
+  /** Stationary distribution of the empirical event-type Markov chain
+    * ([[eventTransitions]]' matrix) by INTEGER-MASS power iteration —
+    * the graph_pagerank discipline applied to the behavior chain: each
+    * state starts with 10¹² units and each round routes
+    * `mass(s) · n(s,t) DIV out(s)` to t — exact long arithmetic whose
+    * sums are order-independent, floor remainders retired, so the
+    * result is a PURE FUNCTION of the transition counts and the oracle
+    * replays the fixed `rounds` as unrolled SQL (bit-exact). A state
+    * with no outgoing transitions keeps its mass (self-loop
+    * absorption); the state space is the event-type alphabet observed
+    * in transitions (bounded), so after the one corpus-sized
+    * transition-count aggregate every round is directory-scale. The
+    * long product `m·n` stays under 2⁶³ until a single (from, to) pair
+    * carries ~9×10⁶ transitions at 10¹² mass — beyond that move the
+    * product to DECIMAL (documented, like aucExact).
+    */
+  def markovStationary(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    markovStationaryFromTransitions(eventTransitions(spark, dir).withColumnRenamed("n_transitions", "n"), rounds)
+
+  /** [[markovStationary]] core over any (from_type, to_type, n)
+    * transition-count relation.
+    */
+  private[graft] def markovStationaryFromTransitions(transitions: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"markovStationary needs >= 1 round, got $rounds")
+    val tr = transitions
+      .localCheckpoint(eager = false) // consumers: out-degrees, states, every round
+    val out = tr.groupBy("from_type").agg(sum("n").as("outn")).localCheckpoint(eager = false)
+    val states = tr
+      .select(col("from_type").as("state"))
+      .union(tr.select(col("to_type").as("state")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val edges = tr.join(out, "from_type").localCheckpoint(eager = false)
+    var mass = states.select(col("state"), lit(1000000000000L).as("m"))
+    for (_ <- 1 to rounds) {
+      val routed = edges
+        .join(mass.withColumnRenamed("state", "from_type"), "from_type")
+        .select(col("to_type").as("state"), expr("m * n DIV outn").as("dm"))
+      val kept = mass
+        .join(out.select(col("from_type").as("state")), Seq("state"), "left_anti")
+        .select(col("state"), col("m").as("dm"))
+      mass = routed
+        .unionByName(kept)
+        .groupBy("state")
+        .agg(sum("dm").as("m"))
+        .localCheckpoint(eager = false)
+    }
+    states
+      .join(mass, Seq("state"), "left")
+      .na.fill(0L, Seq("m"))
+      .select(col("state").as("event_type"), col("m").as("mass"))
+      .orderBy("event_type")
+  }
+
   /** Sequential-pattern supports (the PrefixSpan/SPADE family,
     * specialized to a bounded event-type alphabet): for every length-2
     * pattern `a>b`, the number of users with an a-event STRICTLY

@@ -376,4 +376,34 @@ class EventPatternSpec extends SparkSpec {
       assert(flag == (math.abs(x - mean) > 2 * sd), s"day $d x=$x flag=$flag mean=$mean sd=$sd")
     }
   }
+
+  test("markovStationary == pure-Scala integer power iteration; absorbing state keeps mass") {
+    import SparkSpec.spark.implicits._
+    // chain: a->b (3), a->c (1), b->a (2), b->c (2); c absorbs
+    val tr = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L), ("b", "c", 2L))
+    def model(rounds: Int): Map[String, Long] = {
+      val outn = tr.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).sum }
+      val states = tr.flatMap(e => Seq(e._1, e._2)).distinct
+      var m = states.map(_ -> 1000000000000L).toMap
+      for (_ <- 1 to rounds) {
+        val nxt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        for ((f, t, n) <- tr) nxt(t) += m(f) * n / outn(f)
+        for (s0 <- states if !outn.contains(s0)) nxt(s0) += m(s0)
+        m = states.map(s0 => s0 -> nxt(s0)).toMap
+      }
+      m
+    }
+    for (rounds <- Seq(1, 8)) {
+      val got = EventAnalytics
+        .markovStationaryFromTransitions(tr.toDF("from_type", "to_type", "n"), rounds)
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      assert(got == model(rounds), s"rounds=$rounds: got $got want ${model(rounds)}")
+    }
+    // closed form at rounds=8: everything not yet in c keeps cycling a<->b,
+    // and c's mass is monotone non-decreasing (it absorbs)
+    val m8 = model(8)
+    assert(m8("c") > 2000000000000L && m8.values.sum <= 4000000000000L)
+  }
 }
