@@ -1067,6 +1067,8 @@ object SparkEntry {
     // never a per-group sort, never a buffering percentile. The
     // oracle replays each group's (n+1)/2-th ordered value.
     "group_exact_median" -> q((s, dir) => Relational.groupExactMedianPrice(s, dir)),
+    // exact closed-form regression: four integer sums, DECIMAL combine
+    "group_ols_slope" -> q(Relational.groupOlsSlope),
     // same simultaneous histogram refinement at a different order
     // statistic: exact lower p90 per priority, zero sorts
     "group_exact_p90" -> q { (s, dir) =>
@@ -3933,6 +3935,17 @@ object SparkEntry {
           |  FROM orders
           |) WHERE rn = (9 * n + 9) // 10
           |ORDER BY o_orderpriority""".stripMargin,
+      "group_ols_slope" ->
+        """WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+          |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+          |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+          |        CAST(sum(x * x) AS BIGINT) AS sxx
+          |      FROM s GROUP BY 1)
+          |SELECT l_returnflag, n, sx, sy, sxy, sxx,
+          |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+          |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope_cents_per_unit
+          |FROM a ORDER BY l_returnflag""".stripMargin,
       "group_exact_median" ->
         """SELECT l_returnflag, price_cents FROM (
           |  SELECT l_returnflag,

@@ -1584,6 +1584,48 @@ object Relational {
       .drop((bNames ++ Seq("__rnb", "__off", "__n", "__rank")): _*)
   }
 
+  /** Exact per-group OLS slope (price-per-quantity by return flag) via
+    * the closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the
+    * regression coefficient as ONE hash aggregate of four exact
+    * integer sums (quantities are integral, prices fixed-pointed to
+    * cents), no covariance floats anywhere. The four sums stay in
+    * longs (Σxy ≲ 4×10¹⁵ at sf1, loud to the reader); the combined
+    * numerator/denominator grow as n·Σ — past 2⁶³ at sf1 — so the
+    * combination runs in DECIMAL(38,0) ([[graft.operators.Evaluation]]
+    * aucExact's convention) and the emitted slope is the quotient of
+    * the two decimals' correctly-rounded double conversions (one
+    * identical IEEE division in any engine).
+    */
+  def groupOlsSlope(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")
+      )
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        col("sx"),
+        col("sy"),
+        col("sxy"),
+        col("sxx"),
+        ((col("n").cast("decimal(38,0)") * col("sxy") - col("sx").cast("decimal(38,0)") * col("sy"))
+          .cast("double") /
+          (col("n").cast("decimal(38,0)") * col("sxx") - col("sx").cast("decimal(38,0)") * col("sx"))
+            .cast("double")).as("slope_cents_per_unit")
+      )
+      .orderBy("l_returnflag")
+
   /** `group_exact_median` query body: exact LOWER MEDIAN of lineitem
     * extended price (cents — exact fixed-point longs) per return
     * flag: three segments, one histogram-refinement loop, no sorts.

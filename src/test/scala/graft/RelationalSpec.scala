@@ -331,4 +331,29 @@ class RelationalSpec extends SparkSpec {
     assert(tight == Set(1L, 2L), s"cap must bound the basket deterministically, got $tight")
     intercept[IllegalArgumentException](Relational.itemNeighborsFrom(baskets, maxBasketItems = 1))
   }
+
+  test("groupOlsSlope: exact integer sums; slope matches an independent double OLS") {
+    import SparkSpec.spark.implicits._
+    val rows = Relational.groupOlsSlope(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val data = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"), round(col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g  = data(r.getString(0)).map(t => (t._2, t._3))
+      val n  = g.length.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == g.map(_._1).sum && r.getLong(3) == g.map(_._2).sum)
+      assert(r.getLong(4) == g.map(t => t._1 * t._2).sum && r.getLong(5) == g.map(t => t._1 * t._1).sum)
+      // independent float OLS: same value to ~1e-9 relative (the exact
+      // path differs only in when the rounding to double happens)
+      val (xs, ys) = (g.map(_._1.toDouble), g.map(_._2.toDouble))
+      val want     = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+        (n * xs.map(a => a * a).sum - xs.sum * xs.sum)
+      val got = r.getDouble(6)
+      assert(math.abs(got - want) <= math.abs(want) * 1e-9, s"${r.getString(0)}: $got vs $want")
+    }
+  }
 }
