@@ -1069,6 +1069,9 @@ object SparkEntry {
     "group_exact_median" -> q((s, dir) => Relational.groupExactMedianPrice(s, dir)),
     // exact closed-form regression: four integer sums, DECIMAL combine
     "group_ols_slope" -> q(Relational.groupOlsSlope),
+    // sweep-line interval stabbing: intervals -> 2 deltas -> bounded
+    // date directory; no spine join, no data-sized window
+    "orders_open_backlog" -> q(Relational.openOrderBacklog),
     // same simultaneous histogram refinement at a different order
     // statistic: exact lower p90 per priority, zero sorts
     "group_exact_p90" -> q { (s, dir) =>
@@ -1276,7 +1279,9 @@ object SparkEntry {
     // 4-truss by synchronous peeling: fixed 3 rounds so the unrolled
     // oracle replays the peel sequence bit-exact (kcore convention)
     "graph_ktruss" -> q(Graph.coOrderKTruss),
-    "graph_ppr"    -> q(Graph.supplierAffinity),
+    // common-neighbor link prediction: exact counts + int/int Jaccard
+    "graph_link_prediction" -> q(Graph.coOrderLinkPrediction),
+    "graph_ppr"             -> q(Graph.supplierAffinity),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
         Dedup
@@ -4070,6 +4075,33 @@ object SparkEntry {
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,
       "graph_ktruss"    -> ktrussSql,
+      "graph_link_prediction" ->
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_orderkey < 10000),
+          |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |adj AS MATERIALIZED (SELECT a AS c, b AS n FROM e UNION ALL SELECT b AS c, a AS n FROM e),
+          |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+          |cand AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS cn
+          |         FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+          |         GROUP BY x.n, y.n HAVING count(*) >= 3),
+          |miss AS (SELECT cand.* FROM cand LEFT JOIN e ON cand.a = e.a AND cand.b = e.b
+          |         WHERE e.a IS NULL)
+          |SELECT m.a, m.b, m.cn, da.d AS da, db.d AS db,
+          |  CAST(m.cn AS DOUBLE) / (da.d + db.d - m.cn) AS jaccard
+          |FROM miss m JOIN deg da ON m.a = da.node JOIN deg db ON m.b = db.node
+          |ORDER BY cn DESC, a, b LIMIT 10000""".stripMargin,
+      "orders_open_backlog" ->
+        """WITH li AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+          |            FROM lineitem GROUP BY 1),
+          |o AS (SELECT CAST(o_orderdate AS DATE) AS od,
+          |        COALESCE(li.last_ship, CAST(o_orderdate AS DATE)) AS cd
+          |      FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+          |d AS (SELECT od AS day, 1 AS delta FROM o
+          |      UNION ALL SELECT cd + 1 AS day, -1 AS delta FROM o),
+          |g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY day)
+          |SELECT day, CAST(sum(net) OVER (ORDER BY day
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_open
+          |FROM g ORDER BY day""".stripMargin,
       "graph_bfs_depth" -> bfsSql,
       "graph_sssp"      -> ssspSql,
       "graph_closeness" -> closenessSql,

@@ -286,22 +286,80 @@ object Graph {
     sup.filter(col("sup") >= minSup).orderBy("a", "b")
   }
 
-  /** `graph_ktruss` query body: 4-truss (every surviving edge in ≥ 2
-    * triangles among survivors), 3 synchronous peels, over the same
-    * bounded co-order graph as [[coOrderTriangles]].
+  /** Common-neighbor link prediction (Liben-Nowell–Kleinberg 2003 —
+    * public knowledge): for every NON-adjacent pair with ≥ `minCommon`
+    * shared neighbors, the common-neighbor count and the Jaccard
+    * coefficient cn/(d_a + d_b − cn) as an exact int/int quotient.
+    * Wedges enumerate with one adjacency self-join on the center
+    * (pair ordered a < b so each wedge counts once), existing edges
+    * leave by anti-join, degrees ride a broadcastable directory. On an
+    * unbounded graph the center fan-out is the hub-quadratic risk —
+    * the production form bounds neighbor lists by the degree-oriented
+    * trick [[orientedTriangles]] uses; the registered query runs on
+    * the constant-bounded co-order graph (the [[coOrderTriangles]]
+    * convention), where the exact enumeration IS the oracle. Output is
+    * the top-`topK` candidates by (cn desc, a, b) — a total order, so
+    * the cut is deterministic and the artifact stays bounded on dense
+    * graphs (the sf0.01 co-order graph yields ~1M raw candidates);
+    * TakeOrderedAndProject keeps the cut distributed.
     */
-  def coOrderKTruss(spark: SparkSession, dir: String): DataFrame = {
+  def linkPrediction(edges: DataFrame, minCommon: Long = 3L, topK: Int = 10000): DataFrame = {
+    val und = canonicalEdges(edges).localCheckpoint(eager = false)
+    val adj = und
+      .select(col("a").as("c"), col("b").as("n"))
+      .unionByName(und.select(col("b").as("c"), col("a").as("n")))
+      .localCheckpoint(eager = false) // consumers: wedge pairing + degrees
+    val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("d"))
+    val cand = adj
+      .as("x")
+      .join(adj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        col("cn"),
+        col("da"),
+        col("db"),
+        (col("cn").cast("double") / (col("da") + col("db") - col("cn"))).as("jaccard")
+      )
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** `graph_link_prediction` query body over the bounded co-order
+    * graph.
+    */
+  def coOrderLinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(coOrderEdges(spark, dir))
+
+  /** The bounded co-order edge relation shared by the triangle-family
+    * queries (parts co-occurring in an order, orderkey < 10000 — a
+    * CONSTANT subgraph at every scale factor, so quadratic oracle
+    * replays stay affordable).
+    */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables
       .lineitem(spark, dir)
       .filter(col("l_orderkey") < 10000L)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val edges = li
-      .as("x")
+    li.as("x")
       .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
-    ktrussEdges(edges, k = 4, rounds = 3)
   }
+
+  /** `graph_ktruss` query body: 4-truss (every surviving edge in ≥ 2
+    * triangles among survivors), 3 synchronous peels, over the same
+    * bounded co-order graph as [[coOrderTriangles]].
+    */
+  def coOrderKTruss(spark: SparkSession, dir: String): DataFrame =
+    ktrussEdges(coOrderEdges(spark, dir), k = 4, rounds = 3)
 
   /** `graph_triangles` query body: triangle counts over the
     * co-purchase graph (parts appearing in the same order), bounded by

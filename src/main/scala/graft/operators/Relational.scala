@@ -1584,6 +1584,41 @@ object Relational {
       .drop((bNames ++ Seq("__rnb", "__off", "__n", "__rank")): _*)
   }
 
+  /** Daily open-order backlog — the SWEEP-LINE (interval-stabbing)
+    * aggregate: every order contributes +1 at its order date and −1
+    * the day after its last lineitem ship date, and the running sum of
+    * net deltas over the date directory is the number of orders open
+    * on each day. The interval relation never joins against a spine
+    * and never self-joins: billions of intervals reduce to TWO delta
+    * rows each, one partial-agg shuffle folds them to the bounded
+    * calendar directory, and the cumulative runs with
+    * [[graft.operators.Evaluation.cumulativeByScore]]'s two-phase
+    * block pattern — no data-sized window anywhere. Pure integers.
+    */
+  def openOrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val o = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("od"), coalesce(col("last_ship"), col("od")).as("cd"))
+      .localCheckpoint(eager = false) // consumers: +1 and −1 delta sides
+    val deltas = o
+      .select(col("od").as("day"), lit(1L).as("y"))
+      .unionByName(o.select(date_add(col("cd"), 1).as("day"), lit(-1L).as("y")))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).cast("long").as("s"), col("y"))
+    Evaluation
+      .cumulativeByScore(deltas)
+      .select(
+        expr("DATE_ADD(DATE '1970-01-01', CAST(s AS INT))").as("day"),
+        (col("c_p") + col("p_s")).as("n_open")
+      )
+      .orderBy("day")
+  }
+
   /** Exact per-group OLS slope (price-per-quantity by return flag) via
     * the closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the
     * regression coefficient as ONE hash aggregate of four exact

@@ -501,4 +501,37 @@ class GraphSpec extends SparkSpec {
     val r4 = Graph.ktrussEdges(edges, 4, 4).as[(Long, Long, Long)].collect().toSet
     assert(r3 == r4, s"peel budget 3 not a fixpoint: ${r3.size} vs ${r4.size} edges")
   }
+
+  test("linkPrediction == brute-force common-neighbor/Jaccard; the top-k cut is a total order") {
+    val rnd = new scala.util.Random(5L)
+    val edges = (1 to 120)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+      .toSet
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val nbrs = canon.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (n, vs) => n -> vs.map(_._2).toSet }
+    val nodes = nbrs.keySet.toSeq
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !canon((a, b))
+      cn = (nbrs(a) & nbrs(b)).size.toLong if cn >= 3L
+    } yield {
+      val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+      (a, b) -> ((cn, da, db, cn.toDouble / (da + db - cn)))
+    }).toMap
+    val df = edges.toSeq.toDF("src", "dst")
+    val got = Graph
+      .linkPrediction(df, minCommon = 3L, topK = 1000000)
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(got == want, s"got ${got.size} candidates, want ${want.size}")
+    // the bounded cut is the PREFIX of the (cn desc, a, b) total order
+    val full = Graph.linkPrediction(df, 3L, 1000000).as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val cut  = Graph.linkPrediction(df, 3L, 5).as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(cut == full.take(5), "topK must cut the deterministic prefix")
+  }
 }

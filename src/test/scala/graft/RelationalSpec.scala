@@ -356,4 +356,36 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(got - want) <= math.abs(want) * 1e-9, s"${r.getString(0)}: $got vs $want")
     }
   }
+
+  test("openOrderBacklog == brute-force sweep over collected intervals") {
+    import SparkSpec.spark.implicits._
+    val got = Relational
+      .openOrderBacklog(spark, sfDir)
+      .select(col("day").cast("string"), col("n_open"))
+      .as[(String, Long)]
+      .collect()
+      .toSeq
+    val ship = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).cast("string"))
+      .as[(Long, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).max }
+    val ords = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).cast("string"))
+      .as[(Long, String)]
+      .collect()
+    def day(s: String)  = java.time.LocalDate.parse(s)
+    val deltas = scala.collection.mutable.Map.empty[java.time.LocalDate, Long].withDefaultValue(0L)
+    ords.foreach { case (k, od) =>
+      deltas(day(od)) += 1L
+      deltas(day(ship.getOrElse(k, od)).plusDays(1)) -= 1L
+    }
+    var open = 0L
+    val want = deltas.toSeq.sortBy(_._1.toEpochDay).map { case (d, net) => open += net; (d.toString, open) }
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    assert(got.last._2 == 0L, "the backlog must close at zero after the last ship day")
+  }
 }
