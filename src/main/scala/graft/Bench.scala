@@ -112,6 +112,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.prepare(spark)
+    // Storage hygiene between timed units: every query body lazily
+    // localCheckpoints its shared sub-relations, and those blocks stay
+    // resident until explicitly unpersisted — across a 190-query track
+    // (and especially across the 10× sf1 track that runs FIRST) the
+    // residue competes with execution memory. r11's final sample showed
+    // a CONCENTRATED 2–9× inflation on the highest-memory main-track
+    // queries (pagerank, betweenness, winnow, stream-dedup) with small
+    // queries simultaneously faster — the storage-residue signature.
+    // Drop all persistent RDDs + the SQL cache after each timed unit:
+    // nothing is reused across queries (every rep rebuilds its plan),
+    // so this frees memory without changing what any timing measures.
+    def dropStorageResidue(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
     // Untimed warmup: trigger codegen/JIT and page-cache the inputs so
     // timed numbers measure the queries, not JVM cold start. One cheap
     // query per family so every base table (lineitem/orders, documents,
@@ -134,6 +149,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    dropStorageResidue() // warmup residue must not ride into the sf1 track
     // MEDIAN of three timed runs per query: this host shows ±20–60%
     // noise spikes on sub-second queries, and both a single run and
     // min-of-2 let one spike (or one lucky cache hit) misrepresent the
@@ -188,7 +204,7 @@ object Bench {
     // round-over-round TREND LINE for the scale claims, not a latency
     // number. Skipped silently when the sf1 corpus or manifest is
     // absent (e.g. a fresh driver host).
-    val sf1Json: Option[String] = {
+    val sf1Res: Option[(String, Seq[(String, (Double, (Long, Long, Long)))], Seq[(String, String)])] = {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       val mPath = java.nio.file.Paths.get(
         sys.env.getOrElse(
@@ -217,33 +233,51 @@ object Bench {
             org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
             probe.snapshotAndReset()
             val t0 = System.nanoTime()
-            try {
-              fn(spark, sf1Dir).write.format("noop").mode("overwrite").save()
-              val dt = (System.nanoTime() - t0) / 1e9
-              org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
-              name -> Right((dt, probe.snapshotAndReset())): (String, Either[String, (Double, (Long, Long, Long))])
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
-                name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-            }
+            val r =
+              try {
+                fn(spark, sf1Dir).write.format("noop").mode("overwrite").save()
+                val dt = (System.nanoTime() - t0) / 1e9
+                org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
+                name -> Right((dt, probe.snapshotAndReset())): (String, Either[String, (Double, (Long, Long, Long))])
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+                  name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+              }
+            dropStorageResidue() // untimed: after the clock stops
+            r
           }
         }
         spark.sparkContext.removeSparkListener(probe)
         val ok  = t1.collect { case (k, Right(v)) => k -> v }
         val bad = t1.collect { case (k, Left(m)) => k -> m }
-        val qj  = ok.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        Some((sf1Dir, ok, bad))
+      }
+    }
+    // full sf1 JSON (with the per-query task-metrics map) for the
+    // BENCH_LATEST/history artifacts; a TRIMMED variant for stdout —
+    // the ~1.4 KB metrics map riding in the stdout line is what
+    // overflowed the driver's 2 000-char tail window in r11 and left
+    // BENCH_r11.json `parsed: null`.
+    val sf1Field: String = sf1Res
+      .map { case (sf1Dir, ok, bad) =>
+        val qj = ok.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
         val mj = ok
           .map { case (k, (_, (ms, ds, pk))) =>
             "\"" + k + s"""\":{"spill_bytes":$ms,"disk_spill_bytes":$ds,"peak_task_mem_bytes":$pk}"""
           }
           .mkString("{", ",", "}")
         val ej = bad.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }.mkString("{", ",", "}")
-        Some(
-          s"""{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","method":"single run, cold standing state","n":${ok.size},"error_count":${bad.size},"errors":$ej,"queries":$qj,"metrics":$mj}"""
-        )
+        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","method":"single run, cold standing state, residue dropped per query","n":${ok.size},"error_count":${bad.size},"errors":$ej,"queries":$qj,"metrics":$mj}"""
       }
-    }
+      .getOrElse("")
+    val sf1StdoutField: String = sf1Res
+      .map { case (sf1Dir, ok, bad) =>
+        val top = ok.sortBy(-_._2._1).take(6)
+        val qj  = top.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","n":${ok.size},"error_count":${bad.size},"queries_omitted":${ok.size - top.size},"queries":$qj}"""
+      }
+      .getOrElse("")
     val timed: Seq[(String, Either[String, Double])] = manifest.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         var err: Option[String] = None
@@ -259,12 +293,13 @@ object Bench {
               None
           }
         }
-        name -> (if (times.isEmpty) Left(err.getOrElse("failed")) else Right(median(times)))
+        val r = name -> (if (times.isEmpty) Left(err.getOrElse("failed")) else Right(median(times)))
+        dropStorageResidue() // untimed: after the query's reps finish
+        r
       }
     }
     val results = timed.collect { case (k, Right(v)) => k -> v }
     val errors  = timed.collect { case (k, Left(m)) => k -> m }
-    val sf1Field = sf1Json.map(j => s""","sf1":$j""").getOrElse("")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => "\"" + k + "\":\"" + jsonEscape(m) + "\"" }
@@ -278,7 +313,7 @@ object Bench {
     val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 trend track precedes in the same JVM (since r10 - main totals straddling that reorder are not like-for-like)","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 trend track precedes in the same JVM; storage residue (localCheckpoint blocks + SQL cache) dropped untimed after every query since r12","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the final JSON line out of that tail — a full 100+-query map
     // (~4.5 KB) overflows the window and the round artifact records
@@ -289,8 +324,13 @@ object Bench {
     // BENCH_LATEST.json and BENCH_HISTORY.jsonl below.
     val stdoutLine = {
       val bySlowest = results.sortBy(-_._2)
+      // stdout carries the TRIMMED sf1 field (no task-metrics map, top
+      // sf1 queries only — r11's full map overflowed the tail window
+      // and the round artifact lost even the headline value); the
+      // budget is computed on the final meta string, sf1 included, so
+      // the whole line stays inside the driver's 2 000-char tail.
       val meta =
-        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 track precedes in-JVM; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field,"queries_omitted":NNN,"queries":"""
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 track precedes in-JVM; residue dropped per query; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1StdoutField,"queries_omitted":NNN,"queries":"""
       val budget  = 1700 - meta.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used    = 2 // braces

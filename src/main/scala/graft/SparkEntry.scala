@@ -1051,6 +1051,10 @@ object SparkEntry {
     "events_markov_stationary" -> q((s, dir) => EventAnalytics.markovStationary(s, dir)),
     "basket_pairs"          -> q((s, dir) => Relational.basketPairs(s, dir)),
     "basket_rules"          -> q((s, dir) => Relational.basketRules(s, dir)),
+    // the per-basket fan-out bound with a cap that BINDS (3 < the ≤7
+    // TPC-H basket sizes), so the oracle hash-verifies the
+    // deterministic highest-support-first cap semantics themselves
+    "basket_pairs_capped"   -> q((s, dir) => Relational.basketPairs(s, dir, maxBasketItems = 3)),
     // exact median by histogram-refinement selection: O(log range)
     // columnar scans, zero shuffled sorts, driver state <= 1024 rows
     // — the exact-order-statistic answer at 100 TB
@@ -1281,6 +1285,11 @@ object SparkEntry {
     "graph_ktruss" -> q(Graph.coOrderKTruss),
     // common-neighbor link prediction: exact counts + int/int Jaccard
     "graph_link_prediction" -> q(Graph.coOrderLinkPrediction),
+    // the hub-bounded production path with a BINDING cap (8 neighbors,
+    // lowest-degree first) — oracle-verified cap semantics
+    "graph_link_prediction_bounded" -> q(Graph.coOrderLinkPredictionBounded),
+    // integer-quantized resource-allocation link score (Σ 1e6 DIV d(c))
+    "graph_resource_allocation" -> q(Graph.coOrderResourceAllocation),
     "graph_ppr"             -> q(Graph.supplierAffinity),
     "dedup_simhash" -> q { (s, dir) =>
       dumpSimOracleOnce("simhash", dir) {
@@ -3853,14 +3862,18 @@ object SparkEntry {
       "events_markov_stationary" -> {
         // 8 unrolled integer-mass power-iteration rounds over the
         // transition matrix (EventAnalytics.markovStationary) — floor
-        // division matches Spark's DIV on the positive operands
+        // division matches Spark's DIV on the positive operands.
+        // Absorbing-state mass keeps via NOT EXISTS, matching the
+        // Spark side's left_anti even if a NULL event_type ever
+        // appears (NOT IN over a NULL-bearing subquery evaluates to
+        // NULL and would silently drop ALL kept mass)
         val rounds = (1 to 8).map { i =>
           s"""m$i AS MATERIALIZED (SELECT state, CAST(sum(dm) AS BIGINT) AS m FROM (
              |  SELECT tr.to_type AS state, x.m * tr.n // o.outn AS dm
              |  FROM tr JOIN m${i - 1} x ON x.state = tr.from_type JOIN o ON o.from_type = tr.from_type
              |  UNION ALL
              |  SELECT x.state, x.m AS dm FROM m${i - 1} x
-             |  WHERE x.state NOT IN (SELECT from_type FROM o)
+             |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.from_type = x.state)
              |) GROUP BY state)""".stripMargin
         }.mkString(",\n")
         s"""WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
@@ -3883,6 +3896,20 @@ object SparkEntry {
           |pb AS (SELECT b.okey, b.item FROM b JOIN f USING (item))
           |SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_support
           |FROM pb x JOIN pb y ON x.okey = y.okey AND x.item < y.item
+          |GROUP BY x.item, y.item HAVING count(*) >= 2
+          |ORDER BY item_a, item_b""".stripMargin,
+      // replays the deterministic per-basket cap: each basket keeps its
+      // 3 highest-support items (ties to the smaller item id) before
+      // the pair join — rk <= 3 BINDS on TPC-H's up-to-7-item baskets
+      "basket_pairs_capped" ->
+        """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+          |f AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY item HAVING count(*) >= 2),
+          |pc AS (SELECT okey, item FROM (
+          |    SELECT b.okey, b.item, row_number() OVER (PARTITION BY b.okey ORDER BY f.s DESC, b.item) AS rk
+          |    FROM b JOIN f USING (item))
+          |  WHERE rk <= 3)
+          |SELECT x.item AS item_a, y.item AS item_b, count(*) AS pair_support
+          |FROM pc x JOIN pc y ON x.okey = y.okey AND x.item < y.item
           |GROUP BY x.item, y.item HAVING count(*) >= 2
           |ORDER BY item_a, item_b""".stripMargin,
       "basket_rules" ->
@@ -4090,6 +4117,45 @@ object SparkEntry {
           |  CAST(m.cn AS DOUBLE) / (da.d + db.d - m.cn) AS jaccard
           |FROM miss m JOIN deg da ON m.a = da.node JOIN deg db ON m.b = db.node
           |ORDER BY cn DESC, a, b LIMIT 10000""".stripMargin,
+      // the hub-bounded path: each center's adjacency capped to its 8
+      // lowest-degree neighbors (ties to the smaller id) BEFORE the
+      // wedge join — cn is the capped lower bound, degrees stay true
+      "graph_link_prediction_bounded" ->
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_orderkey < 10000),
+          |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |adj AS MATERIALIZED (SELECT a AS c, b AS n FROM e UNION ALL SELECT b AS c, a AS n FROM e),
+          |deg AS MATERIALIZED (SELECT n AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+          |capped AS (SELECT c, n FROM (
+          |    SELECT adj.c, adj.n, row_number() OVER (PARTITION BY adj.c ORDER BY deg.d, adj.n) AS rk
+          |    FROM adj JOIN deg ON adj.n = deg.node)
+          |  WHERE rk <= 8),
+          |cand AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS cn
+          |         FROM capped x JOIN capped y ON x.c = y.c AND x.n < y.n
+          |         GROUP BY x.n, y.n HAVING count(*) >= 2),
+          |miss AS (SELECT cand.* FROM cand LEFT JOIN e ON cand.a = e.a AND cand.b = e.b
+          |         WHERE e.a IS NULL)
+          |SELECT m.a, m.b, m.cn, da.d AS da, db.d AS db,
+          |  CAST(m.cn AS DOUBLE) / (da.d + db.d - m.cn) AS jaccard
+          |FROM miss m JOIN deg da ON m.a = da.node JOIN deg db ON m.b = db.node
+          |ORDER BY cn DESC, a, b LIMIT 10000""".stripMargin,
+      // integer-quantized RA: each wedge contributes 1000000 // d(c)
+      // of its center — positive operands, so DuckDB's // == Spark DIV
+      "graph_resource_allocation" ->
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          |  FROM lineitem WHERE l_orderkey < 10000),
+          |e AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+          |adj AS MATERIALIZED (SELECT a AS c, b AS n FROM e UNION ALL SELECT b AS c, a AS n FROM e),
+          |deg AS MATERIALIZED (SELECT n AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+          |adjd AS MATERIALIZED (SELECT adj.c, adj.n, deg.d AS dc FROM adj JOIN deg ON adj.c = deg.node),
+          |cand AS (SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS cn,
+          |                CAST(sum(1000000 // x.dc) AS BIGINT) AS ra_q
+          |         FROM adjd x JOIN adjd y ON x.c = y.c AND x.n < y.n
+          |         GROUP BY x.n, y.n HAVING count(*) >= 2)
+          |SELECT c.a, c.b, c.cn, c.ra_q
+          |FROM cand c LEFT JOIN e ON c.a = e.a AND c.b = e.b
+          |WHERE e.a IS NULL
+          |ORDER BY c.ra_q DESC, c.a, c.b LIMIT 10000""".stripMargin,
       "orders_open_backlog" ->
         """WITH li AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
           |            FROM lineitem GROUP BY 1),
@@ -4919,15 +4985,18 @@ object SparkEntry {
           |  CAST(n_union AS BIGINT) AS n_union, CAST(n_overlap AS BIGINT) AS n_overlap,
           |  round(CAST(n_overlap AS DOUBLE) / n_union, 4) AS jaccard
           |FROM m""".stripMargin,
-      "text_rake_keyphrases" ->
-        """WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '') AS ts
+      "text_rake_keyphrases" -> {
+        // the stopword IN-list interpolates from the SAME Scala seqs
+        // the Spark side uses (TextAnalysis.stop*) — a future edit to
+        // the lists can never silently desync the oracle
+        val rakeStops = (TextAnalysis.stopEn ++ TextAnalysis.stopDe ++ TextAnalysis.stopFr ++ TextAnalysis.stopEs)
+          .map(w => s"'$w'")
+          .mkString(",")
+        s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS ts
           |           FROM documents),
           |w AS (SELECT doc_id, i, ts[i] AS w FROM tk, unnest(range(1, len(ts) + 1)) AS g(i)),
           |ns AS (SELECT doc_id, i, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
-          |       FROM w WHERE w NOT IN ('the','and','of','to','in','is','it','that','a','for',
-          |         'der','die','das','und','ist','nicht','ein','zu',
-          |         'le','les','et','est','dans','une','pour',
-          |         'el','los','y','es','en','una','por','que')),
+          |       FROM w WHERE w NOT IN ($rakeStops)),
           |occ AS (SELECT doc_id, i - rn AS isl, string_agg(w, ' ' ORDER BY i) AS phrase,
           |          CAST(count(*) AS BIGINT) AS len
           |        FROM ns GROUP BY doc_id, isl HAVING count(*) <= 4),
@@ -4937,7 +5006,8 @@ object SparkEntry {
           |sc AS (SELECT p.phrase, p.n_occ, CAST(sum(ws.wscore) AS BIGINT) AS score
           |       FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM ps) p
           |       JOIN ws USING (w) GROUP BY p.phrase, p.n_occ)
-          |SELECT phrase, n_occ, score FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+          |SELECT phrase, n_occ, score FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+      },
       "text_pmi_collocations" ->
         """WITH toks AS (
           |  SELECT list_filter(string_split_regex(text, '[^\p{L}]+'), x -> x <> '') AS ts

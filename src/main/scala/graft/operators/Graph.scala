@@ -292,27 +292,56 @@ object Graph {
     * coefficient cn/(d_a + d_b − cn) as an exact int/int quotient.
     * Wedges enumerate with one adjacency self-join on the center
     * (pair ordered a < b so each wedge counts once), existing edges
-    * leave by anti-join, degrees ride a broadcastable directory. On an
-    * unbounded graph the center fan-out is the hub-quadratic risk —
-    * the production form bounds neighbor lists by the degree-oriented
-    * trick [[orientedTriangles]] uses; the registered query runs on
+    * leave by anti-join, degrees ride a broadcastable directory.
+    *
+    * The DEFAULT path is hub-BOUNDED: each center's adjacency is
+    * deterministically capped to its `maxNeighbors` lowest-degree
+    * neighbors (ties to the smaller id) before the wedge self-join, so
+    * the per-center fan-out is ≤ maxNeighbors²/2 on ANY degree
+    * distribution — a power-law hub can no longer make one task
+    * quadratic in its d(c)² wedges. Low-degree neighbors are the ones
+    * kept because they carry the signal: a hub shared by everyone
+    * ranks every pair, a rare common neighbor separates them (the same
+    * reason idf down-weights common terms). `cn` is then a LOWER bound
+    * on the true common-neighbor count (exact when no center exceeds
+    * the cap); degrees in the Jaccard stay the TRUE degrees. Pass
+    * `maxNeighbors = Int.MaxValue` for the exact enumeration (the cap
+    * window is skipped entirely) — the registered exact query runs on
     * the constant-bounded co-order graph (the [[coOrderTriangles]]
-    * convention), where the exact enumeration IS the oracle. Output is
-    * the top-`topK` candidates by (cn desc, a, b) — a total order, so
-    * the cut is deterministic and the artifact stays bounded on dense
-    * graphs (the sf0.01 co-order graph yields ~1M raw candidates);
-    * TakeOrderedAndProject keeps the cut distributed.
+    * convention), where the exact form IS the oracle. Output is the
+    * top-`topK` candidates by (cn desc, a, b) — a total order, so the
+    * cut is deterministic and the artifact stays bounded on dense
+    * graphs; TakeOrderedAndProject keeps the cut distributed.
     */
-  def linkPrediction(edges: DataFrame, minCommon: Long = 3L, topK: Int = 10000): DataFrame = {
+  def linkPrediction(
+      edges: DataFrame,
+      minCommon: Long = 3L,
+      topK: Int = 10000,
+      maxNeighbors: Int = 1024
+  ): DataFrame = {
+    require(maxNeighbors >= 1, s"linkPrediction needs maxNeighbors >= 1, got $maxNeighbors")
     val und = canonicalEdges(edges).localCheckpoint(eager = false)
     val adj = und
       .select(col("a").as("c"), col("b").as("n"))
       .unionByName(und.select(col("b").as("c"), col("a").as("n")))
       .localCheckpoint(eager = false) // consumers: wedge pairing + degrees
     val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("d"))
-    val cand = adj
+    val wedgeAdj =
+      if (maxNeighbors == Int.MaxValue) adj
+      else
+        adj
+          .join(deg.select(col("node").as("n"), col("d").as("__dn")), "n")
+          .withColumn(
+            "__rk",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("c").orderBy(col("__dn"), col("n"))
+            )
+          )
+          .filter(col("__rk") <= maxNeighbors)
+          .select("c", "n")
+    val cand = wedgeAdj
       .as("x")
-      .join(adj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .join(wedgeAdj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
       .groupBy(col("x.n").as("a"), col("y.n").as("b"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= minCommon)
@@ -333,10 +362,79 @@ object Graph {
   }
 
   /** `graph_link_prediction` query body over the bounded co-order
-    * graph.
+    * graph — the EXACT enumeration (the graph is constant-bounded by
+    * construction, so the quadratic oracle replay is affordable and
+    * the cap must not perturb the counts).
     */
   def coOrderLinkPrediction(spark: SparkSession, dir: String): DataFrame =
-    linkPrediction(coOrderEdges(spark, dir))
+    linkPrediction(coOrderEdges(spark, dir), maxNeighbors = Int.MaxValue)
+
+  /** `graph_link_prediction_bounded` query body: the PRODUCTION
+    * (hub-bounded) path with a cap that BINDS on the co-order graph
+    * (maxNeighbors = 8 against centers with hundreds of neighbors), so
+    * the oracle hash-verifies the cap semantics themselves — the
+    * deterministic lowest-degree-first neighbor selection and the
+    * lower-bound `cn` — not just the uncapped special case.
+    */
+  def coOrderLinkPredictionBounded(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(coOrderEdges(spark, dir), minCommon = 2L, maxNeighbors = 8)
+
+  /** Resource-allocation link score (Zhou–Lü–Zhang 2009, "Predicting
+    * missing links via local information" — public knowledge):
+    * RA(a,b) = Σ_{c ∈ Γ(a)∩Γ(b)} 1/d(c), here integer-quantized as
+    * Σ (1000000 DIV d(c)) so the sum is exact long arithmetic in any
+    * engine (the repo's graph-mass convention — no float accumulation
+    * whose merge order could flip a rank). Rides [[linkPrediction]]'s
+    * wedge machinery: the center's degree joins INTO the adjacency
+    * before the self-join, so each wedge carries its center's 1/d
+    * contribution and one counting aggregate emits both cn and the RA
+    * mass. Same hub-bounded default; output top-`topK` by
+    * (ra_q desc, a, b) — total order, distributed cut.
+    */
+  def resourceAllocation(
+      edges: DataFrame,
+      minCommon: Long = 2L,
+      topK: Int = 10000,
+      maxNeighbors: Int = 1024
+  ): DataFrame = {
+    require(maxNeighbors >= 1, s"resourceAllocation needs maxNeighbors >= 1, got $maxNeighbors")
+    val und = canonicalEdges(edges).localCheckpoint(eager = false)
+    val adj = und
+      .select(col("a").as("c"), col("b").as("n"))
+      .unionByName(und.select(col("b").as("c"), col("a").as("n")))
+      .localCheckpoint(eager = false) // consumers: wedge pairing + degrees
+    val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("d"))
+    val adjD = adj
+      .join(deg.select(col("node").as("c"), col("d").as("dc")), "c")
+    val wedgeAdj =
+      if (maxNeighbors == Int.MaxValue) adjD
+      else
+        adjD
+          .join(deg.select(col("node").as("n"), col("d").as("__dn")), "n")
+          .withColumn(
+            "__rk",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("c").orderBy(col("__dn"), col("n"))
+            )
+          )
+          .filter(col("__rk") <= maxNeighbors)
+          .select("c", "n", "dc")
+    wedgeAdj
+      .as("x")
+      .join(wedgeAdj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 DIV x.dc")).as("ra_q"))
+      .filter(col("cn") >= minCommon)
+      .join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_q").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** `graph_resource_allocation` query body over the bounded co-order
+    * graph (exact path — constant-bounded graph, quadratic oracle).
+    */
+  def coOrderResourceAllocation(spark: SparkSession, dir: String): DataFrame =
+    resourceAllocation(coOrderEdges(spark, dir), maxNeighbors = Int.MaxValue)
 
   /** The bounded co-order edge relation shared by the triangle-family
     * queries (parts co-occurring in an order, orderkey < 10000 — a

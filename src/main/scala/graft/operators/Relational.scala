@@ -1223,22 +1223,63 @@ object Relational {
     * co-occur in at least `minSupport` orders, with their co-occurrence
     * counts. Frequent-item pruning FIRST (the Apriori property: a pair
     * can only be frequent if both items are), so the within-basket
-    * pair explosion runs on the pruned basket — and the explosion
-    * itself is bounded by basket size (TPC-H ≤ 7 lines/order), never
-    * by catalog size. Shuffles: item-count agg, basket re-join,
-    * pair-count agg — all hash-partitioned; nothing pairwise across
-    * baskets. Pure integer counts.
+    * pair explosion runs on the pruned basket — and the explosion is
+    * HARD-BOUNDED by `maxBasketItems` ([[prunedCappedBaskets]]), never
+    * by input shape: a pathological mega-basket is capped to its
+    * highest-support items instead of owning a quadratic task.
+    * Shuffles: item-count agg, basket re-join, pair-count agg — all
+    * hash-partitioned; nothing pairwise across baskets. Pure integer
+    * counts.
     */
-  def basketPairs(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
-    val baskets = Tables
+  def basketPairs(
+      spark: SparkSession,
+      dir: String,
+      minSupport: Long = 2L,
+      maxBasketItems: Int = 256
+  ): DataFrame =
+    basketPairsFrom(lineitemBaskets(spark, dir), minSupport, maxBasketItems)
+
+  /** The `(okey, item)` basket relation the market-basket family runs on. */
+  private def lineitemBaskets(spark: SparkSession, dir: String): DataFrame =
+    Tables
       .lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
       .distinct()
-    val frequent = baskets
+
+  /** Frequent-item-pruned baskets with the within-basket fan-out BOUND
+    * (the [[itemNeighborsFrom]] cap, shared by the whole basket
+    * family): each basket deterministically keeps its `maxBasketItems`
+    * highest-support items (ties to the smaller item id) — the items
+    * whose pairs can reach `minSupport` anyway — so the |basket|²/2
+    * pair self-join is bounded by maxBasketItems²/2 per basket
+    * regardless of input shape (one crawler-session mega-basket would
+    * otherwise own a quadratic task at scale). The cap window
+    * partitions by the basket key, the same partitioning the pair
+    * self-join needs next, so Spark reuses the exchange.
+    */
+  private def prunedCappedBaskets(baskets: DataFrame, itemSup: DataFrame, maxBasketItems: Int): DataFrame = {
+    require(
+      maxBasketItems >= 2,
+      s"basket mining needs maxBasketItems >= 2 (pairs need 2 items), got $maxBasketItems"
+    )
+    baskets
+      .join(itemSup.select(col("item"), col("s").as("__s")), Seq("item"))
+      .withColumn("__bk", row_number().over(Window.partitionBy("okey").orderBy(col("__s").desc, col("item"))))
+      .filter(col("__bk") <= maxBasketItems)
+      .select("okey", "item")
+  }
+
+  /** [[basketPairs]] core over an explicit `(okey, item)` relation. */
+  private[graft] def basketPairsFrom(
+      baskets: DataFrame,
+      minSupport: Long = 2L,
+      maxBasketItems: Int = 256
+  ): DataFrame = {
+    val itemSup = baskets
       .groupBy("item")
-      .agg(count(lit(1)).as("item_support"))
-      .filter(col("item_support") >= minSupport)
-    val pruned = baskets.join(frequent.select("item"), Seq("item"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport)
+    val pruned = prunedCappedBaskets(baskets, itemSup, maxBasketItems)
     pruned
       .alias("x")
       .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
@@ -1261,8 +1302,8 @@ object Relational {
     * baskets·pair_support ≈ 9e18 — loud to the reader, not reachable
     * at any tested scale).
     *
-    * Scale: rides [[basketPairs]]'s Apriori pruning (item-frequency
-    * semi-join before the within-basket pair join), then one 2-way
+    * Scale: rides [[basketPairs]]'s Apriori pruning AND the
+    * [[prunedCappedBaskets]] per-basket fan-out bound, then one 2-way
     * explode + two item-keyed support joins + one broadcast scalar for
     * the basket total. Nothing beyond the pair relation is shuffled.
     */
@@ -1270,19 +1311,17 @@ object Relational {
       spark: SparkSession,
       dir: String,
       minSupport: Long = 2L,
-      minConfPct: Long = 5L
+      minConfPct: Long = 5L,
+      maxBasketItems: Int = 256
   ): DataFrame = {
-    val baskets = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .distinct()
+    val baskets = lineitemBaskets(spark, dir)
       .localCheckpoint(eager = false) // consumers: item supports + basket total
     val itemSup = baskets
       .groupBy("item")
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= minSupport)
-      .localCheckpoint(eager = false) // consumers: prune + both rule-side supports
-    val pruned = baskets.join(itemSup.select("item"), Seq("item"))
+      .localCheckpoint(eager = false) // consumers: cap + both rule-side supports
+    val pruned = prunedCappedBaskets(baskets, itemSup, maxBasketItems)
     val pairs = pruned
       .alias("x")
       .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
@@ -1490,14 +1529,17 @@ object Relational {
     * the single-partition global sort: the data-sized window is
     * PARTITIONED by a coarse block key that is a monotone prefix of
     * the ordering (so cross-block order is already settled), and the
-    * cross-block rank offsets come from an O(#blocks) directory
-    * cumulated DRIVER-SIDE ([[groupedExactKth]]'s bounded-state
-    * stance, with a loud `maxBlocks` require) — no unpartitioned
-    * WindowExec anywhere, not even a directory-sized one. The bucket
-    * is then closed-form from the global rank: SQL NTILE gives the
-    * first `n mod t` tiles `n div t + 1` rows and the rest `n div t`,
-    * which both Spark and DuckDB implement identically, so the oracle
-    * replays with the built-in.
+    * cross-block rank offsets come from an O(#blocks) DIRECTORY
+    * relation cumulated with a directory-sized window partitioned by
+    * `partCols` — the exact
+    * [[graft.operators.Evaluation.cumulativeByScore]] pattern, fully
+    * distributed: no driver-side state at any block count (the former
+    * `collect()` + driver prefix-sum capped at 2²¹ blocks; the window
+    * form has no cap to document). The bucket is then closed-form from
+    * the global rank: SQL NTILE gives the first `n mod t` tiles
+    * `n div t + 1` rows and the rest `n div t`, which both Spark and
+    * DuckDB implement identically, so the oracle replays with the
+    * built-in.
     *
     * Caller contract (not checkable cheaply, so documented):
     *   - `orderCols` totally order each `partCols` group (include a
@@ -1510,11 +1552,10 @@ object Relational {
     *     reorder across blocks).
     *
     * Scale: the per-block window sorts bounded runs in parallel; the
-    * directory is blocks-sized (≪ data — loud require), broadcast
-    * back for the offset join. This is the pattern
-    * [[graft.operators.Dedup.sortedNeighborhoodPairs]] and
-    * [[graft.operators.Evaluation.cumulativeByScore]] use, with the
-    * directory prefix-sum moved off WindowExec entirely.
+    * directory is blocks-sized (≪ data), its prefix-sum window is
+    * partitioned by `partCols` (directory-sized even when `partCols`
+    * is empty — the [[graft.operators.Evaluation.cumulativeByScore]]
+    * convention), and the offsets broadcast back for the rank join.
     */
   private[graft] def ntileTwoPhase(
       df: DataFrame,
@@ -1522,14 +1563,10 @@ object Relational {
       orderCols: Seq[org.apache.spark.sql.Column],
       blkCols: Seq[org.apache.spark.sql.Column],
       tiles: Int,
-      outCol: String,
-      maxBlocks: Int = 1 << 21
+      outCol: String
   ): DataFrame = {
     require(tiles >= 1, s"ntileTwoPhase needs tiles >= 1, got $tiles")
     require(blkCols.nonEmpty, "ntileTwoPhase needs at least one block column")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val spark  = df.sparkSession
     val bNames = blkCols.indices.map(i => s"__blk$i")
     val base = bNames
       .zip(blkCols)
@@ -1538,36 +1575,18 @@ object Relational {
     val keys = partCols ++ bNames
     val w    = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
     val dir  = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bc"))
-    val rows = dir.collect()
-    require(
-      rows.length <= maxBlocks,
-      s"ntileTwoPhase block directory has ${rows.length} blocks > maxBlocks=$maxBlocks — " +
-        "widen the blocks or raise the cap if O(#blocks) driver state is acceptable"
-    )
-    val p = partCols.length
-    val b = bNames.length
-    // per-part cumulative offsets + totals, computed on the driver
-    val out = Seq.newBuilder[Row]
-    rows
-      .groupBy(r => (0 until p).map(r.get).toList)
-      .foreach { case (_, grp) =>
-        val sorted = grp.sortBy(r => (0 until b).map(i => r.getLong(p + i)).toList)(
-          scala.math.Ordering.Implicits.seqOrdering[List, Long]
-        )
-        val total = sorted.map(_.getLong(p + b)).sum
-        var cum   = 0L
-        sorted.foreach { r =>
-          out += Row.fromSeq(r.toSeq.init ++ Seq(cum, total))
-          cum += r.getLong(p + b)
-        }
-      }
-    val offSchema = StructType(
-      dir.schema.fields.dropRight(1) ++
-        Seq(StructField("__off", LongType, nullable = false), StructField("__n", LongType, nullable = false))
-    )
-    import scala.jdk.CollectionConverters._
-    val offsets = spark.createDataFrame(out.result().asJava, offSchema)
-    val t       = tiles.toLong
+    // per-part exclusive prefix sums + totals over the directory: both
+    // windows run on O(#blocks) rows, partitioned by partCols
+    val offW = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(bNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(partCols.map(col): _*)
+    val offsets = dir
+      .withColumn("__off", coalesce(sum("__bc").over(offW), lit(0L)))
+      .withColumn("__n", sum("__bc").over(totW))
+      .select((keys.map(col) :+ col("__off") :+ col("__n")): _*)
+    val t = tiles.toLong
     base
       .withColumn("__rnb", row_number().over(w).cast("long"))
       .join(broadcast(offsets), keys)

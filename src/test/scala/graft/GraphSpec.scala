@@ -534,4 +534,55 @@ class GraphSpec extends SparkSpec {
     val cut  = Graph.linkPrediction(df, 3L, 5).as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(cut == full.take(5), "topK must cut the deterministic prefix")
   }
+
+  test("linkPrediction: hub-bounded default caps a 10^4-degree hub; equals exact when no center exceeds the cap") {
+    // star graph, hub 0 — leaves 1..10000 all at degree 1. The exact
+    // enumeration would emit C(10^4,2) ≈ 5·10^7 wedges at the hub; the
+    // bounded path keeps the hub's 8 lowest-degree neighbors (all tie
+    // at d=1 → ids 1..8) and emits exactly C(8,2)=28 candidates, each
+    // with cn=1, true degrees 1/1, jaccard 1.0.
+    val star = (1L to 10000L).map(i => (0L, i)).toDF("src", "dst")
+    val got = Graph
+      .linkPrediction(star, minCommon = 1L, topK = 1000000, maxNeighbors = 8)
+      .as[(Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(got.length == 28, s"hub cap must bound the wedge fan-out, got ${got.length} candidates")
+    assert(got.forall { case (a, b, cn, da, db, j) =>
+      a >= 1L && b <= 8L && a < b && cn == 1L && da == 1L && db == 1L && j == 1.0
+    })
+    // equivalence: on a graph where no center exceeds the default cap,
+    // the bounded path IS the exact enumeration
+    val rnd = new scala.util.Random(11L)
+    val edges = (1 to 150)
+      .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+      .toDF("src", "dst")
+    val bounded = Graph.linkPrediction(edges, 2L, 1000000).collect().toSeq // default maxNeighbors = 1024
+    val exact   = Graph.linkPrediction(edges, 2L, 1000000, Int.MaxValue).collect().toSeq
+    assert(bounded == exact, "default cap must be semantics-neutral below the cap")
+  }
+
+  test("resourceAllocation == brute-force integer-quantized RA") {
+    val rnd = new scala.util.Random(9L)
+    val raw = (1 to 140)
+      .map(_ => (rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+      .filter(e => e._1 != e._2)
+      .toSet
+    val canon = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    val nbrs = canon.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1)
+      .map { case (n, vs) => n -> vs.map(_._2).toSet }
+    val nodes = nbrs.keySet.toSeq
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !canon((a, b))
+      common = nbrs(a) & nbrs(b) if common.size >= 2
+    } yield (a, b, common.size.toLong, common.toSeq.map(c => 1000000L / nbrs(c).size).sum)).toSet
+    val got = Graph
+      .resourceAllocation(raw.toSeq.toDF("src", "dst"), minCommon = 2L, topK = 1000000, maxNeighbors = Int.MaxValue)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == want, s"got ${got.size} scored pairs, want ${want.size}")
+  }
 }

@@ -72,7 +72,23 @@ class NtileTwoPhaseSpec extends SparkSpec {
     }
   }
 
-  test("rfmSegments and equidepthHistogram plans hold no unpartitioned window") {
+  test("rfm/equidepth: every unpartitioned window runs at DIRECTORY grain (above an Aggregate)") {
+    // The scale defect this operator replaced was a DATA-sized window
+    // through one partition. Since r12 the offset directory cumulates
+    // with the cumulativeByScore convention — a window over the
+    // O(#blocks) directory relation (unpartitioned only when partCols
+    // is empty), never over the data. So the invariant is: any
+    // unpartitioned Window in the optimized plan must sit on an
+    // Aggregate's output (the bounded block directory), reachable
+    // through unary nodes only — a data-sized scan below it without an
+    // intervening Aggregate fails the walk.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode}
+    @scala.annotation.tailrec
+    def directoryGrain(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => directoryGrain(u.child)
+      case _            => false
+    }
     for (df <- Seq(
         EventAnalytics.rfmSegments(spark, sfDir),
         Relational.equidepthHistogram(spark, sfDir)
@@ -80,16 +96,23 @@ class NtileTwoPhaseSpec extends SparkSpec {
       val global = df.queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w
       }
-      assert(global.isEmpty, s"unpartitioned Window survived:\n${global.mkString("\n")}")
+      val offending = global.filterNot(w => directoryGrain(w.child))
+      assert(offending.isEmpty, s"data-sized unpartitioned Window survived:\n${offending.mkString("\n")}")
     }
   }
 
-  test("ntileTwoPhase refuses an oversized block directory loudly") {
-    val ss = spark; import ss.implicits._
-    val df = (1L to 100L).toSeq.toDF("id")
-    val e = intercept[IllegalArgumentException] {
-      Relational.ntileTwoPhase(df, Nil, Seq(col("id")), Seq(col("id")), 4, "t", maxBlocks = 10)
-    }
-    assert(e.getMessage.contains("maxBlocks"))
+  test("ntileTwoPhase offset directory is fully distributed (no driver-side LocalRelation offsets)") {
+    // The pre-r12 implementation collect()ed the block directory and
+    // re-created it as a LocalRelation; the distributed form keeps the
+    // directory as an Aggregate in the same plan. equidepthHistogram
+    // reads parquet, so ANY LocalRelation in its optimized plan would
+    // be driver-materialized state.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val local = Relational
+      .equidepthHistogram(spark, sfDir)
+      .queryExecution
+      .optimizedPlan
+      .collect { case l: LocalRelation => l }
+    assert(local.isEmpty, s"driver-side LocalRelation in the plan:\n${local.mkString("\n")}")
   }
 }

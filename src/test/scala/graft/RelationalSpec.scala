@@ -332,6 +332,34 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Relational.itemNeighborsFrom(baskets, maxBasketItems = 1))
   }
 
+  test("basketPairsFrom: mega-basket pair fan-out is capped deterministically") {
+    import SparkSpec.spark.implicits._
+    // two identical 1000-item baskets (every item frequent at
+    // minSupport=2): uncapped, the pair self-join would emit
+    // 2·C(1000,2) ≈ 1M rows; capped at 10, each basket keeps its 10
+    // highest-support items (supports all tie at 2 → ties to the
+    // smaller id = items 1..10), so the output is exactly the
+    // C(10,2)=45 pairs, each with pair_support 2
+    val mega = (1 to 2).flatMap(o => (1L to 1000L).map(i => (o.toLong, i)))
+    val got = Relational
+      .basketPairsFrom(mega.toDF("okey", "item"), minSupport = 2L, maxBasketItems = 10)
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val want = (for { a <- 1L to 10L; b <- (a + 1) to 10L } yield (a, b, 2L)).toSet
+    assert(got == want, s"cap must bound the mega-basket, got ${got.size} pairs")
+    // the cap binds exactly at maxBasketItems and is neutral above the
+    // basket size (the TPC-H shape the registered query runs with)
+    val small = (1 to 6).flatMap(o => (1L to 5L).map(i => (o.toLong, i))).toDF("okey", "item")
+    val at3 = Relational.basketPairsFrom(small, 2L, maxBasketItems = 3).as[(Long, Long, Long)].collect().toSet
+    assert(at3 == Set((1L, 2L, 6L), (1L, 3L, 6L), (2L, 3L, 6L)), s"binding cap wrong: $at3")
+    assert(
+      Relational.basketPairsFrom(small, 2L, maxBasketItems = 5).collect().toSeq ==
+        Relational.basketPairsFrom(small, 2L, maxBasketItems = 256).collect().toSeq
+    )
+    intercept[IllegalArgumentException](Relational.basketPairsFrom(small, 2L, maxBasketItems = 1))
+  }
+
   test("groupOlsSlope: exact integer sums; slope matches an independent double OLS") {
     import SparkSpec.spark.implicits._
     val rows = Relational.groupOlsSlope(spark, sfDir).collect()
