@@ -103,9 +103,18 @@ object Bench {
     System.setProperty("graft.oracle.dump", "off")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the core count (the sf0.1 bench
+    // convention), but the 100× probes must size partitions to the
+    // DATA, not the local core count — a real 100× cluster runs ~100×
+    // the partitions, and pinning 32 partitions onto 100× data makes
+    // each one 100× the target size (observed: graph_pagerank's
+    // per-iteration aggregate OOMs at sf10 under 32 partitions, and
+    // passes with partitions scaled to keep the per-task working set
+    // at its sf1 level).
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
     val spark = GraftSession.requiredConfs
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
