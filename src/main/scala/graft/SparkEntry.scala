@@ -1743,6 +1743,9 @@ object SparkEntry {
     "nb_cv_accuracy"   -> q((s, dir) => Classify.nbCrossValidate(s, dir)),
     "nb_top_features"  -> q((s, dir) => Classify.nbTopFeatures(s, dir)),
     "eval_auc_exact"   -> q(Evaluation.aucExact),
+    // exact two-sample KS drift statistic as a cross-multiplied
+    // integer pair + one IEEE division (the AUC convention)
+    "drift_ks_exact"   -> q(Evaluation.ksExact),
     "eval_pr_curve"    -> q(Evaluation.prCurve),
     "eval_calibration" -> q((s, dir) => Evaluation.calibrationBins(s, dir)),
     // PAV isotonic fit via the minimax identity — no sequential loop,
@@ -4732,6 +4735,25 @@ object SparkEntry {
         s"""$evalCumWith
            |SELECT s AS threshold, pp - c_p AS tp, (nn - pp) - (c_g - c_p) AS fp, c_p AS fn
            |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin,
+      // exact two-sample KS between even/odd-event_id value
+      // distributions: both ECDFs step only at observed scores, so the
+      // max over the distinct-score directory IS the supremum; all
+      // cross-products integer, one int/int division at the end
+      "drift_ks_exact" ->
+        """WITH s AS (SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS y,
+          |                  CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+          |d AS (SELECT v, CAST(sum(y) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS g
+          |      FROM s GROUP BY v),
+          |c AS (SELECT v,
+          |        CAST(sum(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS c1,
+          |        CAST(sum(g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS ct
+          |      FROM d),
+          |t AS (SELECT CAST(sum(p) AS HUGEINT) AS n1, CAST(sum(g) AS HUGEINT) AS nt FROM d)
+          |SELECT CAST(max(abs((t.nt - t.n1) * c.c1 - t.n1 * (c.ct - c.c1))) AS BIGINT) AS ks_num,
+          |       CAST(max(t.n1 * (t.nt - t.n1)) AS BIGINT) AS ks_den,
+          |       CAST(CAST(max(abs((t.nt - t.n1) * c.c1 - t.n1 * (c.ct - c.c1))) AS BIGINT) AS DOUBLE)
+          |         / CAST(max(t.n1 * (t.nt - t.n1)) AS BIGINT) AS ks
+          |FROM c CROSS JOIN t""".stripMargin,
       "eval_calibration" ->
         """WITH sc AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
           |                   CAST(floor(value * 100) AS BIGINT) AS s FROM events)

@@ -89,6 +89,55 @@ object Evaluation {
       )
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * centi-quantized `value` distributions of even- and odd-`event_id`
+    * events — the drift gate's distribution-free test, computed
+    * EXACTLY: D = max over distinct scores of |F1 − F2|, and since
+    * both empirical CDFs are step functions changing only at observed
+    * scores, the max over the distinct-score directory IS the
+    * supremum. Kept as the integer pair
+    * ks_num = max |n2·C1(v) − n1·C2(v)|, ks_den = n1·n2 (cross-
+    * multiplied, no float CDFs), with `ks` their single IEEE division
+    * — bitwise identical in any engine, the [[aucFromScored]]
+    * convention.
+    */
+  def ksExact(spark: SparkSession, dir: String): DataFrame =
+    ksFromScored(
+      Tables
+        .events(spark, dir)
+        .select(
+          when(expr("event_id % 2 = 0"), 1L).otherwise(0L).as("y"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("s")
+        )
+    )
+
+  /** KS over any (y ∈ {0,1} sample indicator, s: long) relation.
+    * Scale: one hash aggregate to the distinct-score directory, the
+    * [[cumulativeByScore]] two-phase cumulative, one max-aggregate —
+    * the data-sized relation is touched once. Cross-products run in
+    * DECIMAL(38,0) (n₁·n₂ wraps BIGINT near ~3×10⁹ rows/side);
+    * emitted pair is guarded back to long, loud on overflow.
+    */
+  def ksFromScored(scored: DataFrame): DataFrame = {
+    val cum = cumulativeByScore(scored)
+    val tot = cum.agg(sum("p_s").as("n1"), sum("g_s").as("nt"))
+    val r = cum
+      .crossJoin(broadcast(tot)) // 1-row scalar aggregate (repo convention)
+      .select(
+        abs(
+          (col("nt") - col("n1")).cast("decimal(38,0)") * (col("c_p") + col("p_s")) -
+            col("n1").cast("decimal(38,0)") * (col("c_g") + col("g_s") - col("c_p") - col("p_s"))
+        ).as("d"),
+        (col("n1").cast("decimal(38,0)") * (col("nt") - col("n1"))).as("den")
+      )
+      .agg(max(col("d")).as("numd"), max(col("den")).as("dend"))
+    r.select(
+      guardedLong(col("numd"), "ks_num").as("ks_num"),
+      guardedLong(col("dend"), "ks_den").as("ks_den"),
+      (col("numd").cast("double") / col("dend").cast("double")).as("ks")
+    )
+  }
+
   /** Exact tie-corrected AUC (Mann-Whitney): one row
     * (auc_num, auc_den, auc) with
     * auc_num = 2·Σ_s p_s·(2·c_g(s) + g_s + 1)/2 … kept doubled so ties'

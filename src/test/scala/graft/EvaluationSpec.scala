@@ -89,4 +89,25 @@ class EvaluationSpec extends SparkSpec {
     // lowest threshold admits everything
     assert(curve.head.getLong(3) == 0L, "fn at the lowest threshold must be 0")
   }
+
+  test("ksFromScored == brute-force two-sample KS (exact integer pair), incl. negatives and ties") {
+    val rnd = new scala.util.Random(3L)
+    // skewed sample sizes, negative scores, heavy ties (range -25..24)
+    val rows = (1 to 400).map(_ => (if (rnd.nextInt(3) == 0) 1L else 0L, rnd.nextInt(50).toLong - 25L))
+    val s1 = rows.filter(_._1 == 1L).map(_._2)
+    val s2 = rows.filter(_._1 == 0L).map(_._2)
+    val (n1, n2) = (s1.size.toLong, s2.size.toLong)
+    val num = rows.map(_._2).distinct.map { v =>
+      math.abs(n2 * s1.count(_ <= v) - n1 * s2.count(_ <= v))
+    }.max
+    val r = Evaluation.ksFromScored(scoredDf(rows)).head()
+    assert(r.getLong(0) == num, s"ks_num ${r.getLong(0)} != brute $num")
+    assert(r.getLong(1) == n1 * n2)
+    assert(r.getDouble(2) == num.toDouble / (n1 * n2))
+    // closed forms: identical samples → 0; disjoint supports → 1
+    val same = (1L to 50L).flatMap(i => Seq((1L, i % 7), (0L, i % 7)))
+    assert(Evaluation.ksFromScored(scoredDf(same)).head().getDouble(2) == 0.0)
+    val split = (1L to 30L).map(i => (1L, i)) ++ (1L to 30L).map(i => (0L, 100L + i))
+    assert(Evaluation.ksFromScored(scoredDf(split)).head().getDouble(2) == 1.0)
+  }
 }
