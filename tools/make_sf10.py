@@ -91,6 +91,29 @@ def main():
     pq.write_table(out, f"{DST}/lineitem.parquet")
     print(f"lineitem (graph cols): {t.num_rows} -> {out.num_rows}")
 
+    # events slice: 100x the two-phase-directory family's input
+    # (eval_auc_exact / drift_ks_exact / the cumulativeByScore pattern
+    # ntileTwoPhase now rides). id-shifted copies, everything else
+    # verbatim — the VALUE distribution is intentionally identical
+    # across copies, so the distinct-score DIRECTORY stays constant
+    # while the data grows 100x: exactly the shape the pattern claims
+    # to be flat on (one data pass + directory-sized cumulatives).
+    # ts rides unchanged (copying preserves the physical encoding the
+    # readers branch on).
+    t = pq.read_table(f"{SRC}/events.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(pa.table(
+            {"event_id": pc.add(t.column("event_id"), i * 100000),
+             "ts": t.column("ts"),
+             "user_id": pc.add(t.column("user_id"), i * 1500),
+             "event_type": t.column("event_type"),
+             "value": t.column("value"),
+             "props": t.column("props")}))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{DST}/events.parquet")
+    print(f"events: {t.num_rows} -> {out.num_rows}")
+
 
 if __name__ == "__main__":
     main()
