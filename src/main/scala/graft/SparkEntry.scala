@@ -1253,6 +1253,12 @@ object SparkEntry {
     // across engines (long sums are order-independent), so the oracle
     // replays PageRank as unrolled SQL — no float summation drift
     "graph_pagerank"  -> q(Graph.partSupplierPageRank),
+    // the 100 TB form of the same query: edges+degrees and initial
+    // mass materialized BUCKETED by node id, every iteration's join
+    // co-partitioned (zero join exchanges, plan-ASSERTED in the query
+    // body) — only the per-iteration (dst, contrib) aggregation
+    // shuffle moves data; identical output, same unrolled-SQL oracle
+    "graph_pagerank_bucketed" -> q(Graph.partSupplierPageRankBucketed),
     // deterministic sync label propagation: fixed rounds + min-label
     // tie-breaks make it a pure function of the edge set — replays as
     // unrolled SQL like pagerank
@@ -1752,8 +1758,29 @@ object SparkEntry {
     // exact int/int means, bounded bins² pair space (Theil-Sen shape)
     "eval_isotonic"    -> q(Evaluation.isotonicCalibration),
     // deflate ratio: deterministic in-JVM but no SQL engine exposes
-    // deflate → rows-only; check_compression_ratio is the oracle gate
-    "text_compression_ratio" -> q((s, dir) => TextAnalysis.compressionRatio(Tables.documents(s, dir))),
+    // the deflate byte counts themselves are not DuckDB-replayable, so
+    // the registered projection keeps only the replayable columns plus
+    // a per-row deflate-bound violation count (0 everywhere — deflate
+    // output can never exceed compressBound ≈ n + n/1000 + 64): the
+    // deflate path still EXECUTES in full (Catalyst cannot prune
+    // through the typed mapPartitions) and is range-validated per row,
+    // and the query is rows+schema+hash green instead of rows-only;
+    // check_compression_ratio keeps the tighter invariants (doubling
+    // shrinks the ratio, determinism) as the semantic twin
+    "text_compression_ratio" -> q { (s, dir) =>
+      TextAnalysis
+        .compressionRatio(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          when(
+            col("n_compressed") >= 1L &&
+              col("n_compressed") <= col("n_bytes") + col("n_bytes") / 1000L + 64L,
+            0L
+          ).otherwise(1L).as("deflate_over_bound")
+        )
+        .orderBy("doc_id")
+    },
     "vocab_ids"        -> q((s, dir) => DataOps.vocabIds(s, dir)),
     "docs_source_cap"  -> q((s, dir) => DataOps.sourceCap(s, dir)),
     "budgeted_selection" -> q((s, dir) => DataOps.budgetedSelection(s, dir)),
@@ -2477,6 +2504,10 @@ object SparkEntry {
     "check_observed_metrics"   -> q(Checks.observedMetrics),
     "not_in_nullaware"         -> q(Relational.notInNullAware),
     "check_salted_join"        -> q(Checks.saltedJoinParity),
+    // the skew-STRESS variant: a planted 30%-hot key, with the salt
+    // spread loudly asserted in-query (no cell > 2x fair share) and
+    // the aggregate hash-checked against the plain DuckDB join
+    "skew_salted_join"         -> q(Checks.skewSaltedJoin),
     "check_bucketed_join"      -> q(Checks.bucketedJoinParity),
     "q8_market_share"          -> q(Relational.q8MarketShare),
     "q9_product_profit"        -> q(Relational.q9ProductProfit),
@@ -4101,6 +4132,7 @@ object SparkEntry {
            |  FROM com JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
+      "graph_pagerank_bucketed" -> pageRankSql,
       "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,
@@ -5011,8 +5043,10 @@ object SparkEntry {
         // the stopword IN-list interpolates from the SAME Scala seqs
         // the Spark side uses (TextAnalysis.stop*) — a future edit to
         // the lists can never silently desync the oracle
+        // SQL-escape each word: a stopword containing an apostrophe
+        // (common in French lists) must not break the oracle query
         val rakeStops = (TextAnalysis.stopEn ++ TextAnalysis.stopDe ++ TextAnalysis.stopFr ++ TextAnalysis.stopEs)
-          .map(w => s"'$w'")
+          .map(w => "'" + w.replace("'", "''") + "'")
           .mkString(",")
         s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '') AS ts
           |           FROM documents),
@@ -5772,9 +5806,26 @@ object SparkEntry {
           |       CAST(0 AS BIGINT) AS doubled_not_smaller,
           |       CAST(0 AS BIGINT) AS nondeterministic
           |FROM documents""".stripMargin,
+      // replayable projection of the deflate query: ids + utf-8 byte
+      // lengths hash exactly; the deflate-derived column is a per-row
+      // bound-violation count that is provably 0 (compressBound)
+      "text_compression_ratio" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(0 AS BIGINT) AS deflate_over_bound
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "check_salted_join" ->
         """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total
           |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      // plain replay of the skewed remap: salting must not change the
+      // result; the spread bound is the Spark side's in-query raise
+      "skew_salted_join" ->
+        """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total,
+          |  CAST(0 AS BIGINT) AS salt_cells_over_bound
+          |FROM (SELECT CASE WHEN o_orderkey % 10 < 3 THEN 1 ELSE o_custkey END AS custkey,
+          |        o_totalprice
+          |      FROM orders) o
+          |JOIN customer ON custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "check_bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -575,6 +575,64 @@ object Checks {
         sum(when(col("max_err") > col("scale") * 0.5 * 1.0000001, 1L).otherwise(0L)).as("bad_quant")
       )
 
+  /** Skew-STRESSED salted join, oracle-checked on the real result AND
+    * loudly self-asserting the property salting exists to provide:
+    * ~30% of orders are remapped onto ONE hot customer key (the
+    * planted power-law head a plain hash join would serialize into a
+    * single straggler task), the salted path scatters that key across
+    * `salts` cells, and the query RAISES in the row path if any
+    * (key, salt) cell exceeds 2x its fair share of the key's rows
+    * (+ a constant slack for small keys) — so a future regression in
+    * the salting (constant salt, broken hash, dropped modulus) fails
+    * the correctness gate instead of quietly re-concentrating the hot
+    * key. The spread directory is (distinct keys x salts)-sized; the
+    * salted big relation is lazily checkpointed so the guard inspects
+    * the SAME salt assignment the join consumes (the salt source
+    * includes monotonically_increasing_id, which is not stable across
+    * recomputation). The aggregate output replays in DuckDB as the
+    * plain join over the same key remap — salting must never change
+    * the result, only the distribution.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salts = 8
+    val big = Tables
+      .orders(spark, dir)
+      .withColumn(
+        "custkey",
+        when(col("o_orderkey") % 10 < 3, lit(1L)).otherwise(col("o_custkey").cast("long"))
+      )
+    val small = Tables.customer(spark, dir).withColumnRenamed("c_custkey", "custkey")
+    val saltedBig = big
+      .withColumn("__salt", pmod(xxhash64(col("custkey"), monotonically_increasing_id()), lit(salts)))
+      .localCheckpoint(eager = false) // consumers: spread guard + join — MUST share one salt assignment
+    val cells = saltedBig.groupBy(col("custkey"), col("__salt")).agg(count(lit(1)).as("__c"))
+    val guard = cells
+      .withColumn("__kt", sum("__c").over(Window.partitionBy("custkey")))
+      .agg(
+        max(
+          when(
+            col("__c") * salts > col("__kt") * 2 + lit(64L * salts),
+            raise_error(
+              concat(
+                lit("skewSaltedJoin: salt cell holds "),
+                col("__c"),
+                lit(" of its key's "),
+                col("__kt"),
+                lit(s" rows — the $salts-way scatter degraded (> 2x fair share)")
+              )
+            ).cast("long")
+          ).otherwise(lit(0L))
+        ).as("salt_cells_over_bound")
+      )
+    saltedBig
+      .join(small.withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})"))), Seq("custkey", "__salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .crossJoin(broadcast(guard)) // 1-row guard rides into the hashed output
+      .orderBy("c_mktsegment")
+  }
+
   /** Salted-join parity, oracle-checked on the REAL result: the salted
     * plan must produce byte-identical aggregates to the plain join
     * DuckDB runs — salting redistributes rows, never changes them.

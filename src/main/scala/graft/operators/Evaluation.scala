@@ -132,8 +132,17 @@ object Evaluation {
       )
       .agg(max(col("d")).as("numd"), max(col("den")).as("dend"))
     r.select(
-      guardedLong(col("numd"), "ks_num").as("ks_num"),
-      guardedLong(col("dend"), "ks_den").as("ks_den"),
+      guardedLong(col("numd"), "ks_num", "ksExact").as("ks_num"),
+      // den = n1·(nt−n1) = 0 means one sample is EMPTY: KS between a
+      // sample and nothing is undefined — refuse loudly (repo
+      // convention) instead of emitting a silent 0/0 NaN
+      when(
+        col("dend") > 0,
+        guardedLong(col("dend"), "ks_den", "ksExact")
+      ).otherwise(
+        raise_error(lit("ksExact: one sample is empty (n1 = 0 or n1 = n) — KS is undefined"))
+          .cast("long")
+      ).as("ks_den"),
       (col("numd").cast("double") / col("dend").cast("double")).as("ks")
     )
   }
@@ -170,8 +179,8 @@ object Evaluation {
         (lit(2).cast("decimal(38,0)") * col("p") * (col("n") - col("p"))).as("dend")
       )
       .select(
-        guardedLong(col("numd"), "auc_num").as("auc_num"),
-        guardedLong(col("dend"), "auc_den").as("auc_den"),
+        guardedLong(col("numd"), "auc_num", "aucExact").as("auc_num"),
+        guardedLong(col("dend"), "auc_den", "aucExact").as("auc_den"),
         (col("numd").cast("double") / col("dend").cast("double")).as("auc")
       )
   }
@@ -239,12 +248,12 @@ object Evaluation {
     * action) instead of silently nulling past ±2⁶³; auc itself stays
     * exact as a decimal/decimal double at any scale.
     */
-  private def guardedLong(c: org.apache.spark.sql.Column, nm: String): org.apache.spark.sql.Column =
+  private def guardedLong(c: org.apache.spark.sql.Column, nm: String, op: String): org.apache.spark.sql.Column =
     when(
       c.between(lit(Long.MinValue).cast("decimal(38,0)"), lit(Long.MaxValue).cast("decimal(38,0)")),
       c.cast("long")
     ).otherwise(
-      raise_error(lit(s"aucExact: $nm exceeds BIGINT at this row count — consume the decimal form"))
+      raise_error(lit(s"$op: $nm exceeds BIGINT at this row count — consume the decimal form"))
         .cast("long")
     )
 

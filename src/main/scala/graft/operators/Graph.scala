@@ -339,6 +339,10 @@ object Graph {
           )
           .filter(col("__rk") <= maxNeighbors)
           .select("c", "n")
+          // two consumers (self-join sides): without this the deg join
+          // + row_number window compute twice — the exact branch reuses
+          // the already-checkpointed adj for the same reason
+          .localCheckpoint(eager = false)
     val cand = wedgeAdj
       .as("x")
       .join(wedgeAdj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
@@ -407,7 +411,10 @@ object Graph {
     val adjD = adj
       .join(deg.select(col("node").as("c"), col("d").as("dc")), "c")
     val wedgeAdj =
-      if (maxNeighbors == Int.MaxValue) adjD
+      // exact branch: adjD self-joins directly — checkpoint it so the
+      // deg join doesn't compute once per join side (capped branch
+      // consumes adjD once and checkpoints its own output below)
+      if (maxNeighbors == Int.MaxValue) adjD.localCheckpoint(eager = false)
       else
         adjD
           .join(deg.select(col("node").as("n"), col("d").as("__dn")), "n")
@@ -419,6 +426,8 @@ object Graph {
           )
           .filter(col("__rk") <= maxNeighbors)
           .select("c", "n", "dc")
+          // two consumers (self-join sides) — see linkPrediction
+          .localCheckpoint(eager = false)
     wedgeAdj
       .as("x")
       .join(wedgeAdj.as("y"), col("x.c") === col("y.c") && col("x.n") < col("y.n"))
@@ -498,6 +507,105 @@ object Graph {
     */
   def partSupplierPageRank(spark: SparkSession, dir: String): DataFrame =
     pageRank(partSupplierEdges(spark, dir), iterations = 5)
+
+  /** EXCHANGE-FREE bucketed PageRank iteration — the demonstrated form
+    * of [[pageRank]]'s scale claim ("bucketing both the edge table and
+    * the mass table by node id makes the per-iteration join
+    * exchange-free"). The edge+degree relation and the initial mass
+    * table are materialized as managed tables bucketed by the join key
+    * with bucket count == `spark.sql.shuffle.partitions`; every
+    * iteration's contribution aggregate then emits
+    * HashPartitioning(node, P) — co-partitioned with the bucketed edge
+    * scan's HashPartitioning(src, P) — so the mass⋈edges join plans
+    * with ZERO Exchange on EITHER side (shuffle-hash join, mass as the
+    * build side; the SHUFFLE_HASH hint keeps the demonstration off the
+    * broadcast path a small graph would otherwise take). The ONLY data
+    * movement per iteration is the (dst, contrib) aggregation shuffle —
+    * longs, never the edge payload — which is PageRank's irreducible
+    * movement. The plan is ASSERTED, not documented: the query refuses
+    * to run if the 5-iteration plan holds anything but exactly
+    * `iterations` hash exchanges over bucketed scans (the
+    * `join_eliminated` convention). At 100 TB the bucketed write is
+    * paid once and amortized over every iteration and every rerun;
+    * here it rides inside the query so the measured time is honest
+    * end-to-end.
+    *
+    * Caller contract: `edges` must be symmetrized (every node has
+    * inflow) — the general [[pageRank]] handles no-inflow nodes with a
+    * constant-row union, but a union would erase the aggregate's
+    * partitioning and re-introduce the join exchange. The contract is
+    * enforced LOUDLY in the row path of the mass-table write (zero
+    * extra actions): a node with no in-edge raises.
+    */
+  def pageRankBucketed(
+      edges: DataFrame,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
+    val spark = edges.sparkSession
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // consumers: degree join + node directory
+    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    graft.sources.Bucketing.writeBucketed(withDeg, "pr_edges_bkt", "src", buckets)
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    // initial mass, bucketed by node; the symmetry contract rides the
+    // write's row path — a node that never appears as dst would need
+    // pageRank's constant-row union (which breaks co-partitioning)
+    val mass0 = nodes
+      .join(e.select(col("dst").as("node")).distinct().withColumn("__in", lit(1)), Seq("node"), "left")
+      .select(
+        col("node"),
+        when(
+          col("__in").isNull,
+          raise_error(lit("pageRankBucketed: node with no in-edge — pass a symmetrized edge relation"))
+            .cast("long")
+        ).otherwise(lit(initMass)).as("mass")
+      )
+    graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_bkt", "node", buckets)
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var mass     = spark.table("pr_mass_bkt")
+    for (_ <- 1 to iterations) {
+      mass = spark
+        .table("pr_edges_bkt")
+        .join(mass.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy("node")
+        .agg((lit(baseMass) + sum("c")).as("mass"))
+    }
+    // loud plan assertion (join_eliminated convention): the whole
+    // unrolled iteration may hold ONLY the per-iteration aggregation
+    // shuffles — no join-side exchange (both sides co-partitioned) and
+    // no broadcast (the hint held) — and the edge side must actually
+    // be the bucketed scan
+    val planStr   = mass.queryExecution.executedPlan.toString
+    val nHashEx   = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    val nBcastEx  = "BroadcastExchange".r.findAllIn(planStr).size
+    val nBucketed = "SelectedBucketsCount".r.findAllIn(planStr).size
+    require(
+      nHashEx == iterations && nBcastEx == 0 && nBucketed >= iterations,
+      s"pageRankBucketed: expected exactly $iterations aggregation exchanges over bucketed scans " +
+        s"(got $nHashEx hash exchanges, $nBcastEx broadcasts, $nBucketed bucketed scans) — " +
+        s"the co-partitioned iteration degraded:\n$planStr"
+    )
+    mass.orderBy("node")
+  }
+
+  /** `graph_pagerank_bucketed` query body: the exchange-free bucketed
+    * iteration over the same part↔supplier graph and parameters as
+    * [[partSupplierPageRank]] — same oracle, plan-asserted exchange
+    * elimination.
+    */
+  def partSupplierPageRankBucketed(spark: SparkSession, dir: String): DataFrame =
+    pageRankBucketed(partSupplierEdges(spark, dir), iterations = 5)
 
   /** HITS (Kleinberg 1999) over a DIRECTED hub→authority edge
     * relation, integer-mass edition: authority = normalized inflow of

@@ -1563,10 +1563,12 @@ object Relational {
       orderCols: Seq[org.apache.spark.sql.Column],
       blkCols: Seq[org.apache.spark.sql.Column],
       tiles: Int,
-      outCol: String
+      outCol: String,
+      maxBlocks: Long = 1L << 21
   ): DataFrame = {
     require(tiles >= 1, s"ntileTwoPhase needs tiles >= 1, got $tiles")
     require(blkCols.nonEmpty, "ntileTwoPhase needs at least one block column")
+    require(maxBlocks >= 1, s"ntileTwoPhase needs maxBlocks >= 1, got $maxBlocks")
     val bNames = blkCols.indices.map(i => s"__blk$i")
     val base = bNames
       .zip(blkCols)
@@ -1582,8 +1584,30 @@ object Relational {
       .orderBy(bNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val totW = Window.partitionBy(partCols.map(col): _*)
+    // loudness guard on the coarse-block caller contract: a caller
+    // whose blkCols are near-unique would silently turn the
+    // "directory-sized" unpartitioned prefix-sum window into a
+    // single-partition sort over the DATA — refuse in the row path
+    // (directory-sized count over the same totW window, no extra
+    // action) instead of degrading
     val offsets = dir
-      .withColumn("__off", coalesce(sum("__bc").over(offW), lit(0L)))
+      .withColumn(
+        "__nblk",
+        count(lit(1)).over(totW)
+      )
+      .withColumn(
+        "__off",
+        when(
+          col("__nblk") > maxBlocks,
+          raise_error(
+            concat(
+              lit(s"ntileTwoPhase: block directory exceeds maxBlocks=$maxBlocks in one partition ("),
+              col("__nblk"),
+              lit(" blocks) — blkCols must be COARSE (caller contract); pass a larger maxBlocks only with a data-independent block key")
+            )
+          ).cast("long")
+        ).otherwise(coalesce(sum("__bc").over(offW), lit(0L)))
+      )
       .withColumn("__n", sum("__bc").over(totW))
       .select((keys.map(col) :+ col("__off") :+ col("__n")): _*)
     val t = tiles.toLong

@@ -7,4 +7,18 @@ package org.apache.spark
   */
 object GraftBenchShims {
   def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** This JVM's shuffle/spill local directories (`blockmgr-*`) — the
+    * bench samples their byte size across the run to prove shuffle-file
+    * residue stays bounded (the one residue channel unpersist/clearCache
+    * cannot touch; files are reaped only when the ContextCleaner runs
+    * after a GC).
+    */
+  def localDirBytes(sc: SparkContext): Long = {
+    val dirs = SparkEnv.get.blockManager.diskBlockManager.localDirs
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+    dirs.map(du).sum
+  }
 }

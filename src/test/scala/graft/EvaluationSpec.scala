@@ -110,4 +110,18 @@ class EvaluationSpec extends SparkSpec {
     val split = (1L to 30L).map(i => (1L, i)) ++ (1L to 30L).map(i => (0L, 100L + i))
     assert(Evaluation.ksFromScored(scoredDf(split)).head().getDouble(2) == 1.0)
   }
+
+  test("ksFromScored refuses loudly when one sample is empty (no silent 0/0 NaN)") {
+    def chain(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: chain(t.getCause)
+    Seq(
+      (1 to 20).map(i => (1L, i.toLong)), // all in sample 1
+      (1 to 20).map(i => (0L, i.toLong))  // all in sample 2
+    ).foreach { rows =>
+      val ex = intercept[Exception](Evaluation.ksFromScored(scoredDf(rows)).collect())
+      assert(
+        chain(ex).exists(t => Option(t.getMessage).exists(_.contains("sample is empty"))),
+        s"expected the empty-sample raise, got: $ex"
+      )
+    }
+  }
 }

@@ -76,16 +76,24 @@ def main():
     # copies scale the part<->supplier graph to 100 DISJOINT components,
     # each structurally identical to sf0.1's graph — so per-edge costs
     # (pagerank's join+agg per iteration runs over ALL edges) scale
-    # honestly 100x, while seeded traversals (betweenness seeds 2..10
-    # live in copy 0 only) get scan-side evidence only, stated as such
-    # in SCALE.md. Only the two columns the graph family reads — a full
-    # 60M-row lineitem would be ~4 GB of parquet for no extra signal.
+    # honestly 100x. Seeded traversals (betweenness/closeness/bfs) get
+    # frontier scaling only if the probe's seed set scales with the
+    # copies — their fixed seeds 2..10 live in copy 0, so a probe must
+    # plant per-copy seeds (node ids shift by 2*20000*i for parts,
+    # 2*1000*i+1 for suppliers per partSupplierEdges' 2p/2s+1 scheme).
+    # l_orderkey rides (shifted 10M per copy) so the CO-ORDER family
+    # (triangles/ktruss/link_prediction/resource_allocation) can run:
+    # their `l_orderkey < 10000` bound keeps them on copy 0 — constant
+    # work by design, stated as such in SCALE.md. Only the three
+    # columns the graph family reads — a full 60M-row lineitem would
+    # be ~4 GB of parquet for no extra signal.
     t = pq.read_table(f"{SRC}/lineitem.parquet",
-                      columns=["l_partkey", "l_suppkey"])
+                      columns=["l_orderkey", "l_partkey", "l_suppkey"])
     parts = []
     for i in range(COPIES):
         parts.append(pa.table(
-            {"l_partkey": pc.add(t.column("l_partkey"), i * 20000),
+            {"l_orderkey": pc.add(t.column("l_orderkey"), i * 10000000),
+             "l_partkey": pc.add(t.column("l_partkey"), i * 20000),
              "l_suppkey": pc.add(t.column("l_suppkey"), i * 1000)}))
     out = pa.concat_tables(parts)
     pq.write_table(out, f"{DST}/lineitem.parquet")
