@@ -546,6 +546,18 @@ object Graph {
   ): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
     val spark = edges.sparkSession
+    pageRankBucketedPrepare(edges, initMass)
+    pageRankBucketedIterate(spark, iterations, initMass, dampNum, dampDen)
+  }
+
+  /** Phase 1 of [[pageRankBucketed]]: materialize the edge+degree and
+    * initial-mass tables bucketed by the join key. On a standing graph
+    * this is the write paid ONCE and amortized over every rerun and
+    * every downstream bucketed consumer; the registered query runs it
+    * in-query so the measured time is honest end-to-end.
+    */
+  def pageRankBucketedPrepare(edges: DataFrame, initMass: Long = 1000000L): Unit = {
+    val spark   = edges.sparkSession
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -571,6 +583,22 @@ object Graph {
         ).otherwise(lit(initMass)).as("mass")
       )
     graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_bkt", "node", buckets)
+  }
+
+  /** Phase 2 of [[pageRankBucketed]]: the co-partitioned iteration over
+    * the standing bucketed tables — the per-run cost once the graph
+    * tables stand. Requires [[pageRankBucketedPrepare]]'s tables under
+    * the CURRENT shuffle-partition setting (the bucket count must match
+    * for the exchange-free property; the plan assertion below catches a
+    * mismatch loudly).
+    */
+  def pageRankBucketedIterate(
+      spark: SparkSession,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var mass     = spark.table("pr_mass_bkt")
     for (_ <- 1 to iterations) {

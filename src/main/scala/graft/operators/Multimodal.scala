@@ -185,6 +185,23 @@ object Multimodal {
     val frames = Tables
       .documents(spark, dir)
       .filter(col("doc_id") % 3 === 2 && col("text").isNotNull)
+      // repartition by the window key BEFORE the ~1000x frame explode:
+      // left inline, the explode and the per-frame md5 run in the SCAN
+      // stage, whose parallelism is the parquet row-group count — a
+      // single-row-group file serializes the whole frame stream into
+      // one task (measured at sf1: one 35 s task under a 37 s wall).
+      // The window needs hashpartitioning(doc_id) anyway, so this
+      // moves the existing exchange BELOW the explode (docs move, not
+      // frames; exchange count unchanged) and the heavy stage scales
+      // with the shuffle-partition knob instead of the file layout.
+      // The count is PINNED (REPARTITION_BY_NUM): AQE's byte-based
+      // coalescing sees only the doc-sized shuffle write, not the
+      // explode multiplier behind it, and folds a by-column
+      // repartition back to row-group parallelism (measured).
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id")
+      )
       .select(
         col("doc_id"),
         col("text"),
