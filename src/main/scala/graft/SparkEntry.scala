@@ -1259,6 +1259,12 @@ object SparkEntry {
     // body) — only the per-iteration (dst, contrib) aggregation
     // shuffle moves data; identical output, same unrolled-SQL oracle
     "graph_pagerank_bucketed" -> q(Graph.partSupplierPageRankBucketed),
+    // the GROWING-graph form: day-0 edges written bucketed, a second
+    // batch APPENDED into the same bucket layout, node-sized degree
+    // and mass sidecars rebuilt in one pass (inline degrees go stale
+    // on append), then the same exchange-free iteration over the
+    // grown table — plan-asserted, bit-identical to graph_pagerank
+    "graph_pagerank_appended" -> q(Graph.partSupplierPageRankAppended),
     // deterministic sync label propagation: fixed rounds + min-label
     // tie-breaks make it a pure function of the edge set — replays as
     // unrolled SQL like pagerank
@@ -4133,6 +4139,7 @@ object SparkEntry {
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
       "graph_pagerank"  -> pageRankSql,
       "graph_pagerank_bucketed" -> pageRankSql,
+      "graph_pagerank_appended" -> pageRankSql,
       "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,

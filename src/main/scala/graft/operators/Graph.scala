@@ -635,6 +635,115 @@ object Graph {
   def partSupplierPageRankBucketed(spark: SparkSession, dir: String): DataFrame =
     pageRankBucketed(partSupplierEdges(spark, dir), iterations = 5)
 
+  /** PageRank over a GROWING standing bucketed graph — the append path
+    * of [[pageRankBucketed]]. A standing corpus graph is never written
+    * once and frozen: crawls append edges. The bucketed-table answer:
+    * new edge rows land in the SAME bucket layout
+    * ([[graft.sources.Bucketing.appendBucketedKeys]]), so the
+    * co-partitioned iteration keeps its exchange-free property as the
+    * table grows — no re-shuffle of the standing payload, ever.
+    *
+    * Inline degrees (the static variant's schema) go STALE on append —
+    * an appended edge changes its source's out-degree for EVERY
+    * standing row of that source. So the append form keeps the edge
+    * table degree-FREE and maintains degrees and mass as node-sized
+    * sidecar tables REBUILT from the standing edges after each append:
+    * one aggregate pass emitting node-count rows — the cheap,
+    * always-correct IVM point for a quantity whose per-key value is a
+    * whole-key aggregate. The iteration then chains TWO co-partitioned
+    * joins (edges⋈deg by src — both bucketed by src; result⋈mass on
+    * src=node — stream-side partitioning preserved), still exactly ONE
+    * aggregation exchange per iteration, plan-ASSERTED like the static
+    * form. Output is bit-identical to [[pageRank]] over the union edge
+    * set (same integer mass, same unrolled-SQL oracle).
+    */
+  def pageRankBucketedAppend(
+      baseEdges: DataFrame,
+      newEdges: DataFrame,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
+    val spark   = baseEdges.sparkSession
+    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def canon(df: DataFrame) =
+      df.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).distinct()
+    // day 0: the standing edge table (degree-free, bucketed by src)
+    graft.sources.Bucketing.writeBucketed(canon(baseEdges), "pr_edges_app", "src", buckets)
+    // the append: new rows land in the same bucket layout — the
+    // standing payload is never re-shuffled
+    graft.sources.Bucketing.appendBucketedKeys(canon(newEdges), "pr_edges_app", buckets, Seq("src"))
+    // node-sized sidecars rebuilt from the standing table: degrees
+    // (bucketed by src — co-partitioned with the edge scan) and mass
+    // (bucketed by node), with the symmetry contract riding the mass
+    // write's row path exactly as in the static form
+    val standing = spark.table("pr_edges_app").localCheckpoint(eager = false)
+    graft.sources.Bucketing.writeBucketed(
+      standing.groupBy("src").agg(count(lit(1)).as("outdeg")),
+      "pr_deg_app",
+      "src",
+      buckets
+    )
+    val nodes = standing
+      .select(col("src").as("node"))
+      .union(standing.select(col("dst").as("node")))
+      .distinct()
+    val mass0 = nodes
+      .join(standing.select(col("dst").as("node")).distinct().withColumn("__in", lit(1)), Seq("node"), "left")
+      .select(
+        col("node"),
+        when(
+          col("__in").isNull,
+          raise_error(lit("pageRankBucketedAppend: node with no in-edge — pass a symmetrized edge relation"))
+            .cast("long")
+        ).otherwise(lit(initMass)).as("mass")
+      )
+    graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_app", "node", buckets)
+    val baseMass = initMass * (dampDen - dampNum) / dampDen
+    var mass     = spark.table("pr_mass_app")
+    for (_ <- 1 to iterations) {
+      mass = spark
+        .table("pr_edges_app")
+        .join(spark.table("pr_deg_app").hint("shuffle_hash"), "src")
+        .join(mass.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("dst").as("node"), expr(s"(mass * $dampNum) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy("node")
+        .agg((lit(baseMass) + sum("c")).as("mass"))
+    }
+    // same loudness standard as the static form: only the
+    // per-iteration aggregation shuffles may appear — the appended
+    // files joined exchange-free or the query refuses
+    val planStr   = mass.queryExecution.executedPlan.toString
+    val nHashEx   = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    val nBcastEx  = "BroadcastExchange".r.findAllIn(planStr).size
+    val nBucketed = "SelectedBucketsCount".r.findAllIn(planStr).size
+    require(
+      nHashEx == iterations && nBcastEx == 0 && nBucketed >= 2 * iterations,
+      s"pageRankBucketedAppend: expected exactly $iterations aggregation exchanges over bucketed scans " +
+        s"(got $nHashEx hash exchanges, $nBcastEx broadcasts, $nBucketed bucketed scans) — " +
+        s"the appended table lost the co-partitioned property:\n$planStr"
+    )
+    mass.orderBy("node")
+  }
+
+  /** `graph_pagerank_appended` query body: the part↔supplier graph
+    * split by a src+dst predicate into a day-0 table and an appended
+    * batch (disjoint halves of the distinct edge set, so base ∪ append
+    * == the full relation), then 5 exchange-free iterations over the
+    * GROWN standing table — bit-identical to [[partSupplierPageRank]]
+    * under the same unrolled-SQL oracle.
+    */
+  def partSupplierPageRankAppended(spark: SparkSession, dir: String): DataFrame = {
+    val edges = partSupplierEdges(spark, dir)
+    pageRankBucketedAppend(
+      edges.filter((col("src") + col("dst")) % 3 =!= 0),
+      edges.filter((col("src") + col("dst")) % 3 === 0),
+      iterations = 5
+    )
+  }
+
   /** HITS (Kleinberg 1999) over a DIRECTED hub→authority edge
     * relation, integer-mass edition: authority = normalized inflow of
     * hub mass, hub = normalized inflow of authority mass, alternating

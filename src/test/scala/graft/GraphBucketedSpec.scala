@@ -47,6 +47,18 @@ class GraphBucketedSpec extends SparkSpec {
     )
   }
 
+  test("append path == pageRank over the union edge set; plan keeps one exchange per iteration") {
+    val grown = Graph.partSupplierPageRankAppended(spark, sfDir)
+    val plan  = grown.queryExecution.executedPlan.toString
+    // 5 aggregation shuffles; 2 bucketed scans (edges+deg) per
+    // iteration plus the iteration-1 bucketed mass scan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 5, plan.take(2000))
+    assert("BroadcastExchange".r.findAllIn(plan).size == 0, plan.take(2000))
+    assert("SelectedBucketsCount".r.findAllIn(plan).size >= 10, plan.take(2000))
+    val exact = Graph.partSupplierPageRank(spark, sfDir).collect().toSeq
+    assert(grown.collect().toSeq == exact)
+  }
+
   test("symmetrized tiny graph matches the unbucketed integer model") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
       .toDF("src", "dst")
