@@ -35,6 +35,20 @@ private final class TaskMetricsProbe extends org.apache.spark.scheduler.SparkLis
   * would let Catalyst prune the projections being measured. */
 object Bench {
 
+  /** Everything the sf1 (10×) trend track produces for the artifact:
+    * per-query (sec, task metrics), failures, the fence's raw samples,
+    * debut queries the fence could not arm on, and the iterate-only
+    * timings of the standing-table queries.
+    */
+  private final case class Sf1Result(
+      sf1Dir: String,
+      ok: Seq[(String, (Double, (Long, Long, Long)))],
+      bad: Seq[(String, String)],
+      retried: Map[String, Seq[Double]],
+      noHistory: Seq[String],
+      iterate: Seq[(String, Double)]
+  )
+
   /** The headline set is PINNED in `BENCH_MANIFEST.txt` (checked in,
     * one name per line) so every bench artifact states exactly which
     * query set its total covers — the JSON line carries the manifest's
@@ -211,25 +225,44 @@ object Bench {
       "SPARK_GRAFT_BENCH_HISTORY",
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_HISTORY.jsonl").toString
     )
-    val (prev: Map[String, Double], prevSf1: Map[String, Double]) =
+    // Last TWO history entries, each with its recorded launch cpus.
+    // `prev`/`prevSf1` (the LAST entry) stay the shared_with_prev /
+    // ratio_shape comparison base; the sf1 TREND FENCE baselines come
+    // from the min over BOTH entries, and ONLY entries whose cpus
+    // matches the current launch arm the fence — a baseline taken at
+    // different parallelism causes spurious retries or masks a real
+    // regression (the exact local[4]-vs-CPUS=8 mismatch the `cpus`
+    // field was added to catch), and a single inflated prior record
+    // would otherwise loosen the fence exactly where it regressed
+    // last round (r12's graph family).
+    final case class HistEntry(cpus: Int, main: Map[String, Double], sf1: Map[String, Double])
+    val histEntries: Seq[HistEntry] =
       try {
         val p = java.nio.file.Paths.get(hist)
-        if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], Map.empty[String, Double])
+        if (!java.nio.file.Files.exists(p)) Nil
         else {
           import scala.jdk.CollectionConverters._
-          val lines = java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
-          if (lines.isEmpty) (Map.empty[String, Double], Map.empty[String, Double])
-          else {
-            val om   = new com.fasterxml.jackson.databind.ObjectMapper()
-            val root = om.readTree(lines.last)
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).takeRight(2).toSeq.map { l =>
+            val root = om.readTree(l)
             def qmap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
               if (n == null) Map.empty
               else n.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
             val sf1Node = root.get("sf1")
-            (qmap(root.get("queries")), qmap(if (sf1Node == null) null else sf1Node.get("queries")))
+            HistEntry(
+              if (root.get("cpus") == null) -1 else root.get("cpus").asInt(),
+              qmap(root.get("queries")),
+              qmap(if (sf1Node == null) null else sf1Node.get("queries"))
+            )
           }
         }
-      } catch { case scala.util.control.NonFatal(_) => (Map.empty[String, Double], Map.empty[String, Double]) }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val prev: Map[String, Double]    = histEntries.lastOption.map(_.main).getOrElse(Map.empty)
+    val prevSf1: Map[String, Double] = histEntries.lastOption.map(_.sf1).getOrElse(Map.empty)
+    val sf1FenceBase: Map[String, Double] = histEntries
+      .filter(_.cpus == cpus.toInt)
+      .flatMap(_.sf1.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
     // ---- pinned sf1 heavy-family track (BENCH_MANIFEST_SF1.txt) ----
     // One timed run per query at 10x the bench scale, serialized
     // BEFORE the main track on the still-clean JVM so trend points
@@ -243,13 +276,18 @@ object Bench {
     // become the durable record twice in two rounds (r11 250.3 s,
     // r12 272.3 s — both concentrated 2-3x on the same queries while
     // same-code samples an hour apart sat at band). Any query reading
-    // > 2x its previous-round history value re-runs in-JVM (up to 3
-    // samples total) and the MINIMUM is kept — a genuine regression
-    // still shows (all samples high, all recorded in `retried`), but
-    // a one-off ambient/GC excursion can no longer misstate the
+    // > 2x its fence baseline re-runs in-JVM (up to 3 samples total).
+    // Since r14 the baseline is min(last TWO same-cpus rounds) — a
+    // single inflated prior record loosened r13's fence exactly on
+    // the previously-inflated graph family — and the recorded value
+    // is the lower-MEDIAN sample, not the minimum: keeping minima
+    // ratcheted the baseline toward fastest-ever and recorded an
+    // intermittent regression at its one fast sample. A genuine
+    // regression still shows (all samples high, all in `retried`),
+    // but a one-off ambient/GC excursion can no longer misstate the
     // engine in the durable artifact. Skipped silently when the sf1
     // corpus or manifest is absent (e.g. a fresh driver host).
-    val sf1Res: Option[(String, Seq[(String, (Double, (Long, Long, Long)))], Seq[(String, String)], Map[String, Seq[Double]])] = {
+    val sf1Res: Option[Sf1Result] = {
       val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       val mPath = java.nio.file.Paths.get(
         sys.env.getOrElse(
@@ -292,34 +330,57 @@ object Bench {
           dropStorageResidue() // untimed: after the clock stops
           r
         }
-        val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+        val retried   = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+        val noHistory = scala.collection.mutable.ArrayBuffer.empty[String]
         val t1: Seq[(String, Either[String, (Double, (Long, Long, Long))])] = names.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            var best     = runOnce(fn, name)
-            val samples  = scala.collection.mutable.ArrayBuffer.empty[Double]
-            var attempts = 1
-            best.foreach { case (dt, _) => samples += dt }
-            // trend fence: re-run while the best reading exceeds 2x the
-            // previous round's recorded value (up to 3 attempts total),
-            // keep the minimum, record every sample
-            while (
-              best.exists { case (dt, _) => prevSf1.get(name).exists(p => p > 0 && dt > 2 * p) } &&
-              attempts < 3
-            ) {
-              attempts += 1
-              runOnce(fn, name).foreach { case (dt, m) =>
-                samples += dt
-                best.foreach { case (bdt, _) => if (dt < bdt) best = Right((dt, m)) }
-              }
+            // fence baseline: min over the last two rounds' recorded
+            // values, cpus-matched (sf1FenceBase). A query with no
+            // matching history CANNOT be fenced in its debut round —
+            // recorded in `no_history` so the artifact says so itself.
+            val base = sf1FenceBase.get(name).filter(_ > 0)
+            if (base.isEmpty) noHistory += name
+            val samples  = scala.collection.mutable.ArrayBuffer.empty[(Double, (Long, Long, Long))]
+            var firstErr = Option.empty[String]
+            def attempt(): Unit = runOnce(fn, name) match {
+              case Right(s) => samples += s
+              case Left(m)  => if (firstErr.isEmpty) firstErr = Some(m)
             }
-            if (samples.size > 1) retried(name) = samples.toSeq
-            name -> best
+            attempt()
+            // trend fence: re-run while the BEST reading still exceeds
+            // 2x baseline (up to 3 attempts total). The recorded value
+            // is the lower-MEDIAN sample, not the minimum — keeping
+            // minima let the baseline ratchet toward fastest-ever and
+            // recorded an intermittent regression at its one fast
+            // sample; every raw sample still lands in `retried`.
+            var attempts = 1
+            while (
+              samples.nonEmpty && attempts < 3 &&
+              base.exists(b => samples.map(_._1).min > 2 * b)
+            ) { attempts += 1; attempt() }
+            if (samples.size > 1) retried(name) = samples.map(_._1).toSeq
+            val rec: Either[String, (Double, (Long, Long, Long))] =
+              if (samples.isEmpty) Left(firstErr.getOrElse("failed"))
+              else Right(samples.sortBy(_._1).apply((samples.size - 1) / 2))
+            name -> rec
           }
         }
-        spark.sparkContext.removeSparkListener(probe)
         val ok  = t1.collect { case (k, Right(v)) => k -> v }
         val bad = t1.collect { case (k, Left(m)) => k -> m }
-        Some((sf1Dir, ok, bad, retried.toMap))
+        // iterate-only twins (standing tables left by the full runs
+        // above): one timed run each — the per-run cost the in-query
+        // writes mask in the end-to-end trend rows
+        val okNames = ok.map(_._1).toSet
+        val iter: Seq[(String, Double)] = SparkEntry.iterateOnly.toSeq
+          .filter { case (name, _) => okNames.contains(name) }
+          .flatMap { case (name, fn) =>
+            runOnce(fn, s"$name (iterate-only)") match {
+              case Right((dt, _)) => Some(name -> dt)
+              case Left(_)        => None
+            }
+          }
+        spark.sparkContext.removeSparkListener(probe)
+        Some(Sf1Result(sf1Dir, ok, bad, retried.toMap, noHistory.toSeq, iter))
       }
     }
     val ldAfterSf1 = localDirBytes()
@@ -329,7 +390,7 @@ object Bench {
     // overflowed the driver's 2 000-char tail window in r11 and left
     // BENCH_r11.json `parsed: null`.
     val sf1Field: String = sf1Res
-      .map { case (sf1Dir, ok, bad, retried) =>
+      .map { case Sf1Result(sf1Dir, ok, bad, retried, noHistory, iter) =>
         val qj = ok.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
         val mj = ok
           .map { case (k, (_, (ms, ds, pk))) =>
@@ -340,14 +401,17 @@ object Bench {
         val rj = retried
           .map { case (k, ss) => "\"" + k + "\":" + ss.map(v => math.rint(v * 1e4) / 1e4).mkString("[", ",", "]") }
           .mkString("{", ",", "}")
-        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","method":"cold standing state, residue dropped per query; trend fence: any reading >2x its previous-round value re-runs (<=3 attempts), minimum kept, all samples in `retried`","n":${ok.size},"error_count":${bad.size},"errors":$ej,"retried":$rj,"queries":$qj,"metrics":$mj}"""
+        val nh = noHistory.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val ij = iter.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","method":"cold standing state, residue dropped per query; trend fence: reading >2x min(last two same-cpus rounds) re-runs (<=3 attempts), lower-median sample kept, all samples in `retried`; debut queries in `no_history`; `iterate` = iterate-only runs over the standing tables the full queries left","n":${ok.size},"error_count":${bad.size},"errors":$ej,"retried":$rj,"no_history":$nh,"iterate":$ij,"queries":$qj,"metrics":$mj}"""
       }
       .getOrElse("")
     val sf1StdoutField: String = sf1Res
-      .map { case (sf1Dir, ok, bad, retried) =>
+      .map { case Sf1Result(sf1Dir, ok, bad, retried, _, iter) =>
         val top = ok.sortBy(-_._2._1).take(6)
         val qj  = top.map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
-        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","n":${ok.size},"error_count":${bad.size},"retried_n":${retried.size},"queries_omitted":${ok.size - top.size},"queries":$qj}"""
+        val ij  = iter.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1e4) / 1e4) }.mkString("{", ",", "}")
+        s""","sf1":{"sf":"$sf1Dir","value":${math.rint(ok.map(_._2._1).sum * 1e4) / 1e4},"unit":"sec","n":${ok.size},"error_count":${bad.size},"retried_n":${retried.size},"iterate":$ij,"queries_omitted":${ok.size - top.size},"queries":$qj}"""
       }
       .getOrElse("")
     val timed: Seq[(String, Either[String, Double])] = manifest.flatMap { name =>
@@ -385,8 +449,61 @@ object Bench {
     val sharedKeys = resultMap.keySet & prev.keySet
     val sharedNow  = sharedKeys.toSeq.map(resultMap).sum
     val sharedPrev = sharedKeys.toSeq.map(prev).sum
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    // iterate-only twins at bench scale (standing tables left by the
+    // main-track reps above) — same median-of-reps method as the main
+    // rows; recorded in a separate `iterate` map so the end-to-end
+    // trend rows (dominated by in-query standing-table writes) can't
+    // mask a regression in the per-run iterate path
+    val iterMain: Seq[(String, Double)] = SparkEntry.iterateOnly.toSeq
+      .filter { case (n, _) => resultMap.contains(n) }
+      .flatMap { case (n, fn) =>
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] iterate-only $n failed: ${e.getMessage}")
+              None
+          }
+        }
+        dropStorageResidue()
+        if (times.isEmpty) None else Some(n -> median(times))
+      }
+    val iterMainJson =
+      iterMain.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    // ratio_shape: the ambient-vs-residue diagnosis, recorded by the
+    // bench itself instead of re-derived by a reader. Per-query ratio
+    // vs the previous round over the shared set; a UNIFORM shift
+    // (tight p25..p75 band) is the ambient-host signature, a
+    // CONCENTRATED cluster (wide spread, few big ratios) is the
+    // storage-residue / real-regression signature.
+    val (ratioShapeField: String, ratioShapeShort: String) = {
+      val ratios = sharedKeys.toSeq.flatMap { k =>
+        val p = prev(k); if (p > 0) Some(k -> resultMap(k) / p) else None
+      }
+      if (ratios.isEmpty)
+        (""""ratio_shape":{"n":0,"shape":"none"}""", """"ratio_shape":{"n":0,"shape":"none"}""")
+      else {
+        val sorted = ratios.map(_._2).sorted
+        def pct(q: Double) = sorted((q * (sorted.size - 1)).round.toInt)
+        val med  = median(sorted)
+        val p25  = pct(0.25); val p75 = pct(0.75); val p90 = pct(0.90)
+        val (maxQ, maxR) = ratios.maxBy(_._2)
+        val shape =
+          if (med <= 1.1 && p90 <= 1.5) "stable"
+          else if (p25 > 0 && p75 / p25 <= 1.5) "uniform_shift"
+          else "concentrated"
+        (
+          s""""ratio_shape":{"n":${sorted.size},"median":${r4(med)},"p25":${r4(p25)},"p75":${r4(p75)},"p90":${r4(p90)},"max":${r4(maxR)},"max_query":"$maxQ","shape":"$shape","rule":"stable: median<=1.1 and p90<=1.5; uniform_shift (ambient-host signature): p75/p25<=1.5; else concentrated (residue or regression cluster)"}""",
+          s""""ratio_shape":{"n":${sorted.size},"median":${r4(med)},"shape":"$shape"}"""
+        )
+      }
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 trend track precedes in the same JVM; storage residue (localCheckpoint blocks + SQL cache) dropped + System.gc() shuffle-reap untimed after every query since r13","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},"local_dir_bytes":{"after_warmup":$ldAfterWarmup,"after_sf1":$ldAfterSf1,"end":$ldEnd},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 trend track precedes in the same JVM; storage residue (localCheckpoint blocks + SQL cache) dropped + System.gc() shuffle-reap untimed after every query since r13","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":$sharedNow,"prev_sec":$sharedPrev},$ratioShapeField,"iterate":$iterMainJson,"local_dir_bytes":{"after_warmup":$ldAfterWarmup,"after_sf1":$ldAfterSf1,"end":$ldEnd},"queries":$qs,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1Field}"""
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the final JSON line out of that tail — a full 100+-query map
     // (~4.5 KB) overflows the window and the round artifact records
@@ -403,7 +520,7 @@ object Bench {
       // budget is computed on the final meta string, sf1 included, so
       // the whole line stays inside the driver's 2 000-char tail.
       val meta =
-        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 track precedes in-JVM; residue dropped per query; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1StdoutField,"queries_omitted":NNN,"queries":"""
+        s"""{"metric":"total","value":${math.rint(total * 1e4) / 1e4},"unit":"sec","method":"per-query median of $reps in-process runs after warmup; sf1 track precedes in-JVM; residue dropped per query; slowest-first subset, full map in BENCH_LATEST.json","cpus":$cpus,"manifest_sha256":"$manifestSha","manifest_n":${manifest.size},"shared_with_prev":{"n":${sharedKeys.size},"sec":${math.rint(sharedNow * 1e4) / 1e4},"prev_sec":${math.rint(sharedPrev * 1e4) / 1e4}},$ratioShapeShort,"iterate":$iterMainJson,"error_count":${errors.size},"errors":$errs,"sf":"$sfDir"$sf1StdoutField,"queries_omitted":NNN,"queries":"""
       val budget  = 1700 - meta.length
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used    = 2 // braces

@@ -142,7 +142,14 @@ object ProbeR13 {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         timeSkew("skew_plain_unfenced", dumpPlan = false)(dim => consume(facts.join(dim, "k")))
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // restore ALL four conf overrides together — leaving the AQE
+        // broadcast threshold / skew thresholds set is harmless while
+        // skew is the last act of the main, but a trap the moment
+        // another probe mode chains after it in the same session
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       case other =>
         sys.error(s"unknown probe mode $other")
     }

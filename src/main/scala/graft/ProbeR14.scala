@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-14 scale probes (transient dev main; numbers land in SCALE.md):
+  *
+  *   substrings <sf10Dir>            — text_dedup_substrings at 100×: growth
+  *                                     law of the from-scratch pass (the #2
+  *                                     sf1 cost) + the standing-gram-index
+  *                                     probe-vs-rebuild split
+  *   setsim <sf0.1Dir> <copies> <dupBp> — prefix-filtered set-similarity join
+  *                                     over a copy-local-token corpus with
+  *                                     PLANTED near-dup mass (dupBp basis
+  *                                     points of docs get a one-token-off
+  *                                     twin): candidate/verified counts and
+  *                                     wall vs planted rate — the
+  *                                     output-proportionality evidence the
+  *                                     scan-side-only caveat lacked
+  *   rebucket <sf10Dir>              — the standing bucketed graph's
+  *                                     lifecycle cost: data-sized prepare,
+  *                                     iterate, P→2P rebucketTo of both
+  *                                     tables, iterate again
+  */
+object ProbeR14 {
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty("graft.oracle.dump", "off")
+    val mode = args(0)
+    val dir  = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sp   = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = GraftSession.builder(s"local[$cpus]", sp.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+    val probe = new TaskMetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+
+    def residue(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    def timed[T](label: String)(f: => T): T = {
+      org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
+      probe.snapshotAndReset()
+      val t0 = System.nanoTime()
+      val r  = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftBenchShims.drainListenerBus(spark.sparkContext)
+      val (ms, ds, pk) = probe.snapshotAndReset()
+      println(
+        f"PROBE $label dt=$dt%.2f spill_mem=$ms spill_disk=$ds peak_task_mem=${pk / 1024 / 1024}MB"
+      )
+      r
+    }
+    def time(label: String, reps: Int = sys.env.getOrElse("PROBE_REPS", "3").toInt)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        timed(label)(f)
+        val dt = (System.nanoTime() - t0) / 1e9
+        residue()
+        dt
+      }
+      println(f"PROBE $label median=${ts.sorted.apply(ts.size / 2)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+    mode match {
+      case "substrings" =>
+        // growth-law probe: from-scratch substring dedup over the full
+        // corpus at this scale (sf10 documents = 100x), then the
+        // standing-index split — gram index built over a 99% standing
+        // corpus (the amortized write), incremental probe over the 1%
+        // arriving batch (the per-ingest cost)
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        println(s"PROBE substrings corpus_docs=${docs.count()}")
+        time("substrings_fromscratch")(noop(operators.TextAnalysis.dedupSubstringsDf(docs)))
+        val standing = docs.filter(col("doc_id") % 100 =!= 0)
+        val batch    = docs.filter(col("doc_id") % 100 === 0)
+        time("substrings_index_build", reps = 1)(
+          operators.TextAnalysis.buildGramIndex(standing, "probe_sub_idx")
+        )
+        time("substrings_incremental_probe")(
+          noop(operators.TextAnalysis.incrementalDedupSubstrings(spark, "probe_sub_idx", batch))
+        )
+
+      case "setsim" =>
+        // corpus: `copies` key-shifted copies of the sf0.1 documents
+        // with COPY-LOCAL tokens (every token prefixed by a letters-only
+        // copy tag, so cross-copy Jaccard is exactly 0 and the corpus
+        // has no accidental duplicate mass), plus a PLANTED twin (one
+        // extra token => Jaccard = n/(n+1) >= 0.5) for dupBp basis
+        // points of the docs. Candidate count, verified-pair count and
+        // wall are then functions of the planted rate — the
+        // output-proportionality measurement.
+        val copies = args(2).toInt
+        val dupBp  = args(3).toInt // planted twins per 10 000 docs
+        val base   = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        val tagged = base
+          .crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .select(
+            (col("doc_id") + col("copy") * 5000L).as("doc_id"),
+            concat_ws(
+              " ",
+              transform(
+                split(col("text"), "[^\\p{L}]+"),
+                t =>
+                  concat(
+                    lit("q"),
+                    translate(col("copy").cast("string"), "0123456789", "abcdefghij"),
+                    t
+                  )
+              )
+            ).as("text")
+          )
+        val corpus =
+          if (dupBp == 0) tagged
+          else
+            tagged.unionByName(
+              tagged
+                .filter(pmod(col("doc_id"), lit(10000L / dupBp)) === 0)
+                .select((col("doc_id") + 100000000L).as("doc_id"), concat(col("text"), lit(" qzzzzq")).as("text"))
+            )
+        val frozen = corpus.localCheckpoint() // untimed corpus construction
+        println(s"PROBE setsim copies=$copies dup_bp=$dupBp corpus_docs=${frozen.count()}")
+        val elements = frozen.select(
+          col("doc_id").as("id"),
+          explode(expr("filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')")).as("tok")
+        )
+        val (_, cand) = operators.Dedup.setSimCandidates(elements, 0.5)
+        timed("setsim_candidates")(println(s"PROBE setsim candidate_pairs=${cand.count()}"))
+        residue()
+        time("setsim_join", reps = 2) {
+          val out = operators.Dedup.setSimJoinOnSets(elements, 0.5)
+          println(s"PROBE setsim verified_pairs=${out.count()}")
+        }
+
+      case "rebucket" =>
+        // lifecycle cost of the data-sized standing bucketed graph:
+        // what does outgrowing the per-bucket target actually cost?
+        val edges = operators.Graph.partSupplierEdges(spark, dir)
+        timed("rebucket_prepare")(operators.Graph.pageRankBucketedPrepare(edges))
+        val p = graft.sources.Bucketing.recordedBuckets(spark, "pr_edges_bkt")
+        println(s"PROBE rebucket data_sized_buckets=$p")
+        residue()
+        time("rebucket_iterate_P")(noop(operators.Graph.pageRankBucketedIterate(spark)))
+        timed("rebucket_edges_P_to_2P")(
+          graft.sources.Bucketing.rebucketTo(spark, "pr_edges_bkt", 2 * p, Seq("src"))
+        )
+        timed("rebucket_mass_P_to_2P")(
+          graft.sources.Bucketing.rebucketTo(spark, "pr_mass_bkt", 2 * p, Seq("node"))
+        )
+        residue()
+        time("rebucket_iterate_2P")(noop(operators.Graph.pageRankBucketedIterate(spark)))
+
+      case other =>
+        sys.error(s"unknown probe mode $other")
+    }
+    spark.stop()
+  }
+}

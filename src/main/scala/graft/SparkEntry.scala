@@ -850,6 +850,25 @@ object SparkEntry {
         .parquet(s"/tmp/graft_ivfpq_oracle/$tag/$t")
     }
 
+  /** Iterate-only twins of the standing-table queries (their trend
+    * rows in the bench are dominated by the in-query bucketed writes,
+    * which would mask a regression in the per-run iterate path the
+    * standing-table design actually sells). Bench times these AFTER
+    * the corresponding full query has run in the same session — the
+    * standing tables it wrote are still in the warehouse, and the
+    * iterate bodies verify their stamps before touching them — and
+    * records the result in a separate `iterate` map next to the
+    * honest end-to-end numbers.
+    */
+  def iterateOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank_bucketed" -> ((s, _) => {
+      GraftSession.prepare(s); Graph.pageRankBucketedIterate(s, iterations = 5)
+    }),
+    "graph_pagerank_appended" -> ((s, _) => {
+      GraftSession.prepare(s); Graph.pageRankAppendedIterate(s, iterations = 5)
+    })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the two jobs of the reference engine ----
     "wc_wordcount" -> q((s, dir) => TextJobs.wordCount(Tables.documents(s, dir))),
@@ -1265,6 +1284,13 @@ object SparkEntry {
     // on append), then the same exchange-free iteration over the
     // grown table — plan-asserted, bit-identical to graph_pagerank
     "graph_pagerank_appended" -> q(Graph.partSupplierPageRankAppended),
+    // the LIFECYCLE form: prepare at the data-sized bucket count P,
+    // rebucket both standing tables to 2P (the step forced when data
+    // outgrows the per-bucket row target — crash-safe
+    // write-aside-then-swap), then the same exchange-free iteration
+    // over the REBUCKETED layout, plan-asserted at 2P — bit-identical
+    // to graph_pagerank under the same unrolled-SQL oracle
+    "graph_pagerank_rebucketed" -> q(Graph.partSupplierPageRankRebucketed),
     // deterministic sync label propagation: fixed rounds + min-label
     // tie-breaks make it a pure function of the edge set — replays as
     // unrolled SQL like pagerank
@@ -4140,6 +4166,7 @@ object SparkEntry {
       "graph_pagerank"  -> pageRankSql,
       "graph_pagerank_bucketed" -> pageRankSql,
       "graph_pagerank_appended" -> pageRankSql,
+      "graph_pagerank_rebucketed" -> pageRankSql,
       "graph_lpa"       -> lpaSql,
       "graph_hits"      -> hitsSql,
       "graph_kcore"     -> kcoreSql,

@@ -131,18 +131,25 @@ object Evaluation {
         (col("n1").cast("decimal(38,0)") * (col("nt") - col("n1"))).as("den")
       )
       .agg(max(col("d")).as("numd"), max(col("den")).as("dend"))
+    // den = n1·(nt−n1) = 0 means one sample is EMPTY, and a fully
+    // empty input leaves the agg row NULL: KS between a sample and
+    // nothing is undefined — refuse loudly (repo convention) instead
+    // of emitting a silent 0/0 NaN. BOTH output columns gate on the
+    // denominator so the empty case always reports "sample is empty"
+    // rather than tripping the overflow guard on a NULL numerator
+    // (column evaluation order would otherwise surface the misleading
+    // 'ks_num exceeds BIGINT' message first).
+    val emptyErr =
+      raise_error(lit("ksExact: sample is empty (no rows, n1 = 0, or n1 = n) — KS is undefined"))
+        .cast("long")
     r.select(
-      guardedLong(col("numd"), "ks_num", "ksExact").as("ks_num"),
-      // den = n1·(nt−n1) = 0 means one sample is EMPTY: KS between a
-      // sample and nothing is undefined — refuse loudly (repo
-      // convention) instead of emitting a silent 0/0 NaN
+      when(col("dend").isNotNull && col("dend") > 0, guardedLong(col("numd"), "ks_num", "ksExact"))
+        .otherwise(emptyErr)
+        .as("ks_num"),
       when(
-        col("dend") > 0,
+        col("dend").isNotNull && col("dend") > 0,
         guardedLong(col("dend"), "ks_den", "ksExact")
-      ).otherwise(
-        raise_error(lit("ksExact: one sample is empty (n1 = 0 or n1 = n) — KS is undefined"))
-          .cast("long")
-      ).as("ks_den"),
+      ).otherwise(emptyErr).as("ks_den"),
       (col("numd").cast("double") / col("dend").cast("double")).as("ks")
     )
   }

@@ -557,14 +557,24 @@ object Graph {
     * in-query so the measured time is honest end-to-end.
     */
   def pageRankBucketedPrepare(edges: DataFrame, initMass: Long = 1000000L): Unit = {
-    val spark   = edges.sparkSession
-    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val spark = edges.sparkSession
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false) // consumers: degree join + node directory
+      .localCheckpoint(eager = false) // consumers: fingerprint + degree join + node directory
+    // ONE aggregate over the (checkpointed) edges yields both halves
+    // of the standing-table metadata: the row count DATA-SIZES the
+    // bucket count (Bucketing.chooseBuckets — the session's shuffle
+    // knob no longer enters; VERDICT r13 item 2), and the
+    // order-independent content hash stamps the tables so a later
+    // iterate can refuse a mass/edge pair written by different
+    // prepares (the fixed-name-table hazard, ADVICE r13)
+    val fp      = e.agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+    val stamp   = s"${fp.getLong(0)}:${if (fp.isNullAt(1)) "empty" else fp.getLong(1).toString}"
+    val buckets = graft.sources.Bucketing.chooseBuckets(spark, fp.getLong(0))
     val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     graft.sources.Bucketing.writeBucketed(withDeg, "pr_edges_bkt", "src", buckets)
+    graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_bkt", buckets, stamp)
     val nodes = e
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -583,22 +593,62 @@ object Graph {
         ).otherwise(lit(initMass)).as("mass")
       )
     graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_bkt", "node", buckets)
+    graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_bkt", buckets, stamp)
   }
 
-  /** Phase 2 of [[pageRankBucketed]]: the co-partitioned iteration over
-    * the standing bucketed tables — the per-run cost once the graph
-    * tables stand. Requires [[pageRankBucketedPrepare]]'s tables under
-    * the CURRENT shuffle-partition setting (the bucket count must match
-    * for the exchange-free property; the plan assertion below catches a
-    * mismatch loudly).
+  /** Read + cross-check the standing-table metadata both iterate paths
+    * depend on: every table must carry the SAME prepare stamp (never
+    * iterate a mass table from dataset A against edges from dataset B)
+    * and the SAME recorded bucket count (the co-partitioned property).
+    * Returns that bucket count — the value the iteration's shuffles
+    * are sized to, read from the TABLES, never from the session knob.
     */
-  def pageRankBucketedIterate(
+  private def standingBuckets(spark: SparkSession, tables: Seq[String]): Int = {
+    graft.sources.Bucketing.requireSameStamp(spark, tables)
+    val counts = tables.map(t => t -> graft.sources.Bucketing.recordedBuckets(spark, t))
+    require(
+      counts.map(_._2).distinct.size == 1,
+      s"standing tables disagree on bucket count — rebucket them together (Bucketing.rebucketTo): " +
+        counts.map { case (t, b) => s"$t=$b" }.mkString(", ")
+    )
+    counts.head._2
+  }
+
+  /** Pin `spark.sql.shuffle.partitions` to the standing table's bucket
+    * count for the duration of `f` (plan + execution must BOTH happen
+    * inside — the eager wrappers checkpoint before restoring).
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Lazy core of [[pageRankBucketedIterate]]: builds (and
+    * plan-asserts) the unrolled co-partitioned iteration WITHOUT
+    * executing it. Contract: the session's shuffle-partition count
+    * must already equal the standing tables' recorded bucket count —
+    * the per-iteration aggregation exchange must land back on the
+    * bucket layout for the next join to stay exchange-free. The
+    * public wrapper pins the conf from the table metadata; specs call
+    * this directly to count exchanges on the compiled plan.
+    */
+  private[graft] def pageRankBucketedIterateLazy(
       spark: SparkSession,
       iterations: Int = 5,
       initMass: Long = 1000000L,
       dampNum: Int = 85,
       dampDen: Int = 100
   ): DataFrame = {
+    val buckets = standingBuckets(spark, Seq("pr_edges_bkt", "pr_mass_bkt"))
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    require(
+      sessionP == buckets,
+      s"pageRankBucketedIterate: session shuffle partitions ($sessionP) != standing bucket count " +
+        s"($buckets) — the aggregation exchange would break co-partitioning; use the public " +
+        "wrapper (it pins the conf from the table metadata)"
+    )
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var mass     = spark.table("pr_mass_bkt")
     for (_ <- 1 to iterations) {
@@ -624,7 +674,30 @@ object Graph {
         s"(got $nHashEx hash exchanges, $nBcastEx broadcasts, $nBucketed bucketed scans) — " +
         s"the co-partitioned iteration degraded:\n$planStr"
     )
-    mass.orderBy("node")
+    mass
+  }
+
+  /** Phase 2 of [[pageRankBucketed]]: the co-partitioned iteration over
+    * the standing bucketed tables — the per-run cost once the graph
+    * tables stand. The shuffle sizing comes from the TABLES' recorded
+    * bucket count (pinned for the duration of plan + execution, then
+    * restored — the node-sized result is checkpointed inside the
+    * pinned window so no later re-plan can degrade under a different
+    * session knob), and the stamp check refuses tables written by
+    * different prepares.
+    */
+  def pageRankBucketedIterate(
+      spark: SparkSession,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    val buckets = standingBuckets(spark, Seq("pr_edges_bkt", "pr_mass_bkt"))
+    withShufflePartitions(spark, buckets) {
+      pageRankBucketedIterateLazy(spark, iterations, initMass, dampNum, dampDen)
+        .localCheckpoint(eager = true) // node-sized aggregate, executed under the pinned conf
+    }.orderBy("node")
   }
 
   /** `graph_pagerank_bucketed` query body: the exchange-free bucketed
@@ -634,6 +707,27 @@ object Graph {
     */
   def partSupplierPageRankBucketed(spark: SparkSession, dir: String): DataFrame =
     pageRankBucketed(partSupplierEdges(spark, dir), iterations = 5)
+
+  /** `graph_pagerank_rebucketed` query body: the standing-table
+    * LIFECYCLE made first-class. The data-sized bucket law fixes a
+    * table's bucket count at prepare time; the day the data outgrows
+    * the per-bucket row target, the remedy is a P → 2P rewrite
+    * ([[graft.sources.Bucketing.rebucketTo]] — the one shuffle the
+    * bucketed design otherwise never pays again, crash-safe via the
+    * write-aside-then-swap protocol). This query runs that full
+    * lifecycle in-line: prepare at the data-sized P, rebucket BOTH
+    * standing tables to 2P, then 5 exchange-free iterations over the
+    * rebucketed layout — bit-identical to [[partSupplierPageRank]]
+    * under the same unrolled-SQL oracle, with the iterate's plan
+    * assertion re-proving the co-partitioned property at 2P.
+    */
+  def partSupplierPageRankRebucketed(spark: SparkSession, dir: String): DataFrame = {
+    pageRankBucketedPrepare(partSupplierEdges(spark, dir))
+    val p = graft.sources.Bucketing.recordedBuckets(spark, "pr_edges_bkt")
+    graft.sources.Bucketing.rebucketTo(spark, "pr_edges_bkt", 2 * p, Seq("src"))
+    graft.sources.Bucketing.rebucketTo(spark, "pr_mass_bkt", 2 * p, Seq("node"))
+    pageRankBucketedIterate(spark, iterations = 5)
+  }
 
   /** PageRank over a GROWING standing bucketed graph — the append path
     * of [[pageRankBucketed]]. A standing corpus graph is never written
@@ -666,12 +760,18 @@ object Graph {
       dampDen: Int = 100
   ): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
-    val spark   = baseEdges.sparkSession
-    val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val spark = baseEdges.sparkSession
     def canon(df: DataFrame) =
       df.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).distinct()
-    // day 0: the standing edge table (degree-free, bucketed by src)
-    graft.sources.Bucketing.writeBucketed(canon(baseEdges), "pr_edges_app", "src", buckets)
+    // day 0: the standing edge table (degree-free, bucketed by src) at
+    // a DATA-SIZED bucket count (the day-0 row count; appends keep the
+    // layout, and when growth outruns the per-bucket target the
+    // lifecycle answer is Bucketing.rebucketTo — probed in SCALE.md,
+    // not implied)
+    val base  = canon(baseEdges).localCheckpoint(eager = false)
+    val nBase = base.count()
+    val buckets = graft.sources.Bucketing.chooseBuckets(spark, nBase)
+    graft.sources.Bucketing.writeBucketed(base, "pr_edges_app", "src", buckets)
     // the append: new rows land in the same bucket layout — the
     // standing payload is never re-shuffled
     graft.sources.Bucketing.appendBucketedKeys(canon(newEdges), "pr_edges_app", buckets, Seq("src"))
@@ -680,12 +780,19 @@ object Graph {
     // (bucketed by node), with the symmetry contract riding the mass
     // write's row path exactly as in the static form
     val standing = spark.table("pr_edges_app").localCheckpoint(eager = false)
+    // stamp the GROWN relation (count + order-independent hash) onto
+    // all three tables — the iterate refuses any edges/deg/mass trio
+    // not written by this same prepare pass
+    val fp    = standing.agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
+    val stamp = s"${fp.getLong(0)}:${if (fp.isNullAt(1)) "empty" else fp.getLong(1).toString}"
+    graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_app", buckets, stamp)
     graft.sources.Bucketing.writeBucketed(
       standing.groupBy("src").agg(count(lit(1)).as("outdeg")),
       "pr_deg_app",
       "src",
       buckets
     )
+    graft.sources.Bucketing.stampBucketedTable(spark, "pr_deg_app", buckets, stamp)
     val nodes = standing
       .select(col("src").as("node"))
       .union(standing.select(col("dst").as("node")))
@@ -701,6 +808,30 @@ object Graph {
         ).otherwise(lit(initMass)).as("mass")
       )
     graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_app", "node", buckets)
+    graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_app", buckets, stamp)
+    pageRankAppendedIterate(spark, iterations, initMass, dampNum, dampDen)
+  }
+
+  /** Lazy core of the appended-graph iteration — same contract as
+    * [[pageRankBucketedIterateLazy]] (session shuffle partitions must
+    * equal the standing bucket count; same-stamp check across all
+    * three tables), with the append form's two co-partitioned joins
+    * (edges⋈deg by src, result⋈mass on src=node) per iteration.
+    */
+  private[graft] def pageRankAppendedIterateLazy(
+      spark: SparkSession,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    val buckets  = standingBuckets(spark, Seq("pr_edges_app", "pr_deg_app", "pr_mass_app"))
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    require(
+      sessionP == buckets,
+      s"pageRankAppendedIterate: session shuffle partitions ($sessionP) != standing bucket count " +
+        s"($buckets) — use the public wrapper (it pins the conf from the table metadata)"
+    )
     val baseMass = initMass * (dampDen - dampNum) / dampDen
     var mass     = spark.table("pr_mass_app")
     for (_ <- 1 to iterations) {
@@ -725,7 +856,25 @@ object Graph {
         s"(got $nHashEx hash exchanges, $nBcastEx broadcasts, $nBucketed bucketed scans) — " +
         s"the appended table lost the co-partitioned property:\n$planStr"
     )
-    mass.orderBy("node")
+    mass
+  }
+
+  /** Public appended-graph iteration: conf pinned from the standing
+    * tables' recorded bucket count, node-sized result checkpointed
+    * inside the pinned window, then sorted.
+    */
+  def pageRankAppendedIterate(
+      spark: SparkSession,
+      iterations: Int = 5,
+      initMass: Long = 1000000L,
+      dampNum: Int = 85,
+      dampDen: Int = 100
+  ): DataFrame = {
+    val buckets = standingBuckets(spark, Seq("pr_edges_app", "pr_deg_app", "pr_mass_app"))
+    withShufflePartitions(spark, buckets) {
+      pageRankAppendedIterateLazy(spark, iterations, initMass, dampNum, dampDen)
+        .localCheckpoint(eager = true)
+    }.orderBy("node")
   }
 
   /** `graph_pagerank_appended` query body: the part↔supplier graph

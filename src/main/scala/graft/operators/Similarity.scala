@@ -924,7 +924,7 @@ object Similarity {
     val candidates = spark
       .table(s"${indexName}_codes")
       .join(broadcast(probed), Seq("cell"))
-    (if (excludeSelf) candidates.filter(col("vec_id") =!= col("qid")) else candidates)
+    val ranked = (if (excludeSelf) candidates.filter(col("vec_id") =!= col("qid")) else candidates)
       .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
       .groupBy(col("qid"), col("vec_id").as("cand"))
       // round before ranking — same rationale (and same arithmetic) as
@@ -934,6 +934,30 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cand"), col("adc"))
       .orderBy("qid", "rnk")
+    // Loud plan assertion (the pageRankBucketed convention): the
+    // standing-index claim is that the corpus-sized CODES relation is
+    // never shuffled — probed cells and the per-query ADC table join
+    // onto the codes scan as broadcasts, and only CANDIDATE-grain
+    // rows (the scored (qid, cand) aggregates and the windowed top-k)
+    // ever cross an exchange. A plan change that turns either join
+    // into a shuffled join (e.g. the broadcast hint lost under a
+    // refactor) would move the whole codes table per probe — refuse
+    // instead of silently degrading.
+    // (The hash exchanges that remain are candidate-grain — the scored
+    // (qid, cand) aggregate and the per-query window — plus
+    // query-grain internals under the broadcast subtrees; the claim
+    // asserted is that NO join anywhere in the probe runs shuffled.)
+    val planStr = ranked.queryExecution.executedPlan.toString
+    val nShuffledJoin =
+      "SortMergeJoin".r.findAllIn(planStr).size + "ShuffledHashJoin".r.findAllIn(planStr).size
+    val nBcastJoin = "BroadcastHashJoin".r.findAllIn(planStr).size
+    require(
+      nShuffledJoin == 0 && nBcastJoin >= 2,
+      s"ivfPqProbe: codes-relation join degraded ($nShuffledJoin shuffled joins, $nBcastJoin " +
+        s"broadcast joins; expected 0 shuffled / >=2 broadcast — the corpus-sized codes relation " +
+        s"must never shuffle):\n" + planStr.take(4000)
+    )
+    ranked
   }
 
   /** The candidate stream [[ivfPqTopK]] actually scores — exposed so

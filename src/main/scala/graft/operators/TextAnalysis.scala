@@ -1508,7 +1508,28 @@ object TextAnalysis {
       .table(s"${indexName}_stats")
       .agg(sum("n_docs").cast("double").as("__n"), sum("n_tokens").cast("double").as("__ntok"))
       .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
-    bm25Rank(postings, dl, consts, k, k1, b)
+    val ranked = bm25Rank(postings, dl, consts, k, k1, b)
+    // Loud plan assertion (the pageRankBucketed convention): the
+    // standing-index claim is that a probe reads only the POSTINGS
+    // BUCKETS holding the query terms — corpus growth changes probe
+    // cost only through those buckets. The `tok IN (literals)` filter
+    // must therefore reach the bucketed scan as bucket pruning
+    // (SelectedBucketsCount n < total, n bounded by the distinct query
+    // terms); if a plan change ever drops the pruning (e.g. a rewrite
+    // that hides the literals behind a join), the probe refuses to run
+    // instead of silently full-scanning the index.
+    val planStr = ranked.queryExecution.executedPlan.toString
+    val prunedScans = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findAllMatchIn(planStr)
+      .map(mm => (mm.group(1).toInt, mm.group(2).toInt))
+      .toSeq
+    require(
+      prunedScans.exists { case (n, total) => n < total && n <= termLits.size },
+      s"bm25IndexProbe: postings scan is not bucket-pruned to the ${termLits.size} query terms " +
+        s"(pruned scans seen: $prunedScans) — the standing-index probe degraded to a full scan:\n" +
+        planStr.take(4000)
+    )
+    ranked
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009 — the
