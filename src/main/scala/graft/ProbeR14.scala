@@ -154,6 +154,74 @@ object ProbeR14 {
         residue()
         time("rebucket_iterate_2P")(noop(operators.Graph.pageRankBucketedIterate(spark)))
 
+      case "ab_lpa" =>
+        // in-JVM A/B: the two-exchange LPA round (old) vs the
+        // repartition-by-node single-exchange round (new), alternating
+        // reps so ambient drift hits both arms equally
+        val edges = operators.Graph.partSupplierEdges(spark, dir)
+        val dirE = edges
+          .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val e = dirE
+          .union(dirE.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .localCheckpoint(eager = true)
+        def round(old: Boolean): DataFrame = {
+          var lab = e.select(col("src").as("node")).distinct().withColumn("label", col("node"))
+          for (_ <- 1 to 4) {
+            val stream = e
+              .alias("e")
+              .join(lab.alias("l"), col("e.src") === col("l.node"))
+              .select(col("e.dst").as("node"), col("l.label").as("label"))
+            val counts =
+              (if (old) stream else stream.repartition(col("node")))
+                .groupBy("node", "label")
+                .agg(count(lit(1)).as("cnt"))
+            lab = counts
+              .groupBy("node")
+              .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+              .select(col("node"), (-col("m.nl")).as("label"))
+              .localCheckpoint(eager = false)
+          }
+          lab
+        }
+        for (i <- 1 to 3) {
+          timed(s"lpa_old_$i")(noop(round(old = true)))
+          timed(s"lpa_new_$i")(noop(round(old = false)))
+        }
+
+      case "phases" =>
+        // where does the time go INSIDE the slow iterative queries?
+        // (optimization-round triage: prep passes vs per-iteration cost)
+        val edges = operators.Graph.partSupplierEdges(spark, dir)
+        time("pagerank_prep_only", reps = 2)(noop(operators.Graph.pageRank(edges, iterations = 0)))
+        time("pagerank_iter5", reps = 2)(noop(operators.Graph.pageRank(edges, iterations = 5)))
+        time("lpa_iter1", reps = 2)(noop(operators.Graph.labelPropagation(edges, iterations = 1)))
+        time("lpa_iter4", reps = 2)(noop(operators.Graph.labelPropagation(edges, iterations = 4)))
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        val toks = "filter(split(text, '[^\\\\p{L}]+'), t -> t <> '')"
+        val inst = docs
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(
+            col("doc_id"),
+            posexplode(
+              expr("transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', slice(tk, i, 3)))")
+            ).as(Seq("__p", "g"))
+          )
+          .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+        time("substr_gram_stream", reps = 2)(noop(inst))
+        time("substr_hot_agg", reps = 2)(
+          noop(
+            inst
+              .groupBy("g")
+              .agg(countDistinct("doc_id").as("df_docs"), min("doc_id").as("canon"))
+              .filter(col("df_docs") >= 3)
+          )
+        )
+        time("substr_full", reps = 2)(noop(operators.TextAnalysis.dedupSubstrings(spark, dir)))
+        time("snm_full", reps = 2)(noop(operators.Dedup.snmDocumentPairs(spark, dir)))
+
       case other =>
         sys.error(s"unknown probe mode $other")
     }

@@ -1102,8 +1102,11 @@ object Dedup {
       .distinct()
       .join(strs.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
       .join(strs.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein (banded DP, -1 beyond maxDist): same
+      // surviving pairs with the same exact distances, a fraction of
+      // the verify CPU — see sortedNeighborhoodPairs
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
   }
@@ -1329,8 +1332,12 @@ object Dedup {
     )
     probes
       .join(ranked.select(col("id").as("id_b"), substring(col("norm"), 1, verifyLen).as("vb"), col("rn")), "rn")
-      .withColumn("dist", levenshtein(col("va"), col("vb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // THRESHOLDED levenshtein: the 3-arg form computes the banded
+      // O(maxDist·n) DP instead of the full O(n²) matrix and returns -1
+      // beyond the bound — surviving rows carry the exact same distance
+      // as the unbounded form (this is the verify stage's entire CPU)
+      .withColumn("dist", levenshtein(col("va"), col("vb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }

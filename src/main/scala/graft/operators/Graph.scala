@@ -52,13 +52,22 @@ object Graph {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
       .localCheckpoint(eager = false)
-    val nodes = e
-      .select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(eager = false)
+    // ONE aggregate over the endpoint union yields the whole node
+    // directory: out-degree (= count of rows where the node appears as
+    // src) and the has-inflow flag — replacing three separate passes
+    // (nodes distinct, out-degree groupBy, no-inflow anti-join) and
+    // their exchanges with a single union+aggregate (guide §2.4:
+    // operations keyed the same way share one exchange). Same values:
+    // sum of is-src indicators IS the out-degree, max of is-dst
+    // indicators IS inflow existence.
+    val nodeInfo = e
+      .select(col("src").as("node"), lit(1L).as("__s"), lit(0L).as("__d"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__s"), lit(1L).as("__d")))
+      .groupBy("node")
+      .agg(sum("__s").as("outdeg"), max("__d").as("has_in"))
+      .localCheckpoint(eager = false) // consumers: degree join, no-inflow rows, initial mass
     val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(nodeInfo.select(col("node").as("src"), col("outdeg")), "src")
       .localCheckpoint(eager = false)
 
     val baseMass = initMass * (dampDen - dampNum) / dampDen
@@ -66,8 +75,9 @@ object Graph {
     // and that set is STATIC (it depends only on the edge relation) —
     // union the constant rows instead of left-joining all nodes every
     // iteration: one shuffle less per iteration
-    val noInflow = nodes
-      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+    val noInflow = nodeInfo
+      .filter(col("has_in") === 0L)
+      .select(col("node"))
       .withColumn("mass", lit(baseMass))
       .localCheckpoint(eager = false)
     // NO checkpoint on the evolving mass relation: the plan stays
@@ -78,7 +88,7 @@ object Graph {
     // broadcast, shuffling only (dst, contrib) longs. The static
     // relations (edges+degrees, no-inflow rows) ARE checkpointed —
     // they are read every iteration.
-    var mass = nodes.withColumn("mass", lit(initMass))
+    var mass = nodeInfo.select(col("node")).withColumn("mass", lit(initMass))
     for (_ <- 1 to iterations) {
       val contrib = withDeg
         .join(mass, col("src") === col("node"))
@@ -493,13 +503,17 @@ object Graph {
     * space.
     */
   def partSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    // dedup BEFORE symmetrizing: the two directions live in disjoint
+    // node namespaces (part src even, supplier src odd), so the union
+    // of the two distinct halves is already the distinct symmetric set
+    // — the dedup shuffle carries |lineitem| rows instead of 2× them
+    // (guide §2.3: shuffle fewer bytes; same edge set, bit-identical)
     val li = Tables.lineitem(spark, dir).select(
       (col("l_partkey") * 2L).as("p"),
       (col("l_suppkey") * 2L + 1L).as("s")
-    )
+    ).distinct()
     li.select(col("p").as("src"), col("s").as("dst"))
       .union(li.select(col("s").as("src"), col("p").as("dst")))
-      .distinct()
   }
 
   /** `graph_pagerank` query body: 5 damped iterations over the
@@ -572,22 +586,26 @@ object Graph {
     val fp      = e.agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
     val stamp   = s"${fp.getLong(0)}:${if (fp.isNullAt(1)) "empty" else fp.getLong(1).toString}"
     val buckets = graft.sources.Bucketing.chooseBuckets(spark, fp.getLong(0))
-    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    // one union+aggregate node directory (the pageRank prep shape):
+    // out-degree and inflow flag in a single pass instead of a degree
+    // groupBy plus a nodes-distinct plus an inflow-distinct+join
+    val nodeInfo = e
+      .select(col("src").as("node"), lit(1L).as("__s"), lit(0L).as("__d"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__s"), lit(1L).as("__d")))
+      .groupBy("node")
+      .agg(sum("__s").as("outdeg"), max("__d").as("has_in"))
+      .localCheckpoint(eager = false) // consumers: degree join + initial mass
+    val withDeg = e.join(nodeInfo.select(col("node").as("src"), col("outdeg")), "src")
     graft.sources.Bucketing.writeBucketed(withDeg, "pr_edges_bkt", "src", buckets)
     graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_bkt", buckets, stamp)
-    val nodes = e
-      .select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
     // initial mass, bucketed by node; the symmetry contract rides the
     // write's row path — a node that never appears as dst would need
     // pageRank's constant-row union (which breaks co-partitioning)
-    val mass0 = nodes
-      .join(e.select(col("dst").as("node")).distinct().withColumn("__in", lit(1)), Seq("node"), "left")
+    val mass0 = nodeInfo
       .select(
         col("node"),
         when(
-          col("__in").isNull,
+          col("has_in") === 0L,
           raise_error(lit("pageRankBucketed: node with no in-edge — pass a symmetrized edge relation"))
             .cast("long")
         ).otherwise(lit(initMass)).as("mass")
@@ -786,23 +804,28 @@ object Graph {
     val fp    = standing.agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(src, dst))").as("h")).head()
     val stamp = s"${fp.getLong(0)}:${if (fp.isNullAt(1)) "empty" else fp.getLong(1).toString}"
     graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_app", buckets, stamp)
+    // one union+aggregate node directory (the pageRank prep shape):
+    // degrees and the inflow flag in a single pass over the standing
+    // endpoints instead of a degree groupBy + nodes distinct + inflow
+    // distinct+join
+    val nodeInfo = standing
+      .select(col("src").as("node"), lit(1L).as("__s"), lit(0L).as("__d"))
+      .unionByName(standing.select(col("dst").as("node"), lit(0L).as("__s"), lit(1L).as("__d")))
+      .groupBy("node")
+      .agg(sum("__s").as("outdeg"), max("__d").as("has_in"))
+      .localCheckpoint(eager = false) // consumers: degree sidecar + initial mass
     graft.sources.Bucketing.writeBucketed(
-      standing.groupBy("src").agg(count(lit(1)).as("outdeg")),
+      nodeInfo.filter(col("outdeg") > 0L).select(col("node").as("src"), col("outdeg")),
       "pr_deg_app",
       "src",
       buckets
     )
     graft.sources.Bucketing.stampBucketedTable(spark, "pr_deg_app", buckets, stamp)
-    val nodes = standing
-      .select(col("src").as("node"))
-      .union(standing.select(col("dst").as("node")))
-      .distinct()
-    val mass0 = nodes
-      .join(standing.select(col("dst").as("node")).distinct().withColumn("__in", lit(1)), Seq("node"), "left")
+    val mass0 = nodeInfo
       .select(
         col("node"),
         when(
-          col("__in").isNull,
+          col("has_in") === 0L,
           raise_error(lit("pageRankBucketedAppend: node with no in-edge — pass a symmetrized edge relation"))
             .cast("long")
         ).otherwise(lit(initMass)).as("mass")
@@ -1208,6 +1231,11 @@ object Graph {
     * deterministic integer weight both engines derive identically.
     */
   def weightedPartSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    // min-fold BEFORE symmetrizing (the partSupplierEdges argument:
+    // disjoint src namespaces make the mirrored halves collision-free,
+    // and min per (p, s) equals min per mirrored key) — the aggregate
+    // shuffles |lineitem| rows instead of 2× them; same weighted edge
+    // set, bit-identical
     val li = Tables
       .lineitem(spark, dir)
       .select(
@@ -1215,10 +1243,10 @@ object Graph {
         (col("l_suppkey") * 2L + 1L).as("s"),
         col("l_quantity").cast("long").as("w")
       )
+      .groupBy("p", "s")
+      .agg(min("w").as("w"))
     li.select(col("p").as("src"), col("s").as("dst"), col("w"))
       .unionByName(li.select(col("s").as("src"), col("p").as("dst"), col("w")))
-      .groupBy("src", "dst")
-      .agg(min("w").as("w"))
   }
 
   /** `graph_sssp` query body: 4 Bellman–Ford rounds from supplier 1's
@@ -1263,10 +1291,20 @@ object Graph {
       // alias both sides: in round 1 `lab` shares lineage with `e`
       // (labels seeded from the edge set) and an unaliased self-join
       // would be ambiguous
+      // ONE exchange per round instead of two: hash-repartition the
+      // neighbor-label stream by node BEFORE the (node, label) count —
+      // HashPartitioning(node) satisfies the clustering of BOTH the
+      // (node, label) count and the following per-node argmax (the
+      // partitioning-subset rule), so the count and the fold run in the
+      // same stage with no further exchange (guide §2.4: two operations
+      // keyed the same way share one exchange). Bytes are a wash (the
+      // (node, label) pairs are mostly unique, so the old partial
+      // aggregation barely combined before its exchange).
       val counts = e
         .alias("e")
         .join(lab.alias("l"), col("e.src") === col("l.node"))
         .select(col("e.dst").as("node"), col("l.label").as("label"))
+        .repartition(col("node"))
         .groupBy("node", "label")
         .agg(count(lit(1)).as("cnt"))
       // one-shot argmax: max over (cnt, -label) structs picks the

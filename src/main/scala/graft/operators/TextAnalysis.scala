@@ -388,17 +388,24 @@ object TextAnalysis {
     * persisting a corpus-scale stream for one reader is pure cost.
     */
   private def gramInstances(docs: DataFrame, k: Int, materialize: Boolean = true): DataFrame = {
-    val inst = docs
+    val gramArrays = docs
       .select(col("doc_id"), expr(toks("text")).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(
         col("doc_id"),
-        posexplode(
-          expr(s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))")
-        ).as(Seq("__p", "g"))
+        expr(s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))")
+          .as("__gs")
       )
+    // materialize at DOC grain (one row per doc, gram ARRAY payload),
+    // not at instance grain: the expensive work both consumers share is
+    // the tokenize + gram construction, and storing it as ~corpus-count
+    // array rows instead of ~token-count exploded rows cuts the
+    // checkpoint's row overhead by the gram factor — the posexplode
+    // below is a narrow, per-consumer re-run that costs almost nothing
+    val arr = if (materialize) gramArrays.localCheckpoint(eager = false) else gramArrays
+    arr
+      .select(col("doc_id"), posexplode(col("__gs")).as(Seq("__p", "g")))
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
-    if (materialize) inst.localCheckpoint(eager = false) else inst
   }
 
   private[graft] def duplicatedSpansDf(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
@@ -490,7 +497,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val wPrev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
     val wRun  = Window.partitionBy("doc_id").orderBy("pos")
+    // ONE exchange for the whole cut-merge pipeline: hash-repartition
+    // by doc BEFORE the dedup — HashPartitioning(doc_id) satisfies the
+    // clustering of the (doc_id, pos) distinct, both windows, and both
+    // per-doc aggregates below (partitioning-subset rule), so nothing
+    // downstream exchanges again (the old plan paid a (doc_id, pos)
+    // exchange for the distinct and then a doc_id exchange for the
+    // windows). Skew bound unchanged: per-doc cut mass is bounded by
+    // document length, the same bound the per-doc window always had.
     val cuts = cutStarts
+      .repartition(col("doc_id"))
       .distinct()
       .withColumn("e", col("pos") + (k - 1))
       .withColumn("prev_e", max(col("e")).over(wPrev))
