@@ -222,6 +222,44 @@ object ProbeR14 {
         time("substr_full", reps = 2)(noop(operators.TextAnalysis.dedupSubstrings(spark, dir)))
         time("snm_full", reps = 2)(noop(operators.Dedup.snmDocumentPairs(spark, dir)))
 
+      case "ab_canon" =>
+        // in-JVM A/B: generic canonicalization (distinct/symmetrize)
+        // vs the assume-canonical fast path, alternating reps so
+        // ambient drift hits both arms equally
+        import spark.implicits._
+        val edges = operators.Graph.partSupplierEdges(spark, dir)
+        val seeds = Seq(2L, 4L, 6L, 8L, 10L).toDF("node")
+        for (i <- 1 to 3) {
+          timed(s"btw_generic_$i")(noop(operators.Graph.betweenness(edges, seeds)))
+          residue()
+          timed(s"btw_fast_$i")(noop(operators.Graph.betweenness(edges, seeds, assumeDistinct = true)))
+          residue()
+          timed(s"pr_generic_$i")(noop(operators.Graph.pageRank(edges, iterations = 5)))
+          residue()
+          timed(s"pr_fast_$i")(noop(operators.Graph.pageRank(edges, iterations = 5, assumeDistinct = true)))
+          residue()
+        }
+
+      case "ab_rrf" =>
+        // decompose retrieval_rrf_fusion: each probe alone vs the
+        // fused query (is the extra cost planning, probing, or fusion?)
+        val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        operators.TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), "probe_rrf_idx")
+        operators.TextAnalysis.appendBm25Index(docs.filter(col("doc_id") % 10 === 0), "probe_rrf_idx")
+        for (i <- 1 to 3) {
+          timed(s"bm25probe_$i")(noop(operators.TextAnalysis.bm25IndexProbe(spark, "probe_rrf_idx")))
+          timed(s"qlprobe_$i")(noop(operators.TextAnalysis.qlIndexProbe(spark, "probe_rrf_idx")))
+          timed(s"rrf_fused_$i")(
+            noop(
+              operators.TextAnalysis.rrfFusion(
+                operators.TextAnalysis.bm25IndexProbe(spark, "probe_rrf_idx"),
+                operators.TextAnalysis.qlIndexProbe(spark, "probe_rrf_idx")
+              )
+            )
+          )
+          residue()
+        }
+
       case other =>
         sys.error(s"unknown probe mode $other")
     }

@@ -855,33 +855,35 @@ object EventAnalytics {
     */
   private[graft] def markovStationaryFromTransitions(transitions: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"markovStationary needs >= 1 round, got $rounds")
+    val spark = transitions.sparkSession
+    import spark.implicits._
+    // The transition matrix is ALPHABET²-bounded (event types, never
+    // events), so the `rounds` mass-routing rounds run on the DRIVER
+    // over the collected matrix — the bounded-state convention (BPE
+    // merge tables, sketch directories). The distributed work is the
+    // one aggregate that produced `transitions`; iterating a ≤|Σ|²-row
+    // relation through 8 rounds of join+union+aggregate jobs paid ~17
+    // scheduler round-trips for arithmetic on a few dozen longs (guide
+    // §1.2: fix the algorithm's shape before its constants). Integer
+    // semantics are IDENTICAL: m·n DIV outn per edge (multiplyExact
+    // keeps the ANSI overflow-raise), per-state sums, absorbing states
+    // keep their mass, states with out-edges but no inflow drop to 0.
     val tr = transitions
-      .localCheckpoint(eager = false) // consumers: out-degrees, states, every round
-    val out = tr.groupBy("from_type").agg(sum("n").as("outn")).localCheckpoint(eager = false)
-    val states = tr
-      .select(col("from_type").as("state"))
-      .union(tr.select(col("to_type").as("state")))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val edges = tr.join(out, "from_type").localCheckpoint(eager = false)
-    var mass = states.select(col("state"), lit(1000000000000L).as("m"))
+      .select(col("from_type").cast("string"), col("to_type").cast("string"), col("n").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outn   = tr.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val states = (tr.map(_._1) ++ tr.map(_._2)).distinct
+    var mass   = states.map(_ -> 1000000000000L).toMap
     for (_ <- 1 to rounds) {
-      val routed = edges
-        .join(mass.withColumnRenamed("state", "from_type"), "from_type")
-        .select(col("to_type").as("state"), expr("m * n DIV outn").as("dm"))
-      val kept = mass
-        .join(out.select(col("from_type").as("state")), Seq("state"), "left_anti")
-        .select(col("state"), col("m").as("dm"))
-      mass = routed
-        .unionByName(kept)
-        .groupBy("state")
-        .agg(sum("dm").as("m"))
-        .localCheckpoint(eager = false)
+      val next = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((f, t, n) <- tr; m <- mass.get(f)) next(t) += Math.multiplyExact(m, n) / outn(f)
+      for ((s, m) <- mass if !outn.contains(s)) next(s) += m
+      mass = next.toMap
     }
-    states
-      .join(mass, Seq("state"), "left")
-      .na.fill(0L, Seq("m"))
-      .select(col("state").as("event_type"), col("m").as("mass"))
+    states.toSeq
+      .map(s => (s, mass.getOrElse(s, 0L)))
+      .toDF("event_type", "mass")
       .orderBy("event_type")
   }
 

@@ -31,6 +31,47 @@ import graft.Tables
   */
 object Graph {
 
+  /** Run independent Spark jobs (e.g. two standing-table writes that
+    * share only already-materialized checkpoints) CONCURRENTLY from
+    * driver threads, so the second job's tasks back-fill the executor
+    * slots the first job's stage tail leaves idle (guide §2.6). The
+    * first failure is rethrown after all tasks settle.
+    */
+  private def runConcurrently(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => try t() catch { case e: Throwable => errs.add(e) })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** Cast an edge relation to the canonical (long src, long dst) form
+    * every iterative operator runs on, deduping UNLESS the caller
+    * guarantees the relation is already distinct. A `distinct` on data
+    * that is already unique is a pure full-relation exchange (guide
+    * §2.4) — and every graph query here pays it on its largest
+    * relation, so builders that construct provably distinct edge sets
+    * pass `assumeDistinct = true`:
+    *
+    *   - [[partSupplierEdges]] unions two per-direction DISTINCT halves
+    *     whose src namespaces are disjoint (part nodes even, supplier
+    *     nodes odd), so the union is distinct, symmetric and loop-free;
+    *   - [[weightedPartSupplierEdges]] min-folds per (part, supplier)
+    *     before mirroring the same way (one row per (src, dst));
+    *   - [[supplierPartHits]] passes a `.distinct()` projection.
+    *
+    * GraphCanonicalSpec pins generic == assumeDistinct output equality
+    * on the real builders, so the guarantee cannot silently rot.
+    */
+  private def canonLongEdges(edges: DataFrame, assumeDistinct: Boolean): DataFrame = {
+    val cast = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    if (assumeDistinct) cast else cast.distinct()
+  }
+
   /** Damped PageRank with integer mass. Each node starts with
     * `initMass`; per iteration every node keeps the base share
     * floor(initMass·(den−num)/den) and receives
@@ -45,12 +86,11 @@ object Graph {
       iterations: Int = 5,
       initMass: Long = 1000000L,
       dampNum: Int = 85,
-      dampDen: Int = 100
+      dampDen: Int = 100,
+      assumeDistinct: Boolean = false
   ): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     // ONE aggregate over the endpoint union yields the whole node
     // directory: out-degree (= count of rows where the node appears as
@@ -114,12 +154,11 @@ object Graph {
       iterations: Int = 5,
       initMass: Long = 1000000L,
       dampNum: Int = 85,
-      dampDen: Int = 100
+      dampDen: Int = 100,
+      assumeDistinct: Boolean = false
   ): DataFrame = {
     require(iterations >= 0 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     val nodes = e
       .select(col("src").as("node"))
@@ -157,7 +196,7 @@ object Graph {
     */
   def supplierAffinity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    personalizedPageRank(partSupplierEdges(spark, dir), Seq(3L).toDF("node"), iterations = 4)
+    personalizedPageRank(partSupplierEdges(spark, dir), Seq(3L).toDF("node"), iterations = 4, assumeDistinct = true)
   }
 
   /** Multi-source BFS depth: minimum hop distance from any seed node,
@@ -166,10 +205,8 @@ object Graph {
     * Unreached nodes are absent from the output. Integer distances:
     * bit-exact replay in unrolled oracle SQL.
     */
-  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5): DataFrame = {
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5, assumeDistinct: Boolean = false): DataFrame = {
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     var dist = seeds.select(col("node").cast("long").as("node")).distinct().withColumn("depth", lit(0L))
     for (_ <- 1 to maxHops) {
@@ -520,7 +557,7 @@ object Graph {
     * part↔supplier graph.
     */
   def partSupplierPageRank(spark: SparkSession, dir: String): DataFrame =
-    pageRank(partSupplierEdges(spark, dir), iterations = 5)
+    pageRank(partSupplierEdges(spark, dir), iterations = 5, assumeDistinct = true)
 
   /** EXCHANGE-FREE bucketed PageRank iteration — the demonstrated form
     * of [[pageRank]]'s scale claim ("bucketing both the edge table and
@@ -556,11 +593,12 @@ object Graph {
       iterations: Int = 5,
       initMass: Long = 1000000L,
       dampNum: Int = 85,
-      dampDen: Int = 100
+      dampDen: Int = 100,
+      assumeDistinct: Boolean = false
   ): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
     val spark = edges.sparkSession
-    pageRankBucketedPrepare(edges, initMass)
+    pageRankBucketedPrepare(edges, initMass, assumeDistinct)
     pageRankBucketedIterate(spark, iterations, initMass, dampNum, dampDen)
   }
 
@@ -570,11 +608,9 @@ object Graph {
     * every downstream bucketed consumer; the registered query runs it
     * in-query so the measured time is honest end-to-end.
     */
-  def pageRankBucketedPrepare(edges: DataFrame, initMass: Long = 1000000L): Unit = {
+  def pageRankBucketedPrepare(edges: DataFrame, initMass: Long = 1000000L, assumeDistinct: Boolean = false): Unit = {
     val spark = edges.sparkSession
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false) // consumers: fingerprint + degree join + node directory
     // ONE aggregate over the (checkpointed) edges yields both halves
     // of the standing-table metadata: the row count DATA-SIZES the
@@ -588,16 +624,17 @@ object Graph {
     val buckets = graft.sources.Bucketing.chooseBuckets(spark, fp.getLong(0))
     // one union+aggregate node directory (the pageRank prep shape):
     // out-degree and inflow flag in a single pass instead of a degree
-    // groupBy plus a nodes-distinct plus an inflow-distinct+join
+    // groupBy plus a nodes-distinct plus an inflow-distinct+join.
+    // EAGER checkpoint: both table writes below run concurrently, so
+    // the shared directory must be materialized before forking (lazy
+    // would let the racing first actions compute it twice).
     val nodeInfo = e
       .select(col("src").as("node"), lit(1L).as("__s"), lit(0L).as("__d"))
       .unionByName(e.select(col("dst").as("node"), lit(0L).as("__s"), lit(1L).as("__d")))
       .groupBy("node")
       .agg(sum("__s").as("outdeg"), max("__d").as("has_in"))
-      .localCheckpoint(eager = false) // consumers: degree join + initial mass
+      .localCheckpoint(eager = true) // consumers: degree join + initial mass (concurrent)
     val withDeg = e.join(nodeInfo.select(col("node").as("src"), col("outdeg")), "src")
-    graft.sources.Bucketing.writeBucketed(withDeg, "pr_edges_bkt", "src", buckets)
-    graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_bkt", buckets, stamp)
     // initial mass, bucketed by node; the symmetry contract rides the
     // write's row path — a node that never appears as dst would need
     // pageRank's constant-row union (which breaks co-partitioning)
@@ -610,8 +647,19 @@ object Graph {
             .cast("long")
         ).otherwise(lit(initMass)).as("mass")
       )
-    graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_bkt", "node", buckets)
-    graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_bkt", buckets, stamp)
+    // the two standing-table writes share nothing but the materialized
+    // checkpoints — run them concurrently so the mass write back-fills
+    // the edge write's stage tail (guide §2.6)
+    runConcurrently(
+      () => {
+        graft.sources.Bucketing.writeBucketed(withDeg, "pr_edges_bkt", "src", buckets)
+        graft.sources.Bucketing.stampBucketedTable(spark, "pr_edges_bkt", buckets, stamp)
+      },
+      () => {
+        graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_bkt", "node", buckets)
+        graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_bkt", buckets, stamp)
+      }
+    )
   }
 
   /** Read + cross-check the standing-table metadata both iterate paths
@@ -724,7 +772,7 @@ object Graph {
     * elimination.
     */
   def partSupplierPageRankBucketed(spark: SparkSession, dir: String): DataFrame =
-    pageRankBucketed(partSupplierEdges(spark, dir), iterations = 5)
+    pageRankBucketed(partSupplierEdges(spark, dir), iterations = 5, assumeDistinct = true)
 
   /** `graph_pagerank_rebucketed` query body: the standing-table
     * LIFECYCLE made first-class. The data-sized bucket law fixes a
@@ -740,10 +788,14 @@ object Graph {
     * assertion re-proving the co-partitioned property at 2P.
     */
   def partSupplierPageRankRebucketed(spark: SparkSession, dir: String): DataFrame = {
-    pageRankBucketedPrepare(partSupplierEdges(spark, dir))
+    pageRankBucketedPrepare(partSupplierEdges(spark, dir), assumeDistinct = true)
     val p = graft.sources.Bucketing.recordedBuckets(spark, "pr_edges_bkt")
-    graft.sources.Bucketing.rebucketTo(spark, "pr_edges_bkt", 2 * p, Seq("src"))
-    graft.sources.Bucketing.rebucketTo(spark, "pr_mass_bkt", 2 * p, Seq("node"))
+    // the two rewrites touch disjoint tables — concurrent (guide §2.6),
+    // so the node-sized mass rewrite back-fills the edge rewrite's tail
+    runConcurrently(
+      () => graft.sources.Bucketing.rebucketTo(spark, "pr_edges_bkt", 2 * p, Seq("src")),
+      () => graft.sources.Bucketing.rebucketTo(spark, "pr_mass_bkt", 2 * p, Seq("node"))
+    )
     pageRankBucketedIterate(spark, iterations = 5)
   }
 
@@ -775,12 +827,12 @@ object Graph {
       iterations: Int = 5,
       initMass: Long = 1000000L,
       dampNum: Int = 85,
-      dampDen: Int = 100
+      dampDen: Int = 100,
+      assumeDistinct: Boolean = false
   ): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen, "invalid damping")
     val spark = baseEdges.sparkSession
-    def canon(df: DataFrame) =
-      df.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).distinct()
+    def canon(df: DataFrame) = canonLongEdges(df, assumeDistinct)
     // day 0: the standing edge table (degree-free, bucketed by src) at
     // a DATA-SIZED bucket count (the day-0 row count; appends keep the
     // layout, and when growth outruns the per-bucket target the
@@ -813,14 +865,7 @@ object Graph {
       .unionByName(standing.select(col("dst").as("node"), lit(0L).as("__s"), lit(1L).as("__d")))
       .groupBy("node")
       .agg(sum("__s").as("outdeg"), max("__d").as("has_in"))
-      .localCheckpoint(eager = false) // consumers: degree sidecar + initial mass
-    graft.sources.Bucketing.writeBucketed(
-      nodeInfo.filter(col("outdeg") > 0L).select(col("node").as("src"), col("outdeg")),
-      "pr_deg_app",
-      "src",
-      buckets
-    )
-    graft.sources.Bucketing.stampBucketedTable(spark, "pr_deg_app", buckets, stamp)
+      .localCheckpoint(eager = true) // consumers: degree sidecar + initial mass (concurrent)
     val mass0 = nodeInfo
       .select(
         col("node"),
@@ -830,8 +875,23 @@ object Graph {
             .cast("long")
         ).otherwise(lit(initMass)).as("mass")
       )
-    graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_app", "node", buckets)
-    graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_app", buckets, stamp)
+    // the two node-sized sidecar writes are independent once the node
+    // directory is materialized — run them concurrently (guide §2.6)
+    runConcurrently(
+      () => {
+        graft.sources.Bucketing.writeBucketed(
+          nodeInfo.filter(col("outdeg") > 0L).select(col("node").as("src"), col("outdeg")),
+          "pr_deg_app",
+          "src",
+          buckets
+        )
+        graft.sources.Bucketing.stampBucketedTable(spark, "pr_deg_app", buckets, stamp)
+      },
+      () => {
+        graft.sources.Bucketing.writeBucketed(mass0, "pr_mass_app", "node", buckets)
+        graft.sources.Bucketing.stampBucketedTable(spark, "pr_mass_app", buckets, stamp)
+      }
+    )
     pageRankAppendedIterate(spark, iterations, initMass, dampNum, dampDen)
   }
 
@@ -909,10 +969,13 @@ object Graph {
     */
   def partSupplierPageRankAppended(spark: SparkSession, dir: String): DataFrame = {
     val edges = partSupplierEdges(spark, dir)
+    // filters of a distinct relation stay distinct — both halves keep
+    // the builder's guarantee, so the append path skips its dedups
     pageRankBucketedAppend(
       edges.filter((col("src") + col("dst")) % 3 =!= 0),
       edges.filter((col("src") + col("dst")) % 3 === 0),
-      iterations = 5
+      iterations = 5,
+      assumeDistinct = true
     )
   }
 
@@ -931,11 +994,9 @@ object Graph {
     * contrib) aggregation shuffles + two 1-row totals — linear in
     * edges, bucketing-friendly on node id like every iteration here.
     */
-  def hits(edges: DataFrame, iterations: Int = 3, scale: Long = 1000000L): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int = 3, scale: Long = 1000000L, assumeDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     def half(mass: DataFrame, from: String, to: String): DataFrame = {
       // the raw inflow feeds BOTH the total and the normalization —
@@ -975,7 +1036,7 @@ object Graph {
       (col("l_suppkey") * 2L + 1L).as("src"),
       (col("l_partkey") * 2L).as("dst")
     )
-    hits(li.distinct(), iterations = 3)
+    hits(li.distinct(), iterations = 3, assumeDistinct = true)
   }
 
   /** `graph_bfs_depth` query body: hop distance from the parts shipped
@@ -988,7 +1049,7 @@ object Graph {
       .filter(col("l_suppkey") === 1L)
       .select((col("l_partkey") * 2L).as("node"))
       .distinct()
-    bfsDepths(partSupplierEdges(spark, dir), seeds, maxHops = 4)
+    bfsDepths(partSupplierEdges(spark, dir), seeds, maxHops = 4, assumeDistinct = true)
   }
 
   /** Per-seed BFS depths — [[bfsDepths]] with the seed identity
@@ -998,10 +1059,8 @@ object Graph {
     * the node key). The building block for per-source reachability
     * and centrality measures.
     */
-  def seededBfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+  def seededBfsDepths(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4, assumeDistinct: Boolean = false): DataFrame = {
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     var dist = seeds
       .select(col("node").cast("long").as("seed"))
@@ -1029,8 +1088,8 @@ object Graph {
     * interactive centrality). Integers end to end except the final
     * int/int quotient — identical doubles in any engine.
     */
-  def closeness(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame =
-    seededBfsDepths(edges, seeds, maxHops)
+  def closeness(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4, assumeDistinct: Boolean = false): DataFrame =
+    seededBfsDepths(edges, seeds, maxHops, assumeDistinct)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"), sum("depth").as("sum_d"))
       .select(
@@ -1048,7 +1107,7 @@ object Graph {
     */
   def partCloseness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    closeness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"))
+    closeness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"), assumeDistinct = true)
   }
 
   /** Seed-set BETWEENNESS centrality (Brandes 2001, "A faster
@@ -1069,11 +1128,9 @@ object Graph {
     * doubles are the σ-ratio dependency terms (rounded to 4 decimals
     * at the end, repo convention); every count is exact.
     */
-  def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+  def betweenness(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3, assumeDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 1, "betweenness needs at least one hop")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = canonLongEdges(edges, assumeDistinct)
       .localCheckpoint(eager = false)
     // forward: strict BFS levels with exact path counts
     val l0 = seeds
@@ -1170,7 +1227,7 @@ object Graph {
     */
   def partBetweenness(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    betweenness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"))
+    betweenness(partSupplierEdges(spark, dir), Seq(2L, 4L, 6L, 8L, 10L).toDF("node"), assumeDistinct = true)
   }
 
   /** Weighted single-source(-set) shortest paths by bounded
@@ -1193,7 +1250,12 @@ object Graph {
     * cluster); the static edge relation is checkpointed once; per-round
     * lazy checkpoints keep the plan linear in round count.
     */
-  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 4): DataFrame = {
+  def shortestPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int = 4,
+      assumeMinFolded: Boolean = false
+  ): DataFrame = {
     require(rounds >= 1, "shortestPaths needs at least one relaxation round")
     // the negative-weight guard rides the collapse pass the operator
     // already makes (a per-row branch in the projection, thrown on
@@ -1207,10 +1269,15 @@ object Graph {
         w.cast("string")
       )).cast("long")
     ).otherwise(w)
-    val e = edges
+    val guarded = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"), guardedW.as("w"))
-      .groupBy("src", "dst")
-      .agg(min("w").as("w"))
+    // callers whose builder already min-folded per (src, dst)
+    // ([[weightedPartSupplierEdges]]: one row per mirrored pair by
+    // construction) skip the collapse aggregate — a full-relation
+    // shuffle that is the identity on such input (guide §2.4); the
+    // negative-weight guard stays in the projection either way
+    val e = (if (assumeMinFolded) guarded
+             else guarded.groupBy("src", "dst").agg(min("w").as("w")))
       .localCheckpoint(eager = false)
     var dist = seeds.select(col("node").cast("long").as("node")).distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
@@ -1258,7 +1325,7 @@ object Graph {
       .filter(col("l_suppkey") === 1L)
       .select((col("l_partkey") * 2L).as("node"))
       .distinct()
-    shortestPaths(weightedPartSupplierEdges(spark, dir), seeds, rounds = 4)
+    shortestPaths(weightedPartSupplierEdges(spark, dir), seeds, rounds = 4, assumeMinFolded = true)
   }
 
   /** Community detection by SYNCHRONOUS label propagation (Raghavan/
@@ -1277,14 +1344,26 @@ object Graph {
     * linear in edges; per-round lazy checkpoints keep the plan linear
     * in round count.
     */
-  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int = 4, assumeCanonical: Boolean = false): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
-    val dir = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val e = dir
-      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // assumeCanonical: the caller guarantees `edges` is ALREADY the
+    // canonical undirected relation — distinct, loop-free and
+    // symmetric (swap(E) == E). The generic build below is then the
+    // identity at 2× the cost of the whole relation: it unions the
+    // symmetric set with its own mirror (4×|E| rows) and dedups back
+    // to |E| — the single most expensive no-op in the graph family.
+    // [[partSupplierEdges]] qualifies by construction (two mirrored
+    // distinct halves over disjoint even/odd namespaces).
+    val e = (if (assumeCanonical)
+               edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+             else {
+               val dir = edges
+                 .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+                 .filter(col("src") =!= col("dst"))
+               dir
+                 .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+                 .distinct()
+             })
       .localCheckpoint(eager = false)
     var lab = e.select(col("src").as("node")).distinct().withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
@@ -1325,7 +1404,7 @@ object Graph {
     * part↔supplier graph.
     */
   def partSupplierLpa(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(partSupplierEdges(spark, dir), iterations = 4)
+    labelPropagation(partSupplierEdges(spark, dir), iterations = 4, assumeCanonical = true)
 
   /** k-core subgraph by BOUNDED synchronous peeling (Seidman 1983;
     * the Batagelj–Zaveršnik sequential peel is inherently ordered —
@@ -1346,14 +1425,21 @@ object Graph {
     * in round count. The first peel usually removes most of the graph,
     * so later rounds run on a small residual.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 5, assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
-    val dir0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    var e = dir0
-      .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // assumeCanonical: caller guarantees a distinct, loop-free,
+    // symmetric relation — the generic symmetrize+distinct below is
+    // then a pure 2× shuffle of the edge relation (the LPA argument)
+    var e = (if (assumeCanonical)
+               edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+             else {
+               val dir0 = edges
+                 .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+                 .filter(col("src") =!= col("dst"))
+               dir0
+                 .union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+                 .distinct()
+             })
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       val survivors = e
@@ -1379,10 +1465,22 @@ object Graph {
     * rounds at sf0.01/0.1/1 (5 budgeted, fixpoint spec-asserted).
     */
   def partSupplierKCore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables
+    // dedup BEFORE symmetrizing (the partSupplierEdges argument): the
+    // directed (part, supplier) pairs are deduped at |filtered
+    // lineitem| grain, and the mirrored union is then distinct by the
+    // disjoint even/odd src namespaces — so kCore's generic
+    // symmetrize+distinct (a 2× shuffle of raw multi-shipment rows)
+    // is skipped outright
+    val d = Tables
       .lineitem(spark, dir)
       .filter(col("l_quantity") <= 3)
       .select((col("l_partkey") * 2L).as("src"), (col("l_suppkey") * 2L + 1L).as("dst"))
-    kCore(li, k = 4, rounds = 5)
+      .distinct()
+    kCore(
+      d.union(d.select(col("dst").as("src"), col("src").as("dst"))),
+      k = 4,
+      rounds = 5,
+      assumeCanonical = true
+    )
   }
 }

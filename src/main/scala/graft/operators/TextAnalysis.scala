@@ -1608,10 +1608,25 @@ object TextAnalysis {
       .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
+    val expansion = rm3Expansion(tf, top, qterms, mExp)
+    queries.map { case (qid, ts) => qid -> (ts ++ expansion.getOrElse(qid, Nil)) }
+  }
+
+  /** Expansion-term selection over a precomputed (doc_id, tok, tf)
+    * relation: heaviest `mExp` non-query terms of each query's
+    * feedback docs (total tf desc, term asc — integer-deterministic),
+    * collected to the driver (queries×mExp rows).
+    */
+  private def rm3Expansion(
+      tf: DataFrame,
+      top: DataFrame,
+      qterms: DataFrame,
+      mExp: Int
+  ): Map[Int, Seq[String]] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("w").desc, col("tok"))
-    val expansion = tf
+    tf
       .join(broadcast(top), Seq("doc_id"))
       .join(broadcast(qterms), Seq("query_id", "tok"), "left_anti")
       .groupBy("query_id", "tok")
@@ -1622,10 +1637,18 @@ object TextAnalysis {
       .collect()
       .groupBy(_.getInt(0))
       .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
-    queries.map { case (qid, ts) => qid -> (ts ++ expansion.getOrElse(qid, Nil)) }
   }
 
-  /** BM25 over the RM3-expanded queries — the full feedback loop. */
+  /** BM25 over the RM3-expanded queries — the full feedback loop.
+    *
+    * ONE corpus tokenize serves all three legs (guide §2.4 — remove
+    * repeat passes): the checkpointed (doc_id, tok, tf) relation feeds
+    * the pass-1 ranking, the expansion-term selection AND the pass-2
+    * ranking. The composed form re-tokenized the corpus per leg (a
+    * full tokenize+shuffle in each bm25TopK plus one for the expansion
+    * tf); the arithmetic downstream of tf is unchanged, so the result
+    * is bit-identical.
+    */
   def rm3TopK(
       spark: SparkSession,
       dir: String,
@@ -1633,8 +1656,34 @@ object TextAnalysis {
       kDocs: Int = 3,
       mExp: Int = 2,
       k: Int = 5
-  ): DataFrame =
-    bm25TopK(spark, dir, rm3ExpandedQueries(spark, dir, queries, kDocs, mExp), k = k)
+  ): DataFrame = {
+    import spark.implicits._
+    requireValidQueries(queries)
+    require(kDocs >= 1 && mExp >= 0)
+    val tf = tokenRows(spark, dir)
+      .where(col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // consumers: pass-1 postings, dl, expansion, pass-2 postings
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint(eager = false)
+    val consts = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(broadcast(dl.agg(sum("dl").cast("double").as("__ntok"))))
+      .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
+    val qterms1 = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    val top = bm25Rank(tf.join(broadcast(qterms1), "tok"), dl, consts, kDocs, 1.2, 0.75)
+      .select(col("query_id"), col("doc_id"))
+    val expansion = rm3Expansion(tf, top, qterms1, mExp)
+    val expanded  = queries.map { case (qid, ts) => qid -> (ts ++ expansion.getOrElse(qid, Nil)) }
+    requireValidQueries(expanded)
+    val qterms2 = expanded
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "tok")
+    bm25Rank(tf.join(broadcast(qterms2), "tok"), dl, consts, k, 1.2, 0.75)
+  }
 
   /** Search-result SNIPPETS: for each query's best document, the
     * `window`-token span covering the most DISTINCT query terms (ties
