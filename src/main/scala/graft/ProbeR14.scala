@@ -240,6 +240,135 @@ object ProbeR14 {
           residue()
         }
 
+      case "ab_b3" =>
+        // in-JVM alternating A/B for the batch-3 rewrites (ambient
+        // drift on this host makes cross-run minis useless): each OLD
+        // arm is a faithful probe-local copy of the pre-rewrite
+        // formulation over the same tables
+        import org.apache.spark.sql.expressions.Window
+
+        def oldBasketPairs(): DataFrame = {
+          val baskets = graft.Tables
+            .lineitem(spark, dir)
+            .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+            .distinct()
+          val itemSup = baskets.groupBy("item").agg(count(lit(1)).as("s")).filter(col("s") >= 2L)
+          val pruned = baskets
+            .join(itemSup.select(col("item"), col("s").as("__s")), Seq("item"))
+            .withColumn("__bk", row_number().over(Window.partitionBy("okey").orderBy(col("__s").desc, col("item"))))
+            .filter(col("__bk") <= 256)
+            .select("okey", "item")
+          pruned
+            .alias("x")
+            .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
+            .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+            .agg(count(lit(1)).as("pair_support"))
+            .filter(col("pair_support") >= 2L)
+            .orderBy("item_a", "item_b")
+        }
+
+        def oldCoOrderKTruss(): DataFrame = {
+          val li = graft.Tables
+            .lineitem(spark, dir)
+            .filter(col("l_orderkey") < 10000L)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .distinct()
+          val edges = li
+            .as("x")
+            .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+            .select(col("x.p").as("src"), col("y.p").as("dst"))
+          operators.Graph.ktrussEdges(edges, k = 4, rounds = 3)
+        }
+
+        def oldSnm(): DataFrame = {
+          val df = graft.Tables.documents(spark, dir)
+          val (w, keyLen, blockLen, verifyLen, maxDist) = (8, 24, 4, 80, 8)
+          val n = df.select(col("doc_id").cast("long").as("id"), operators.Dedup.normalizedText("text").as("norm"))
+          val keyed = n.select(
+            col("id"),
+            col("norm"),
+            substring(col("norm"), 1, keyLen).as("sk"),
+            substring(col("norm"), 1, blockLen).as("blk")
+          )
+          val inBlock = keyed.withColumn("rnb", row_number().over(Window.partitionBy("blk").orderBy("sk", "id")))
+          val offsets = keyed
+            .groupBy("blk")
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn(
+              "off",
+              coalesce(sum("cnt").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            )
+            .select("blk", "off")
+          val ranked = inBlock
+            .join(broadcast(offsets), "blk")
+            .select(col("id"), col("norm"), (col("off") + col("rnb")).as("rn"))
+            .localCheckpoint(eager = false)
+          val probes = ranked.select(
+            col("id").as("id_a"),
+            substring(col("norm"), 1, verifyLen).as("va"),
+            explode(sequence(col("rn") + 1, col("rn") + (w - 1))).as("rn")
+          )
+          probes
+            .join(ranked.select(col("id").as("id_b"), substring(col("norm"), 1, verifyLen).as("vb"), col("rn")), "rn")
+            .withColumn("dist", levenshtein(col("va"), col("vb"), maxDist).cast("long"))
+            .filter(col("dist") >= 0L)
+            .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+            .orderBy("id_a", "id_b")
+        }
+
+        def oldNbClassify(): DataFrame = {
+          val docs = graft.Tables.documents(spark, dir)
+          def dtc(d: DataFrame) = operators.TextJobs
+            .tokenized(d.select("doc_id", "lang", "text"), "text", "tok")
+            .groupBy("doc_id", "lang", "tok")
+            .agg(count(lit(1)).as("cnt"))
+          val toks = dtc(docs).localCheckpoint(eager = false)
+          val meta = docs.select("doc_id", "lang").localCheckpoint(eager = false)
+          val m = operators.Classify.nbFitCounts(
+            toks.filter(col("doc_id") % 5 =!= 0),
+            meta.filter(col("doc_id") % 5 =!= 0)
+          )
+          val evalToks = toks.filter(col("doc_id") % 5 === 0).select("doc_id", "tok", "cnt")
+          val evalMeta = meta.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("lang").as("true_lang"))
+          val docTotals = evalMeta
+            .join(evalToks.groupBy("doc_id").agg(sum("cnt").as("t_d")), Seq("doc_id"), "left")
+            .na.fill(0L, Seq("t_d"))
+          val matched = evalToks
+            .join(m.modelScored, "tok")
+            .groupBy("doc_id", "c")
+            .agg(sum(col("cnt") * col("ltp")).as("msum"), sum("cnt").as("mcnt"))
+          val scored = docTotals
+            .crossJoin(broadcast(m.classes))
+            .join(matched, Seq("doc_id", "c"), "left")
+            .na.fill(0L, Seq("mcnt"))
+            .na.fill(0.0, Seq("msum"))
+            .withColumn(
+              "score",
+              log(col("d_c").cast("double") / col("d")) +
+                col("msum") +
+                (col("t_d") - col("mcnt")) * log(lit(1.0) / (col("n_c") + col("v")))
+            )
+          scored
+            .withColumn(
+              "rn",
+              row_number().over(Window.partitionBy("doc_id").orderBy(round(col("score"), 6).desc, col("c")))
+            )
+            .filter(col("rn") === 1)
+            .select(col("doc_id"), col("true_lang"), col("c").as("pred_lang"), round(col("score"), 4).as("logp"))
+            .orderBy("doc_id")
+        }
+
+        for (i <- 1 to 3) {
+          timed(s"basket_old_$i")(noop(oldBasketPairs())); residue()
+          timed(s"basket_new_$i")(noop(operators.Relational.basketPairs(spark, dir))); residue()
+          timed(s"ktruss_old_$i")(noop(oldCoOrderKTruss())); residue()
+          timed(s"ktruss_new_$i")(noop(operators.Graph.coOrderKTruss(spark, dir))); residue()
+          timed(s"snm_old_$i")(noop(oldSnm())); residue()
+          timed(s"snm_new_$i")(noop(operators.Dedup.snmDocumentPairs(spark, dir))); residue()
+          timed(s"nb_old_$i")(noop(oldNbClassify())); residue()
+          timed(s"nb_new_$i")(noop(operators.Classify.nbClassify(spark, dir))); residue()
+        }
+
       case "ab_rrf" =>
         // decompose retrieval_rrf_fusion: each probe alone vs the
         // fused query (is the extra cost planning, probing, or fusion?)

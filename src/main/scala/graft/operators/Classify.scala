@@ -178,17 +178,33 @@ object Classify {
           (col("t_d") - col("mcnt")) * log(lit(1.0) / (col("n_c") + col("v")))
       )
 
+    // argmax as a PARTIAL-AGGREGABLE min(struct(...)) instead of a
+    // row_number window: the window exchanged AND sorted the full
+    // |docs|×|classes| scored relation by doc; the aggregate's map-side
+    // partials shrink the shuffle to |docs| rows per side (guide §2.3
+    // "aggregate before you shuffle"). Ordering is IDENTICAL:
+    // min(-round(score,6)) == max rounded score (negation is strictly
+    // order-reversing under Double.compare, incl. -0.0/0.0), class
+    // ascending breaks ties, and the (doc, class)-unique key means the
+    // payload field never decides. NaN scores only arise with an empty
+    // model (v = 0), where they are uniform across classes — the
+    // class tiebreak decides under both forms.
     scored
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy(round(col("score"), 6).desc, col("c")))
+      .groupBy("doc_id", "true_lang")
+      .agg(
+        min(
+          struct(
+            negate(round(col("score"), 6)).as("nr"),
+            col("c"),
+            round(col("score"), 4).as("lp")
+          )
+        ).as("pick")
       )
-      .filter(col("rn") === 1)
       .select(
         col("doc_id"),
         col("true_lang"),
-        col("c").as("pred_lang"),
-        round(col("score"), 4).as("logp")
+        col("pick.c").as("pred_lang"),
+        col("pick.lp").as("logp")
       )
   }
 
@@ -303,15 +319,15 @@ object Classify {
           col("msum") +
           (col("t_d") - col("mcnt")) * log(lit(1.0) / (col("n_c") + col("v")))
       )
+    // same min(struct) argmax as nbScoreCounts (see the comment there):
+    // replaces the per-doc row_number window (full exchange + sort of
+    // |docs|×|classes| rows) with a partial-aggregable pick
     scored
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy(round(col("score"), 6).desc, col("c")))
-      )
-      .filter(col("rn") === 1)
+      .groupBy("doc_id", "fold", "lang")
+      .agg(min(struct(negate(round(col("score"), 6)).as("nr"), col("c"))).as("pick"))
       .groupBy("fold")
       .agg(
-        sum((col("c") === col("lang")).cast("long")).as("n_correct"),
+        sum((col("pick.c") === col("lang")).cast("long")).as("n_correct"),
         count(lit(1)).as("n_total")
       )
       .orderBy("fold")

@@ -1293,16 +1293,26 @@ object Dedup {
   ): DataFrame = {
     require(w >= 2 && blockLen <= keyLen, "need w >= 2 and block prefix <= sort key")
     import org.apache.spark.sql.expressions.Window
-    val n = df.select(
+    // project BEFORE the exchange (guide §2.3): the window only needs
+    // the sort key, the block prefix and the verify prefix — never the
+    // full normalized text the old formulation carried through every
+    // shuffle and the checkpoint
+    val keyed = df.select(
       col(idCol).cast("long").as("id"),
       normalizedText(textCol).as("norm")
-    )
-    val keyed = n.select(
+    ).select(
       col("id"),
-      col("norm"),
       substring(col("norm"), 1, keyLen).as("sk"),
-      substring(col("norm"), 1, blockLen).as("blk")
+      substring(col("norm"), 1, blockLen).as("blk"),
+      substring(col("norm"), 1, verifyLen).as("v")
     )
+    // A lead()-based in-block pairing (zero pair-join exchange) was
+    // built and A/B-measured here and LOST at both scales (sf1: 25–26 s
+    // vs 11–13 s for this form, all 3 alternating pairs): materializing
+    // w−1 lead(struct(id, verify-prefix)) columns per row costs more
+    // than the rank equi-join it saves — the verify prefix is ≤108 B,
+    // so the explode-join's shuffle is light once the full text stops
+    // riding it (the projection above). Kept the measured winner.
     val inBlock = keyed.withColumn(
       "rnb",
       row_number().over(Window.partitionBy("blk").orderBy("sk", "id"))
@@ -1322,16 +1332,16 @@ object Dedup {
       .select("blk", "off")
     val ranked = inBlock
       .join(broadcast(offsets), "blk")
-      .select(col("id"), col("norm"), (col("off") + col("rnb")).as("rn"))
+      .select(col("id"), col("v"), (col("off") + col("rnb")).as("rn"))
       .localCheckpoint(eager = false)
     // band join rn < rn' <= rn + w-1 as ONE equi-join via offset explode
     val probes = ranked.select(
       col("id").as("id_a"),
-      substring(col("norm"), 1, verifyLen).as("va"),
+      col("v").as("va"),
       explode(sequence(col("rn") + 1, col("rn") + (w - 1))).as("rn")
     )
     probes
-      .join(ranked.select(col("id").as("id_b"), substring(col("norm"), 1, verifyLen).as("vb"), col("rn")), "rn")
+      .join(ranked.select(col("id").as("id_b"), col("v").as("vb"), col("rn")), "rn")
       // THRESHOLDED levenshtein: the 3-arg form computes the banded
       // O(maxDist·n) DP instead of the full O(n²) matrix and returns -1
       // beyond the bound — surviving rows carry the exact same distance

@@ -1269,6 +1269,32 @@ object Relational {
       .select("okey", "item")
   }
 
+  /** Within-basket pair occurrences (`item_a` < `item_b`, one row per
+    * basket containing both) generated from a per-basket SORTED ARRAY
+    * instead of the okey self-join. The self-join planned the ENTIRE
+    * upstream pipeline twice (distinct + support join + cap window —
+    * Spark does not share a DataFrame's subtree across the two join
+    * aliases; the before-plan carries two full copies) plus a
+    * broadcast build; the array form computes it once, and the
+    * collect_list aggregate REUSES the cap window's okey exchange
+    * (guide §2.4 — two operations keyed the same way share one
+    * exchange). Per-basket work is maxBasketItems²/2-bounded exactly
+    * like the join was; items are distinct within a basket, so the
+    * emitted multiset of (basket, pair) rows is identical.
+    */
+  private def basketPairOccurrences(pruned: DataFrame): DataFrame =
+    pruned
+      .groupBy("okey")
+      .agg(sort_array(collect_list(col("item"))).as("its"))
+      .select(
+        explode(
+          expr(
+            "flatten(transform(its, (x, i) -> transform(slice(its, i + 2, size(its)), y -> struct(x AS a, y AS b))))"
+          )
+        ).as("p")
+      )
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+
   /** [[basketPairs]] core over an explicit `(okey, item)` relation. */
   private[graft] def basketPairsFrom(
       baskets: DataFrame,
@@ -1280,10 +1306,8 @@ object Relational {
       .agg(count(lit(1)).as("s"))
       .filter(col("s") >= minSupport)
     val pruned = prunedCappedBaskets(baskets, itemSup, maxBasketItems)
-    pruned
-      .alias("x")
-      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    basketPairOccurrences(pruned)
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_support"))
       .filter(col("pair_support") >= minSupport)
       .orderBy("item_a", "item_b")
@@ -1322,10 +1346,8 @@ object Relational {
       .filter(col("s") >= minSupport)
       .localCheckpoint(eager = false) // consumers: cap + both rule-side supports
     val pruned = prunedCappedBaskets(baskets, itemSup, maxBasketItems)
-    val pairs = pruned
-      .alias("x")
-      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    val pairs = basketPairOccurrences(pruned)
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_support"))
       .filter(col("pair_support") >= minSupport)
     val nBaskets = baskets.agg(countDistinct("okey").as("n_baskets"))
@@ -1747,19 +1769,31 @@ object Relational {
       .filter(col("s") >= minSupport)
       .select("item")
     val pruned = baskets.join(frequent, Seq("item")).localCheckpoint(eager = false)
-    val fp = pruned
-      .alias("x")
-      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("pa"), col("y.item").as("pb"))
+    // within-order pair occurrences generated ONCE from per-basket
+    // sorted arrays (the basketPairOccurrences shape, okey kept) —
+    // this relation previously came from TWO pruned-self-joins (one
+    // for supports, one for occurrences), each its own exchange+join
+    val occ = pruned
+      .groupBy("okey")
+      .agg(sort_array(collect_list(col("item"))).as("its"))
+      .select(
+        col("okey"),
+        explode(
+          expr(
+            "flatten(transform(its, (x, i) -> transform(slice(its, i + 2, size(its)), y -> struct(x AS a, y AS b))))"
+          )
+        ).as("p")
+      )
+      .select(col("okey"), col("p.a").as("ia"), col("p.b").as("ib"))
+      .localCheckpoint(eager = false) // consumers: pair supports + the po semi-join
+    val fp = occ
+      .groupBy(col("ia").as("pa"), col("ib").as("pb"))
       .agg(count(lit(1)).as("ps"))
       .filter(col("ps") >= minSupport)
       .select("pa", "pb")
       .localCheckpoint(eager = false)
     // within-order occurrences of frequent pairs
-    val po = pruned
-      .alias("x")
-      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
-      .select(col("x.okey").as("okey"), col("x.item").as("ia"), col("y.item").as("ib"))
+    val po = occ
       .join(fp, col("ia") === col("pa") && col("ib") === col("pb"))
       .select("okey", "ia", "ib")
     po
@@ -1830,10 +1864,8 @@ object Relational {
       .withColumn("__bk", row_number().over(Window.partitionBy("okey").orderBy(col("__s").desc, col("item"))))
       .filter(col("__bk") <= maxBasketItems)
       .select("okey", "item")
-    val pairs = pruned
-      .alias("x")
-      .join(pruned.alias("y"), col("x.okey") === col("y.okey") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+    val pairs = basketPairOccurrences(pruned)
+      .groupBy(col("item_a").as("ia"), col("item_b").as("ib"))
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= 2L)
     val sym = pairs
