@@ -240,6 +240,180 @@ object ProbeR14 {
           residue()
         }
 
+      case "ab_phrase" =>
+        // text_phrase_search read 1.23 s on the pre-dffbb1d tree and
+        // 5.5-7.1 s after — the only candidate change is gramInstances'
+        // doc-grain split (Project(transform) + Generate(posexplode(attr))
+        // vs the old single Generate(posexplode(transform(...)))). A/B
+        // the two inline shapes on the same corpus.
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+        val toksE = "filter(split(text, '[^\\\\p{L}]+'), t -> t != '')"
+        def oldPhrase(): DataFrame = {
+          val phrases = operators.TextAnalysis.defaultPhrases
+          val norm = phrases.map { case (pid, p) => (pid, p.trim.split("\\s+").toSeq) }
+          val hits = norm
+            .groupBy(_._2.length)
+            .toSeq
+            .map { case (len, ps) =>
+              import spark.implicits._
+              val pdf = ps.map { case (pid, ts) => (pid, ts.mkString(" ")) }.toDF("phrase_id", "g")
+              val inst = docs
+                .select(col("doc_id"), expr(toksE).as("tk"))
+                .filter(size(col("tk")) >= len)
+                .select(
+                  col("doc_id"),
+                  posexplode(
+                    expr(s"transform(sequence(1, size(tk) - ${len - 1}), i -> concat_ws(' ', slice(tk, i, $len)))")
+                  ).as(Seq("__p", "g"))
+                )
+                .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+              inst
+                .where(col("g").isin(ps.map(_._2.mkString(" ")): _*))
+                .join(broadcast(pdf), "g")
+                .groupBy("phrase_id", "doc_id")
+                .agg(count(lit(1)).as("n_hits"))
+            }
+            .reduce(_ unionByName _)
+          val w = Window.partitionBy("phrase_id").orderBy(col("n_hits").desc, col("doc_id"))
+          hits
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 10)
+            .select("phrase_id", "rnk", "doc_id", "n_hits")
+            .orderBy("phrase_id", "rnk")
+        }
+        for (i <- 1 to 3) {
+          timed(s"phrase_old_$i")(noop(oldPhrase())); residue()
+          timed(s"phrase_new_$i")(noop(operators.TextAnalysis.phraseSearch(spark, dir))); residue()
+        }
+
+      case "snm_phases" =>
+        // split the SNM cost: ranked-relation build vs pair join+verify,
+        // old (full-norm) vs new (projected) forms
+        import org.apache.spark.sql.expressions.Window
+        val dfD = graft.Tables.documents(spark, dir)
+        def oldRanked(): DataFrame = {
+          val n = dfD.select(col("doc_id").cast("long").as("id"), operators.Dedup.normalizedText("text").as("norm"))
+          val keyed = n.select(
+            col("id"), col("norm"),
+            substring(col("norm"), 1, 24).as("sk"),
+            substring(col("norm"), 1, 4).as("blk"))
+          val inBlock = keyed.withColumn("rnb", row_number().over(Window.partitionBy("blk").orderBy("sk", "id")))
+          val offsets = keyed.groupBy("blk").agg(count(lit(1)).as("cnt"))
+            .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select("blk", "off")
+          inBlock.join(broadcast(offsets), "blk")
+            .select(col("id"), col("norm"), (col("off") + col("rnb")).as("rn"))
+        }
+        def newRanked(): DataFrame = {
+          val keyed = dfD.select(col("doc_id").cast("long").as("id"), operators.Dedup.normalizedText("text").as("norm"))
+            .select(col("id"),
+              substring(col("norm"), 1, 24).as("sk"),
+              substring(col("norm"), 1, 4).as("blk"),
+              substring(col("norm"), 1, 80).as("v"))
+          val inBlock = keyed.withColumn("rnb", row_number().over(Window.partitionBy("blk").orderBy("sk", "id")))
+          val offsets = keyed.groupBy("blk").agg(count(lit(1)).as("cnt"))
+            .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select("blk", "off")
+          inBlock.join(broadcast(offsets), "blk")
+            .select(col("id"), col("v"), (col("off") + col("rnb")).as("rn"))
+        }
+        def pairsFrom(ranked0: DataFrame, vcol: String): DataFrame = {
+          val ranked = ranked0.localCheckpoint(eager = false)
+          val probes = ranked.select(
+            col("id").as("id_a"),
+            substring(col(vcol), 1, 80).as("va"),
+            explode(sequence(col("rn") + 1, col("rn") + 7)).as("rn"))
+          probes
+            .join(ranked.select(col("id").as("id_b"), substring(col(vcol), 1, 80).as("vb"), col("rn")), "rn")
+            .withColumn("dist", levenshtein(col("va"), col("vb"), 8).cast("long"))
+            .filter(col("dist") >= 0L)
+            .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+            .orderBy("id_a", "id_b")
+        }
+        def pairsMerge(ranked0: DataFrame, vcol: String): DataFrame = {
+          val ranked = ranked0.localCheckpoint(eager = false)
+          val probes = ranked.select(
+            col("id").as("id_a"),
+            substring(col(vcol), 1, 80).as("va"),
+            explode(sequence(col("rn") + 1, col("rn") + 7)).as("rn"))
+          probes
+            .join(ranked.select(col("id").as("id_b"), substring(col(vcol), 1, 80).as("vb"), col("rn")).hint("merge"), "rn")
+            .withColumn("dist", levenshtein(col("va"), col("vb"), 8).cast("long"))
+            .filter(col("dist") >= 0L)
+            .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+            .orderBy("id_a", "id_b")
+        }
+        for (i <- 1 to 2) {
+          timed(s"ranked_old_$i")(noop(oldRanked())); residue()
+          timed(s"ranked_new_$i")(noop(newRanked())); residue()
+          timed(s"full_old_$i")(noop(pairsFrom(oldRanked(), "norm"))); residue()
+          timed(s"full_new_$i")(noop(pairsFrom(newRanked(), "v"))); residue()
+          timed(s"full_new_merge_$i")(noop(pairsMerge(newRanked(), "v"))); residue()
+        }
+
+      case "snm_explain" =>
+        val newPlan = operators.Dedup
+          .snmDocumentPairs(spark, dir)
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/snm_new_plan.txt"), newPlan)
+        println("wrote /tmp/snm_new_plan.txt")
+
+      case "ab_grain" =>
+        // checkpoint-grain A/B for the two-consumer gram stream:
+        // instance-grain (pre-dffbb1d) vs doc-grain arrays (current),
+        // measured on duplicatedSpans (same two-consumer shape as the
+        // substring dedup)
+        import org.apache.spark.sql.expressions.Window
+        val docsG  = graft.Tables.documents(spark, dir).select("doc_id", "text")
+        val toksG  = "filter(split(text, '[^\\\\p{L}]+'), t -> t != '')"
+        val kG     = 3
+        def oldSpans(): DataFrame = {
+          val inst = docsG
+            .select(col("doc_id"), expr(toksG).as("tk"))
+            .filter(size(col("tk")) >= kG)
+            .select(
+              col("doc_id"),
+              posexplode(
+                expr(s"transform(sequence(1, size(tk) - ${kG - 1}), i -> concat_ws(' ', slice(tk, i, $kG)))")
+              ).as(Seq("__p", "g"))
+            )
+            .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+            .localCheckpoint(eager = false)
+          val hot = inst
+            .groupBy("g")
+            .agg(countDistinct("doc_id").as("df_docs"))
+            .filter(col("df_docs") >= 3)
+            .select("g")
+          val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+          val per = inst
+            .join(hot, Seq("g"), "left_semi")
+            .withColumn("e", col("pos") + (kG - 1))
+            .withColumn("prev_e", max(col("e")).over(w))
+            .withColumn(
+              "cov",
+              greatest(lit(0L), col("e") - greatest(col("pos"), coalesce(col("prev_e"), lit(0L)) + 1) + 1)
+            )
+            .groupBy("doc_id")
+            .agg(sum("cov").as("covered_tokens"))
+          docsG
+            .select(col("doc_id"), size(expr(toksG)).cast("long").as("n_tokens"))
+            .join(per, Seq("doc_id"), "left")
+            .select(
+              col("doc_id"),
+              col("n_tokens"),
+              coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+              when(col("n_tokens") > 0, coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens").cast("double"))
+                .as("covered_ratio")
+            )
+            .orderBy("doc_id")
+        }
+        for (i <- 1 to 3) {
+          timed(s"spans_old_$i")(noop(oldSpans())); residue()
+          timed(s"spans_new_$i")(noop(operators.TextAnalysis.duplicatedSpansDf(docsG))); residue()
+        }
+
       case "ab_b3" =>
         // in-JVM alternating A/B for the batch-3 rewrites (ambient
         // drift on this host makes cross-run minis useless): each OLD

@@ -1341,7 +1341,15 @@ object Dedup {
       explode(sequence(col("rn") + 1, col("rn") + (w - 1))).as("rn")
     )
     probes
-      .join(ranked.select(col("id").as("id_b"), col("v").as("vb"), col("rn")), "rn")
+      // MERGE hint, deliberately (guide §3.1): the projected ranked
+      // relation is small enough at bench scale that AQE broadcasts it,
+      // and the BroadcastHashJoin evaluates the levenshtein residual
+      // 2.4× slower than the sort-merge form (sf1 A/B: 23.2/23.2 s BHJ
+      // vs 9.4/9.6 s merge vs 10.0/10.9 s for the pre-projection SMJ
+      // that exceeded the threshold by accident). At scale the ranked
+      // relation never broadcasts, so the hint pins the local plan to
+      // the one the operating point uses.
+      .join(ranked.select(col("id").as("id_b"), col("v").as("vb"), col("rn")).hint("merge"), "rn")
       // THRESHOLDED levenshtein: the 3-arg form computes the banded
       // O(maxDist·n) DP instead of the full O(n²) matrix and returns -1
       // beyond the bound — surviving rows carry the exact same distance

@@ -388,24 +388,35 @@ object TextAnalysis {
     * persisting a corpus-scale stream for one reader is pure cost.
     */
   private def gramInstances(docs: DataFrame, k: Int, materialize: Boolean = true): DataFrame = {
-    val gramArrays = docs
+    val gramExpr = s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))"
+    val base = docs
       .select(col("doc_id"), expr(toks("text")).as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(
-        col("doc_id"),
-        expr(s"transform(sequence(1, size(tk) - ${k - 1}), i -> concat_ws(' ', slice(tk, i, $k)))")
-          .as("__gs")
-      )
-    // materialize at DOC grain (one row per doc, gram ARRAY payload),
-    // not at instance grain: the expensive work both consumers share is
-    // the tokenize + gram construction, and storing it as ~corpus-count
-    // array rows instead of ~token-count exploded rows cuts the
-    // checkpoint's row overhead by the gram factor — the posexplode
-    // below is a narrow, per-consumer re-run that costs almost nothing
-    val arr = if (materialize) gramArrays.localCheckpoint(eager = false) else gramArrays
-    arr
-      .select(col("doc_id"), posexplode(col("__gs")).as(Seq("__p", "g")))
-      .select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
+    val exploded =
+      if (materialize) {
+        // materialize at DOC grain (one row per doc, gram ARRAY
+        // payload), not at instance grain: the expensive work both
+        // consumers share is the tokenize + gram construction, and
+        // storing ~corpus-count array rows instead of ~token-count
+        // exploded rows cuts the checkpoint's row overhead by the gram
+        // factor; consumers posexplode the checkpointed array column
+        val arr = base
+          .select(col("doc_id"), expr(gramExpr).as("__gs"))
+          .localCheckpoint(eager = false)
+        arr.select(col("doc_id"), posexplode(col("__gs")).as(Seq("__p", "g")))
+      } else {
+        // single-consumer path: keep the generator expression INLINE in
+        // the Generate. Splitting it into Project(transform) + Generate
+        // (the materialize path's shape, minus its checkpoint) makes
+        // the Project serialize the whole gram array to unsafe format
+        // per doc before the Generate unnests it — measured 4.5× slower
+        // on text_phrase_search (warm 1.3–1.5 s inline vs 6.1–6.3 s
+        // split, 3 alternating in-JVM pairs); the inline form hands
+        // each gram straight from the transform to the generator with
+        // no intermediate row copy.
+        base.select(col("doc_id"), posexplode(expr(gramExpr)).as(Seq("__p", "g")))
+      }
+    exploded.select(col("doc_id"), (col("__p") + 1).cast("long").as("pos"), col("g"))
   }
 
   private[graft] def duplicatedSpansDf(docs: DataFrame, k: Int = 3, minDocs: Int = 3): DataFrame = {
